@@ -1,0 +1,77 @@
+"""Rule classification + fusion with reference semantics.
+
+classify_by_rules: document_classifier.py:84-115 —
+  per doc type: keywords score 1 each on \\b<escaped kw>\\b IGNORECASE search;
+  regex patterns score 2 each on IGNORECASE|MULTILINE search; normalized
+  score/max_score; strictly-greater argmax across types (ties -> first in
+  iteration order); (None, 0.0) when text empty or nothing scores.
+
+fuse_classification: document_classifier.py:157-173 —
+  ml>0.7 -> ml; rule>0.6 -> rule; both>0 -> max (ties -> rule); single>0 ->
+  it; else (None, 0.0).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from ..config import DocTypePattern
+
+
+@lru_cache(maxsize=4096)
+def _kw_re(keyword: str) -> re.Pattern:
+    return re.compile(r"\b" + re.escape(keyword) + r"\b", re.IGNORECASE)
+
+
+@lru_cache(maxsize=4096)
+def _pat_re(pattern: str) -> re.Pattern:
+    return re.compile(pattern, re.IGNORECASE | re.MULTILINE)
+
+
+def classify_by_rules(
+    text: str | None, patterns: dict[str, DocTypePattern]
+) -> tuple[str | None, float]:
+    if not text or not patterns:
+        return None, 0.0
+
+    best_match: str | None = None
+    best_score = 0.0
+    for doc_type, pd in patterns.items():
+        score = 0
+        max_score = 0
+        for kw in pd.keywords:
+            max_score += 1
+            if _kw_re(kw).search(text):
+                score += 1
+        for pat in pd.patterns:
+            max_score += 2
+            if _pat_re(pat).search(text):
+                score += 2
+        if max_score > 0:
+            normalized = score / max_score
+            if normalized > best_score:
+                best_score = normalized
+                best_match = doc_type
+    return best_match, best_score
+
+
+def fuse_classification(
+    rule_type: str | None,
+    rule_score: float,
+    ml_type: str | None = None,
+    ml_score: float = 0.0,
+) -> tuple[str | None, float]:
+    if ml_score > 0.7:
+        return ml_type, ml_score
+    if rule_score > 0.6:
+        return rule_type, rule_score
+    if ml_score > 0 and rule_score > 0:
+        if ml_score > rule_score:
+            return ml_type, ml_score
+        return rule_type, rule_score
+    if ml_score > 0:
+        return ml_type, ml_score
+    if rule_score > 0:
+        return rule_type, rule_score
+    return None, 0.0

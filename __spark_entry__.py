@@ -1,38 +1,692 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: the full extract->classify->validate pipeline on a
+                 spans corpus derived from sf0.001 documents.
+queries()      — one entry per implemented operator family (SURVEY.md §2 +
+                 the training-data operator set); each takes (spark, sf_dir).
+oracle_sql()   — DuckDB-runnable ANSI SQL mirrors. Queries without an entry
+                 here are non-SQL-expressible (pandas-UDF pipeline, LSH
+                 families) and get the driver's rows-only check.
+
+Column names are aliased identically on both sides; float columns are rounded
+(4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
+hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# synthetic doc-type rules over the driver documents table's vocabulary —
+# same shape as conf/patterns (keyword weight 1, regex weight 2, normalized
+# score, strictly-greater argmax)
+DOC_RULES: list[tuple[str, list[str], list[str]]] = [
+    ("sparky", ["spark", "vector", "stream"], [r"batch\s+batch"]),
+    ("sqlish", ["join", "filter", "window"], [r"merge\s+sort"]),
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spans corpus derived from sf0.001 documents -> full
+    extraction pipeline -> per-doc summary."""
+    from pdf_extractor_spark.pipeline import extract_documents
+    from pdf_extractor_spark.sources.corpus import corpus_from_documents_table
+
+    docs = _t(spark, DEFAULT_SF_DIR, "documents")
+    spans = corpus_from_documents_table(docs)
+    out = extract_documents(spans)
+    return out.select(
+        "doc_id",
+        "doc_type",
+        "confidence",
+        F.size("spans").alias("n_spans"),
+        F.col("meta.language").alias("language"),
+        F.col("meta.num_pages").alias("num_pages"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _success(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import success_rate
+
+    ev = _t(spark, sf_dir, "events")
+    return success_rate(ev, F.col("event_type") != "error")
+
+
+def _kpis(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import kpis
+
+    ev = _t(spark, sf_dir, "events")
+    return kpis(ev, F.col("event_type") != "error", ts_col="ts", today="2024-01-15")
+
+
+def _count_by_type(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import count_by_type
+
+    return count_by_type(_t(spark, sf_dir, "events"), type_col="event_type")
+
+
+def _distinct_types(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import distinct_types
+
+    return distinct_types(_t(spark, sf_dir, "events"), type_col="event_type")
+
+
+def _avg_purchase(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import avg_confidence
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return avg_confidence(ev, conf_col="value").withColumnRenamed(
+        "avg_confidence", "avg_value"
+    )
+
+
+def _count_by_date(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import count_by_date
+
+    out = count_by_date(_t(spark, sf_dir, "events"), ts_col="ts")
+    return out.withColumn("date", F.col("date").cast("string"))
+
+
+def _densified(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import densified_daily_counts
+
+    out = densified_daily_counts(
+        _t(spark, sf_dir, "events"), "2024-01-01", "2024-02-10", ts_col="ts"
+    )
+    return out.withColumn("date", F.col("date").cast("string"))
+
+
+def _filtered_range(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import filtered
+
+    ev = _t(spark, sf_dir, "events")
+    return filtered(
+        ev, ts_col="ts", start="2024-01-10", end="2024-01-20",
+        type_col="event_type", doc_type="click",
+    ).select("event_id", "ts", "user_id", F.round("value", 6).alias("value"))
+
+
+def _top_error_props(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import top_k
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    keyed = ev.select(F.get_json_object("props", "$.k").alias("err_key"))
+    return top_k(keyed, "err_key", k=10)
+
+
+def _recent_events(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import most_recent
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.round("value", 6).alias("value")
+    )
+    return most_recent(ev, ts_col="ts", n=20, tiebreak="event_id")
+
+
+def _grouped_mean(spark, sf_dir):
+    from pdf_extractor_spark.operators.analytics import grouped_mean
+
+    return grouped_mean(
+        _t(spark, sf_dir, "events"), type_col="event_type", value_col="value"
+    )
+
+
+def _user_top_event(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+def _tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _top_revenue_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        orders.join(rev, orders.o_orderkey == rev.l_orderkey)
+        .select("o_orderkey", F.to_date("o_orderdate").cast("string").alias("o_orderdate"), "revenue")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _customers_per_region(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("region")
+    )
+
+
+def _classify_rules(spark, sf_dir):
+    """Columnar rule classification (keyword weight 1 via \\b rlike, pattern
+    weight 2, normalized, strictly-greater argmax) over the documents table
+    — the SQL-checkable twin of the pipeline's pandas-UDF classifier."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    best_type = F.lit(None).cast("string")
+    best_score = F.lit(0.0)
+    for doc_type, kws, pats in DOC_RULES:
+        score = F.lit(0)
+        for kw in kws:
+            score = score + text.rlike(rf"\b{kw}\b").cast("int")
+        for p in pats:
+            score = score + 2 * text.rlike(p).cast("int")
+        max_score = len(kws) + 2 * len(pats)
+        norm = score / F.lit(float(max_score))
+        nb_type = F.when(norm > best_score, F.lit(doc_type)).otherwise(best_type)
+        nb_score = F.when(norm > best_score, norm).otherwise(best_score)
+        best_type, best_score = nb_type, nb_score
+    return docs.select(
+        "doc_id",
+        best_type.alias("doc_type"),
+        F.round(best_score, 6).alias("score"),
+    )
+
+
+def _preprocess_text(spark, sf_dir):
+    from pdf_extractor_spark.operators.spans import preprocess_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", preprocess_text(F.col("text"), F.col("lang")).alias("normalized")
+    )
+
+
+def _lang_name(spark, sf_dir):
+    from pdf_extractor_spark.operators.spans import language_name_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_name_col(F.col("lang")).alias("lang_name"))
+
+
+def _token_count(spark, sf_dir):
+    from pdf_extractor_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def _quality(spark, sf_dir):
+    from pdf_extractor_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_id(spark, sf_dir):
+    from pdf_extractor_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _fingerprint(spark, sf_dir):
+    from pdf_extractor_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _exact_dedup(spark, sf_dir):
+    from pdf_extractor_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard(spark, sf_dir):
+    from pdf_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+def _minhash_lsh(spark, sf_dir):
+    from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=16, threshold=0.7
+    )
+
+
+def _simhash(spark, sf_dir):
+    from pdf_extractor_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _cosine_topk(spark, sf_dir):
+    from pdf_extractor_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return cosine_topk(emb, q, k=10)
+
+
+def _lsh_ann(spark, sf_dir):
+    from pdf_extractor_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return lsh_topk(emb, q, dim=64, k=10, bits=6, tables=6)
+
+
+def _embedding_neardup(spark, sf_dir):
+    from pdf_extractor_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.99
+    )
+
+
+def _media_meta(spark, sf_dir):
+    from pdf_extractor_spark.operators.multimodal import media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+def _media_features(spark, sf_dir):
+    from pdf_extractor_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media, dim=8)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "checksum",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
+def _extract_pipeline(spark, sf_dir):
+    from pdf_extractor_spark.pipeline import extract_documents
+    from pdf_extractor_spark.sources.corpus import corpus_from_documents_table
+
+    spans = corpus_from_documents_table(_t(spark, sf_dir, "documents"))
+    out = extract_documents(spans)
+    return (
+        out.groupBy("doc_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+            F.sum(F.size("spans")).alias("total_spans"),
+        )
+        .orderBy(F.desc("n_docs"), "doc_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # §2.7 analytics operators
+        "success_rate": _success,
+        "kpis": _kpis,
+        "count_by_type": _count_by_type,
+        "distinct_types": _distinct_types,
+        "avg_purchase_value": _avg_purchase,
+        "count_by_date": _count_by_date,
+        "densified_daily_counts": _densified,
+        "filtered_range": _filtered_range,
+        "top_error_props": _top_error_props,
+        "recent_events": _recent_events,
+        "grouped_mean_value": _grouped_mean,
+        "user_top_event": _user_top_event,
+        # relational core
+        "tpch_q1": _tpch_q1,
+        "top_revenue_orders": _top_revenue_orders,
+        "customers_per_region": _customers_per_region,
+        # extraction-domain operators (columnar twins of pipeline stages)
+        "classify_rules": _classify_rules,
+        "preprocess_text": _preprocess_text,
+        "lang_name": _lang_name,
+        # text analysis
+        "token_count": _token_count,
+        "quality_score": _quality,
+        "lang_id": _lang_id,
+        "fingerprint": _fingerprint,
+        # dedup
+        "exact_dedup": _exact_dedup,
+        "ngram_jaccard": _ngram_jaccard,
+        "minhash_lsh": _minhash_lsh,
+        "simhash_neardup": _simhash,
+        # similarity search
+        "cosine_topk": _cosine_topk,
+        "lsh_ann_topk": _lsh_ann,
+        "embedding_neardup": _embedding_neardup,
+        # multimodal plumbing
+        "media_meta": _media_meta,
+        "media_features": _media_features,
+        # full pipeline (pandas-UDF stages; rows-only check)
+        "extract_pipeline": _extract_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_LTOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_EN_STOP = (
+    "['the','a','an','and','or','of','to','in','is','are','for','with',"
+    "'that','this','it','on','as','by','be']"
+)
+
+
+def _classify_sql() -> str:
+    cases = []
+    prev_score = "0.0"
+    prev_type = "CAST(NULL AS VARCHAR)"
+    # fold in rule order with strictly-greater update, like the Spark side
+    expr_type, expr_score = prev_type, prev_score
+    for doc_type, kws, pats in DOC_RULES:
+        parts = [f"CAST(regexp_matches(text, '\\b{kw}\\b') AS INT)" for kw in kws]
+        parts += [f"2*CAST(regexp_matches(text, '{p}') AS INT)" for p in pats]
+        max_score = len(kws) + 2 * len(pats)
+        norm = f"(({' + '.join(parts)}) / {float(max_score)})"
+        expr_type = (
+            f"CASE WHEN {norm} > {expr_score} THEN '{doc_type}' "
+            f"ELSE {expr_type} END"
+        )
+        expr_score = (
+            f"CASE WHEN {norm} > {expr_score} THEN {norm} ELSE {expr_score} END"
+        )
+    return (
+        f"SELECT doc_id, {expr_type} AS doc_type, "
+        f"round({expr_score}, 6) AS score FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["success_rate"] = (
+        "SELECT round(coalesce(avg(CASE WHEN event_type <> 'error' THEN 1.0 "
+        "ELSE 0.0 END) * 100, 0), 4) AS success_rate FROM events"
+    )
+    sql["kpis"] = (
+        "SELECT count(*) AS total_docs, "
+        "round(coalesce(avg(CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.0 "
+        "END) * 100, 0), 4) AS success_rate, "
+        "coalesce(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15' THEN 1 "
+        "ELSE 0 END), 0) AS docs_today FROM events"
+    )
+    sql["count_by_type"] = (
+        "SELECT coalesce(event_type, 'Desconhecido') AS doc_type, "
+        "count(*) AS count FROM events GROUP BY 1 ORDER BY count DESC, doc_type"
+    )
+    sql["distinct_types"] = (
+        "SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL "
+        "ORDER BY event_type"
+    )
+    sql["avg_purchase_value"] = (
+        "SELECT round(avg(value), 6) AS avg_value FROM events "
+        "WHERE event_type = 'purchase'"
+    )
+    sql["count_by_date"] = (
+        "SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, count(*) AS count "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    sql["densified_daily_counts"] = (
+        "WITH days AS (SELECT unnest(generate_series(DATE '2024-01-01', "
+        "DATE '2024-02-10', INTERVAL 1 DAY))::DATE AS date), "
+        "counts AS (SELECT CAST(ts AS DATE) AS date, count(*) AS cnt "
+        "FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND "
+        "DATE '2024-02-10' GROUP BY 1) "
+        "SELECT CAST(d.date AS VARCHAR) AS date, coalesce(c.cnt, 0) AS count FROM days d "
+        "LEFT JOIN counts c ON d.date = c.date ORDER BY d.date"
+    )
+    sql["filtered_range"] = (
+        "SELECT event_id, ts, user_id, round(value, 6) AS value FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20' "
+        "AND event_type = 'click'"
+    )
+    sql["top_error_props"] = (
+        "SELECT json_extract_string(props, '$.k') AS err_key, count(*) AS count "
+        "FROM events WHERE event_type = 'error' "
+        "AND json_extract_string(props, '$.k') IS NOT NULL "
+        "GROUP BY 1 ORDER BY count DESC, err_key LIMIT 10"
+    )
+    sql["recent_events"] = (
+        "SELECT event_id, ts, event_type, round(value, 6) AS value FROM events "
+        "ORDER BY ts DESC, event_id DESC LIMIT 20"
+    )
+    sql["grouped_mean_value"] = (
+        "SELECT event_type, round(avg(value), 6) AS avg_value FROM events "
+        "GROUP BY 1 ORDER BY avg_value DESC, event_type"
+    )
+    sql["user_top_event"] = (
+        "SELECT user_id, event_id, event_type, round(value, 6) AS value FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value "
+        "DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+    )
+    sql["tpch_q1"] = (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS "
+        "sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS "
+        "avg_disc, count(*) AS count_order FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    sql["top_revenue_orders"] = (
+        "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, revenue "
+        "FROM orders JOIN (SELECT l_orderkey, round(sum(l_extendedprice * "
+        "(1 - l_discount)), 2) AS revenue FROM lineitem GROUP BY 1) r "
+        "ON o_orderkey = r.l_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    )
+    sql["customers_per_region"] = (
+        "SELECT r_name AS region, count(*) AS n_customers, "
+        "round(avg(c_acctbal), 4) AS avg_acctbal FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1"
+    )
+    sql["classify_rules"] = _classify_sql()
+    sql["preprocess_text"] = (
+        "SELECT doc_id, CASE WHEN text IS NULL OR text = '' THEN text "
+        "WHEN lang IN ('zh','ja','ko') THEN "
+        "regexp_replace(trim(text), '[\\x00-\\x1F\\x7F-\\x9F]', '', 'g') "
+        "ELSE regexp_replace(regexp_replace(trim(text), "
+        "'[\\x00-\\x1F\\x7F-\\x9F]', '', 'g'), '\\s+', ' ', 'g') END AS "
+        "normalized FROM documents"
+    )
+    lang_cases = " ".join(
+        f"WHEN lang = '{c}' THEN '{n}'"
+        for c, n in [
+            ("en", "English"), ("pt", "Portuguese"), ("es", "Spanish"),
+            ("fr", "French"), ("de", "German"), ("it", "Italian"),
+            ("nl", "Dutch"), ("ru", "Russian"), ("zh", "Chinese"),
+            ("ja", "Japanese"), ("ko", "Korean"), ("ar", "Arabic"),
+            ("hi", "Hindi"), ("unknown", "Unknown"),
+        ]
+    )
+    sql["lang_name"] = (
+        f"SELECT doc_id, CASE {lang_cases} ELSE lang END AS lang_name "
+        "FROM documents"
+    )
+    sql["token_count"] = (
+        "SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        f"ELSE len({_TOKS}) END AS n_tokens FROM documents"
+    )
+    sql["quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         ELSE len({_TOKS}) END AS n_tok,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         ELSE len(list_filter({_LTOKS}, t -> list_contains({_EN_STOP}, t)))
+    END AS sw_hits,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         ELSE list_sum(list_transform({_TOKS}, t -> length(t))) END AS tok_chars,
+    coalesce(length(text), 0) AS n_chars,
+    coalesce(length(regexp_replace(text, '[^.!?,;:]', '', 'g')), 0) AS n_punct,
+    coalesce(length(regexp_replace(text, '[^0-9]', '', 'g')), 0) AS n_digit
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CASE WHEN n_tok >= 20 THEN 1.0 ELSE n_tok / 20.0 END AS len_band,
+    least((CASE WHEN n_tok > 0 THEN sw_hits * 1.0 / n_tok ELSE 0.0 END) * 4,
+          1.0) AS sw_band,
+    CASE WHEN n_tok > 0 AND tok_chars * 1.0 / n_tok BETWEEN 3 AND 10
+         THEN 1.0 ELSE 0.5 END AS wl_band,
+    least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END) * 5
+        + (CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END) * 2,
+          1.0) AS noise
+  FROM base
+)
+SELECT doc_id, round(0.35 * len_band + 0.30 * sw_band + 0.20 * wl_band
+                     + 0.15 * (1 - noise), 6) AS quality FROM m
+"""
+    lang_folds_type = "'unknown'"
+    lang_folds_score = "0"
+    from pdf_extractor_spark.operators.textstats import LANG_MARKERS
+
+    for code, markers in LANG_MARKERS:
+        marker_list = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        hits = (
+            f"(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE "
+            f"len(list_filter({_LTOKS}, t -> list_contains({marker_list}, t))) END)"
+        )
+        lang_folds_type = (
+            f"CASE WHEN {hits} > {lang_folds_score} THEN '{code}' "
+            f"ELSE {lang_folds_type} END"
+        )
+        lang_folds_score = (
+            f"CASE WHEN {hits} > {lang_folds_score} THEN {hits} "
+            f"ELSE {lang_folds_score} END"
+        )
+    sql["lang_id"] = (
+        f"SELECT doc_id, {lang_folds_type} AS lang_pred FROM documents"
+    )
+    sql["fingerprint"] = f"""
+SELECT doc_id,
+  CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE coalesce((
+    SELECT sum(((ord % 1000003) *
+                ((length(tok) * 131 + ascii(substr(tok, 1, 1))) % 1000003))
+               % 1000003) % 1000003
+    FROM (SELECT unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS ord)
+  ), 0) END AS fp
+FROM documents
+"""
+    sql["exact_dedup"] = (
+        "SELECT md5(text) AS digest, min(doc_id) AS canonical_id, "
+        "count(*) AS n_dups FROM documents GROUP BY 1"
+    )
+    sql["ngram_jaccard"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+sh2 AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id1, id2,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+FROM inter JOIN cnt ca ON id1 = ca.doc_id JOIN cnt cb ON id2 = cb.doc_id
+WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
+"""
+    sql["cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         round(list_dot_product(e.embedding, q.qv) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           list_dot_product(e.embedding, q.qv) /
+           (sqrt(list_dot_product(e.embedding, e.embedding)) *
+            sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id) AS rank
+  FROM embeddings e, q)
+SELECT query_id, id, cosine, rank FROM scored WHERE rank <= 10
+"""
+    sql["embedding_neardup"] = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding) /
+      (sqrt(list_dot_product(a.embedding, a.embedding)) *
+       sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.99
+"""
+    sql["media_meta"] = (
+        "SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN "
+        "'audio' ELSE 'video' END AS kind, "
+        "octet_length(encode(text)) AS n_bytes, "
+        "(length(text) % 640 + 1) AS width, (length(text) % 480 + 1) AS height "
+        "FROM documents"
+    )
+    # minhash_lsh / simhash_neardup / lsh_ann_topk / media_features /
+    # extract_pipeline: non-SQL-expressible (engine-hash LSH families,
+    # pandas-UDF pipeline) -> rows-only driver check.
+    return sql

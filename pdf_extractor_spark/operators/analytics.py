@@ -1,0 +1,167 @@
+"""Analytics/query operators — the dashboard's "SQL" (SURVEY.md §2.7).
+
+Pure built-in Catalyst territory: filters push to the parquet scan, top-k
+compiles to TakeOrderedAndProject, aggregates are partial (map-side) before
+the shuffle. Written over any metrics-shaped DataFrame; the driver's `events`
+table is the stand-in at test scale, the pipeline's own metrics table is the
+production input.
+
+Reference provenance per function in docstrings (analytics.py /
+gui/dashboard_panel.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filtered(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    start=None,
+    end=None,
+    type_col: str = "doc_type",
+    doc_type: str | None = None,
+) -> DataFrame:
+    """Range + equality filter (analytics.py:61-86)."""
+    out = df
+    if start is not None:
+        out = out.filter(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        out = out.filter(F.col(ts_col) <= F.lit(end))
+    if doc_type is not None:
+        out = out.filter(F.col(type_col) == doc_type)
+    return out
+
+
+def distinct_types(df: DataFrame, type_col: str = "doc_type") -> DataFrame:
+    """Unique non-null types, sorted (analytics.py:52-59)."""
+    return (
+        df.select(type_col)
+        .where(F.col(type_col).isNotNull())
+        .distinct()
+        .orderBy(type_col)
+    )
+
+
+def success_rate(df: DataFrame, success_col: Column) -> DataFrame:
+    """sum(success)/n * 100, 0 on empty (analytics.py:88-96)."""
+    return df.agg(
+        F.round(
+            F.coalesce(F.avg(success_col.cast("double")) * 100, F.lit(0.0)), 4
+        ).alias("success_rate")
+    )
+
+
+def avg_confidence(df: DataFrame, conf_col: str = "confidence") -> DataFrame:
+    """Mean counting only records that HAVE the key — Spark avg ignores
+    nulls, which matches (analytics.py:98-107)."""
+    return df.agg(F.round(F.avg(conf_col), 6).alias("avg_confidence"))
+
+
+def count_by_date(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """Count per %Y-%m-%d, sorted by date (analytics.py:109-132)."""
+    return (
+        df.groupBy(F.to_date(ts_col).alias("date"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("date")
+    )
+
+
+def count_by_type(
+    df: DataFrame, type_col: str = "doc_type", unknown: str = "Desconhecido"
+) -> DataFrame:
+    """Count per type (null -> 'Desconhecido'), desc (analytics.py:134-152).
+    Ties broken by type name so output order is deterministic."""
+    return (
+        df.groupBy(F.coalesce(F.col(type_col), F.lit(unknown)).alias("doc_type"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), "doc_type")
+    )
+
+
+def kpis(
+    df: DataFrame, success_col: Column, ts_col: str = "timestamp",
+    today: str | None = None,
+) -> DataFrame:
+    """Dashboard KPI row (gui/dashboard_panel.py:236-270): total count,
+    success rate, docs 'today', avg processing time. `today` is injected for
+    determinism (the GUI uses the wall clock)."""
+    today_cnt = (
+        F.sum((F.to_date(ts_col) == F.lit(today).cast("date")).cast("long"))
+        if today is not None
+        else F.lit(0).cast("long")
+    )
+    return df.agg(
+        F.count("*").alias("total_docs"),
+        F.round(F.coalesce(F.avg(success_col.cast("double")) * 100, F.lit(0.0)), 4)
+        .alias("success_rate"),
+        F.coalesce(today_cnt, F.lit(0).cast("long")).alias("docs_today"),
+    )
+
+
+def densified_daily_counts(
+    df: DataFrame, start: str, end: str, ts_col: str = "timestamp"
+) -> DataFrame:
+    """Counts reindexed over the full date range, missing days = 0
+    (gui/dashboard_panel.py:283-286): explode sequence(start, end, 1 day),
+    left join daily counts, coalesce 0. The calendar side is tiny ->
+    broadcast; counts side is pre-aggregated before the join."""
+    spark = df.sparkSession
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("date")
+    )
+    counts = (
+        df.filter(
+            (F.to_date(ts_col) >= F.lit(start)) & (F.to_date(ts_col) <= F.lit(end))
+        )
+        .groupBy(F.to_date(ts_col).alias("date"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        days.join(counts, "date", "left")
+        .select("date", F.coalesce("cnt", F.lit(0)).alias("count"))
+        .orderBy("date")
+    )
+
+
+def grouped_mean(
+    df: DataFrame, type_col: str = "doc_type", value_col: str = "confidence"
+) -> DataFrame:
+    """Mean value per type, desc (gui/dashboard_panel.py:326-339)."""
+    return (
+        df.groupBy(type_col)
+        .agg(F.round(F.avg(value_col), 6).alias("avg_value"))
+        .orderBy(F.desc("avg_value"), type_col)
+    )
+
+
+def top_k(
+    df: DataFrame, col: str, k: int = 10, alias: str | None = None
+) -> DataFrame:
+    """Top-k values by count (gui/dashboard_panel.py:348-356); name tiebreak
+    for determinism. orderBy+limit compiles to TakeOrderedAndProject."""
+    alias = alias or col
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias(alias))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), alias)
+        .limit(k)
+    )
+
+
+def most_recent(
+    df: DataFrame, ts_col: str, n: int = 20, tiebreak: str | None = None
+) -> DataFrame:
+    """N most recent records (gui/dashboard_panel.py:376-380) —
+    TakeOrderedAndProject, never a global sort."""
+    order = [F.desc(ts_col)] + ([F.desc(tiebreak)] if tiebreak else [])
+    return df.orderBy(*order).limit(n)

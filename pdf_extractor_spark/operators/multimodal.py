@@ -1,0 +1,150 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The decode kernels themselves are STUBBED (the real libs — PIL/ffmpeg/etc —
+are not in this runtime): `deterministic=True` routes to a pure-arithmetic
+fake that is stable across runs/engines (and therefore SQL-mirrorable for
+the correctness oracle); `deterministic=False` raises NotImplementedError at
+the exact point a real decoder would plug in. Everything AROUND the kernel —
+schema, Arrow batch shape, partitioning, output contract — is real and
+tested.
+
+Schema convention:
+
+    media(media_id string, kind string,              -- image|audio|video
+          payload binary, meta struct<width int, height int,
+                                      sample_rate int, n_frames int>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_from_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive a deterministic media table from any text table (test/bench
+    input): payload = utf-8 bytes of the text, metadata from its length.
+    Columnar; exists so the plumbing has scale-proportional input."""
+    n = F.length(F.col(text_col))
+    return df.select(
+        F.concat(F.lit("media-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.when(F.col("doc_id").cast("long") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id").cast("long") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            (n % 640 + 1).cast("int").alias("width"),
+            (n % 480 + 1).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (n % 100 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a decode+embed kernel: k-th feature =
+    (sum of every (k+1)-th byte) mod 256, scaled to [0,1]."""
+    if payload is None:
+        return [0.0] * dim
+    out = []
+    for k in range(dim):
+        s = sum(payload[k::dim]) if len(payload) > k else 0
+        out.append(round((s % 256) / 255.0, 6))
+    return out
+
+
+def extract_media_features(
+    media: DataFrame, dim: int = 8, deterministic: bool = True
+) -> DataFrame:
+    """mapInPandas feature extraction — the real plumbing around the stubbed
+    kernel: Arrow batches in, columnar feature frame out, no driver data."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real image/audio decode requires PIL/ffmpeg — not in "
+                    "this runtime; wire the decoder here"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "checksum": payloads.map(
+                        lambda b: int(sum(b) % 2**31) if b is not None else 0
+                    ),
+                    "feature": payloads.map(lambda b: _fake_decode(b, dim)),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize stage: metadata transform is real (columnar); the pixel
+    kernel is where a real library would slot in. Payload passes through."""
+    return media.filter(F.col("kind") == "image").withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ),
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame index
+    (explode of a sequence — no Python), payload deferred to the decoder."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("frame_idx"),
+        "meta",
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword heuristic), quality scoring, token counting, document
+fingerprinting. All fully columnar (whole-stage codegen; no UDFs) and
+SQL-mirrorable, so every one has a DuckDB oracle in __spark_entry__.py.
+
+Scale notes: each is a narrow per-row projection over the text column —
+no shuffle, no skew surface; the parquet scan prunes to the referenced
+columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# languages scored by the columnar lang-ID; marker words chosen to be
+# mutually exclusive so scoring is unambiguous and SQL-portable
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "and", "of", "with", "for", "that", "this")),
+    ("pt", ("não", "uma", "por", "para", "com", "dos", "como")),
+    ("es", ("los", "las", "del", "una", "pero", "más", "sus")),
+    ("de", ("der", "die", "und", "nicht", "ein", "mit", "ist")),
+    ("fr", ("les", "des", "dans", "est", "pour", "qui", "une")),
+]
+
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "for", "with", "that", "this", "it", "on", "as", "by", "be",
+)
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    trimmed = F.trim(text)
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def stopword_ratio(text: Column, stopwords=EN_STOPWORDS) -> Column:
+    toks = tokens_col(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + stopword presence
+    + sane word lengths - punctuation/digit noise. Deterministic arithmetic
+    (identical expression runs in the DuckDB oracle)."""
+    n_tok = token_count(text)
+    len_band = F.when(n_tok >= 20, F.lit(1.0)).otherwise(n_tok / F.lit(20.0))
+    sw = stopword_ratio(text)
+    sw_band = F.least(sw * 4, F.lit(1.0))
+    mwl = mean_word_length(text)
+    wl_band = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    noise = F.least(punct_ratio(text) * 5 + digit_ratio(text) * 2, F.lit(1.0))
+    return F.round(
+        0.35 * len_band + 0.30 * sw_band + 0.20 * wl_band + 0.15 * (1 - noise), 6
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Columnar stopword-vote language ID: count marker-word hits per
+    language, argmax with first-wins ties (mirrors the classifier's
+    strictly-greater argmax); no hits -> 'unknown'."""
+    toks = tokens_col(F.lower(text))
+
+    def hits(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [(code, hits(markers)) for code, markers in LANG_MARKERS]
+    # fold in declared order with strictly-greater update -> first-wins ties
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    for code, score in scores:
+        nb = F.when(score > best_score, F.lit(code)).otherwise(best)
+        nbs = F.when(score > best_score, score).otherwise(best_score)
+        best, best_score = nb, nbs
+    return best
+
+
+FP_MOD = 1_000_003  # prime modulus, small enough that products stay in int64
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: position-weighted token hash,
+    token hashed as (len*131 + first-char codepoint), all mod FP_MOD.
+    Pure integer arithmetic — bit-identical in Spark and the DuckDB oracle."""
+    toks = tokens_col(text)
+    terms = F.transform(
+        toks,
+        lambda t, i: (
+            ((i + 1) % FP_MOD)
+            * ((F.length(t) * 131 + F.ascii(F.substring(t, 1, 1))) % FP_MOD)
+        )
+        % FP_MOD,
+    )
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc + x) % FP_MOD,
+    )

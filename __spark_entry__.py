@@ -39,6 +39,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table + repartition across cores: the tiny test parquet reads as ONE
+    split, which would serialize heavy per-row work (shingling, signatures,
+    UDF pipelines). On a production table the scan's many splits provide
+    this parallelism for free; the explicit spread is the local stand-in."""
+    df = _t(spark, sf_dir, name)
+    key = "doc_id" if "doc_id" in df.columns else df.columns[0]
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spans corpus derived from sf0.001 documents -> full
     extraction pipeline -> per-doc summary."""
@@ -46,6 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from pdf_extractor_spark.sources.corpus import corpus_from_documents_table
 
     docs = _t(spark, DEFAULT_SF_DIR, "documents")
+    # the tiny parquet reads as one split; spread the UDF-heavy pipeline
+    # across cores (on a real table, scan splits provide this for free)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     spans = corpus_from_documents_table(docs)
     out = extract_documents(spans)
     return out.select(
@@ -263,17 +276,17 @@ def _token_count(spark, sf_dir):
 
 
 def _quality(spark, sf_dir):
-    from pdf_extractor_spark.operators.textstats import quality_score
+    from pdf_extractor_spark.operators.textstats import add_quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return add_quality_score(docs, "text", "quality").select("doc_id", "quality")
 
 
 def _lang_id(spark, sf_dir):
-    from pdf_extractor_spark.operators.textstats import lang_id
+    from pdf_extractor_spark.operators.textstats import add_lang_id
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return add_lang_id(docs, "text", "lang_pred").select("doc_id", "lang_pred")
 
 
 def _fingerprint(spark, sf_dir):
@@ -293,7 +306,7 @@ def _ngram_jaccard(spark, sf_dir):
     from pdf_extractor_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+        _t_wide(spark, sf_dir, "documents"), n=3, threshold=0.8
     )
 
 
@@ -301,14 +314,14 @@ def _minhash_lsh(spark, sf_dir):
     from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=16, threshold=0.7
+        _t_wide(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=16, threshold=0.7
     )
 
 
 def _simhash(spark, sf_dir):
     from pdf_extractor_spark.operators.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_neardup_pairs(_t_wide(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def _cosine_topk(spark, sf_dir):
@@ -366,7 +379,10 @@ def _extract_pipeline(spark, sf_dir):
     from pdf_extractor_spark.pipeline import extract_documents
     from pdf_extractor_spark.sources.corpus import corpus_from_documents_table
 
-    spans = corpus_from_documents_table(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    spans = corpus_from_documents_table(docs)
     out = extract_documents(spans)
     return (
         out.groupBy("doc_type")

@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>,
+     "extraction_docs_per_sec": N, ...}
+
+Each query is forced with a noop sink (full computation, no driver
+collect) so the measured time is the distributed plan, not toPandas().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship extraction pipeline + one representative per
+# operator family (relational agg/join, window, analytics, text stats,
+# dedup, similarity). Chosen to exercise every physical pattern we rely on
+# (pandas-UDF stage, shuffle agg, broadcast join, sort-merge join, window,
+# date densification join, LSH self-join) at sf0.1 volume.
+HEADLINE = [
+    "extract_pipeline",
+    "tpch_q1",
+    "top_revenue_orders",
+    "customers_per_region",
+    "user_top_event",
+    "densified_daily_counts",
+    "count_by_type",
+    "filtered_range",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "exact_dedup",
+    "minhash_lsh",
+    "simhash_neardup",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "classify_rules",
+]
+
+
+def _force(df) -> int:
+    """Fully evaluate a DataFrame without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as entry
+    from pdf_extractor_spark.session import build_session
+
+    spark = build_session(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    qmap = entry.queries()
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+    # untimed warmup: spawn the Python UDF workers on every core and let the
+    # JVM JIT the scan/agg paths, so timings below are steady-state (what a
+    # long-running cluster job sees), not process-start cost
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _noop_udf(s):
+        return s
+
+    warm = spark.range(0, cpus * 4, 1, cpus).select(_noop_udf("id").alias("x"))
+    _force(warm)
+    _force(qmap["extract_pipeline"](spark, sf_dir))
+    print("[bench] warmup done", file=sys.stderr, flush=True)
+
+    # best-of-2: the first run pays codegen/JIT compilation for the query's
+    # generated code paths; the second measures steady state (what the
+    # 100 TB job sees, where compile cost amortizes over hours)
+    for name in HEADLINE:
+        fn = qmap[name]
+        best = float("inf")
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    extraction_dps = (
+        round(n_docs / timings["extract_pipeline"], 2)
+        if timings.get("extract_pipeline")
+        else None
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time at sf (sum of best-of-2 per query)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_headline": len(HEADLINE),
+                "extraction_docs": n_docs,
+                "extraction_docs_per_sec": extraction_dps,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

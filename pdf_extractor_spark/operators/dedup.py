@@ -139,25 +139,30 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig array<long>) — min over shingle ids of (a*x+b) mod p per hash
-    function. Shingle id = xxhash64 (deterministic, JVM-side). Columnar:
-    transform+aggregate over the shingle array, no explode, no UDF."""
+    function. Shingle id = xxhash64 (deterministic, JVM-side).
+
+    Physical shape: explode shingles -> hash once -> groupBy(id) with
+    num_hashes min() aggregates. Shingling runs ONCE per document (a single
+    array expression inlined into num_hashes aggregates would be re-evaluated
+    num_hashes times by Catalyst's project collapsing); the hash-aggregate's
+    map-side combine collapses each doc to one 64-long row before the
+    shuffle, so shuffled bytes are O(docs), not O(shingles). Docs with no
+    shingles (< n tokens) emit no signature."""
     coeffs = _minhash_coeffs(num_hashes, seed)
-    sh = _shingles(text_col, n)
     # shingle id bounded to 2^31 so (id * a + b) stays well inside int64
     # (a, b < 2^30); modulus on a Mersenne-like prime keeps uniformity
-    ids = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 31))
-
-    def min_hash(a: int, b: int):
-        return F.aggregate(
-            ids,
-            F.lit((1 << 62)).cast("long"),
-            lambda acc, x: F.least(acc, (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)),
-        )
-
-    sig = F.array(*[min_hash(a, b) for a, b in coeffs])
-    return df.select(
+    ids = df.select(
         F.col(id_col).alias("id"),
-        F.when(F.size(sh) > 0, sig).alias("sig"),
+        F.explode(_shingles(text_col, n)).alias("s"),
+    ).select("id", (F.abs(F.xxhash64("s")) % F.lit(1 << 31)).alias("x"))
+    aggs = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return (
+        ids.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -204,8 +209,13 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b2 = banded.alias("b")
+    # self-join as sort-merge, NOT broadcast: the two sides are identical
+    # plans, so SMJ's two shuffles collapse into one computation via
+    # ReusedExchange — a broadcast side would recompute the whole signature
+    # pipeline inside a single-threaded broadcast build (and at 10^12 docs
+    # the signature table isn't broadcastable anyway)
+    a = banded.hint("merge").alias("a")
+    b2 = banded.hint("merge").alias("b")
     cands = (
         a.join(
             b2,
@@ -235,28 +245,38 @@ def minhash_lsh_pairs(
 # -- SimHash -----------------------------------------------------------------
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per token, xxhash64 -> for each bit, +1 if set else
-    -1; sign of the per-bit sum forms the signature. Columnar bit tricks:
-    one aggregate per bit over the token-hash array (cheap — stays in
-    codegen; 64 narrow int ops per row)."""
+    """63-bit SimHash (sign bit kept clear): per token, xxhash64 -> for each
+    bit, +1 if set else -1; sign of the per-bit balance forms the signature.
+
+    Physical shape: explode token hashes once -> groupBy(id) with 63
+    conditional-sum aggregates -> assemble the signature from the balances.
+    Tokenization runs ONCE per document (63 aggregates over an inline array
+    expression would re-tokenize 63 times after Catalyst project collapsing);
+    map-side combine collapses each doc to one row pre-shuffle. explode_outer
+    keeps zero-token docs (balance 0 -> signature 0, matching an aggregate
+    over an empty array)."""
     toks = tokens_col(F.lower(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit(i: int):
-        balance = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+    h = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.transform(toks, lambda t: F.xxhash64(t))).alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("h").isNull(), 0)
+            .when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(63)
+    ]
+    bal = h.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(63):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-        return F.when(balance > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-
-    sig = bit(0)
-    for i in range(1, 63):  # 63 bits: keep the sign bit clear
-        sig = sig.bitwiseOR(bit(i))
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return bal.select("id", sig.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -290,8 +310,9 @@ def simhash_neardup_pairs(
         ).alias("sb"),
     ).select("id", "simhash", "sb.seg", "sb.key")
 
-    a = segged.alias("a")
-    b = segged.alias("b")
+    # sort-merge self-join for the same ReusedExchange reason as minhash
+    a = segged.hint("merge").alias("a")
+    b = segged.hint("merge").alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )

@@ -18,8 +18,13 @@ no Python in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -86,26 +91,29 @@ def lsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """+ (table, bucket) rows: bucket = sign bits of `bits` fixed random
-    hyperplane projections. One row per (vector, table)."""
-    planes = _hyperplanes(dim, bits, tables, seed)
-    entries = []
-    for t, tbl in enumerate(planes):
-        bucket = F.lit(0).cast("long")
-        for i, plane in enumerate(tbl):
-            proj = F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.array(*[F.lit(w) for w in plane]),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(0).cast("long")
-        entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return df.withColumn("tb", F.explode(F.array(*entries))).select(
-        "*", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
-    ).drop("tb")
+    hyperplane projections. One row per (vector, table).
+
+    The tables*bits projections are ONE numpy matmul per Arrow batch inside a
+    vectorized pandas UDF — (batch x dim) @ (dim x tables*bits) — instead of
+    tables*bits separate fold expressions, whose codegen alone dominated
+    runtime. Hyperplanes are seed-fixed module constants -> buckets are
+    deterministic across runs and cluster sizes."""
+    planes = np.asarray(_hyperplanes(dim, bits, tables, seed))  # (T, B, dim)
+    mat = planes.reshape(tables * bits, dim).T.copy()  # (dim, T*B)
+    powers = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        signs = (v @ mat) > 0  # (n, T*B)
+        bk = (signs.reshape(len(v), tables, bits) * powers).sum(axis=2)
+        return pd.Series(list(bk))
+
+    return df.select(
+        "*", F.posexplode(bucket_ids(F.col(vec_col))).alias("table", "bucket")
+    )
 
 
 def lsh_topk(

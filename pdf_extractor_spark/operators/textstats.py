@@ -67,40 +67,89 @@ def mean_word_length(text: Column) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
-    """Heuristic document quality in [0,1]: length band + stopword presence
-    + sane word lengths - punctuation/digit noise. Deterministic arithmetic
-    (identical expression runs in the DuckDB oracle)."""
-    n_tok = token_count(text)
+def add_quality_score(
+    df, text_col: str = "text", out_col: str = "quality"
+):
+    """df + quality in [0,1]: length band + stopword presence + sane word
+    lengths - punctuation/digit noise. Deterministic arithmetic (identical
+    expression runs in the DuckDB oracle).
+
+    DataFrame-level on purpose: the token array and each raw count are
+    materialized behind projection boundaries so they are computed ONCE per
+    row. A single Column expression would let Catalyst's project collapsing
+    re-inline the tokenizer into every band (observed 10-100x blowup — the
+    same trap as inlining an array expr into N aggregates)."""
+    text = F.col(text_col)
+    tmp = ["_lt", "_ntok", "_sw", "_tchars", "_nchars", "_npunct", "_ndigit"]
+    d = (
+        df.withColumn("_lt", tokens_col(F.lower(text)))
+        .withColumn("_ntok", F.size("_lt"))
+        .withColumn(
+            "_sw", F.size(F.filter(F.col("_lt"), lambda t: t.isin(*EN_STOPWORDS)))
+        )
+        .withColumn(
+            "_tchars",
+            F.aggregate(
+                F.col("_lt"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            ),
+        )
+        .withColumn("_nchars", F.coalesce(F.length(text), F.lit(0)))
+        .withColumn(
+            "_npunct",
+            F.coalesce(F.length(F.regexp_replace(text, r"[^.!?,;:]", "")), F.lit(0)),
+        )
+        .withColumn(
+            "_ndigit",
+            F.coalesce(F.length(F.regexp_replace(text, r"[^0-9]", "")), F.lit(0)),
+        )
+    )
+    n_tok = F.col("_ntok")
     len_band = F.when(n_tok >= 20, F.lit(1.0)).otherwise(n_tok / F.lit(20.0))
-    sw = stopword_ratio(text)
-    sw_band = F.least(sw * 4, F.lit(1.0))
-    mwl = mean_word_length(text)
+    sw_ratio = F.when(n_tok > 0, F.col("_sw") / n_tok).otherwise(F.lit(0.0))
+    sw_band = F.least(sw_ratio * 4, F.lit(1.0))
+    mwl = F.when(n_tok > 0, F.col("_tchars") / n_tok).otherwise(F.lit(0.0))
     wl_band = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    noise = F.least(punct_ratio(text) * 5 + digit_ratio(text) * 2, F.lit(1.0))
-    return F.round(
+    pr = F.when(F.col("_nchars") > 0, F.col("_npunct") / F.col("_nchars")).otherwise(
+        F.lit(0.0)
+    )
+    dr = F.when(F.col("_nchars") > 0, F.col("_ndigit") / F.col("_nchars")).otherwise(
+        F.lit(0.0)
+    )
+    noise = F.least(pr * 5 + dr * 2, F.lit(1.0))
+    q = F.round(
         0.35 * len_band + 0.30 * sw_band + 0.20 * wl_band + 0.15 * (1 - noise), 6
     )
+    return d.withColumn(out_col, q).drop(*tmp)
 
 
-def lang_id(text: Column) -> Column:
-    """Columnar stopword-vote language ID: count marker-word hits per
-    language, argmax with first-wins ties (mirrors the classifier's
-    strictly-greater argmax); no hits -> 'unknown'."""
-    toks = tokens_col(F.lower(text))
+def add_lang_id(df, text_col: str = "text", out_col: str = "lang_pred"):
+    """df + stopword-vote language ID: count marker-word hits per language,
+    argmax with first-wins ties (mirrors the classifier's strictly-greater
+    argmax); no hits -> 'unknown'.
 
-    def hits(markers):
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    DataFrame-level for the same reason as add_quality_score: the hit counts
+    are materialized columns, so the strictly-greater when/otherwise fold
+    (whose tree doubles per language) duplicates only cheap attribute refs —
+    never the tokenizer."""
+    d = df.withColumn("_toks", tokens_col(F.lower(F.col(text_col))))
 
-    scores = [(code, hits(markers)) for code, markers in LANG_MARKERS]
+    def _hits(markers):
+        return F.size(F.filter(F.col("_toks"), lambda t: t.isin(*markers)))
+
+    hit_cols = []
+    for i, (_code, markers) in enumerate(LANG_MARKERS):
+        col = f"_h{i}"
+        hit_cols.append(col)
+        d = d.withColumn(col, _hits(markers))
     # fold in declared order with strictly-greater update -> first-wins ties
     best = F.lit("unknown")
     best_score = F.lit(0)
-    for code, score in scores:
+    for i, (code, _markers) in enumerate(LANG_MARKERS):
+        score = F.col(f"_h{i}")
         nb = F.when(score > best_score, F.lit(code)).otherwise(best)
         nbs = F.when(score > best_score, score).otherwise(best_score)
         best, best_score = nb, nbs
-    return best
+    return d.withColumn(out_col, best).drop("_toks", *hit_cols)
 
 
 FP_MOD = 1_000_003  # prime modulus, small enough that products stay in int64

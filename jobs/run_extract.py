@@ -1,0 +1,53 @@
+"""spark-submit entry point for the extraction job.
+
+    spark-submit --py-files dist/pdf_extractor_spark.zip jobs/run_extract.py \
+        --input /path/to/documents --output /path/to/out \
+        [--run-id r1] [--buckets 64] [--salts 8] [--waves 4] [--no-resume]
+
+On a cluster the session comes from spark-submit's conf (master, executors);
+build_session only fills in the engine's tuning defaults (AQE, Arrow batch
+bound, dynamic partition overwrite, ParallelGC).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument("--waves", type=int, default=1)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pdf_extractor_spark.pipeline import run_pipeline
+    from pdf_extractor_spark.session import build_session
+
+    spark = build_session("extract-job")
+    docs = (
+        spark.read.table(args.input)
+        if not args.input.endswith((".parquet", "/"))
+        and "." in args.input and "/" not in args.input
+        else spark.read.parquet(args.input)
+    )
+    summary = run_pipeline(
+        spark,
+        docs,
+        args.output,
+        run_id=args.run_id,
+        num_buckets=args.buckets,
+        salts=args.salts,
+        waves=args.waves,
+        resume=not args.no_resume,
+    )
+    print(summary)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,12 +48,29 @@ class ValidationSchema:
 
 
 def _load_json_dir(dirname: str) -> list[dict]:
-    out = []
-    for fn in sorted(os.listdir(dirname)):
-        if fn.endswith(".json"):
-            with open(os.path.join(dirname, fn), encoding="utf-8") as f:
-                out.append(json.load(f))
-    return out
+    """Load every *.json in dirname (file-name order). Works both from a
+    filesystem checkout and from inside the --py-files zip artifact
+    (tools/make_package.py), where os.listdir would fail."""
+    if os.path.isdir(dirname):
+        out = []
+        for fn in sorted(os.listdir(dirname)):
+            if fn.endswith(".json"):
+                with open(os.path.join(dirname, fn), encoding="utf-8") as f:
+                    out.append(json.load(f))
+        return out
+
+    # zip import: resolve the conf subdir through the package reader
+    from importlib import resources
+
+    rel = os.path.relpath(dirname, os.path.dirname(__file__))
+    node = resources.files(__package__)
+    for part in rel.replace("\\", "/").split("/"):
+        node = node / part
+    return [
+        json.loads(child.read_text(encoding="utf-8"))
+        for child in sorted(node.iterdir(), key=lambda c: c.name)
+        if child.name.endswith(".json")
+    ]
 
 
 def load_patterns(patterns_dir: str | None = None) -> dict[str, DocTypePattern]:

@@ -65,6 +65,106 @@ def text_sample(spans_sorted: Column, n: int = 3) -> Column:
     return F.array_join(texts, "\n")
 
 
+_SCRIPT_CLASSES = {
+    "han": "[一-鿿㐀-䶿]",
+    "hira": "[぀-ゟ]",
+    "kata": "[゠-ヿ]",
+    "hangul": "[가-힯ᄀ-ᇿ]",
+    "cyr": "[Ѐ-ӿ]",
+    "ar": "[؀-ۿ]",
+    "dev": "[ऀ-ॿ]",
+}
+
+
+def add_detected_language(
+    df: DataFrame, sample_col: str, out_col: str = "lang"
+) -> DataFrame:
+    """Columnar port of the oracle's detect_language (oracle/language.py —
+    itself the deterministic stand-in for the reference's seeded langdetect,
+    language_detector.py:29-45): script-range counting cascade, then a
+    stopword vote over latin tokens.
+
+    Replaces the earlier pandas-UDF detector in the hot path: one fewer
+    Python worker per task and no Arrow crossing for the sample text — the
+    whole detection stays in whole-stage codegen. Every count is a
+    materialized temp column, so the cascade duplicates only attribute refs
+    (see textstats.py on Catalyst project-collapsing).
+
+    Parity with the oracle is asserted per document by
+    tests/test_pipeline_spark.py::test_meta_parity over the corpus, which
+    embeds CJK/control-char/whitespace fixtures."""
+    from ..oracle.language import _STOPWORDS
+
+    sample = F.col(sample_col)
+    tmp: list[str] = []
+
+    def col_of(name: str, expr: Column) -> Column:
+        nonlocal df
+        tmp.append(name)
+        df = df.withColumn(name, expr)
+        return F.col(name)
+
+    df = df.withColumn("_smp", F.substring(sample, 1, 2000))
+    tmp.append("_smp")
+    smp = F.col("_smp")
+
+    counts = {
+        k: col_of(f"_sc_{k}", F.regexp_count(smp, F.lit(rx)))
+        for k, rx in _SCRIPT_CLASSES.items()
+    }
+    script_total = col_of(
+        "_sc_total", sum(counts.values(), F.lit(0))
+    )
+
+    # latin stopword vote: tokens of the lowered sample
+    toks = col_of(
+        "_lt", F.regexp_extract_all(F.lower(smp), F.lit("([a-zà-ÿ]+)"), 1)
+    )
+    def _hits(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    hit_cols = [
+        col_of(f"_lh{i}", _hits(tuple(sorted(words))))
+        for i, (_lang, words) in enumerate(_STOPWORDS)
+    ]
+
+    # argmax with strictly-greater update, initial best = ('en', hits_en)
+    # (oracle starts at best_hits=-1 so the first language always wins in)
+    best_lang = F.lit(_STOPWORDS[0][0])
+    best_hits = hit_cols[0]
+    for i in range(1, len(_STOPWORDS)):
+        lang = _STOPWORDS[i][0]
+        h = hit_cols[i]
+        best_lang = F.when(h > best_hits, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(h > best_hits, h).otherwise(best_hits)
+
+    jk = counts["hira"] + counts["kata"]
+    script_lang = (
+        F.when((jk > 0) & (jk >= F.floor(counts["han"] / 4)), F.lit("ja"))
+        .when(counts["hangul"] > counts["han"], F.lit("ko"))
+        .when(counts["han"] > 0, F.lit("zh"))
+        .when(counts["cyr"] >= F.greatest(counts["ar"], counts["dev"]), F.lit("ru"))
+        .when(counts["ar"] >= counts["dev"], F.lit("ar"))
+        .otherwise(F.lit("hi"))
+    )
+    latin_lang = F.when(F.size(toks) == 0, F.lit("unknown")).when(
+        best_hits <= 0,
+        F.when(smp.rlike("[^\\x00-\\x7f]"), F.lit("pt")).otherwise(F.lit("en")),
+    ).otherwise(best_lang)
+
+    lang = (
+        F.when(
+            sample.isNull()
+            | (sample == "")
+            | (F.length(py_strip(sample)) < 10),
+            F.lit("unknown"),
+        )
+        .when(script_total >= 3, script_lang)
+        .otherwise(latin_lang)
+    )
+    return df.withColumn(out_col, lang).drop(*tmp)
+
+
 def detect_language_udf():
     """Arrow-batched language detection — same pure function as the oracle,
     so the normalization branch (CJK vs collapse) agrees by construction."""
@@ -103,9 +203,8 @@ def normalize_documents(df: DataFrame, lang_col: str | None = None) -> DataFrame
     if lang_col:
         out = out.withColumn("lang", F.col(lang_col))
     else:
-        detect = detect_language_udf()
         out = out.withColumn("_sample", text_sample(F.col("_spans_sorted")))
-        out = out.withColumn("lang", detect(F.col("_sample")))
+        out = add_detected_language(out, "_sample", "lang")
 
     norm_struct = lambda s, i: F.struct(  # noqa: E731
         s["kind"].alias("kind"),

@@ -39,6 +39,112 @@ _EXTRACT_VALIDATE_TYPE = T.StructType(
 
 AUTO_TEMPLATE_MIN_CONFIDENCE = 0.5  # batch_processor.py:42
 
+_FUSED_TYPE = T.StructType(
+    [
+        T.StructField("doc_type", T.StringType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("validation", VALIDATION_TYPE, True),
+    ]
+)
+
+
+def _rebuild_schemas(schemas_conf: dict[str, dict]):
+    from ..config import FieldSchema as FS
+    from ..config import ValidationSchema as VS
+
+    schemas = {}
+    for name, data in schemas_conf.items():
+        schemas[name] = VS(
+            name=name,
+            fields={
+                fn: FS(
+                    type=f.get("type", "string"),
+                    required=bool(f.get("required", False)),
+                    severity=f.get("severity", "error"),
+                    options=f.get("options", {}) or {},
+                )
+                for fn, f in data.get("fields", {}).items()
+            },
+            strict=bool(data.get("strict", False)),
+            custom_validations=tuple(data.get("custom_validations", ())),
+        )
+    return schemas
+
+
+def classify_extract_validate_udf(
+    pattern_items: tuple, templates: dict[str, dict], schemas_conf: dict[str, dict]
+):
+    """all_text -> struct(doc_type, confidence, fields, validation): rule
+    classification + fusion cascade + template field extraction + schema
+    validation, fused into ONE Arrow-batched pandas UDF.
+
+    One Python worker per task and one Arrow crossing of all_text, instead
+    of the classify-then-validate chain's two workers and two crossings —
+    at N cores the unfused chain runs 2N+ Python processes, which
+    oversubscribes executors and caps scaling (measured: negative scaling
+    at local[16] on a 32-core host). All parity-critical Python-`re` work
+    (document_classifier.py:84-115 scoring, extractor.py:252-272 template
+    regexes, validator.py:41-324) happens in this single stage via the
+    oracle functions, so Spark output == oracle output by construction."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_FUSED_TYPE)
+    def _run(all_text):
+        import pandas as pd
+
+        from ..config import DocTypePattern as DTP
+        from ..oracle.classifier import classify_by_rules, fuse_classification
+        from ..oracle.extract import _field_to_string
+        from ..oracle.template import extract_template_fields
+        from ..oracle.validator import validate_data
+
+        pats = {dt: DTP(dt, kw, rx) for dt, kw, rx in pattern_items}
+        schemas = _rebuild_schemas(schemas_conf)
+
+        out = []
+        for text in all_text:
+            rule_type, rule_score = classify_by_rules(text, pats)
+            doc_type, confidence = fuse_classification(
+                rule_type, rule_score, None, 0.0
+            )
+            tpl = templates.get(doc_type) if doc_type is not None else None
+            if (
+                tpl is None
+                or text is None
+                or confidence <= AUTO_TEMPLATE_MIN_CONFIDENCE
+            ):
+                out.append(
+                    {
+                        "doc_type": doc_type,
+                        "confidence": confidence,
+                        "fields": {},
+                        "validation": None,
+                    }
+                )
+                continue
+            fields = extract_template_fields(text, tpl)
+            schema = schemas.get(f"{doc_type}_schema")
+            validation = None
+            if schema is not None:
+                v = validate_data(fields, schema)
+                validation = {
+                    "valid": v["valid"],
+                    "errors": v["errors"],
+                    "warnings": v["warnings"],
+                }
+            out.append(
+                {
+                    "doc_type": doc_type,
+                    "confidence": confidence,
+                    "fields": {k: _field_to_string(v) for k, v in fields.items()},
+                    "validation": validation,
+                }
+            )
+        return pd.DataFrame(out)
+
+    return _run
+
 
 def extract_validate_udf(
     templates: dict[str, dict], schemas_conf: dict[str, dict]

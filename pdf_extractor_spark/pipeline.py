@@ -28,9 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import load_patterns, load_schemas, load_templates
-from .operators.classify import classify_documents
 from .operators.spans import normalize_documents
-from .operators.validate import extract_validate_udf
+from .operators.validate import classify_extract_validate_udf
 
 DEFAULT_BUCKETS = 64
 DEFAULT_SALTS = 8
@@ -71,16 +70,22 @@ def extract_documents(
     schemas_conf = schemas_conf if schemas_conf is not None else _raw_schemas_conf()
 
     out = normalize_documents(df, lang_col=lang_col)
-    out = classify_documents(out, patterns)
 
-    ev = extract_validate_udf(templates, schemas_conf)
-    out = out.withColumn(
-        "_ev", ev(F.col("all_text"), F.col("doc_type"), F.col("confidence"))
+    # classification + template extraction + validation fused into ONE
+    # pandas UDF: one Python worker per task, one Arrow crossing of
+    # all_text (see classify_extract_validate_udf docstring; language
+    # detection and span normalization stay fully columnar upstream)
+    pattern_items = tuple(
+        (dt, p.keywords, p.patterns) for dt, p in patterns.items()
     )
+    cev = classify_extract_validate_udf(pattern_items, templates, schemas_conf)
+    out = out.withColumn("_r", cev(F.col("all_text")))
     out = (
-        out.withColumn("fields", F.col("_ev.fields"))
-        .withColumn("validation", F.col("_ev.validation"))
-        .drop("_ev", "all_text")
+        out.withColumn("doc_type", F.col("_r.doc_type"))
+        .withColumn("confidence", F.col("_r.confidence"))
+        .withColumn("fields", F.col("_r.fields"))
+        .withColumn("validation", F.col("_r.validation"))
+        .drop("_r", "all_text")
     )
     return out.select(*OUTPUT_COLUMNS)
 

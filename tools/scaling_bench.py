@@ -1,0 +1,179 @@
+"""Scaling-efficiency evidence for the north_rule: the same extraction job
+at two parallelism levels on the SAME input, reporting docs/sec at both and
+efficiency = (throughput@4N / throughput@N) / 4.
+
+Faithfulness to the N- vs 4N-executor criterion: each level runs in its own
+subprocess PINNED (sched_setaffinity) to exactly its CPU budget before the
+JVM starts, so GC/JIT/shuffle threads and Python workers are confined the
+way a real executor's cgroup confines them. Without pinning, a "local[4]"
+JVM on a 32-core host still uses 32 GC threads and overstates the small
+level, understating efficiency. Levels are interleaved across rounds
+(A/B/A/B) and the per-level minimum is reported, which suppresses
+shared-host load bursts.
+
+Writes one JSON line to stdout and (with --md) refreshes BENCH.md.
+
+Usage: python tools/scaling_bench.py [--docs 100000] [--trials 2] [--md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# N and 4N: 4 vs 16 of the host's 32 hardware threads, so the 4N level still
+# has headroom over the shared host's background load.
+LEVELS = (4, 16)
+
+
+def time_once(cpus: int, corpus_path: str) -> tuple[float, int]:
+    """Fresh SparkSession at local[cpus]: one untimed warmup run (worker
+    spawn + codegen), then one timed run of the full extract job
+    (scan -> normalize -> fused classify/extract/validate -> noop sink)."""
+    from pdf_extractor_spark.pipeline import extract_documents
+    from pdf_extractor_spark.session import build_session
+
+    spark = build_session(
+        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    docs = spark.read.parquet(corpus_path)
+    n_docs = docs.count()
+    # same explicit spread the production job gets from its bucket
+    # repartition (pipeline.run_pipeline); input files here are few splits
+    docs = docs.repartition(cpus * 2, "doc_id")
+
+    out = extract_documents(docs)
+    out.write.format("noop").mode("overwrite").save()  # warmup, untimed
+    t0 = time.perf_counter()
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return dt, n_docs
+
+
+def child_main(cpus: int, corpus_path: str) -> None:
+    os.sched_setaffinity(0, set(range(cpus)))  # JVM + py workers inherit
+    dt, n_docs = time_once(cpus, corpus_path)
+    print(json.dumps({"sec": dt, "n_docs": n_docs}))
+
+
+def run_pinned(cpus: int, corpus_path: str) -> tuple[float, int]:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
+         "--corpus", corpus_path],
+        capture_output=True, text=True, timeout=900,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"child local[{cpus}] failed:\n{proc.stderr[-2000:]}")
+    r = json.loads(proc.stdout.strip().splitlines()[-1])
+    return r["sec"], r["n_docs"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100000)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--md", action="store_true")
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--corpus", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.child is not None:
+        child_main(args.child, args.corpus)
+        return
+
+    from pdf_extractor_spark.session import build_session
+    from pdf_extractor_spark.sources.corpus import write_corpus
+
+    tmp = tempfile.mkdtemp(prefix="scaling_corpus_")
+    corpus_path = os.path.join(tmp, "documents")
+    try:
+        spark = build_session("scaling-gen", master="local[32]",
+                              shuffle_partitions=32)
+        write_corpus(spark, corpus_path, args.docs, partitions=64)
+        spark.stop()
+
+        best: dict[int, float] = {c: float("inf") for c in LEVELS}
+        n_docs = args.docs
+        for t in range(args.trials):
+            for c in LEVELS:
+                dt, n_docs = run_pinned(c, corpus_path)
+                best[c] = min(best[c], dt)
+                print(f"[scaling] round {t} local[{c}] (pinned to {c} cpus): "
+                      f"{dt:.2f}s", file=sys.stderr, flush=True)
+        results = [
+            {"cpus": c, "n_docs": n_docs, "sec": round(best[c], 3),
+             "docs_per_sec": round(n_docs / best[c], 2)}
+            for c in LEVELS
+        ]
+        lo, hi = results[0], results[-1]
+        factor = hi["cpus"] / lo["cpus"]
+        speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+        eff = speedup / factor
+        out = {
+            "metric": (
+                f"extraction scaling efficiency N->4N "
+                f"(local[{LEVELS[0]}] vs local[{LEVELS[-1]}], CPU-pinned)"
+            ),
+            "docs": args.docs,
+            "levels": results,
+            "speedup": round(speedup, 3),
+            "efficiency": round(eff, 3),
+            "target": 0.8,
+            "pass": eff >= 0.8,
+        }
+        print(json.dumps(out))
+        if args.md:
+            write_md(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_md(out: dict) -> None:
+    lo, hi = out["levels"][0], out["levels"][-1]
+    md = f"""# BENCH — measured results
+
+## Scaling efficiency (north_rule: >=0.8 from N to 4N)
+
+Same job (full extract -> normalize -> fused classify/extract/validate
+pipeline, noop sink), same deterministic {out["docs"]:,}-doc interleaved
+corpus (seed=42, includes the 1-in-1000 2k-10k-span skew tail). Each level
+runs in a subprocess pinned to exactly its CPU budget (the sandbox stand-in
+for an N- vs 4N-executor cluster with dedicated cores per executor,
+BASELINE.md); levels interleave across rounds and the per-level minimum is
+taken, suppressing shared-host load bursts.
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[{lo["cpus"]}] pinned to {lo["cpus"]} cpus (N) | {lo["sec"]} | {lo["docs_per_sec"]} |
+| local[{hi["cpus"]}] pinned to {hi["cpus"]} cpus (4N) | {hi["sec"]} | {hi["docs_per_sec"]} |
+
+**Speedup {out["speedup"]}x over a {int(hi["cpus"]/lo["cpus"])}x core factor
+-> scaling efficiency {out["efficiency"]}** (target >=0.8:
+{"PASS" if out["pass"] else "FAIL"}).
+
+Why it scales: the pipeline is one narrow per-row flow (scan -> columnar
+normalize + language detection -> ONE Arrow-batched pandas UDF for
+classify/extract/validate) with its only shuffle the explicit (bucket, salt)
+repartition; no driver-side collection, no joins, no global barriers.
+Skewed giant documents are spread by the salt and bounded Arrow batches
+(session.py); ParallelGC keeps allocation-heavy codegen stages from
+throttling on G1 concurrent cycles.
+
+Regenerate: `python tools/scaling_bench.py --md`
+"""
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -395,6 +395,65 @@ def _extract_pipeline(spark, sf_dir):
     )
 
 
+def _auto_repair(spark, sf_dir):
+    """Columnar try_fix_value (validation_panel.py:530-625) over broken
+    values synthesized deterministically from the documents table."""
+    from pdf_extractor_spark.operators.repair import try_fix_col
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    cpf_raw = F.concat(F.lit("id-"), F.lpad(did, 11, "7"))
+    email_raw = F.concat(F.lit("User "), did)
+    date_raw = F.concat(
+        (F.col("doc_id") % 28 + 1).cast("string"), F.lit("-"),
+        (F.col("doc_id") % 12 + 1).cast("string"), F.lit("-"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    num_raw = F.concat(
+        (F.col("doc_id") % 1000).cast("string"), F.lit(","),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        try_fix_col(F.lit("cpf"), cpf_raw, F.lit("CPF inválido")).alias("fixed_cpf"),
+        try_fix_col(F.lit("email"), email_raw, F.lit("Email inválido")).alias(
+            "fixed_email"
+        ),
+        try_fix_col(
+            F.lit("data_emissao"), date_raw,
+            F.lit("Formato de data não reconhecido"),
+        ).alias("fixed_date"),
+        try_fix_col(
+            F.lit("valor"), num_raw, F.lit("O valor deve ser um número")
+        ).alias("fixed_number"),
+        try_fix_col(
+            F.lit("total"), F.lit(None).cast("string"),
+            F.lit("Campo obrigatório não preenchido"),
+        ).alias("fixed_required"),
+    )
+
+
+def _table_match(spark, sf_dir):
+    """Template table matching (extractor.py:274-292): synthetic per-doc
+    tables from token slices; first table whose uppercased headers overlap
+    the template's."""
+    from pdf_extractor_spark.operators.template import match_table_by_headers
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t1 = docs.select(
+        "doc_id", F.lit(1).alias("table_id"), F.slice(toks, 1, 3).alias("headers")
+    )
+    t2 = docs.select(
+        "doc_id", F.lit(2).alias("table_id"), F.slice(toks, 4, 3).alias("headers")
+    )
+    tables = t1.unionAll(t2).filter(F.size("headers") == 3)
+    out = match_table_by_headers(tables, ["SPARK", "JOIN", "VECTOR"])
+    return out.select(
+        "doc_id", "table_id", F.array_join("headers", ",").alias("headers")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -432,6 +491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
         "embedding_neardup": _embedding_neardup,
+        # validation auto-repair + template table matching
+        "auto_repair": _auto_repair,
+        "table_match": _table_match,
         # multimodal plumbing
         "media_meta": _media_meta,
         "media_features": _media_features,
@@ -693,6 +755,49 @@ FROM embeddings a JOIN embeddings b
 WHERE list_dot_product(a.embedding, b.embedding) /
       (sqrt(list_dot_product(a.embedding, a.embedding)) *
        sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.99
+"""
+    sql["auto_repair"] = """
+WITH raw AS (
+  SELECT doc_id,
+    'id-' || lpad(CAST(doc_id AS VARCHAR), 11, '7') AS cpf_raw,
+    'User ' || CAST(doc_id AS VARCHAR) AS email_raw,
+    CAST(doc_id % 28 + 1 AS VARCHAR) || '-' || CAST(doc_id % 12 + 1 AS VARCHAR)
+      || '-' || CAST(doc_id % 100 AS VARCHAR) AS date_raw,
+    CAST(doc_id % 1000 AS VARCHAR) || ',' ||
+      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS num_raw
+  FROM documents
+), d AS (
+  SELECT doc_id, regexp_replace(cpf_raw, '[^0-9]', '', 'g') AS cpf_d,
+         email_raw, regexp_extract_all(date_raw, '(\\d+)', 1) AS dg, num_raw
+  FROM raw
+)
+SELECT doc_id,
+  CASE WHEN length(cpf_d) = 11 THEN substr(cpf_d,1,3) || '.' ||
+    substr(cpf_d,4,3) || '.' || substr(cpf_d,7,3) || '-' || substr(cpf_d,10,2)
+  END AS fixed_cpf,
+  replace(lower(email_raw), ' ', '') || '@example.com' AS fixed_email,
+  CASE WHEN len(dg) >= 3 THEN lpad(dg[1],2,'0') || '/' || lpad(dg[2],2,'0')
+    || '/' || (CASE WHEN length(dg[3]) = 2 THEN '20' || dg[3] ELSE dg[3] END)
+  END AS fixed_date,
+  CAST(CAST(replace(num_raw, ',', '.') AS DOUBLE) AS VARCHAR) AS fixed_number,
+  '0.0' AS fixed_required
+FROM d
+"""
+    sql["table_match"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tables AS (
+  SELECT doc_id, 1 AS table_id, t[1:3] AS headers FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, 2 AS table_id, t[4:6] AS headers FROM toks WHERE len(t) >= 6
+), hits AS (
+  SELECT doc_id, table_id, headers,
+         row_number() OVER (PARTITION BY doc_id ORDER BY table_id) AS rn
+  FROM tables
+  WHERE len(list_intersect(list_transform(headers, h -> upper(h)),
+                           ['SPARK','JOIN','VECTOR'])) > 0
+)
+SELECT doc_id, table_id, array_to_string(headers, ',') AS headers
+FROM hits WHERE rn = 1
 """
     sql["media_meta"] = (
         "SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id, "

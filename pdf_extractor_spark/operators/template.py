@@ -42,6 +42,36 @@ def extract_fields_udf(templates: dict[str, dict]):
     return _extract
 
 
+def match_table_by_headers(
+    tables: DataFrame,
+    template_headers: list[str],
+    id_col: str = "doc_id",
+    table_col: str = "table_id",
+    headers_col: str = "headers",
+) -> DataFrame:
+    """Template table matching (extractor.py:274-292): per document, pick
+    the FIRST extracted table whose uppercased headers intersect the
+    template's column headers (the `:286-287` heuristic).
+
+    Columnar: arrays_overlap against the broadcast-literal header list (the
+    tiny-dim 'join' surface of SURVEY.md §2.8), then first-per-doc via a
+    min-by window on table order — no shuffle beyond the window, which at
+    scale partitions on doc_id like everything else."""
+    from pyspark.sql import Window
+
+    wanted = F.array(*[F.lit(h.upper()) for h in template_headers])
+    hit = F.arrays_overlap(
+        F.transform(F.col(headers_col), lambda h: F.upper(h)), wanted
+    )
+    w = Window.partitionBy(id_col).orderBy(table_col)
+    return (
+        tables.filter(hit)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def extract_template_fields_df(
     df: DataFrame,
     templates: dict[str, dict],

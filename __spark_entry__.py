@@ -340,6 +340,14 @@ def _lsh_ann(spark, sf_dir):
     return lsh_topk(emb, q, dim=64, k=10, bits=6, tables=6)
 
 
+def _ivf_ann(spark, sf_dir):
+    from pdf_extractor_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=8)
+
+
 def _embedding_neardup(spark, sf_dir):
     from pdf_extractor_spark.operators.dedup import embedding_neardup_pairs
 
@@ -373,6 +381,16 @@ def _media_features(spark, sf_dir):
         "media_id", "kind", "n_bytes", "checksum",
         F.round(F.element_at("feature", 1), 6).alias("f0"),
     )
+
+
+def _frame_sample(spark, sf_dir):
+    from pdf_extractor_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n=10).select("media_id", "frame_idx")
 
 
 def _extract_pipeline(spark, sf_dir):
@@ -490,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
+        "ivf_ann_topk": _ivf_ann,
         "embedding_neardup": _embedding_neardup,
         # validation auto-repair + template table matching
         "auto_repair": _auto_repair,
@@ -497,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "media_meta": _media_meta,
         "media_features": _media_features,
+        "frame_sample": _frame_sample,
         # full pipeline (pandas-UDF stages; rows-only check)
         "extract_pipeline": _extract_pipeline,
     }
@@ -798,6 +818,12 @@ tables AS (
 )
 SELECT doc_id, table_id, array_to_string(headers, ',') AS headers
 FROM hits WHERE rn = 1
+"""
+    sql["frame_sample"] = """
+SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id,
+       unnest(range(0, greatest(length(text) % 100 + 1 - 1, 0) + 1, 10))
+         AS frame_idx
+FROM documents WHERE doc_id % 3 = 2
 """
     sql["media_meta"] = (
         "SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id, "

@@ -43,7 +43,11 @@ HEADLINE = [
     "simhash_neardup",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "classify_rules",
+    "auto_repair",
+    "table_match",
+    "frame_sample",
 ]
 
 

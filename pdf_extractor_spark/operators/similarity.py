@@ -116,6 +116,104 @@ def lsh_buckets(
     )
 
 
+def _assign_udf(centroids: "np.ndarray", top_p: int):
+    """vec -> array of the top_p nearest centroid ids by cosine; one numpy
+    matmul per Arrow batch (centroids are L2-normalized once, driver-side)."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    mat = cn.T.copy()  # (dim, K)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        sims = (v / nrm) @ mat  # (n, K)
+        top = np.argsort(-sims, axis=1)[:, :top_p].astype("int32")
+        return pd.Series(list(top))
+
+    return _assign
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Deterministic coarse quantizer seeds: every (count/n_centroids)-th
+    vector by id order. A k-means refinement would drop in here; for a
+    deterministic, cluster-size-independent bench the seeded pick is the
+    point (same centroids on every run and every cluster size). Driver-side
+    collect of n_centroids vectors only — the corpus itself never moves."""
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .filter(F.col(id_col) % stride == 0)
+        .orderBy("id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.asarray([r.v for r in rows], dtype=np.float64)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN (SURVEY-adjacent training-data op; the classic inverted
+    -file scheme from the ANN literature): corpus vectors are assigned to
+    their nearest coarse centroid (the inverted lists); each query probes
+    its n_probe nearest centroids and exact-reranks only those lists.
+
+    Scale path: probe cost ~ corpus * n_probe / n_centroids per query. At
+    10^12 scale the assignment is a write-time partitioning (cluster id ==
+    partition key), so a probe touches n_probe partitions — the Spark
+    analogue of an IVF index's posting lists. Here assignment happens
+    inline (one matmul pandas UDF); the join on cluster id broadcasts the
+    (small) probed query set."""
+    cents = ivf_centroids(corpus, n_centroids, vec_col, id_col)
+
+    assign1 = _assign_udf(cents, 1)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
+    )
+    assign_p = _assign_udf(cents, n_probe)
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(assign_p(F.col(vec_col))).alias("cluster"),
+    )
+    cands = c.join(F.broadcast(q), "cluster").select(
+        "query_id", "id", "vec", "qvec"
+    )
+    scored = cands.select(
+        "query_id",
+        "id",
+        F.round(
+            _dot(F.col("vec"), F.col("qvec"))
+            / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,2 @@
+from .extract_stream import stream_extract  # noqa: F401
+from .metrics_stream import stream_metrics, windowed_type_counts  # noqa: F401

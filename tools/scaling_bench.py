@@ -46,10 +46,11 @@ def time_once(cpus: int, corpus_path: str) -> tuple[float, int]:
     )
     docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()
-    # same explicit spread the production job gets from its bucket
-    # repartition (pipeline.run_pipeline); input files here are few splits
-    docs = docs.repartition(cpus * 2, "doc_id")
-
+    # the corpus is written as 64 files, so the scan provides 64 splits at
+    # either level — the extraction job is narrow end-to-end (the bucket
+    # repartition in run_pipeline exists for checkpoint alignment, not for
+    # parallelism, and a shared-disk shuffle of the whole corpus would
+    # dominate this measurement without informing CPU scaling)
     out = extract_documents(docs)
     out.write.format("noop").mode("overwrite").save()  # warmup, untimed
     t0 = time.perf_counter()

@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the plans we WANT, not just plans that pass.
+
+Each test pins a scale-critical property of the executed plan — predicate
+pushdown into the parquet scan, column pruning, broadcast vs shuffle join
+choice, TakeOrderedAndProject for top-k, partial aggregation — so a
+regression that silently de-optimizes a query (e.g. a repartition blocking
+pushdown, a fold re-inlining an expensive expression) fails CI instead of
+shipping a 10x-slower plan to the 100 TB cluster.
+"""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _path():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filtered_range")
+    assert "PushedFilters:" in plan
+    # both the range and equality predicates reach the parquet reader
+    assert "IsNotNull(event_type)" in plan or "EqualTo(event_type" in plan
+
+
+def test_column_pruning_token_count(spark):
+    plan = _plan(spark, "token_count")
+    # scan reads only the two referenced columns, not the whole table
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_small_dims_broadcast(spark):
+    plan = _plan(spark, "customers_per_region")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "recent_events")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 20
+
+
+def test_partial_aggregation_tpch_q1(spark):
+    plan = _plan(spark, "tpch_q1")
+    # map-side partial + final: two HashAggregate nodes around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_minhash_selfjoin_not_broadcast(spark):
+    plan = _plan(spark, "minhash_lsh")
+    # the signature table must not be rebuilt inside a broadcast: identical
+    # SMJ sides shuffle once each (and exchange reuse can collapse them)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_textstats(spark):
+    plan = _plan(spark, "quality_score")
+    assert "*(" in plan  # WholeStageCodegen stages render as '*(n)' nodes
+    # and the expensive tokenizer appears exactly once in the final plan
+    assert plan.count("split(") <= 2  # project + possible alias echo
+
+
+def test_extract_pipeline_single_python_stage(spark):
+    plan = _plan(spark, "extract_pipeline")
+    # ONE fused pandas UDF evaluation (classify+extract+validate), not a
+    # chain of workers
+    assert plan.count("ArrowEvalPython") == 1

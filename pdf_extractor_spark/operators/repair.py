@@ -108,14 +108,15 @@ def fix_date(value: Column) -> Column:
 def fix_number(value: Column) -> Column:
     """','->'.' cast double; uncastable -> 0.0 (:590-598)."""
     return F.coalesce(
-        F.regexp_replace(value, ",", ".").cast("double"), F.lit(0.0)
+        F.regexp_replace(value, ",", ".").try_cast("double"), F.lit(0.0)
     )
 
 
 def fix_integer(value: Column) -> Column:
     """via double then truncation; uncastable -> 0 (:600-610)."""
     return F.coalesce(
-        F.regexp_replace(value, ",", ".").cast("double").cast("long"), F.lit(0)
+        F.regexp_replace(value, ",", ".").try_cast("double").try_cast("long"),
+        F.lit(0),
     )
 
 

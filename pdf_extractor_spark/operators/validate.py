@@ -222,12 +222,14 @@ def extract_validate_udf(
 # Each returns an error-message Column (null == valid).
 # --------------------------------------------------------------------------
 
-_DATE_FALLBACK_SPARK = ["yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy", "dd-MM-yyyy"]
+# lenient day/month widths (d, M) so "5/3/2024" parses like Python
+# strptime %d/%m does; order mirrors validator.py:109-112's fallbacks
+_DATE_FALLBACK_SPARK = ["yyyy-M-d", "d/M/yyyy", "M/d/yyyy", "d-M-yyyy"]
 _STRPTIME_TO_SPARK = {
-    "%Y-%m-%d": "yyyy-MM-dd",
-    "%d/%m/%Y": "dd/MM/yyyy",
-    "%m/%d/%Y": "MM/dd/yyyy",
-    "%d-%m-%Y": "dd-MM-yyyy",
+    "%Y-%m-%d": "yyyy-M-d",
+    "%d/%m/%Y": "d/M/yyyy",
+    "%m/%d/%Y": "M/d/yyyy",
+    "%d-%m-%Y": "d-M-yyyy",
 }
 
 
@@ -362,11 +364,13 @@ def field_error_col(value: Column, fs: FieldSchema) -> Column:
             fmt = _STRPTIME_TO_SPARK.get(o["format"])
             if fmt is None:
                 raise ValueError(f"unsupported date format {o['format']!r}")
-            parsed = F.to_date(value, fmt)
+            # try_to_date: ANSI mode must yield a validation error row,
+            # never a thrown DateTimeException killing the job
+            parsed = F.try_to_date(value, fmt)
             err = F.when(parsed.isNull(), F.lit("Data inválida"))
         else:
             parsed = F.coalesce(
-                *[F.to_date(value, f) for f in _DATE_FALLBACK_SPARK]
+                *[F.try_to_date(value, f) for f in _DATE_FALLBACK_SPARK]
             )
             err = F.when(
                 parsed.isNull(), F.lit("Formato de data não reconhecido")

@@ -45,6 +45,7 @@ _FUSED_TYPE = T.StructType(
         T.StructField("confidence", T.DoubleType(), True),
         T.StructField("fields", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("validation", VALIDATION_TYPE, True),
+        T.StructField("error", T.StringType(), True),
     ]
 )
 
@@ -104,43 +105,59 @@ def classify_extract_validate_udf(
 
         out = []
         for text in all_text:
-            rule_type, rule_score = classify_by_rules(text, pats)
-            doc_type, confidence = fuse_classification(
-                rule_type, rule_score, None, 0.0
-            )
-            tpl = templates.get(doc_type) if doc_type is not None else None
-            if (
-                tpl is None
-                or text is None
-                or confidence <= AUTO_TEMPLATE_MIN_CONFIDENCE
-            ):
+            # failure-row semantics (batch_processor.py:81-83): ANY per-doc
+            # exception becomes a success=false record downstream — a
+            # poisoned document must never kill the 10^12-doc job
+            try:
+                rule_type, rule_score = classify_by_rules(text, pats)
+                doc_type, confidence = fuse_classification(
+                    rule_type, rule_score, None, 0.0
+                )
+                tpl = templates.get(doc_type) if doc_type is not None else None
+                if (
+                    tpl is None
+                    or text is None
+                    or confidence <= AUTO_TEMPLATE_MIN_CONFIDENCE
+                ):
+                    out.append(
+                        {
+                            "doc_type": doc_type,
+                            "confidence": confidence,
+                            "fields": {},
+                            "validation": None,
+                            "error": None,
+                        }
+                    )
+                    continue
+                fields = extract_template_fields(text, tpl)
+                schema = schemas.get(f"{doc_type}_schema")
+                validation = None
+                if schema is not None:
+                    v = validate_data(fields, schema)
+                    validation = {
+                        "valid": v["valid"],
+                        "errors": v["errors"],
+                        "warnings": v["warnings"],
+                    }
                 out.append(
                     {
                         "doc_type": doc_type,
                         "confidence": confidence,
-                        "fields": {},
-                        "validation": None,
+                        "fields": {k: _field_to_string(v) for k, v in fields.items()},
+                        "validation": validation,
+                        "error": None,
                     }
                 )
-                continue
-            fields = extract_template_fields(text, tpl)
-            schema = schemas.get(f"{doc_type}_schema")
-            validation = None
-            if schema is not None:
-                v = validate_data(fields, schema)
-                validation = {
-                    "valid": v["valid"],
-                    "errors": v["errors"],
-                    "warnings": v["warnings"],
-                }
-            out.append(
-                {
-                    "doc_type": doc_type,
-                    "confidence": confidence,
-                    "fields": {k: _field_to_string(v) for k, v in fields.items()},
-                    "validation": validation,
-                }
-            )
+            except Exception as e:  # noqa: BLE001 — reference swallows all
+                out.append(
+                    {
+                        "doc_type": None,
+                        "confidence": 0.0,
+                        "fields": {},
+                        "validation": None,
+                        "error": f"{type(e).__name__}: {e}"[:500],
+                    }
+                )
         return pd.DataFrame(out)
 
     return _run

@@ -36,7 +36,7 @@ DEFAULT_SALTS = 8
 
 OUTPUT_COLUMNS = [
     "doc_id", "spans", "doc_type", "confidence",
-    "fields", "validation", "meta",
+    "fields", "validation", "meta", "error",
 ]
 
 
@@ -85,6 +85,7 @@ def extract_documents(
         .withColumn("confidence", F.col("_r.confidence"))
         .withColumn("fields", F.col("_r.fields"))
         .withColumn("validation", F.col("_r.validation"))
+        .withColumn("error", F.col("_r.error"))
         .drop("_r", "all_text")
     )
     return out.select(*OUTPUT_COLUMNS)
@@ -109,11 +110,11 @@ def metrics_rows(extracted: DataFrame, run_id: str, wave: int) -> DataFrame:
         F.col("bucket").alias("partition_id"),
         "doc_id",
         "doc_type",
-        F.lit(True).alias("success"),
+        F.col("error").isNull().alias("success"),
         F.when(F.col("confidence") > 0, F.col("confidence")).alias("confidence"),
         F.current_timestamp().alias("timestamp"),
         F.lit(None).cast("double").alias("processing_time"),
-        F.lit(None).cast("string").alias("error"),
+        F.col("error").alias("error"),
         F.col("meta.num_pages").cast("long").alias("pages_parsed"),
         F.size("spans").cast("long").alias("spans_emitted"),
         F.coalesce(F.col("validation.valid"), F.lit(True)).alias("validation_valid"),

@@ -413,6 +413,21 @@ def _extract_pipeline(spark, sf_dir):
     )
 
 
+def _avg_time_tiers(spark, sf_dir):
+    """KPI time formatting (dashboard_panel.py:256-266): the same avg shown
+    at three scalings so every display tier (ms / s / min) is exercised."""
+    from pdf_extractor_spark.operators.analytics import format_time_tiers
+
+    ev = _t(spark, sf_dir, "events")
+    avg = F.avg("value")
+    return ev.agg(
+        format_time_tiers(avg / 1000000).alias("tier_ms"),
+        format_time_tiers(avg % F.lit(59.0) + 0.5).alias("tier_s"),
+        format_time_tiers(avg + 60).alias("tier_min"),
+        format_time_tiers(F.avg(F.lit(None).cast("double"))).alias("tier_empty"),
+    )
+
+
 def _auto_repair(spark, sf_dir):
     """Columnar try_fix_value (validation_panel.py:530-625) over broken
     values synthesized deterministically from the documents table."""
@@ -510,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
         "embedding_neardup": _embedding_neardup,
+        "avg_time_tiers": _avg_time_tiers,
         # validation auto-repair + template table matching
         "auto_repair": _auto_repair,
         "table_match": _table_match,
@@ -775,6 +791,19 @@ FROM embeddings a JOIN embeddings b
 WHERE list_dot_product(a.embedding, b.embedding) /
       (sqrt(list_dot_product(a.embedding, a.embedding)) *
        sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.99
+"""
+    sql["avg_time_tiers"] = """
+WITH a AS (SELECT avg(value) AS av FROM events)
+SELECT
+  CASE WHEN av/1000000 < 1 THEN CAST(CAST(round(av/1000000*1000, 0) AS BIGINT)
+    AS VARCHAR) || 'ms' END AS tier_ms,
+  CASE WHEN (av % 59.0) + 0.5 < 1 THEN CAST(CAST(round(((av % 59.0)+0.5)*1000, 0)
+    AS BIGINT) AS VARCHAR) || 'ms'
+  WHEN (av % 59.0) + 0.5 < 60 THEN CAST(round((av % 59.0)+0.5, 1) AS VARCHAR)
+    || 's' END AS tier_s,
+  CAST(round((av+60)/60, 1) AS VARCHAR) || 'min' AS tier_min,
+  '-' AS tier_empty
+FROM a
 """
     sql["auto_repair"] = """
 WITH raw AS (

@@ -101,6 +101,33 @@ def kpis(
     )
 
 
+def format_time_tiers(avg_time: Column) -> Column:
+    """ms / s / min display tiers (gui/dashboard_panel.py:259-266):
+    <1s -> '{t*1000:.0f}ms', <60s -> '{t:.1f}s', else '{t/60:.1f}min';
+    null avg (no values) -> '-' (:267-270)."""
+    return (
+        F.when(avg_time.isNull(), F.lit("-"))
+        .when(
+            avg_time < 1,
+            F.concat(F.round(avg_time * 1000, 0).cast("long"), F.lit("ms")),
+        )
+        .when(avg_time < 60, F.concat(F.format_string("%.1f", avg_time), F.lit("s")))
+        .otherwise(
+            F.concat(F.format_string("%.1f", avg_time / 60), F.lit("min"))
+        )
+    )
+
+
+def avg_time_kpi(df: DataFrame, time_col: str = "processing_time") -> DataFrame:
+    """Average processing time with display formatting
+    (gui/dashboard_panel.py:256-266); avg ignores nulls like the
+    reference's 'if processing_time in d' filter."""
+    return df.agg(
+        F.round(F.avg(time_col), 6).alias("avg_time"),
+        format_time_tiers(F.avg(time_col)).alias("avg_time_display"),
+    )
+
+
 def densified_daily_counts(
     df: DataFrame, start: str, end: str, ts_col: str = "timestamp"
 ) -> DataFrame:

@@ -16,6 +16,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def load_analytics_logs(spark, log_dir: str) -> DataFrame:
+    """Analytics log scan (analytics.py:19-46): read every JSON log in the
+    dir; batch logs carry their per-doc records nested under `details` —
+    flatten them into the same record stream as single-doc logs
+    (analytics.py:33-40). One distributed json read + explode; the
+    reference's driver-side loop over files disappears into scan splits."""
+    raw = spark.read.option("multiLine", True).json(log_dir)
+    cols = set(raw.columns)
+    doc_cols = [c for c in ("pdf_path", "doc_type", "success", "confidence",
+                            "timestamp", "processing_time", "error")
+                if c in cols]
+    singles = (
+        raw.filter(F.col("details").isNull()) if "details" in cols else raw
+    ).select(*doc_cols)
+    if "details" not in cols:
+        return singles
+    nested = (
+        raw.filter(F.col("details").isNotNull())
+        .select(F.explode("details").alias("d"))
+        .select("d.*")
+    )
+    # align schemas (a nested record may lack some top-level fields)
+    for c in doc_cols:
+        if c not in nested.columns:
+            nested = nested.withColumn(c, F.lit(None).cast("string"))
+    return singles.unionByName(nested.select(*doc_cols))
+
+
 def filtered(
     df: DataFrame,
     ts_col: str = "timestamp",

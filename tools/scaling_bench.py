@@ -46,7 +46,7 @@ def time_once(cpus: int, corpus_path: str) -> tuple[float, int]:
     )
     docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()
-    # the corpus is written as 64 files, so the scan provides 64 splits at
+    # the corpus is written as 256 files, so the scan provides 256 splits at
     # either level — the extraction job is narrow end-to-end (the bucket
     # repartition in run_pipeline exists for checkpoint alignment, not for
     # parallelism, and a shared-disk shuffle of the whole corpus would
@@ -81,7 +81,7 @@ def run_pinned(cpus: int, corpus_path: str) -> tuple[float, int]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100000)
-    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--trials", type=int, default=4)
     ap.add_argument("--md", action="store_true")
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--corpus", type=str, default=None)
@@ -99,7 +99,10 @@ def main() -> None:
     try:
         spark = build_session("scaling-gen", master="local[32]",
                               shuffle_partitions=32)
-        write_corpus(spark, corpus_path, args.docs, partitions=64)
+        # 256 files: fine task granularity so the last scheduling wave at the
+        # 4N level is ~1 task long, not a 4-second straggler (measured:
+        # 64 files left a wave-quantization tail costing ~0.1 efficiency)
+        write_corpus(spark, corpus_path, args.docs, partitions=256)
         spark.stop()
 
         best: dict[int, float] = {c: float("inf") for c in LEVELS}

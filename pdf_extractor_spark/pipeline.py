@@ -41,19 +41,15 @@ OUTPUT_COLUMNS = [
 
 
 def _raw_schemas_conf(schema_dir: str | None = None) -> dict[str, dict]:
-    """Raw JSON dicts (picklable for the UDF closure)."""
-    import json
+    """Raw JSON dicts (picklable for the UDF closure). Delegates to the
+    zip-safe loader so the --py-files artifact works (config._load_json_dir
+    falls back to importlib.resources inside a zip)."""
+    from .config import _load_json_dir
 
     conf_dir = schema_dir or os.path.join(
         os.path.dirname(__file__), "conf", "schemas"
     )
-    out = {}
-    for fn in sorted(os.listdir(conf_dir)):
-        if fn.endswith(".json"):
-            with open(os.path.join(conf_dir, fn), encoding="utf-8") as f:
-                data = json.load(f)
-                out[data["name"]] = data
-    return out
+    return {data["name"]: data for data in _load_json_dir(conf_dir)}
 
 
 def extract_documents(

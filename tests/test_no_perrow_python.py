@@ -1,0 +1,37 @@
+"""input_hint constraint: 'pyspark.sql DataFrame + vectorized pandas/Arrow
+UDFs (no per-row Python)'. CI grep (SURVEY.md §4.3): the engine source must
+not use row-at-a-time Python UDFs or RDD row maps. The corpus generator's
+mapPartitions is the one sanctioned exception (data synthesis, not an
+operator)."""
+
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "pdf_extractor_spark")
+
+FORBIDDEN = [
+    (re.compile(r"(?<!pandas_)\budf\("), "row-at-a-time udf("),
+    (re.compile(r"\.rdd\b"), ".rdd access"),
+    (re.compile(r"\bcollect\(\)\s*\n?.*for\b"), "driver-side loop over collect()"),
+]
+ALLOW = {
+    # deterministic distributed corpus synthesis — input generation,
+    # not a pipeline operator (sources/corpus.py docstring)
+    ("sources/corpus.py", ".rdd access"),
+}
+
+
+def test_no_per_row_python_in_operators():
+    hits = []
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, PKG)
+            src = open(path, encoding="utf-8").read()
+            for rx, label in FORBIDDEN:
+                if rx.search(src) and (rel, label) not in ALLOW:
+                    hits.append((rel, label))
+    assert hits == [], hits

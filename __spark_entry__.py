@@ -420,6 +420,50 @@ def _extract_pipeline(spark, sf_dir):
     )
 
 
+def _span_validations(spark, sf_dir):
+    """Per-span structured validator output (north_star): three typed-token
+    spans per document (email / CPF / date), detected and validated
+    columnar. CPF check digits and date parsability vary with doc_id, so
+    the output carries both valid=true and valid=false rows."""
+    from pdf_extractor_spark.operators.validate import span_validations
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    email_txt = F.concat(
+        F.lit("contact user"), d.cast("string"), F.lit("@ex"),
+        (d % 7).cast("string"), F.lit(".com today"),
+    )
+    cpf_digits = F.lpad((d * 37).cast("string"), 11, "3")
+    cpf_txt = F.concat(
+        F.lit("doc "),
+        F.substring(cpf_digits, 1, 3), F.lit("."),
+        F.substring(cpf_digits, 4, 3), F.lit("."),
+        F.substring(cpf_digits, 7, 3), F.lit("-"),
+        F.substring(cpf_digits, 10, 2),
+    )
+    date_txt = F.concat(
+        F.lit("em "), (d % 35).cast("string"), F.lit("/"),
+        (d % 15).cast("string"), F.lit("/2024"),
+    )
+
+    def span(txt, i):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            txt.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(i).cast("int").alias("offset"),
+            F.lit(i).cast("int").alias("order"),
+        )
+
+    with_spans = docs.select(
+        d.cast("string").alias("doc_id"),
+        F.array(span(email_txt, 0), span(cpf_txt, 1), span(date_txt, 2)).alias(
+            "spans"
+        ),
+    )
+    return span_validations(with_spans)
+
+
 def _avg_time_tiers(spark, sf_dir):
     """KPI time formatting (dashboard_panel.py:256-266): the same avg shown
     at three scalings so every display tier (ms / s / min) is exercised."""
@@ -534,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_ann,
         "embedding_neardup": _embedding_neardup,
         "avg_time_tiers": _avg_time_tiers,
+        "span_validations": _span_validations,
         # validation auto-repair + template table matching
         "auto_repair": _auto_repair,
         "table_match": _table_match,
@@ -807,6 +852,63 @@ FROM embeddings a JOIN embeddings b
 WHERE list_dot_product(a.embedding, b.embedding) /
       (sqrt(list_dot_product(a.embedding, a.embedding)) *
        sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.99
+"""
+    def _mod11_sql(digits_expr: str, weights: list[int]) -> str:
+        total = " + ".join(
+            f"CAST(substr({digits_expr},{i+1},1) AS INT)*{w}"
+            for i, w in enumerate(weights)
+        )
+        return (f"(CASE WHEN (({total}) % 11) < 2 THEN 0 "
+                f"ELSE 11 - (({total}) % 11) END)")
+
+    cpf_dig1 = _mod11_sql("cd", [10 - i for i in range(9)])
+    cpf_dig2 = _mod11_sql("cd", [11 - i for i in range(10)])
+    date_ok = (
+        "COALESCE(try_strptime(value,'%Y-%m-%d'), try_strptime(value,'%d/%m/%Y'), "
+        "try_strptime(value,'%m/%d/%Y'), try_strptime(value,'%d-%m-%Y')) IS NOT NULL"
+    )
+    sql["span_validations"] = f"""
+WITH base AS (
+  SELECT doc_id, lpad(CAST(doc_id*37 AS VARCHAR), 11, '3') AS cd FROM documents
+),
+email AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS "offset", 0 AS "order",
+    'email' AS field,
+    'user' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+      || '.com' AS value,
+    TRUE AS valid, CAST(NULL AS VARCHAR) AS error
+  FROM base
+),
+cpf AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 1 AS "offset", 1 AS "order",
+    'cpf' AS field,
+    substr(cd,1,3)||'.'||substr(cd,4,3)||'.'||substr(cd,7,3)||'-'||substr(cd,10,2)
+      AS value,
+    (length(replace(cd, substr(cd,1,1), '')) > 0
+     AND {cpf_dig1} = CAST(substr(cd,10,1) AS INT)
+     AND {cpf_dig2} = CAST(substr(cd,11,1) AS INT)) AS valid,
+    CAST(NULL AS VARCHAR) AS error
+  FROM base
+),
+dt AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 2 AS "offset", 2 AS "order",
+    'date' AS field,
+    CAST(doc_id % 35 AS VARCHAR) || '/' || CAST(doc_id % 15 AS VARCHAR)
+      || '/2024' AS value,
+    FALSE AS valid, CAST(NULL AS VARCHAR) AS error
+  FROM base
+)
+SELECT doc_id, "offset", "order", field, value, valid,
+  CASE WHEN valid THEN NULL
+       WHEN field = 'cpf' THEN 'CPF inválido'
+       WHEN field = 'date' THEN 'Formato de data não reconhecido' END AS error
+FROM (
+  SELECT * FROM email
+  UNION ALL SELECT * FROM cpf
+  UNION ALL
+  SELECT doc_id, "offset", "order", field, value, {date_ok} AS valid, error
+  FROM dt
+)
 """
     sql["avg_time_tiers"] = """
 WITH a AS (SELECT avg(value) AS av FROM events)

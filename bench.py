@@ -47,6 +47,7 @@ HEADLINE = [
     "classify_rules",
     "auto_repair",
     "table_match",
+    "span_validations",
     "frame_sample",
 ]
 

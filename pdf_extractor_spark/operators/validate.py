@@ -538,3 +538,68 @@ def validation_columns(
         warnings = F.map_concat(warnings, unknown)
     valid = F.size(F.map_keys(errors)) == 0
     return valid, errors, warnings
+
+
+# --------------------------------------------------------------------------
+# Per-span structured validator output (north_star: "schema/field validators
+# emitted as per-span structured output"): explode text spans, detect typed
+# field candidates columnar (regexp_extract), validate each with the
+# columnar validators above -> one structured row per (span, field found).
+# Fully Catalyst-side: scan -> explode -> project -> filter; no Python.
+# --------------------------------------------------------------------------
+
+# detection patterns are RE2/Java-portable (no lookaround), so the DuckDB
+# oracle runs the IDENTICAL strings
+SPAN_FIELD_DETECTORS: list[tuple[str, str, str]] = [
+    # (field name, detection regex, field type for validation)
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "email"),
+    ("cpf", r"\d{3}\.\d{3}\.\d{3}-\d{2}", "cpf"),
+    ("cnpj", r"\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2}", "cnpj"),
+    ("date", r"\d{1,2}/\d{1,2}/\d{4}", "date"),
+]
+
+
+def span_validations(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """documents(doc_id, spans sorted+normalized with `order`) ->
+    (doc_id, offset, order, field, value, valid, error) — one row per typed
+    field candidate found in a text span. The per-doc `validation` struct
+    answers "is this document's extracted record valid"; this view answers
+    "where in the document does each (in)valid value sit", which is what a
+    span-level training-data filter consumes."""
+    from ..config import FieldSchema
+
+    s = df.select(
+        "doc_id",
+        F.explode(spans_col).alias("s"),
+    ).filter(F.col("s.kind") == "text")
+    s = s.select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.order").alias("order"),
+        F.col("s.text").alias("_text"),
+    )
+
+    entries = []
+    for name, rx, ftype in SPAN_FIELD_DETECTORS:
+        value = F.nullif(F.regexp_extract(F.col("_text"), f"({rx})", 1), F.lit(""))
+        err = field_error_col(value, FieldSchema(type=ftype))
+        entries.append(
+            F.struct(
+                F.lit(name).alias("field"),
+                value.alias("value"),
+                err.alias("error"),
+            )
+        )
+    out = s.select(
+        "doc_id", "offset", "order",
+        F.explode(F.array(*entries)).alias("fv"),
+    ).filter(F.col("fv.value").isNotNull())
+    return out.select(
+        "doc_id",
+        "offset",
+        "order",
+        F.col("fv.field").alias("field"),
+        F.col("fv.value").alias("value"),
+        F.col("fv.error").isNull().alias("valid"),
+        F.col("fv.error").alias("error"),
+    )

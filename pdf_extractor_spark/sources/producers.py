@@ -1,0 +1,135 @@
+"""Pluggable span producers (SURVEY.md §7.3-7): the reference's native
+PDF-parsing extraction methods — OCR (extractor.py:145-224, pdf2image +
+OpenCV + tesseract) and table parsing (extractor.py:97-143, camelot→tabula
+fallback) — modeled as producers that turn raw document bytes into the
+`spans` array of the input table.
+
+In production these run UPSTREAM of this engine (the Iceberg documents
+table already contains spans, per input_hint); they are modeled here so the
+engine composes end-to-end from bytes when needed. The native decode
+kernels are STUBBED exactly like operators/multimodal.py:
+`deterministic=True` routes to a pure-arithmetic fake (stable across
+runs/engines); `deterministic=False` raises NotImplementedError at the
+point where pdf2image/tesseract/camelot would plug in. Everything around
+the kernel — mapInPandas signature, Arrow batch shape, output spans schema,
+page numbering, the tesseract language map — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# 13-entry tesseract language map, default eng (extractor.py:177-192)
+TESSERACT_LANG = {
+    "en": "eng", "pt": "por", "es": "spa", "fr": "fra", "de": "deu",
+    "it": "ita", "nl": "nld", "ru": "rus", "zh": "chi_sim", "ja": "jpn",
+    "ko": "kor", "ar": "ara", "hi": "hin",
+}
+
+PRODUCED_SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType(), False),
+                        T.StructField("text", T.StringType(), True),
+                        T.StructField("media_ref", T.StringType(), True),
+                        T.StructField("offset", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def _fake_page_texts(payload: bytes, lang: str) -> list[str]:
+    """Deterministic stand-in for per-page OCR text: page count from the
+    payload length, page text from byte slices (hex words)."""
+    n_pages = max(1, len(payload) % 7)
+    pages = []
+    for p in range(n_pages):
+        chunk = payload[p::n_pages][:24]
+        words = [chunk[i : i + 4].hex() for i in range(0, len(chunk), 4)]
+        pages.append(f"[{TESSERACT_LANG.get(lang, 'eng')}] " + " ".join(words))
+    return pages
+
+
+def ocr_producer(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    deterministic: bool = True,
+) -> DataFrame:
+    """(doc_id, payload binary[, lang]) -> (doc_id, spans): one text span
+    per OCR'd page, offset = page index (extractor.py:196-219 semantics:
+    page_N keys -> offset N-1). mapInPandas; the tesseract call is the
+    stubbed kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real OCR requires pdf2image/opencv/tesseract — not in "
+                    "this runtime; wire the decoder here "
+                    "(extractor.py:157-219 is the reference behavior)"
+                )
+            out_ids, out_spans = [], []
+            langs = pdf[lang_col] if lang_col else ["en"] * len(pdf)
+            for did, payload, lang in zip(pdf[id_col], pdf[payload_col], langs):
+                pages = _fake_page_texts(payload or b"", lang or "en")
+                out_ids.append(str(did))
+                out_spans.append(
+                    [
+                        {"kind": "text", "text": t, "media_ref": None,
+                         "offset": i}
+                        for i, t in enumerate(pages)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+    return docs.mapInPandas(run, PRODUCED_SPANS_SCHEMA)
+
+
+def table_producer(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    deterministic: bool = True,
+) -> DataFrame:
+    """(doc_id, payload binary) -> (doc_id, spans): one table span per
+    detected table with media_ref 'table://{doc_id}/{n}' (extractor.py:
+    118-138: table_N keys; camelot lattice first, tabula fallback is the
+    stubbed kernel)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real table parsing requires camelot/tabula — not in "
+                    "this runtime; wire the parser here"
+                )
+            out_ids, out_spans = [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_tables = (len(payload or b"") % 3)
+                out_ids.append(str(did))
+                out_spans.append(
+                    [
+                        {"kind": "table", "text": None,
+                         "media_ref": f"table://{did}/{i}", "offset": i}
+                        for i in range(n_tables)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+    return docs.mapInPandas(run, PRODUCED_SPANS_SCHEMA)

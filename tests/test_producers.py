@@ -1,0 +1,62 @@
+"""Span producers (OCR/table, SURVEY.md §7.3-7): stubbed kernels, real
+plumbing — output spans feed extract_documents unchanged."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.pipeline import extract_documents
+from pdf_extractor_spark.sources.producers import ocr_producer, table_producer
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    return spark.createDataFrame(
+        [("d1", b"%PDF-1.5 fake bytes for ocr", "pt"),
+         ("d2", b"%PDF-1.5 other doc!", "zh"),
+         ("d3", b"", None)],
+        "doc_id string, payload binary, lang string",
+    )
+
+
+def test_ocr_producer_spans(spark, raw_docs):
+    out = {r.doc_id: r.spans for r in
+           ocr_producer(raw_docs, lang_col="lang").collect()}
+    assert set(out) == {"d1", "d2", "d3"}
+    s = out["d1"]
+    assert [x.offset for x in s] == list(range(len(s)))  # page order
+    assert all(x.kind == "text" for x in s)
+    assert s[0].text.startswith("[por]")       # tesseract lang map
+    assert out["d2"][0].text.startswith("[chi_sim]")
+    assert out["d3"][0].text.startswith("[eng]")  # default lang
+
+
+def test_ocr_deterministic_across_runs(spark, raw_docs):
+    a = ocr_producer(raw_docs, lang_col="lang").collect()
+    b = ocr_producer(raw_docs, lang_col="lang").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_table_producer_media_refs(spark, raw_docs):
+    out = {r.doc_id: r.spans for r in table_producer(raw_docs).collect()}
+    for did, spans in out.items():
+        for i, s in enumerate(spans):
+            assert s.kind == "table" and s.text is None
+            assert s.media_ref == f"table://{did}/{i}"
+
+
+def test_producer_output_feeds_pipeline(spark, raw_docs):
+    spans = ocr_producer(raw_docs, lang_col="lang")
+    ext = extract_documents(spans)
+    rows = {r.doc_id: r for r in ext.collect()}
+    assert set(rows) == {"d1", "d2", "d3"}
+    # span invariant holds on produced spans too
+    for r in rows.values():
+        assert [s.order for s in r.spans] == list(range(len(r.spans)))
+
+
+def test_real_kernel_is_explicit_stub(spark, raw_docs):
+    with pytest.raises(Exception) as ei:
+        ocr_producer(raw_docs, deterministic=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

@@ -1,2 +1,3 @@
 from .extract_stream import stream_extract  # noqa: F401
 from .metrics_stream import stream_metrics, windowed_type_counts  # noqa: F401
+from .dedup_stream import streaming_first_seen  # noqa: F401

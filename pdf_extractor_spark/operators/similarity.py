@@ -141,12 +141,14 @@ def ivf_centroids(
     n_centroids: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_iters: int = 1,
 ):
-    """Deterministic coarse quantizer seeds: every (count/n_centroids)-th
-    vector by id order. A k-means refinement would drop in here; for a
-    deterministic, cluster-size-independent bench the seeded pick is the
-    point (same centroids on every run and every cluster size). Driver-side
-    collect of n_centroids vectors only — the corpus itself never moves."""
+    """Deterministic coarse quantizer: every (count/n_centroids)-th vector
+    by id order seeds the centroids, then `refine_iters` Lloyd iterations —
+    assign (matmul pandas UDF) + element-wise mean per cluster (posexplode
+    -> groupBy(cluster, pos).avg, fully distributed; only the
+    n_centroids x dim averaged cells ever reach the driver). Deterministic
+    and cluster-size-independent: same centroids on every run."""
     n = corpus.count()
     stride = max(1, n // n_centroids)
     rows = (
@@ -156,7 +158,24 @@ def ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
-    return np.asarray([r.v for r in rows], dtype=np.float64)
+    cents = np.asarray([r.v for r in rows], dtype=np.float64)
+
+    for _ in range(refine_iters):
+        assign1 = _assign_udf(cents, 1)
+        assigned = corpus.select(
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
+            F.posexplode(vec_col).alias("pos", "x"),
+        )
+        cells = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in cells:
+            new[r.cluster][r.pos] = r.m
+        cents = new
+    return cents
 
 
 def ivf_topk(

@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "extract_pipeline",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
     "top_revenue_orders",
     "customers_per_region",
     "user_top_event",

@@ -710,8 +710,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS total_docs, "
         "round(coalesce(avg(CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.0 "
         "END) * 100, 0), 4) AS success_rate, "
-        "coalesce(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15' THEN 1 "
-        "ELSE 0 END), 0) AS docs_today FROM events"
+        "CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15' "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_today FROM events"
     )
     sql["count_by_type"] = (
         "SELECT coalesce(event_type, 'Desconhecido') AS doc_type, "
@@ -899,12 +899,12 @@ SELECT doc_id, round(0.35 * len_band + 0.30 * sw_band + 0.20 * wl_band
     )
     sql["fingerprint"] = f"""
 SELECT doc_id,
-  CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE coalesce((
+  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE coalesce((
     SELECT sum(((ord % 1000003) *
                 ((length(tok) * 131 + ascii(substr(tok, 1, 1))) % 1000003))
                % 1000003) % 1000003
     FROM (SELECT unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS ord)
-  ), 0) END AS fp
+  ), 0) END AS BIGINT) AS fp
 FROM documents
 """
     sql["exact_dedup"] = (

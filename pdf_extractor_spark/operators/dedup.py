@@ -89,7 +89,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
     inter/union from the inverted-index self-join + per-doc shingle counts."""
-    idx = shingle_index(df, text_col, id_col, n, max_df).cache()
+    # no .cache(): a long-lived session would leak one cached index per
+    # invocation (round-1 finding), and at corpus scale the exploded index
+    # doesn't fit executor storage anyway — the self-join below shares one
+    # shuffle via ReusedExchange, so only the counts agg re-derives shingles
+    idx = shingle_index(df, text_col, id_col, n, max_df)
     counts = idx.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
     a = idx.alias("a")
@@ -166,26 +170,10 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.7,
-    seed: int = 42,
-) -> DataFrame:
-    """Banded LSH: split the signature into `bands` rows-per-band groups,
-    bucket-join on (band, hash(band slice)), then estimate similarity from
-    full-signature agreement for candidate pairs. O(docs x bands)."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).filter(
-        F.col("sig").isNotNull()
-    )
-
-    banded = sigs.select(
+def _banded_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, sig) -> one row per (id, band) with bucket = xxhash64 of the
+    band's signature slice."""
+    return sigs.select(
         "id",
         "sig",
         F.explode(
@@ -209,6 +197,51 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+    verify: bool = True,
+) -> DataFrame:
+    """Banded LSH near-dup detection, production shape: candidate pairs from
+    the (band, bucket) join, then each candidate VERIFIED with its true
+    shingle Jaccard (verify=True, the default) -> (id1, id2, jaccard). This
+    is the standard LSH-then-verify cascade: LSH bounds candidate generation
+    at O(docs x bands), the exact check runs only on candidates, and the
+    output is independent of the LSH parameters wherever recall is complete
+    -- which also makes it oracle-checkable against brute-force Jaccard.
+    verify=False returns the raw candidates with the signature-agreement
+    estimate instead (no second pass over the text).
+
+    max_bucket guards the duplicate-heavy corpus (the NORMAL input for
+    dedup): D copies of one document land in the same bucket in every band,
+    and an uncapped self-join is O(D^2). Buckets larger than max_bucket are
+    dropped from the join (their members still pair via their other,
+    less-degenerate bands, and exact duplicates belong to exact_dedup
+    anyway). Use minhash_bucket_stats for drop observability."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).filter(
+        F.col("sig").isNotNull()
+    )
+    banded = _banded_buckets(sigs, bands, rows_per_band)
+
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+
     # self-join as sort-merge, NOT broadcast: the two sides are identical
     # plans, so SMJ's two shuffles collapse into one computation via
     # ReusedExchange — a broadcast side would recompute the whole signature
@@ -231,46 +264,103 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id1", "id2"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig1", "sig2", lambda x, y: x == y),
-            lambda m: m,
+    if not verify:
+        est = F.size(
+            F.filter(
+                F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ) / F.lit(num_hashes)
+        return cands.select(
+            "id1", "id2", F.round(est, 6).alias("est_jaccard")
+        ).filter(F.col("est_jaccard") >= threshold)
+
+    # exact verification: join the (small) candidate set back to per-doc
+    # shingle sets; `inter` materialized behind a projection boundary so
+    # Catalyst doesn't re-evaluate array_intersect per reference
+    sh = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
+    return (
+        cands.select("id1", "id2")
+        .join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("inter")
+                / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
         )
-    ) / F.lit(num_hashes)
-    return cands.select(
-        "id1", "id2", F.round(est, 6).alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Observability for the max_bucket guard: one row per oversized
+    (band, bucket) with its member count — run (or sink) this alongside
+    minhash_lsh_pairs to log exactly what the cap dropped."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    banded = _banded_buckets(sigs, bands, rows_per_band)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > max_bucket)
+    )
 
 
 # -- SimHash -----------------------------------------------------------------
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """63-bit SimHash (sign bit kept clear): per token, xxhash64 -> for each
-    bit, +1 if set else -1; sign of the per-bit balance forms the signature.
+SIMHASH_BITS = 60
 
-    Physical shape: explode token hashes once -> groupBy(id) with 63
+
+def simhash_token_hash(tok: "F.Column") -> "F.Column":
+    """60-bit token hash: first 15 hex chars of md5. md5 (not xxhash64)
+    because it is bit-identical across engines — DuckDB's
+    CAST('0x'||substr(md5(t),1,15) AS BIGINT) reproduces it exactly, which
+    makes the WHOLE simhash signature SQL-mirrorable for the driver's
+    correctness oracle. Still JVM-side and shuffle-free."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash: per token, a 60-bit md5-derived hash -> for each bit,
+    +1 if set else -1; sign of the per-bit balance forms the signature.
+
+    Physical shape: explode tokens once -> hash -> groupBy(id) with 60
     conditional-sum aggregates -> assemble the signature from the balances.
-    Tokenization runs ONCE per document (63 aggregates over an inline array
-    expression would re-tokenize 63 times after Catalyst project collapsing);
-    map-side combine collapses each doc to one row pre-shuffle. explode_outer
-    keeps zero-token docs (balance 0 -> signature 0, matching an aggregate
-    over an empty array)."""
+    Tokenization runs ONCE per document (60 aggregates over an inline array
+    expression would re-tokenize 60 times after Catalyst project collapsing);
+    map-side combine collapses each doc to one row pre-shuffle.
+
+    Zero-token docs emit NO row (plain explode drops the empty array): a
+    degenerate signature 0 would make every empty/null-text doc a hamming-0
+    "near-dup" of every other — empties belong to exact_dedup, not here."""
     toks = tokens_col(F.lower(F.col(text_col)))
     h = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(F.transform(toks, lambda t: F.xxhash64(t))).alias("h"),
-    )
+        F.col(id_col).alias("id"), F.explode(toks).alias("t")
+    ).select("id", simhash_token_hash(F.col("t")).alias("h"))
     aggs = [
         F.sum(
-            F.when(F.col("h").isNull(), 0)
-            .when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)
-            .otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(63)
+        for i in range(SIMHASH_BITS)
     ]
     bal = h.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for i in range(63):
+    for i in range(SIMHASH_BITS):
         sig = sig.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
                 F.lit(0).cast("long")
@@ -284,42 +374,72 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int = 6,
+    seg_match: int = 2,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Near-dup pairs at Hamming distance <= max_hamming via the pigeonhole
-    block trick: split 64 bits into `blocks` segments; any pair within
-    distance < blocks must agree on >=1 segment -> join per segment, verify
-    with bit_count(xor). Requires max_hamming < blocks for completeness."""
+    """Near-dup pairs at Hamming distance <= max_hamming via multi-segment
+    pigeonhole blocking (the Manku/Jain/Sarma scheme generalized): split the
+    60 signature bits into `blocks` segments; if hamming <= max_hamming, at
+    most max_hamming segments differ, so some combination of `seg_match`
+    segments agrees completely -> join once per C(blocks, seg_match)
+    combination on the concatenated segment values, verify with
+    bit_count(xor). Completeness requires max_hamming <= blocks - seg_match.
+
+    Scale knobs (the round-1 weakness was blocks=4 single-segment 16-bit
+    keys — 65,536 buckets, quadratic at web scale): key width is
+    seg_match * (60/blocks) bits, candidate volume ~ C(blocks, seg_match)
+    * n^2 / 2^width per uniformly-hashed corpus. Defaults (6 blocks, match
+    2) give 20-bit keys; at 10^12 docs use e.g. blocks=12, seg_match=8 for
+    40-bit keys — same operator, wider key. max_bucket additionally caps
+    any degenerate (combo, key) bucket (duplicate-heavy corpora), same
+    guard/rationale as minhash_lsh_pairs."""
+    assert max_hamming <= blocks - seg_match, (
+        "pigeonhole completeness needs max_hamming <= blocks - seg_match"
+    )
+    assert SIMHASH_BITS % blocks == 0
+    from itertools import combinations
+
     sigs = simhash64(df, text_col, id_col)
-    seg_bits = 64 // blocks
-    segged = sigs.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seg"),
-                        F.shiftrightunsigned("simhash", s * seg_bits)
-                        .bitwiseAND(F.lit((1 << seg_bits) - 1))
-                        .alias("key"),
-                    )
-                    for s in range(blocks)
-                ]
-            )
-        ).alias("sb"),
-    ).select("id", "simhash", "sb.seg", "sb.key")
+    seg_bits = SIMHASH_BITS // blocks
+
+    def seg(s: int):
+        return F.shiftrightunsigned("simhash", s * seg_bits).bitwiseAND(
+            F.lit((1 << seg_bits) - 1)
+        )
+
+    combo_keys = []
+    for ci, combo in enumerate(combinations(range(blocks), seg_match)):
+        key = F.lit(0).cast("long")
+        for s in combo:
+            key = key * F.lit(1 << seg_bits) + seg(s)
+        combo_keys.append(
+            F.struct(F.lit(ci).alias("combo"), key.alias("key"))
+        )
+
+    keyed = sigs.select(
+        "id", "simhash", F.explode(F.array(*combo_keys)).alias("ck")
+    ).select("id", "simhash", "ck.combo", "ck.key")
+
+    if max_bucket is not None:
+        hot = (
+            keyed.groupBy("combo", "key")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("combo", "key")
+        )
+        keyed = keyed.join(F.broadcast(hot), ["combo", "key"], "left_anti")
 
     # sort-merge self-join for the same ReusedExchange reason as minhash
-    a = segged.hint("merge").alias("a")
-    b = segged.hint("merge").alias("b")
+    a = keyed.hint("merge").alias("a")
+    b = keyed.hint("merge").alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
     return (
         a.join(
             b,
-            (F.col("a.seg") == F.col("b.seg"))
+            (F.col("a.combo") == F.col("b.combo"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
@@ -339,35 +459,76 @@ def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.95,
+    lsh_dim: int | None = 64,
+    lsh_bits: int = 8,
+    lsh_tables: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold. Blocked on block_col when
-    given (turns O(n^2) into sum of per-block squares); at 100 TB the block
-    key would be an LSH bucket (see similarity.lsh_buckets)."""
-    norm = F.sqrt(
-        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm.alias("nrm"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
-    )
-    a = base.alias("a")
-    b = base.alias("b")
+    """Pairs with cosine similarity >= threshold. Blocking turns O(n^2) into
+    a sum of per-block squares; the block key is an LSH bucket by default
+    (random-hyperplane signatures, the 100 TB path — round 1's `label`
+    stand-in is still available via block_col). Candidates = same bucket in
+    >=1 of lsh_tables signatures, exact cosine verified on candidates only.
+    The hyperplanes are md5-seeded sign matrices (similarity._hyperplanes),
+    so the blocking is deterministic and SQL-mirrorable for the oracle."""
+    if block_col is not None:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.col(block_col).alias("blk"),
+        )
+        cands = (
+            base.alias("a")
+            .join(
+                base.alias("b"),
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                F.col("a.vec").alias("vec1"),
+                F.col("b.vec").alias("vec2"),
+            )
+        )
+    else:
+        from .similarity import lsh_buckets
+
+        assert lsh_dim is not None
+        bucketed = lsh_buckets(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            lsh_dim, "vec", lsh_bits, lsh_tables, seed,
+        )
+        a = bucketed.hint("merge").alias("a")
+        b = bucketed.hint("merge").alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                F.col("a.vec").alias("vec1"),
+                F.col("b.vec").alias("vec2"),
+            )
+            .dropDuplicates(["id1", "id2"])
+        )
+
     dot = F.aggregate(
-        F.zip_with("a.vec", "b.vec", lambda x, y: x * y),
+        F.zip_with("vec1", "vec2", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    nrm1 = F.sqrt(F.aggregate("vec1", F.lit(0.0), lambda acc, x: acc + x * x))
+    nrm2 = F.sqrt(F.aggregate("vec2", F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.round(cos, 4).alias("cosine"),
+        cands.select(
+            "id1", "id2", F.round(dot / (nrm1 * nrm2), 4).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )

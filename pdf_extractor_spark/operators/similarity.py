@@ -73,12 +73,21 @@ def cosine_topk(
 
 
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42):
-    import random
+    """Rademacher (+/-1) hyperplanes — sign-random projections preserve the
+    random-hyperplane LSH guarantees (Achlioptas-style database-friendly
+    projections) and, unlike Gaussian draws from a Python RNG, each
+    coefficient is re-derivable inside ANY engine: sign(t,b,d) = +1 iff the
+    first 8 hex chars of md5('{seed}_{t}_{b}_{d}') are even. The DuckDB
+    correctness oracle rebuilds the exact same planes in SQL."""
+    import hashlib
 
-    rng = random.Random(seed)
+    def sign(t: int, b: int, d: int) -> float:
+        h = hashlib.md5(f"{seed}_{t}_{b}_{d}".encode()).hexdigest()[:8]
+        return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
     return [
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
-        for _ in range(tables)
+        [[sign(t, b, d) for d in range(dim)] for b in range(bits)]
+        for t in range(tables)
     ]
 
 
@@ -187,6 +196,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     qid_col: str = "query_id",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-style ANN (SURVEY-adjacent training-data op; the classic inverted
     -file scheme from the ANN literature): corpus vectors are assigned to
@@ -198,8 +208,18 @@ def ivf_topk(
     partition key), so a probe touches n_probe partitions — the Spark
     analogue of an IVF index's posting lists. Here assignment happens
     inline (one matmul pandas UDF); the join on cluster id broadcasts the
-    (small) probed query set."""
-    cents = ivf_centroids(corpus, n_centroids, vec_col, id_col)
+    (small) probed query set.
+
+    Pass `centroids` (from a single ivf_centroids call) to amortize the
+    index build across queries — the round-1 shape recomputed the quantizer
+    (count + collect + one Lloyd pass) on EVERY call, which is both wasted
+    work and the wrong mental model: centroids are index state, built once
+    at write time."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, vec_col, id_col)
+    )
 
     assign1 = _assign_udf(cents, 1)
     c = corpus.select(

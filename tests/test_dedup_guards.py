@@ -1,0 +1,90 @@
+"""Scale guards for the LSH dedup family (round-1 verdict items #3/#4):
+a duplicate-heavy corpus — the NORMAL input for dedup — must not send any
+single (band, bucket) or (combo, key) group quadratic. The guards drop
+oversized buckets; exact duplicates remain exact_dedup's job.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.dedup import (
+    minhash_bucket_stats,
+    minhash_lsh_pairs,
+    simhash_neardup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_heavy(spark):
+    """200 exact copies of one document + 20 distinct documents."""
+    dup = "spark shuffles partitions across the cluster stage by stage"
+    rows = [(i, dup) for i in range(200)]
+    rows += [
+        (1000 + i, f"distinct document number {i} with its own words {i * 7}")
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_hot_bucket_guard_bounds_candidates(spark, dup_heavy):
+    # uncapped: the 200-copy cluster alone is C(200,2) = 19,900 pairs
+    uncapped = minhash_lsh_pairs(dup_heavy, max_bucket=None, verify=False)
+    assert uncapped.count() >= 19_900
+
+    # capped: every bucket holding the duplicate cluster exceeds the cap
+    # and is dropped, so no quadratic group survives
+    capped = minhash_lsh_pairs(dup_heavy, max_bucket=50, verify=False)
+    assert capped.count() < 1_000
+
+
+def test_minhash_bucket_stats_reports_drops(spark, dup_heavy):
+    stats = minhash_bucket_stats(dup_heavy, max_bucket=50).collect()
+    assert len(stats) >= 1
+    assert all(r.sz == 200 for r in stats)
+
+
+def test_simhash_hot_bucket_guard_bounds_candidates(spark, dup_heavy):
+    uncapped = simhash_neardup_pairs(dup_heavy, max_bucket=None)
+    assert uncapped.count() >= 19_900
+
+    capped = simhash_neardup_pairs(dup_heavy, max_bucket=50)
+    assert capped.count() < 1_000
+
+
+def test_simhash_completeness_parameter_guard(spark, dup_heavy):
+    # pigeonhole completeness: max_hamming <= blocks - seg_match
+    with pytest.raises(AssertionError):
+        simhash_neardup_pairs(dup_heavy, max_hamming=5, blocks=6, seg_match=2)
+
+
+def test_simhash_empty_docs_emit_no_pairs(spark):
+    # round-1 advice: zero-token docs must not all collide at signature 0
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "real text here"),
+         (5, "real text here")],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_neardup_pairs(df).collect()
+    ids = {i for r in pairs for i in (r.id1, r.id2)}
+    assert ids <= {4, 5}
+
+
+def test_simhash_wider_keys_same_pairs(spark):
+    # the scale knob changes the key width, not the result: any (blocks,
+    # seg_match) with max_hamming <= blocks - seg_match finds the same pairs
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "completely different content about spark partitions"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_neardup_pairs(df, blocks=6, seg_match=2).collect()
+    )
+    b = sorted(
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_neardup_pairs(df, blocks=10, seg_match=4).collect()
+    )
+    assert a == b

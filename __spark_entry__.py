@@ -86,7 +86,10 @@ def _kpis(spark, sf_dir):
     from pdf_extractor_spark.operators.analytics import kpis
 
     ev = _t(spark, sf_dir, "events")
-    return kpis(ev, F.col("event_type") != "error", ts_col="ts", today="2024-01-15")
+    return kpis(
+        ev, F.col("event_type") != "error", ts_col="ts", today="2024-01-15",
+        time_col="value",
+    )
 
 
 def _count_by_type(spark, sf_dir):
@@ -464,6 +467,68 @@ def _embedding_neardup(spark, sf_dir):
     )
 
 
+def _page_filter(spark, sf_dir):
+    """Page-range predicate (reference extractor.py:46-51 semantics) over a
+    deterministic interleaved span layout derived from each document's
+    text: up to 5 text pages (40-char windows, present while text is long
+    enough) with media spans after pages 0 and 2. pages='0,2' keeps page-0
+    and page-2 text plus their trailing media; docs too short for page 2
+    silently drop it — the reference's out-of-range behavior."""
+    from pdf_extractor_spark.operators.spans import filter_spans_by_page
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+
+    def tspan(i: int, off: int):
+        return F.when(
+            F.length(t) > i * 40,
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.substring(t, 1 + i * 40, 40).alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(off).cast("int").alias("offset"),
+                )
+            ),
+        ).otherwise(empty)
+
+    def mspan(ref: str, off: int, min_len: int):
+        return F.when(
+            F.length(t) > min_len,
+            F.array(
+                F.struct(
+                    F.lit("image").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(ref).alias("media_ref"),
+                    F.lit(off).cast("int").alias("offset"),
+                )
+            ),
+        ).otherwise(empty)
+
+    spans = F.concat(
+        tspan(0, 0), mspan("m0", 1, 0), tspan(1, 2), tspan(2, 3),
+        mspan("m1", 4, 80), tspan(3, 5), tspan(4, 6),
+    )
+    df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+    out = filter_spans_by_page(df, pages="0,2")
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+            "",
+        ).alias("kept_text"),
+    )
+
+
 def _media_meta(spark, sf_dir):
     from pdf_extractor_spark.operators.multimodal import media_from_documents
 
@@ -687,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_repair": _auto_repair,
         "table_match": _table_match,
         # multimodal plumbing
+        "page_filter": _page_filter,
         "media_meta": _media_meta,
         "media_features": _media_features,
         "frame_sample": _frame_sample,
@@ -773,7 +839,13 @@ def oracle_sql() -> dict[str, str]:
         "round(coalesce(avg(CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.0 "
         "END) * 100, 0), 4) AS success_rate, "
         "CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15' "
-        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_today FROM events"
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_today, "
+        "CASE WHEN avg(value) IS NULL THEN '-' "
+        "WHEN avg(value) < 1 THEN CAST(CAST(round(avg(value)*1000, 0) AS "
+        "BIGINT) AS VARCHAR) || 'ms' "
+        "WHEN avg(value) < 60 THEN CAST(round(avg(value), 1) AS VARCHAR) || 's' "
+        "ELSE CAST(round(avg(value)/60, 1) AS VARCHAR) || 'min' END "
+        "AS avg_time_display FROM events"
     )
     sql["count_by_type"] = (
         "SELECT coalesce(event_type, 'Desconhecido') AS doc_type, "
@@ -1154,6 +1226,18 @@ SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id,
          AS frame_idx
 FROM documents WHERE doc_id % 3 = 2
 """
+    # page_filter: pages='0,2' over the deterministic 5-page/2-media span
+    # layout -> kept spans = (page0 text + its media) while text non-empty,
+    # plus (page2 text + its media) while length > 80; kept_text is the
+    # concatenation of the surviving 40-char text windows.
+    sql["page_filter"] = (
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        "(CASE WHEN length(text) > 0 THEN 2 ELSE 0 END + "
+        " CASE WHEN length(text) > 80 THEN 2 ELSE 0 END) AS n_kept, "
+        "concat(coalesce(substr(text, 1, 40), ''), "
+        "       coalesce(substr(text, 81, 40), '')) AS kept_text "
+        "FROM documents"
+    )
     sql["media_meta"] = (
         "SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id, "
         "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN "

@@ -38,12 +38,15 @@ HEADLINE = [
     "count_by_type",
     "filtered_range",
     "token_count",
+    "bpe_token_count",
     "quality_score",
     "lang_id",
     "fingerprint",
     "exact_dedup",
+    "ngram_jaccard",
     "minhash_lsh",
     "simhash_neardup",
+    "embedding_neardup",
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
@@ -51,6 +54,8 @@ HEADLINE = [
     "auto_repair",
     "table_match",
     "span_validations",
+    "page_filter",
+    "media_features",
     "frame_sample",
 ]
 

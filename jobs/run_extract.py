@@ -17,6 +17,15 @@ import argparse
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--format",
+        choices=["parquet", "table"],
+        default=None,
+        help="explicit input kind: 'table' = catalog/temp-view name (incl. "
+        "single-part default-namespace names), 'parquet' = path. Default: "
+        "infer — dotted slash-free names read as tables, anything else as "
+        "a parquet path.",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--buckets", type=int, default=64)
@@ -29,12 +38,14 @@ def main() -> None:
     from pdf_extractor_spark.session import build_session
 
     spark = build_session("extract-job")
-    docs = (
-        spark.read.table(args.input)
-        if not args.input.endswith((".parquet", "/"))
-        and "." in args.input and "/" not in args.input
-        else spark.read.parquet(args.input)
-    )
+    if args.format == "table":
+        docs = spark.read.table(args.input)
+    elif args.format == "parquet":
+        docs = spark.read.parquet(args.input)
+    elif "." in args.input and "/" not in args.input and not args.input.endswith(".parquet"):
+        docs = spark.read.table(args.input)
+    else:
+        docs = spark.read.parquet(args.input)
     summary = run_pipeline(
         spark,
         docs,

@@ -37,10 +37,16 @@ def load_analytics_logs(spark, log_dir: str) -> DataFrame:
         .select(F.explode("details").alias("d"))
         .select("d.*")
     )
-    # align schemas (a nested record may lack some top-level fields)
+    # align schemas (a nested record may lack some top-level fields) — the
+    # filler must take the SINGLES side's dtype: a hardcoded string cast
+    # would make unionByName silently widen e.g. success(boolean) or
+    # confidence(double) to string for the whole result, breaking typed
+    # aggregates downstream (round-1 advice)
     for c in doc_cols:
         if c not in nested.columns:
-            nested = nested.withColumn(c, F.lit(None).cast("string"))
+            nested = nested.withColumn(
+                c, F.lit(None).cast(singles.schema[c].dataType)
+            )
     return singles.unionByName(nested.select(*doc_cols))
 
 
@@ -111,21 +117,29 @@ def count_by_type(
 
 def kpis(
     df: DataFrame, success_col: Column, ts_col: str = "timestamp",
-    today: str | None = None,
+    today: str | None = None, time_col: str | None = None,
 ) -> DataFrame:
-    """Dashboard KPI row (gui/dashboard_panel.py:236-270): total count,
-    success rate, docs 'today', avg processing time. `today` is injected for
-    determinism (the GUI uses the wall clock)."""
+    """Dashboard KPI row, all FOUR cells (gui/dashboard_panel.py:236-270):
+    total count, success rate, docs 'today', and avg processing time with
+    the reference's ms/s/min display tiers ('-' when no time column or no
+    values, :267-270). `today` is injected for determinism (the GUI uses
+    the wall clock)."""
     today_cnt = (
         F.sum((F.to_date(ts_col) == F.lit(today).cast("date")).cast("long"))
         if today is not None
         else F.lit(0).cast("long")
+    )
+    avg_time_display = (
+        format_time_tiers(F.avg(time_col))
+        if time_col is not None
+        else F.coalesce(F.first(F.lit("-")), F.lit("-"))
     )
     return df.agg(
         F.count("*").alias("total_docs"),
         F.round(F.coalesce(F.avg(success_col.cast("double")) * 100, F.lit(0.0)), 4)
         .alias("success_rate"),
         F.coalesce(today_cnt, F.lit(0).cast("long")).alias("docs_today"),
+        avg_time_display.alias("avg_time_display"),
     )
 
 

@@ -55,6 +55,55 @@ def sorted_spans(spans: Column) -> Column:
     )
 
 
+def parse_pages(pages: "str | int | None") -> "list[int] | None":
+    """Page-range argument parsing, reference semantics
+    (/root/reference/src/core/extractor.py:46-51, repeated at :150-155 and
+    :196-197): 'all' (or None) selects every page, an int selects one
+    0-based page, a comma string ('1,3') parses to ints. Out-of-range pages
+    are SILENTLY dropped downstream (the reference's `page_num < num_pages`
+    guard at :62/:74) — here that falls out of set membership: a page index
+    no span carries simply matches nothing."""
+    if pages is None or pages == "all":
+        return None
+    if isinstance(pages, int):
+        return [pages]
+    if isinstance(pages, str):
+        return [int(p) for p in pages.split(",")]
+    raise TypeError(f"pages must be 'all', int, or 'a,b' string; got {pages!r}")
+
+
+def filter_spans_by_page(
+    df, pages: "str | int | None" = "all", spans_col: str = "spans"
+):
+    """Page-range predicate as a first-class span filter: the 0-based page
+    index of a span is (# text spans at positions <= its own) - 1 — text
+    spans ARE the pages of the interleaved model, and a media span belongs
+    to the page it follows (a media span before any text span gets page -1
+    and can only survive pages='all'). Selected pages keep their spans;
+    everything else (including out-of-range page numbers) is silently
+    dropped, matching the reference.
+
+    Columnar: offset-sort once, then one filter over the array whose
+    per-element page index is a count over the element's prefix — O(k^2)
+    in spans-per-doc, which is bounded (tens), and no shuffle/UDF."""
+    wanted = parse_pages(pages)
+    if wanted is None:
+        return df
+    out = df.withColumn("_ps", sorted_spans(F.col(spans_col)))
+    page_lit = F.array(*[F.lit(int(p)).cast("int") for p in wanted])
+
+    def page_of(i: Column) -> Column:
+        prefix = F.slice(F.col("_ps"), 1, i + 1)
+        return (
+            F.size(F.filter(prefix, lambda s: s["kind"] == "text")) - 1
+        ).cast("int")
+
+    return out.withColumn(
+        spans_col,
+        F.filter(F.col("_ps"), lambda s, i: F.array_contains(page_lit, page_of(i))),
+    ).drop("_ps")
+
+
 def text_sample(spans_sorted: Column, n: int = 3) -> Column:
     """First-n-text-spans sample used for language detection (the
     reference's 3-page sample, extractor.py:56-70)."""

@@ -87,14 +87,42 @@ def extract_documents(
     return out.select(*OUTPUT_COLUMNS)
 
 
+def bucket_col(num_buckets: int = DEFAULT_BUCKETS) -> "F.Column":
+    return F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+
+
 def with_bucket_and_salt(
     df: DataFrame, num_buckets: int = DEFAULT_BUCKETS, salts: int = DEFAULT_SALTS
 ) -> DataFrame:
+    """+ bucket (unless the input already carries one — a pre-bucketed
+    write-time-partitioned source, see write_bucketed_input) and salt."""
+    if "bucket" not in df.columns:
+        df = df.withColumn("bucket", bucket_col(num_buckets))
     return df.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
-    ).withColumn(
         "salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(salts)).cast("int")
     )
+
+
+def write_bucketed_input(
+    docs: DataFrame, path: str, num_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Write-time bucket partitioning — the flat-parquet analog of an
+    Iceberg `bucket(num_buckets, doc_id)` partition transform: the corpus
+    is laid out as bucket=N directories, so run_pipeline's per-wave
+    `bucket IN (...)` filter becomes a PARTITION FILTER that prunes at the
+    scan. Round 1 measured waves=4 at 2.1x the waves=1 wall time on an
+    unpartitioned input (every wave re-scanned the full corpus); on a
+    bucket-partitioned input each wave reads only its own 1/waves of the
+    data. On a real cluster the same effect comes from writing the Iceberg
+    table with a bucket partition spec.
+
+    The repartition on bucket before the write is load-bearing: without it
+    every input task writes a fragment into every bucket directory
+    (tasks x buckets tiny files — measured SLOWER than the flat scan), with
+    it each bucket directory gets tasks/buckets-proportional files."""
+    docs.withColumn("bucket", bucket_col(num_buckets)).repartition(
+        num_buckets, "bucket"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
 def metrics_rows(extracted: DataFrame, run_id: str, wave: int) -> DataFrame:

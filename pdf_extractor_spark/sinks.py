@@ -108,11 +108,117 @@ def export_sql(
         con.close()
 
 
+def _col_letter(i: int) -> str:
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _write_minimal_xlsx(sheets: dict, path: str) -> None:
+    """Dependency-free .xlsx writer (the format is a zip of OOXML parts —
+    public ECMA-376 structure): one worksheet per sheet, header row +
+    values, numbers as native cells, everything else as inline strings.
+    Enough for the reference's export surface (exporter.py:115-136 writes
+    plain tables, no styling)."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+    sheet_xml = []
+    for name, pdf in sheets.items():
+        rows = [list(map(str, pdf.columns))] + [
+            list(t) for t in pdf.itertuples(index=False, name=None)
+        ]
+        row_parts = []
+        for r, row in enumerate(rows, 1):
+            cells = []
+            for c, v in enumerate(row):
+                ref = f"{_col_letter(c)}{r}"
+                is_num = (
+                    isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                    and v == v  # not NaN
+                )
+                if r > 1 and is_num:
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+                elif v is None or (isinstance(v, float) and v != v):
+                    cells.append(f'<c r="{ref}"/>')
+                else:
+                    cells.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>'
+                        f"{escape(str(v))}</t></is></c>"
+                    )
+            row_parts.append(f'<row r="{r}">' + "".join(cells) + "</row>")
+        sheet_xml.append(
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f"<worksheet {ns}><sheetData>" + "".join(row_parts)
+            + "</sheetData></worksheet>"
+        )
+
+    names = list(sheets)
+    wb_sheets = "".join(
+        f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        for i, n in enumerate(names)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook {ns} xmlns:r="{rel_ns}"><sheets>{wb_sheets}</sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{pkg_rel_ns}">'
+        + "".join(
+            f'<Relationship Id="rId{i+1}" Type="{rel_ns}/worksheet" '
+            f'Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{pkg_rel_ns}">'
+        f'<Relationship Id="rId1" Type="{rel_ns}/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.'
+            'spreadsheetml.worksheet+xml"/>'
+            for i in range(len(names))
+        )
+        + "</Types>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, xml in enumerate(sheet_xml):
+            z.writestr(f"xl/worksheets/sheet{i+1}.xml", xml)
+
+
 def export_excel(frames: dict[str, DataFrame], path: str) -> None:
     """Excel sink (exporter.py:115-136): one sheet per key, names truncated
-    to 31 chars. Driver-side convenience, bounded; raises NotImplementedError
-    when no Excel engine (openpyxl/xlsxwriter) is installed — the Spark-side
-    shaping (limit + flatten + toPandas) is real either way."""
+    to 31 chars. Driver-side convenience, bounded. Uses pandas' engine when
+    one is installed; otherwise falls back to the built-in minimal OOXML
+    writer (this runtime ships no openpyxl/xlsxwriter), so the sink is
+    functional either way."""
     import pandas as pd
 
     pdfs = {}
@@ -125,11 +231,8 @@ def export_excel(frames: dict[str, DataFrame], path: str) -> None:
         with pd.ExcelWriter(path) as xw:
             for sheet, pdf in pdfs.items():
                 pdf.to_excel(xw, sheet_name=sheet, index=False)
-    except (ImportError, ModuleNotFoundError) as e:
-        raise NotImplementedError(
-            "no Excel writer engine in this runtime (openpyxl/xlsxwriter); "
-            "install one to enable export_excel"
-        ) from e
+    except (ImportError, ModuleNotFoundError):
+        _write_minimal_xlsx(pdfs, path)
 
 
 def append_metrics(metrics: DataFrame, path: str) -> None:

@@ -64,6 +64,78 @@ def _fake_page_texts(payload: bytes, lang: str) -> list[str]:
     return pages
 
 
+def text_producer(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    deterministic: bool = True,
+) -> DataFrame:
+    """(doc_id, payload binary) -> (doc_id, spans): the PyPDF2/pdfplumber
+    text path (extractor.py:37-92) — one text span per page, offset = page
+    index. Same stub convention as ocr_producer: the parse kernel is a
+    deterministic fake; the mapInPandas plumbing and span contract are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real PDF text parse requires PyPDF2/pdfplumber — not in "
+                    "this runtime; wire the parser here "
+                    "(extractor.py:37-92 is the reference behavior)"
+                )
+            out_ids, out_spans = [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = payload or b""
+                n_pages = max(1, len(b) % 5)
+                per = max(1, len(b) // n_pages)
+                out_ids.append(str(did))
+                out_spans.append(
+                    [
+                        {
+                            "kind": "text",
+                            "text": b[p * per : (p + 1) * per].decode(
+                                "utf-8", "replace"
+                            ),
+                            "media_ref": None,
+                            "offset": p,
+                        }
+                        for p in range(n_pages)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+    return docs.mapInPandas(run, PRODUCED_SPANS_SCHEMA)
+
+
+def dispatch_extract(
+    docs: DataFrame,
+    method_col: str = "extraction_method",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Method dispatch (extractor.py:26-36: the extraction_methods dict
+    routing 'text'/'ocr'/'tables' to their extractors), Spark shape: one
+    FILTER per method + the matching producer + unionByName — three narrow
+    pipelines over disjoint row sets, no per-row branching, each method's
+    mapInPandas sees only its own rows. Unknown methods fall back to 'text'
+    (the reference's .get(default) at :34 resolves to extract_text)."""
+    from pyspark.sql import functions as F
+
+    m = F.coalesce(F.col(method_col), F.lit("text"))
+    text_rows = docs.filter(~m.isin("ocr", "tables"))
+    ocr_rows = docs.filter(m == "ocr")
+    table_rows = docs.filter(m == "tables")
+    return (
+        text_producer(text_rows, payload_col, id_col, deterministic)
+        .unionByName(
+            ocr_producer(ocr_rows, payload_col, id_col, lang_col, deterministic)
+        )
+        .unionByName(table_producer(table_rows, payload_col, id_col, deterministic))
+    )
+
+
 def ocr_producer(
     docs: DataFrame,
     payload_col: str = "payload",

@@ -60,3 +60,28 @@ def test_real_kernel_is_explicit_stub(spark, raw_docs):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_dispatch_routes_by_method(spark):
+    from pdf_extractor_spark.sources.producers import dispatch_extract
+
+    docs = spark.createDataFrame(
+        [
+            ("t1", b"plain text doc bytes!", "text", "en"),
+            ("o1", b"%PDF scanned bytes", "ocr", "pt"),
+            ("b1", b"%PDF with tables..", "tables", None),
+            ("u1", b"unknown method doc", "weird", None),  # falls back to text
+            ("n1", b"null method doc bytes", None, None),  # falls back to text
+        ],
+        "doc_id string, payload binary, extraction_method string, lang string",
+    )
+    out = {r.doc_id: r.spans for r in
+           dispatch_extract(docs, lang_col="lang").collect()}
+    assert set(out) == {"t1", "o1", "b1", "u1", "n1"}
+    assert all(s.kind == "text" for s in out["t1"])
+    assert out["o1"][0].text.startswith("[por]")          # OCR path + lang map
+    assert all(s.kind == "table" for s in out["b1"])      # table path
+    assert all(s.kind == "text" for s in out["u1"])       # default dispatch
+    assert all(s.kind == "text" for s in out["n1"])
+    # text path content is payload-derived, not OCR hex words
+    assert "plain text" in out["t1"][0].text

@@ -29,9 +29,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# N and 4N: 4 vs 16 of the host's 32 hardware threads, so the 4N level still
-# has headroom over the shared host's background load.
-LEVELS = (4, 16)
+# N and 4N: 4 vs 16 of the host's 32 hardware threads by default, so the 4N
+# level still has headroom over the shared host's background load. Override
+# with SCALING_LEVELS="2,8" when the host carries heavy external load (any
+# N,4N pair evidences the north-rule criterion).
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")
+)
 
 
 def time_once(cpus: int, corpus_path: str) -> tuple[float, int]:

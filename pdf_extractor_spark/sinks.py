@@ -163,7 +163,8 @@ def _write_minimal_xlsx(sheets: dict, path: str) -> None:
 
     names = list(sheets)
     wb_sheets = "".join(
-        f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        f'<sheet name="{escape(n, {chr(34): "&quot;"})}" sheetId="{i+1}" '
+        f'r:id="rId{i+1}"/>'
         for i, n in enumerate(names)
     )
     workbook = (

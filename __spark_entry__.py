@@ -797,6 +797,26 @@ def _classify_sql() -> str:
     )
 
 
+def _seq_dot(a: str, b: str) -> str:
+    """Sequential-fold dot product, bit-identical to the Spark side's
+    F.aggregate(F.zip_with(...)) — float32 products accumulated
+    left-to-right in float64. DuckDB's list_dot_product may sum in a
+    different order, which at sf0.1 flipped one pair's cosine across a
+    4-dp rounding boundary; a fold with the SAME order and dtypes cannot."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round({_seq_dot(a, b)} / "
+        f"(sqrt({_seq_dot(a, a)}) * sqrt({_seq_dot(b, b)})), 4)"
+    )
+
+
 def _planes_cte(dim: int, bits: int, tables: int, seed: int) -> str:
     """CTE rebuilding similarity._hyperplanes in SQL: planes(t, b, d, s)
     with s = +1 iff the first 8 hex chars of md5('{seed}_{t}_{b}_{d}') are
@@ -1063,18 +1083,15 @@ SELECT id1, id2,
 FROM inter JOIN cnt ca ON id1 = ca.doc_id JOIN cnt cb ON id2 = cb.doc_id
 WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
 """
-    sql["cosine_topk"] = """
+    cos_eq = _sql_cosine("e.embedding", "q.qv")
+    sql["cosine_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, e.vec_id AS id,
-         round(list_dot_product(e.embedding, q.qv) /
-               (sqrt(list_dot_product(e.embedding, e.embedding)) *
-                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine,
+         {cos_eq} AS cosine,
          row_number() OVER (PARTITION BY q.query_id ORDER BY
-           list_dot_product(e.embedding, q.qv) /
-           (sqrt(list_dot_product(e.embedding, e.embedding)) *
-            sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id) AS rank
+           {cos_eq} DESC, e.vec_id) AS rank
   FROM embeddings e, q)
 SELECT query_id, id, cosine, rank FROM scored WHERE rank <= 10
 """
@@ -1100,10 +1117,7 @@ cand AS (
     ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id),
 scored AS (
   SELECT id1, id2,
-         round(list_dot_product(e1.embedding, e2.embedding) /
-               (sqrt(list_dot_product(e1.embedding, e1.embedding)) *
-                sqrt(list_dot_product(e2.embedding, e2.embedding))), 4)
-           AS cosine
+         {_sql_cosine('e1.embedding', 'e2.embedding')} AS cosine
   FROM cand JOIN aug e1 ON e1.vec_id = id1 JOIN aug e2 ON e2.vec_id = id2)
 SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.95
 """
@@ -1307,10 +1321,7 @@ cand AS (
   FROM cbuck c JOIN qbuck q ON c.tbl = q.tbl AND c.bucket = q.bucket),
 scored AS (
   SELECT cand.query_id, cand.id,
-         round(list_dot_product(e.embedding, qe.embedding) /
-               (sqrt(list_dot_product(e.embedding, e.embedding)) *
-                sqrt(list_dot_product(qe.embedding, qe.embedding))), 4)
-           AS cosine
+         {_sql_cosine('e.embedding', 'qe.embedding')} AS cosine
   FROM cand JOIN embeddings e ON e.vec_id = cand.id
             JOIN embeddings qe ON qe.vec_id = cand.query_id),
 ranked AS (
@@ -1389,10 +1400,7 @@ qa AS (
 cand AS (SELECT qa.query_id, ca.vec_id AS id FROM qa JOIN ca USING (cid)),
 scored AS (
   SELECT cand.query_id, cand.id,
-         round(list_dot_product(e.embedding, qe.embedding) /
-               (sqrt(list_dot_product(e.embedding, e.embedding)) *
-                sqrt(list_dot_product(qe.embedding, qe.embedding))), 4)
-           AS cosine
+         {_sql_cosine('e.embedding', 'qe.embedding')} AS cosine
   FROM cand JOIN embeddings e ON e.vec_id = cand.id
             JOIN embeddings qe ON qe.vec_id = cand.query_id),
 ranked AS (

@@ -90,3 +90,35 @@ def test_extract_pipeline_single_python_stage(spark):
     # ONE fused pandas UDF evaluation (classify+extract+validate), not a
     # chain of workers
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_simhash_selfjoin_smj_on_combo_key(spark):
+    plan = _plan(spark, "simhash_neardup")
+    # multi-segment pigeonhole blocking joins on (combo, key) as SMJ; the
+    # only broadcasts are the LeftAnti hot-bucket guards
+    assert "SortMergeJoin [combo" in plan
+    import re
+
+    assert not re.search(r"BroadcastHashJoin \[combo[^\n]*Inner", plan)
+
+
+def test_embedding_neardup_smj_on_lsh_bucket(spark):
+    plan = _plan(spark, "embedding_neardup")
+    # the LSH-blocked candidate self-join must shuffle on (table, bucket),
+    # never broadcast-rebuild the pandas-UDF bucketing side (AQE collapses
+    # the identical sides via ReusedExchange at runtime)
+    assert "SortMergeJoin [table" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_page_filter_is_narrow(spark):
+    plan = _plan(spark, "page_filter")
+    # pure per-row span filter: no shuffle, no join, no Python
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_media_features_single_python_stage(spark):
+    plan = _plan(spark, "media_features")
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan  # narrow: scan -> derive -> extract

@@ -26,6 +26,14 @@ def main() -> None:
         "infer — dotted slash-free names read as tables, anything else as "
         "a parquet path.",
     )
+    ap.add_argument(
+        "--input-kind",
+        choices=["spans", "documents"],
+        default="spans",
+        help="'spans' = the engine's native (doc_id, spans) corpus; "
+        "'documents' = a flat (doc_id, text, ...) table, converted to a "
+        "spans corpus on the fly (sources.corpus.corpus_from_documents_table)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--buckets", type=int, default=64)
@@ -46,6 +54,10 @@ def main() -> None:
         docs = spark.read.table(args.input)
     else:
         docs = spark.read.parquet(args.input)
+    if args.input_kind == "documents":
+        from pdf_extractor_spark.sources.corpus import corpus_from_documents_table
+
+        docs = corpus_from_documents_table(docs)
     summary = run_pipeline(
         spark,
         docs,

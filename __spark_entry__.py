@@ -403,6 +403,24 @@ def _simhash(spark, sf_dir):
     return simhash_neardup_pairs(_t_wide(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def _neardup_clusters(spark, sf_dir):
+    """Canonical assignment over the minhash near-dup pairs: cluster = min
+    doc_id reachable through near-dup edges; keeping id == cluster keeps
+    exactly one survivor per duplicate class."""
+    from pdf_extractor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.7
+    )
+    return neardup_clusters(docs, pairs).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+
+
 def _cosine_topk(spark, sf_dir):
     from pdf_extractor_spark.operators.similarity import cosine_topk
 
@@ -740,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _exact_dedup,
         "ngram_jaccard": _ngram_jaccard,
         "minhash_lsh": _minhash_lsh,
+        "neardup_clusters": _neardup_clusters,
         "simhash_neardup": _simhash,
         # similarity search
         "cosine_topk": _cosine_topk,
@@ -1280,6 +1299,35 @@ SELECT id1, id2,
        round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
 FROM inter JOIN cnt ca ON id1 = ca.doc_id JOIN cnt cb ON id2 = cb.doc_id
 WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.7
+"""
+
+    # neardup_clusters: connected components over the same brute-force
+    # near-dup pairs, via a recursive reachability CTE; cluster = min
+    # reachable id, singletons map to themselves.
+    sql["neardup_clusters"] = f"""
+WITH RECURSIVE tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN cnt ca ON id1 = ca.doc_id JOIN cnt cb ON id2 = cb.doc_id
+  WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.7),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+SELECT id AS doc_id, min(r) AS cluster
+FROM reach GROUP BY id
 """
 
     # simhash_neardup: full signature replication — the md5-derived 60-bit

@@ -45,6 +45,7 @@ HEADLINE = [
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh",
+    "neardup_clusters",
     "simhash_neardup",
     "embedding_neardup",
     "cosine_topk",

@@ -88,3 +88,26 @@ def test_simhash_wider_keys_same_pairs(spark):
         for r in simhash_neardup_pairs(df, blocks=10, seg_match=4).collect()
     )
     assert a == b
+
+
+def test_neardup_clusters_chain_and_singleton(spark):
+    from pdf_extractor_spark.operators.dedup import neardup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], ["doc_id"]
+    )
+    # chain 1-2-3 (transitive closure!), pair 4-5
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], ["id1", "id2"]
+    )
+    got = {r.id: r.cluster for r in neardup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_neardup_clusters_no_pairs_is_identity(spark):
+    from pdf_extractor_spark.operators.dedup import neardup_clusters
+
+    docs = spark.createDataFrame([(7,), (8,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    got = {r.id: r.cluster for r in neardup_clusters(docs, pairs).collect()}
+    assert got == {7: 7, 8: 8}

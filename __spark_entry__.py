@@ -298,6 +298,53 @@ def _tpch_q5(spark, sf_dir):
     )
 
 
+def _tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item revenue by customer) on the slim driver
+    schema: customer address/phone columns don't exist here, so the group
+    key is (custkey, name, acctbal, nation)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking) adapted to the slim schema: the
+    commit/receipt date columns don't exist, so the EXISTS predicate is
+    'some lineitem shipped after the order date' — same shape (left-semi
+    join + group count), different date columns."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def _classify_rules(spark, sf_dir):
     """Columnar rule classification (keyword weight 1 via \\b rlike, pattern
     weight 2, normalized, strictly-greater argmax) over the documents table
@@ -740,8 +787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational core
         "tpch_q1": _tpch_q1,
         "tpch_q3": _tpch_q3,
+        "tpch_q4": _tpch_q4,
         "tpch_q5": _tpch_q5,
         "tpch_q6": _tpch_q6,
+        "tpch_q10": _tpch_q10,
         "top_revenue_orders": _top_revenue_orders,
         "customers_per_region": _customers_per_region,
         # extraction-domain operators (columnar twins of pipeline stages)
@@ -972,6 +1021,25 @@ def oracle_sql() -> dict[str, str]:
         "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
         "AND o_orderdate < TIMESTAMP '1997-01-01' "
         "GROUP BY 1 ORDER BY revenue DESC, nation"
+    )
+    sql["tpch_q10"] = (
+        "SELECT c_custkey, c_name, c_acctbal, n_name AS nation, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1996-10-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20"
+    )
+    sql["tpch_q4"] = (
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01' "
+        "AND o_orderdate < TIMESTAMP '1996-10-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = "
+        "o.o_orderkey AND l.l_shipdate > o.o_orderdate) "
+        "GROUP BY 1 ORDER BY 1"
     )
     sql["top_revenue_orders"] = (
         "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, revenue "

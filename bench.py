@@ -29,8 +29,10 @@ HEADLINE = [
     "extract_pipeline",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
     "top_revenue_orders",
     "customers_per_region",
     "user_top_event",

@@ -4,13 +4,18 @@ entry(spark)   — flagship: the full extract->classify->validate pipeline on a
                  spans corpus derived from sf0.001 documents.
 queries()      — one entry per implemented operator family (SURVEY.md §2 +
                  the training-data operator set); each takes (spark, sf_dir).
-oracle_sql()   — DuckDB-runnable ANSI SQL mirrors. Queries without an entry
-                 here are non-SQL-expressible (pandas-UDF pipeline, LSH
-                 families) and get the driver's rows-only check.
+oracle_sql()   — DuckDB-runnable ANSI SQL mirrors. Round 2: EVERY query has
+                 an oracle except extract_pipeline (pandas-UDF pipeline,
+                 covered by span-sequence-parity pytest) — the LSH families
+                 are mirrored via md5-derived hashes/planes re-computed in
+                 SQL, the ANN rerank via a sequential-fold dot product, and
+                 clustering via a recursive reachability CTE.
 
 Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
-hash.
+hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
+float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
+All 45 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations

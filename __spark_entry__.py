@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 45 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 46 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -626,6 +626,27 @@ def _media_features(spark, sf_dir):
     )
 
 
+def _media_resize(spark, sf_dir):
+    """Image-resize stage plumbing: metadata transform to the target
+    dimensions (payload passes through untouched until a real pixel kernel
+    plugs in), image rows only."""
+    from pdf_extractor_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    out = resize_images(media, 224, 224)
+    return out.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 def _frame_sample(spark, sf_dir):
     from pdf_extractor_spark.operators.multimodal import (
         media_from_documents,
@@ -827,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "page_filter": _page_filter,
         "media_meta": _media_meta,
+        "media_resize": _media_resize,
         "media_features": _media_features,
         "frame_sample": _frame_sample,
         # full pipeline (pandas-UDF stages; rows-only check)
@@ -1343,6 +1365,13 @@ FROM documents WHERE doc_id % 3 = 2
         "concat(coalesce(substr(text, 1, 40), ''), "
         "       coalesce(substr(text, 81, 40), '')) AS kept_text "
         "FROM documents"
+    )
+    sql["media_resize"] = (
+        "SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id, "
+        "224 AS width, 224 AS height, 16000 AS sample_rate, "
+        "(length(text) % 100 + 1) AS n_frames, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
+        "FROM documents WHERE doc_id % 3 = 0"
     )
     sql["media_meta"] = (
         "SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id, "

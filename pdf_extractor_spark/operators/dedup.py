@@ -277,10 +277,23 @@ def minhash_lsh_pairs(
 
     # exact verification: join the (small) candidate set back to per-doc
     # shingle sets; `inter` materialized behind a projection boundary so
-    # Catalyst doesn't re-evaluate array_intersect per reference
-    sh = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
+    # Catalyst doesn't re-evaluate array_intersect per reference.
+    # Semi-join-prune FIRST: shingle arrays are only computed for documents
+    # that appear in some candidate pair — at corpus scale candidates are a
+    # vanishing fraction, so the verify pass costs O(candidates), not a
+    # second full-corpus shingling.
+    cands = cands.select("id1", "id2")
+    cand_ids = (
+        cands.select(F.col("id1").alias("cid"))
+        .unionByName(cands.select(F.col("id2").alias("cid")))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+        .select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
+    )
     return (
-        cands.select("id1", "id2")
+        cands
         .join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
         .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
         .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))

@@ -1,22 +1,29 @@
 """Deduplication operators for web-scale training-data pipelines.
 
-Five families, each with a distinct scale profile:
+Six families, each with a distinct scale profile:
 
   * exact_dedup        — md5(text) groupBy; one shuffle on the digest.
   * ngram_jaccard_pairs— shingle inverted index self-join; DF-capped shingles
                          bound the join fan-out (hot-shingle guard).
   * minhash_lsh_pairs  — MinHash signatures (permutation family
                          h_i(x) = (a_i*x + b_i) mod p over xxhash64 shingle
-                         ids) banded into LSH buckets; candidate pairs then
-                         verified with true Jaccard. The scale path: cost is
-                         O(docs x bands), never O(docs^2).
-  * simhash64          — 64-bit SimHash over token hashes; near-dups =
-                         signatures within Hamming distance k (bit tricks,
-                         no UDF).
-  * embedding_neardup_pairs — cosine > tau within blocking keys.
+                         ids) banded into LSH buckets; candidates verified
+                         with exact shingle Jaccard (semi-join-pruned to
+                         candidate docs). Cost O(docs x bands) + O(cands),
+                         never O(docs^2); per-bucket cap guards dup-heavy
+                         corpora.
+  * simhash64          — 60-bit SimHash over md5-derived token hashes
+                         (bit-identical in SQL -> fully oracle-checkable);
+                         near-dups via multi-segment pigeonhole blocking
+                         with parameterizable key width + bucket cap.
+  * embedding_neardup_pairs — cosine >= tau within LSH hyperplane blocks.
+  * neardup_clusters   — connected components over any pair list
+                         (min-label propagation); the canonical-survivor
+                         assignment step.
 
-All pure DataFrame ops; determinism comes from xxhash64 + fixed
-coefficients, so results are stable across runs and cluster sizes.
+All pure DataFrame ops; determinism comes from seed-fixed hash families,
+so results are stable across runs and cluster sizes — and every operator
+has a DuckDB oracle in __spark_entry__.py.
 """
 
 from __future__ import annotations

@@ -288,8 +288,12 @@ def minhash_lsh_pairs(
     # Semi-join-prune FIRST: shingle arrays are only computed for documents
     # that appear in some candidate pair — at corpus scale candidates are a
     # vanishing fraction, so the verify pass costs O(candidates), not a
-    # second full-corpus shingling.
-    cands = cands.select("id1", "id2")
+    # second full-corpus shingling. The candidate set is (lazily)
+    # localCheckpointed because it feeds THREE consumers (the pair list and
+    # both sides of the id union) — without lineage truncation Catalyst
+    # replicates the whole LSH candidate pipeline per consumer (measured
+    # 3x: 7 SortMergeJoins in the plan instead of 1).
+    cands = cands.select("id1", "id2").localCheckpoint(eager=False)
     cand_ids = (
         cands.select(F.col("id1").alias("cid"))
         .unionByName(cands.select(F.col("id2").alias("cid")))

@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 46 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 47 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -418,6 +418,12 @@ def _lang_id(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return add_lang_id(docs, "text", "lang_pred").select("doc_id", "lang_pred")
+
+
+def _repetition_stats(spark, sf_dir):
+    from pdf_extractor_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
 def _fingerprint(spark, sf_dir):
@@ -829,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality,
         "lang_id": _lang_id,
         "fingerprint": _fingerprint,
+        "repetition_stats": _repetition_stats,
         # dedup
         "exact_dedup": _exact_dedup,
         "ngram_jaccard": _ngram_jaccard,
@@ -1174,6 +1181,31 @@ SELECT doc_id,
     FROM (SELECT unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS ord)
   ), 0) END AS BIGINT) AS fp
 FROM documents
+"""
+    # repetition_stats: Gopher-style repetition signals; the per-doc bigram
+    # mode mirrors Spark's O(k^2) array expression exactly (same integer
+    # counts -> identical doubles -> identical rounding)
+    sql["repetition_stats"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM t)
+SELECT doc_id,
+  round(CASE WHEN len(toks) > 0
+        THEN 1 - len(list_distinct(toks)) * 1.0 / len(toks)
+        ELSE 0 END, 6) AS dup_unigram_frac,
+  round(CASE WHEN len(bg) > 0
+        THEN list_max(list_transform(bg,
+               x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg)
+        ELSE 0 END, 6) AS top_bigram_share
+FROM b
 """
     sql["exact_dedup"] = (
         "SELECT md5(text) AS digest, min(doc_id) AS canonical_id, "

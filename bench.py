@@ -44,6 +44,7 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "repetition_stats",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh",

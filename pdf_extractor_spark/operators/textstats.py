@@ -190,3 +190,47 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc + x) % FP_MOD,
     )
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals (public filter family from
+    the large-LM data-curation literature): per document,
+
+      * dup_unigram_frac — 1 - distinct/total tokens (duplicate-word mass)
+      * top_bigram_share — frequency share of the most common bigram
+
+    High values of either are the standard reject signals for boilerplate /
+    degenerate generations. Fully columnar: tokenization and the bigram
+    array are materialized behind projection boundaries (withColumn) so
+    Catalyst cannot re-inline them into every downstream expression (the
+    round-1 lang_id lesson); the per-doc bigram mode is an O(k^2) array
+    expression, bounded by tokens-per-doc, with no shuffle at all."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("_toks", tokens_col(F.lower(F.col(text_col))))
+    n = F.size(F.col("_toks"))
+    out = out.withColumn(
+        "_bg",
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    bg = F.col("_bg")
+    top_count = F.array_max(
+        F.transform(bg, lambda b: F.size(F.filter(bg, lambda x: x == b)))
+    )
+    return out.select(
+        F.col(id_col),
+        F.round(
+            F.when(n > 0, 1 - F.size(F.array_distinct(F.col("_toks"))) / n)
+            .otherwise(0.0),
+            6,
+        ).alias("dup_unigram_frac"),
+        F.round(
+            F.when(F.size(bg) > 0, top_count / F.size(bg)).otherwise(0.0), 6
+        ).alias("top_bigram_share"),
+    )

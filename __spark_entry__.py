@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 47 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 48 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -424,6 +424,12 @@ def _repetition_stats(spark, sf_dir):
     from pdf_extractor_spark.operators.textstats import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _tfidf_top_terms(spark, sf_dir):
+    from pdf_extractor_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
 def _fingerprint(spark, sf_dir):
@@ -836,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "fingerprint": _fingerprint,
         "repetition_stats": _repetition_stats,
+        "tfidf_top_terms": _tfidf_top_terms,
         # dedup
         "exact_dedup": _exact_dedup,
         "ngram_jaccard": _ngram_jaccard,
@@ -1206,6 +1213,26 @@ SELECT doc_id,
                x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg)
         ELSE 0 END, 6) AS top_bigram_share
 FROM b
+"""
+    # tfidf_top_terms: linear-idf tf-idf keyword extraction (score =
+    # tf * N / df, exact in float64 -> cross-engine rank parity)
+    sql["tfidf_top_terms"] = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+terms AS (
+  SELECT doc_id, unnest({_LTOKS}) AS term FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * (SELECT n FROM nn) * 1.0 / df, 6) AS score
+  FROM tf JOIN dfreq USING (term)),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
 """
     sql["exact_dedup"] = (
         "SELECT md5(text) AS digest, min(doc_id) AS canonical_id, "

@@ -45,6 +45,7 @@ HEADLINE = [
     "lang_id",
     "fingerprint",
     "repetition_stats",
+    "tfidf_top_terms",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh",

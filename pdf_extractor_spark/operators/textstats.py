@@ -234,3 +234,42 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
             F.when(F.size(bg) > 0, top_count / F.size(bg)).otherwise(0.0), 6
         ).alias("top_bigram_share"),
     )
+
+
+def tfidf_top_terms(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+):
+    """Per-document top-k keywords by tf-idf with a LINEAR idf (score =
+    tf * N / df): products of small integers stay exactly representable in
+    float64, so ranking is bit-identical across engines (log-idf would hang
+    tie-breaks on transcendental rounding; it's a one-expression change if
+    ranking parity across engines isn't required). Ties break on the term.
+
+    Physical shape (the corpus-statistics pattern, distinct from the
+    per-row textstats): explode tokens -> per-(doc, term) counts with
+    map-side combine -> term document-frequency aggregate joined back on
+    the term key (shuffle join — the term dimension is corpus-sized, NOT
+    broadcastable at scale) -> per-doc window top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        F.round(F.col("tf") * F.lit(n_docs) / F.col("df"), 6).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "score", "rank")
+    )

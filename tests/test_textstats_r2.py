@@ -1,0 +1,58 @@
+"""Hand-computed expectations for the round-2 text-analysis operators
+(repetition_stats, tfidf_top_terms) — the DuckDB oracle checks parity,
+these pin the intended semantics against literal arithmetic."""
+
+import pytest
+
+from pdf_extractor_spark.operators.textstats import (
+    repetition_stats,
+    tfidf_top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a b"),       # 4 tokens, 2 distinct; bigrams: ab,ba,ab
+            (2, "x y z"),         # no repetition
+            (3, ""),              # blank
+            (4, None),            # null
+            (5, "solo"),          # 1 token -> no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_repetition_stats_values(spark, docs):
+    got = {
+        r.doc_id: (r.dup_unigram_frac, r.top_bigram_share)
+        for r in repetition_stats(docs).collect()
+    }
+    assert got[1] == (0.5, round(2 / 3, 6))   # "a b" appears 2 of 3 bigrams
+    assert got[2] == (0.0, round(1 / 2, 6))   # all bigrams unique (share 1/2)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (0.0, 0.0)
+
+
+def test_tfidf_top_terms_ranking(spark):
+    # 3 docs; "rare" only in doc 1, "common" in all three
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common other"),
+            (3, "common other other"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    # doc 1: rare tf=1 df=1 -> 1*3/1=3.0 beats common tf=2 df=3 -> 2.0
+    assert sorted(by_doc[1]) == [(1, "rare", 3.0), (2, "common", 2.0)]
+    # doc 3: other tf=2 df=2 -> 3.0 beats common tf=1 df=3 -> 1.0
+    assert sorted(by_doc[3]) == [(1, "other", 3.0), (2, "common", 1.0)]
+    # doc 2: tie at 1.5 ("common" 1*3/3=1.0, "other" 1*3/2=1.5) -> other first
+    assert sorted(by_doc[2]) == [(1, "other", 1.5), (2, "common", 1.0)]

@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 48 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 50 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -689,6 +689,34 @@ def _extract_pipeline(spark, sf_dir):
     )
 
 
+def _html_corpus(spark, sf_dir):
+    """Deterministic web-page corpus from the documents table (the driver
+    tables carry plain text; the prompt mandates synthesizing the HTML
+    input deterministically at small scale). Columnar concat — the oracle
+    rebuilds the identical page in SQL."""
+    from pdf_extractor_spark.operators.html import synthesize_html
+
+    return synthesize_html(_t(spark, sf_dir, "documents"))
+
+
+def _html_main_content(spark, sf_dir):
+    """North-rule 'HTML boilerplate strip': per-doc main content via DOM
+    block segmentation + text/link-density heuristics. Zero shuffle."""
+    from pdf_extractor_spark.operators.html import html_main_content
+
+    return html_main_content(_html_corpus(spark, sf_dir))
+
+
+def _html_blocks(spark, sf_dir):
+    """North-rule 'DOM heuristics' inspection surface: per-block features +
+    keep decision. Sampled deterministically (doc_id % 17) to bound the
+    driver-side compare; the operator itself runs on any corpus."""
+    from pdf_extractor_spark.operators.html import html_blocks, synthesize_html
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    return html_blocks(synthesize_html(docs))
+
+
 def _span_validations(spark, sf_dir):
     """Per-span structured validator output (north_star): three typed-token
     spans per document (email / CPF / date), detected and validated
@@ -866,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "frame_sample": _frame_sample,
         # full pipeline (pandas-UDF stages; rows-only check)
+        "html_main_content": _html_main_content,
+        "html_blocks": _html_blocks,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -1619,6 +1649,125 @@ ranked AS (
   FROM scored)
 SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 10
 """
+    # html family: rebuild the synthesized page, the noise strip, the block
+    # split, and the per-block features in DuckDB with the SAME pattern
+    # strings (Java-regex ∩ RE2 subset; constants shared with operators/
+    # html.py). Indexes assigned after the nonempty filter on both sides so
+    # engine differences in empty-fragment emission cannot diverge.
+    from pdf_extractor_spark.operators.html import (
+        ANCHOR_RE,
+        BLOCK_SPLIT_RE,
+        INLINE_TAG_RE,
+        WS_RE,
+    )
+
+    _clean_txt = (
+        "trim(regexp_replace(regexp_replace({src}, '" + INLINE_TAG_RE
+        + "', ' ', 'g'), '" + WS_RE + "', ' ', 'g'))"
+    )
+    _html_cte = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, coalesce(source, '') AS src,
+         length(coalesce(text, '')) AS n
+  FROM documents{{pred}}),
+page AS (
+  SELECT doc_id,
+    '<html><head><title>' || src || ' #' || CAST(doc_id AS VARCHAR) ||
+    '</title><style>body{{{{margin:0}}}}</style><script>var d=' ||
+    CAST(doc_id AS VARCHAR) ||
+    ';</script></head><body><header><h1>' || src ||
+    ' portal</h1><nav><a href="/">home</a> <a href="/archive">archive</a> <a href="/tags">tags</a>' ||
+    CASE WHEN doc_id % 3 = 0 THEN '<a href="/x">extra reading</a>' ELSE '' END ||
+    '</nav></header><!-- build ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+    '<aside><ul><li><a href="/r/1">related item ' ||
+    CAST(doc_id % 7 AS VARCHAR) ||
+    '</a></li><li><a href="/s/' || src || '">more from ' || src ||
+    '</a></li></ul></aside><div class="ad">sponsored links</div>' ||
+    '<article><h2>document ' || CAST(doc_id AS VARCHAR) || '</h2><p>' ||
+    substring(t, 1, greatest(CAST(floor(n / 2) AS INT), 1)) || '</p><p>' ||
+    substring(t, greatest(CAST(floor(n / 2) AS INT), 1) + 1, n) ||
+    '</p></article>' ||
+    '<div class="share"><a href="/share">share</a> <a href="/like">like</a></div>' ||
+    '<footer><p>copyright ' || src ||
+    ' - <a href="/privacy">privacy</a> <a href="/contact">contact</a></p></footer>' ||
+    '</body></html>' AS html
+  FROM base)
+"""
+    _strip_sql = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, "
+        "'(?is)<script(?:\\s[^>]*)?>.*?</script>', ' ', 'g'), "
+        "'(?is)<style(?:\\s[^>]*)?>.*?</style>', ' ', 'g'), "
+        "'(?is)<noscript(?:\\s[^>]*)?>.*?</noscript>', ' ', 'g'), "
+        "'(?s)<!--.*?-->', ' ', 'g')"
+    )
+    _page_sql = _html_cte.rstrip()
+
+    def _html_oracle(pred: str, final_select: str) -> str:
+        return (
+            _page_sql.format(pred=pred)
+            + f""",
+frags AS (
+  SELECT doc_id,
+         string_split_regex({_strip_sql}, '{BLOCK_SPLIT_RE}') AS frag
+  FROM page),
+s1 AS (
+  SELECT doc_id, list_transform(frag, b -> struct_pack(
+           raw := b, txt := {_clean_txt.format(src='b')})) AS l
+  FROM frags),
+s2 AS (
+  SELECT doc_id, list_transform(l, s -> struct_pack(
+           txt := s.txt,
+           text_len := CAST(length(s.txt) AS INT),
+           link_len := CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(s.raw, '{ANCHOR_RE}', 1),
+             a -> length({_clean_txt.format(src='a')}))), 0) AS INT))) AS l
+  FROM s1),
+s3 AS (
+  SELECT doc_id, list_filter(l, s -> s.text_len > 0) AS l FROM s2)
+{final_select}"""
+        )
+
+    sql["html_main_content"] = _html_oracle(
+        "",
+        """,
+agg AS (
+  SELECT doc_id,
+    coalesce(array_to_string(list_transform(list_filter(l,
+      s -> s.text_len >= 25 AND CAST(s.link_len AS DOUBLE) <= 0.33 * s.text_len),
+      s -> s.txt), chr(10)), '') AS main_text,
+    CAST(len(l) AS BIGINT) AS n_blocks,
+    CAST(len(list_filter(l,
+      s -> s.text_len >= 25 AND CAST(s.link_len AS DOUBLE) <= 0.33 * s.text_len))
+      AS BIGINT) AS n_kept,
+    CAST(coalesce(list_sum(list_transform(list_filter(l,
+      s -> s.text_len >= 25 AND CAST(s.link_len AS DOUBLE) <= 0.33 * s.text_len),
+      s -> s.text_len)), 0) AS BIGINT) AS kept_len,
+    CAST(coalesce(list_sum(list_transform(l, s -> s.text_len)), 0) AS BIGINT)
+      AS total_len
+  FROM s3)
+SELECT doc_id, main_text, n_blocks, n_kept, kept_len, total_len,
+       round(CASE WHEN total_len > 0
+                  THEN 1.0 - CAST(kept_len AS DOUBLE) / total_len
+                  ELSE 0.0 END, 6) AS boiler_ratio
+FROM agg""",
+    )
+    sql["html_blocks"] = _html_oracle(
+        " WHERE doc_id % 17 = 0",
+        """,
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(l, (s, i) -> struct_pack(i := i, s := s))) AS u
+  FROM s3)
+SELECT doc_id,
+       CAST(u.i - 1 AS INT) AS block_idx,
+       u.s.txt AS txt,
+       u.s.text_len AS text_len,
+       u.s.link_len AS link_len,
+       round(CAST(u.s.link_len AS DOUBLE) / u.s.text_len, 6) AS link_density,
+       (u.s.text_len >= 25 AND
+        CAST(u.s.link_len AS DOUBLE) <= 0.33 * u.s.text_len) AS keep
+FROM ex""",
+    )
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

@@ -46,6 +46,7 @@ HEADLINE = [
     "fingerprint",
     "repetition_stats",
     "tfidf_top_terms",
+    "html_main_content",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh",

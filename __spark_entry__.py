@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 50 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 54 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -717,6 +717,110 @@ def _html_blocks(spark, sf_dir):
     return html_blocks(synthesize_html(docs))
 
 
+def _layout_boxes(spark, sf_dir):
+    """Deterministic positioned-box corpus from documents: even doc_ids
+    are two-column pages (boxes interleaved L0,R0,L1,R1,... in input
+    order), odd doc_ids single-column. Reading order must recover
+    column-major order — a real permutation of the input."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(t)
+    two_col = F.col("doc_id") % 2 == 0
+    empty = F.array().cast(
+        "array<struct<box_id:int,x:double,y:double,w:double,h:double,text:string>>"
+    )
+    parts = []
+    for k in range(5):
+        parts.append(
+            F.when(
+                n > k * 40,
+                F.array(
+                    F.struct(
+                        F.lit(k).alias("box_id"),
+                        F.when(two_col, F.lit((k % 2) * 320.0))
+                        .otherwise(F.lit(0.0))
+                        .alias("x"),
+                        F.when(two_col, F.lit((k // 2) * 100.0))
+                        .otherwise(F.lit(k * 100.0))
+                        .alias("y"),
+                        F.when(two_col, F.lit(300.0))
+                        .otherwise(F.lit(640.0))
+                        .alias("w"),
+                        F.lit(80.0).alias("h"),
+                        F.substring(t, 1 + k * 40, 40).alias("text"),
+                    )
+                ),
+            ).otherwise(empty)
+        )
+    return docs.select(
+        "doc_id", F.explode(F.concat(*parts)).alias("b")
+    ).select("doc_id", "b.*")
+
+
+def _layout_order(spark, sf_dir):
+    """North-rule 'PDF/layout parse': reading-order reconstruction
+    (column split at the page mid-gap, then top-to-bottom)."""
+    from pdf_extractor_spark.operators.layout import reading_order
+
+    return reading_order(_layout_boxes(spark, sf_dir)).select(
+        "doc_id", "box_id", "x", "y", "col_idx", "rank"
+    )
+
+
+def _layout_text(spark, sf_dir):
+    """Page text reassembled in reading order (the reference's span-join
+    step, reference src/core/extractor.py:59-75, over recovered order)."""
+    from pdf_extractor_spark.operators.layout import (
+        assemble_text,
+        reading_order,
+    )
+
+    return assemble_text(reading_order(_layout_boxes(spark, sf_dir)))
+
+
+def _sessionize(spark, sf_dir):
+    """Gap sessionization of the event log (24h gap so the sparse
+    synthetic log yields multi-event sessions); per-session rollup."""
+    from pdf_extractor_spark.operators.events import session_stats
+
+    return session_stats(
+        _t(spark, sf_dir, "events"), gap_minutes=1440
+    )
+
+
+def _asof_last_purchase(spark, sf_dir):
+    """As-of join: each click attaches the user's latest prior-or-equal
+    purchase. Spark side = single-shuffle union + carry-forward window;
+    oracle = DuckDB's native ASOF JOIN (independent implementation)."""
+    from pdf_extractor_spark.operators.events import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(value, event_id)").alias("purchase_value"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        ts_col="ts",
+        payload_cols=["purchase_ts", "purchase_value"],
+        left_order_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_purchase_ts"),
+        F.round("asof_purchase_value", 6).alias("asof_purchase_value"),
+    )
+
+
 def _span_validations(spark, sf_dir):
     """Per-span structured validator output (north_star): three typed-token
     spans per document (email / CPF / date), detected and validated
@@ -896,6 +1000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full pipeline (pandas-UDF stages; rows-only check)
         "html_main_content": _html_main_content,
         "html_blocks": _html_blocks,
+        "layout_order": _layout_order,
+        "layout_text": _layout_text,
+        "sessionize": _sessionize,
+        "asof_last_purchase": _asof_last_purchase,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -1768,6 +1876,80 @@ SELECT doc_id,
         CAST(u.s.link_len AS DOUBLE) <= 0.33 * u.s.text_len) AS keep
 FROM ex""",
     )
+    # layout family: rebuild the deterministic box corpus, then recover
+    # reading order with the same midline rule via SQL windows.
+    _boxes_cte = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, length(coalesce(text, '')) AS n
+  FROM documents),
+ks AS (SELECT unnest([0, 1, 2, 3, 4]) AS k),
+boxes AS (
+  SELECT doc_id, CAST(k AS INT) AS box_id,
+    CASE WHEN doc_id % 2 = 0 THEN (k % 2) * 320.0 ELSE 0.0 END AS x,
+    CASE WHEN doc_id % 2 = 0 THEN (k // 2) * 100.0 ELSE k * 100.0 END AS y,
+    CASE WHEN doc_id % 2 = 0 THEN 300.0 ELSE 640.0 END AS w,
+    80.0 AS h,
+    substring(t, 1 + k * 40, 40) AS text
+  FROM base, ks WHERE n > k * 40),
+m AS (
+  SELECT *, (min(x) OVER (PARTITION BY doc_id)
+             + max(x + w) OVER (PARTITION BY doc_id)) / 2.0 AS mid
+  FROM boxes),
+ranked AS (
+  SELECT doc_id, box_id, x, y, text,
+         CAST(x + w / 2.0 > mid AS INT) AS col_idx,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(x + w / 2.0 > mid AS INT), y, x) AS INT) AS rank
+  FROM m)"""
+    sql["layout_order"] = (
+        _boxes_cte
+        + "\nSELECT doc_id, box_id, x, y, col_idx, rank FROM ranked"
+    )
+    sql["layout_text"] = (
+        _boxes_cte
+        + """
+SELECT doc_id,
+       string_agg(text, ' ' ORDER BY rank) AS page_text,
+       CAST(count(*) AS BIGINT) AS n_boxes,
+       CAST(max(col_idx) AS INT) AS n_extra_cols
+FROM ranked GROUP BY doc_id"""
+    )
+    # sessionize: identical window logic in SQL (epoch-difference gap).
+    sql["sessionize"] = """
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1440 * 60
+              THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+n AS (
+  SELECT *, CAST(sum(st) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+  FROM s)
+SELECT user_id, session_num,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM n GROUP BY 1, 2"""
+    # asof_last_purchase: DuckDB's NATIVE ASOF JOIN — an independent
+    # implementation of the semantics, not a transliteration of the
+    # Spark carry-forward plan.
+    sql["asof_last_purchase"] = """
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_ts AS asof_purchase_ts,
+       round(p.purchase_value, 6) AS asof_purchase_value
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts"""
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

@@ -47,6 +47,9 @@ HEADLINE = [
     "repetition_stats",
     "tfidf_top_terms",
     "html_main_content",
+    "layout_text",
+    "sessionize",
+    "asof_last_purchase",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh",

@@ -1,0 +1,120 @@
+"""Event-stream relational operators: gap sessionization and as-of join.
+
+Neither exists in the reference (its analytics layer is the dashboard's
+in-memory pandas, SURVEY §2.7/2.8); both are table-stakes for a
+training-data/analytics engine at log scale, and both are implemented the
+way that survives 10^12 rows:
+
+- sessionize: lag + running-sum windows over (user_id) — one hash shuffle
+  on the user key, O(1) state per row, no self-join.
+- asof_join: the union + last_value(ignorenulls) carry-forward trick —
+  ONE shuffle over the combined stream instead of a per-row range probe
+  or an exploded interval join. This is the standard scalable as-of
+  pattern (a sort-merge as-of join expressed with primitives Catalyst
+  already optimizes); the DuckDB oracle uses DuckDB's native ASOF JOIN,
+  making the cross-check a genuinely independent implementation.
+
+Skew note: both partition by user_id; a power-law user would concentrate a
+partition, but per-user event counts in web logs are bounded enough for
+window state (single pass, spillable sort) — the same profile Spark's
+sessionization examples assume. AQE skew handling covers the tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based session numbers: a new session starts when the gap
+    from the user's previous event exceeds `gap_minutes`. Deterministic
+    under ts ties via the id tiebreaker. Adds session_num (1-based per
+    user) and is_session_start."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    is_start = (
+        prev_ts.isNull()
+        | (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+            > gap_minutes * 60
+        )
+    )
+    running = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn(
+        "is_session_start", is_start
+    ).withColumn(
+        "session_num", F.sum(F.col("is_session_start").cast("long")).over(running)
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup (user_id, session_num, session_start,
+    session_end, n_events, n_purchases). The groupBy reuses the window's
+    (user_id) hash partitioning — Catalyst elides the second shuffle."""
+    s = sessionize(events, user_col, ts_col, id_col, gap_minutes)
+    return s.groupBy(user_col, "session_num").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("n_purchases"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    payload_cols: list[str],
+    left_order_col: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with right.ts <=
+    left.ts within the same `by` group (inclusive, matching DuckDB ASOF
+    semantics); nulls when no prior right row exists.
+
+    Requires right to be unique per (by, ts) — pre-aggregate with
+    max_by/arg_max if it is not (ties would otherwise be order-dependent
+    in ANY as-of implementation). Single shuffle: union both streams, one
+    window per `by`, last_value(ignorenulls) carry-forward; right rows
+    sort before left rows at equal ts so <= holds."""
+    payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    r = right.select(
+        F.col(by),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+    )
+    l = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(ts_col, "_side", F.coalesce(F.col(left_order_col), F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1).drop("_side", "_payload")
+    for c in payload_cols:
+        out = out.withColumn(prefix + c, F.col("_asof")[c])
+    return out.drop("_asof")

@@ -1,0 +1,70 @@
+"""Layout parsing: reading-order reconstruction over positioned text boxes.
+
+North-rule component: "PDF/layout parse". The reference rebuilds a page's
+text from extractor-emitted spans in positional order (reference
+src/core/extractor.py:59-75 sorts spans and joins their text); real PDF
+layout engines must first recover that order from box geometry. This
+module implements the standard two-step heuristic (public knowledge — the
+XY-cut family): split a page at the horizontal mid-gap into columns, then
+read each column top-to-bottom, left-to-right.
+
+Scale design: one window over (doc_id) — a single hash shuffle on the
+document key, the same partitioning every other per-doc operator uses, so
+at 10^12 docs this co-partitions with the rest of the pipeline and AQE
+handles stragglers. Per-doc box counts are bounded (pages have dozens of
+boxes, not millions), so no skew surface. Fully columnar; no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def reading_order(
+    boxes: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each box a column index and a reading rank.
+
+    boxes: (doc_id, box_id, x, y, w, h, ...). A box belongs to the right
+    column when its center lies strictly right of the page midline
+    (midline = (leftmost x + rightmost x+w) / 2 per document). Single-
+    column pages degenerate gracefully: every center sits at or left of
+    the midline only when boxes span the width — either way all boxes
+    land in one column and the order is the plain top-to-bottom sort.
+
+    Output adds: col_idx (0 = left / full-width, 1 = right) and rank
+    (1-based reading order: columns left-to-right, then y, then x)."""
+    w = Window.partitionBy(doc_col)
+    midline = (
+        F.min("x").over(w) + F.max(F.col("x") + F.col("w")).over(w)
+    ) / 2.0
+    center = F.col("x") + F.col("w") / 2.0
+    out = boxes.withColumn(
+        "col_idx", (center > midline).cast("int")
+    )
+    order = Window.partitionBy(doc_col).orderBy("col_idx", "y", "x")
+    return out.withColumn("rank", F.row_number().over(order))
+
+
+def assemble_text(ordered: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Concatenate box text in reading order per document (the reference's
+    span-join step). groupBy on the same doc key as reading_order, so the
+    aggregation reuses the window's shuffle partitioning."""
+    return (
+        ordered.groupBy(doc_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rank", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("page_text"),
+            F.count("*").cast("long").alias("n_boxes"),
+            F.max("col_idx").cast("int").alias("n_extra_cols"),
+        )
+    )

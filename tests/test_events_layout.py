@@ -1,0 +1,166 @@
+"""Hand-computed tests for layout reading order (operators/layout.py) and
+event sessionize / as-of join (operators/events.py), plus the shuffle-count
+plan pins that make them scale claims rather than hopes."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_extractor_spark.operators.events import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+from pdf_extractor_spark.operators.layout import assemble_text, reading_order
+
+BOX_SCHEMA = (
+    "doc_id long, box_id int, x double, y double, w double, h double,"
+    " text string"
+)
+
+
+def test_two_column_reading_order(spark):
+    # interleaved input order L0,R0,L1,R1 — reading order must be column-major
+    boxes = spark.createDataFrame(
+        [
+            (1, 0, 0.0, 0.0, 300.0, 80.0, "L0"),
+            (1, 1, 320.0, 0.0, 300.0, 80.0, "R0"),
+            (1, 2, 0.0, 100.0, 300.0, 80.0, "L1"),
+            (1, 3, 320.0, 100.0, 300.0, 80.0, "R1"),
+        ],
+        BOX_SCHEMA,
+    )
+    out = {r.box_id: r for r in reading_order(boxes).collect()}
+    assert [out[i].col_idx for i in range(4)] == [0, 1, 0, 1]
+    assert [out[i].rank for i in range(4)] == [1, 3, 2, 4]
+    txt = assemble_text(reading_order(boxes)).collect()[0]
+    assert txt.page_text == "L0 L1 R0 R1"
+    assert txt.n_boxes == 4 and txt.n_extra_cols == 1
+
+
+def test_single_column_degenerates(spark):
+    boxes = spark.createDataFrame(
+        [
+            (2, 0, 0.0, 200.0, 640.0, 80.0, "second"),
+            (2, 1, 0.0, 0.0, 640.0, 80.0, "first"),
+        ],
+        BOX_SCHEMA,
+    )
+    txt = assemble_text(reading_order(boxes)).collect()[0]
+    assert txt.page_text == "first second"
+    assert txt.n_extra_cols == 0
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double"
+)
+
+
+def test_sessionize_gap_rule(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1, 10, 0), 7, "view", None),
+            (2, _ts(1, 10, 20), 7, "purchase", 5.0),
+            (3, _ts(1, 10, 50), 7, "click", None),   # 30 min gap: NOT > 30
+            (4, _ts(1, 11, 21), 7, "click", None),   # 31 min gap: new session
+            (5, _ts(2, 9, 0), 8, "view", None),      # other user
+        ],
+        EVENTS_SCHEMA,
+    )
+    s = {r.event_id: r for r in sessionize(ev, gap_minutes=30).collect()}
+    assert [s[i].session_num for i in (1, 2, 3, 4, 5)] == [1, 1, 1, 2, 1]
+    assert s[4].is_session_start is True and s[3].is_session_start is False
+    stats = {
+        (r.user_id, r.session_num): r
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert stats[(7, 1)].n_events == 3 and stats[(7, 1)].n_purchases == 1
+    assert stats[(7, 1)].session_start == _ts(1, 10, 0)
+    assert stats[(7, 1)].session_end == _ts(1, 10, 50)
+    # event 4 starts session 2; no later events for user 7 within gap
+    assert stats[(7, 2)].n_events == 1
+
+
+def test_asof_join_semantics(spark):
+    clicks = spark.createDataFrame(
+        [
+            (1, _ts(1, 9, 0), 7),    # before any purchase -> nulls
+            (2, _ts(1, 12, 0), 7),   # equal ts -> inclusive match
+            (3, _ts(1, 15, 0), 7),   # after both -> latest (12:00)
+            (4, _ts(1, 15, 0), 8),   # other user, no purchases -> nulls
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (7, _ts(1, 10, 0), _ts(1, 10, 0), 1.0),
+            (7, _ts(1, 12, 0), _ts(1, 12, 0), 2.0),
+        ],
+        "user_id long, ts timestamp, purchase_ts timestamp,"
+        " purchase_value double",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            clicks,
+            purchases,
+            by="user_id",
+            ts_col="ts",
+            payload_cols=["purchase_ts", "purchase_value"],
+            left_order_col="event_id",
+        ).collect()
+    }
+    assert out[1].asof_purchase_ts is None
+    assert out[2].asof_purchase_value == 2.0  # inclusive at equal ts
+    assert out[3].asof_purchase_ts == _ts(1, 12, 0)
+    assert out[4].asof_purchase_value is None
+    assert len(out) == 4  # left join: every click survives
+
+
+def test_asof_single_shuffle_plan(spark):
+    """Scale pin: the as-of join is ONE hash shuffle over the unioned
+    stream — no range-probe join, no broadcast of a big side."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["asof_last_purchase"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the purchase pre-agg, one for the per-user window
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_session_stats_reuses_window_shuffle(spark):
+    """The per-session rollup must NOT add a second shuffle on top of the
+    sessionize window: HashPartitioning(user_id) already satisfies the
+    (user_id, session_num) clustering."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["sessionize"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_layout_order_is_permutation(spark):
+    """On the synthetic corpus the recovered rank is a real permutation of
+    the input order for two-column docs (not an identity pass-through)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["layout_order"](spark, "/root/testdata/sf0.001")
+    two_col = df.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20))
+    rows = two_col.orderBy("doc_id", "box_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.box_id, r.rank))
+    permuted = 0
+    for doc, pairs in by_doc.items():
+        if len(pairs) == 5:
+            # input order 0,1,2,3,4 (L0,R0,L1,R1,L2) -> ranks 1,4,2,5,3
+            assert [rk for _, rk in pairs] == [1, 4, 2, 5, 3]
+            permuted += 1
+    assert permuted > 0

@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 54 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 59 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -717,6 +717,163 @@ def _html_blocks(spark, sf_dir):
     return html_blocks(synthesize_html(docs))
 
 
+def _tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): the classic
+    two-dimension-lookup join — both nation references broadcast, the
+    symmetric nation-pair predicate applied post-join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _tpch_q12(spark, sf_dir):
+    """TPC-H Q12 adapted to the slim schema (no shipmode/commitdate):
+    late-shipment rate per order priority, 'late' = shipped more than 90
+    days after the order date."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late.cast("long")).alias("late_count"),
+            F.count("*").cast("long").alias("line_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promo revenue share): part dim broadcast; conditional
+    sum over one shipdate month."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def _tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume orders): HAVING-filtered aggregate as a
+    left-semi join (never a collected IN list), then top-100 via
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_s"))
+        .filter(F.col("_s") > 200.0)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias(
+                "o_orderdate"
+            ),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def _tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, OR-of-ANDs over part attributes and
+    line quantity; shipmode/shipinstruct predicates dropped with the slim
+    schema). The disjunction stays in the join filter so Catalyst can
+    still push the partkey equi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & sz.between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & sz.between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & sz.between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 def _layout_boxes(spark, sf_dir):
     """Deterministic positioned-box corpus from documents: even doc_ids
     are two-column pages (boxes interleaved L0,R0,L1,R1,... in input
@@ -960,7 +1117,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _tpch_q4,
         "tpch_q5": _tpch_q5,
         "tpch_q6": _tpch_q6,
+        "tpch_q7": _tpch_q7,
         "tpch_q10": _tpch_q10,
+        "tpch_q12": _tpch_q12,
+        "tpch_q14": _tpch_q14,
+        "tpch_q18": _tpch_q18,
+        "tpch_q19": _tpch_q19,
         "top_revenue_orders": _top_revenue_orders,
         "customers_per_region": _customers_per_region,
         # extraction-domain operators (columnar twins of pipeline stages)
@@ -1211,6 +1373,60 @@ def oracle_sql() -> dict[str, str]:
         "AND o_orderdate >= TIMESTAMP '1996-10-01' "
         "AND o_orderdate < TIMESTAMP '1997-01-01' "
         "GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20"
+    )
+    sql["tpch_q7"] = (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INT) AS l_year, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR "
+        "(n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    )
+    sql["tpch_q12"] = (
+        "SELECT o_orderpriority, "
+        "CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS late_count, "
+        "CAST(count(*) AS BIGINT) AS line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    sql["tpch_q14"] = (
+        "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN "
+        "l_extendedprice * (1 - l_discount) ELSE 0.0 END) / "
+        "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+        "AND l_shipdate < TIMESTAMP '1996-10-01'"
+    )
+    sql["tpch_q18"] = (
+        "SELECT c_name, c_custkey, o_orderkey, "
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, "
+        "o_totalprice, round(sum(l_quantity), 2) AS total_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 200.0) "
+        "GROUP BY 1, 2, 3, 4, 5 "
+        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"
+    )
+    sql["tpch_q19"] = (
+        "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+        "AND l_quantity BETWEEN 20 AND 30)"
     )
     sql["tpch_q4"] = (
         "SELECT o_orderpriority, count(*) AS order_count FROM orders o "

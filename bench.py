@@ -32,7 +32,12 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
     "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
     "top_revenue_orders",
     "customers_per_region",
     "user_top_event",

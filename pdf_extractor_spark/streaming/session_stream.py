@@ -1,0 +1,129 @@
+"""Stateful streaming sessionization: gap-based sessions emitted as they
+close, via applyInPandasWithState with an EVENT-TIME timeout.
+
+Streaming twin of operators/events.sessionize (same gap rule, same
+deterministic semantics) for continuous ingest: per-user state is one open
+session (start, end, n_events) — O(1) per key, NOT a history — and the
+state is self-bounding: when the watermark passes session_end + gap the
+timeout fires, the session is emitted, and the state row is removed. No
+TTL knob needed; the watermark IS the bound. This is the state-lifecycle
+shape the round-1 review asked for (contrast dedup_stream.py, where
+unbounded state is inherent to exact first-seen semantics and must be
+bounded by TTL or compaction).
+
+Scale: the shuffle partitions by user_id hash; state store work per batch
+is O(users present in the batch), and total state is O(currently-open
+sessions), which the watermark keeps proportional to active users within
+one gap window — independent of stream history length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# open session: (start_ms, end_ms, n_events) — epoch millis keep the state
+# row primitive (no timezone round-trips through the state serializer)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_EMPTY = {
+    "user_id": pd.Series([], dtype="int64"),
+    "session_start": pd.Series([], dtype="datetime64[ns]"),
+    "session_end": pd.Series([], dtype="datetime64[ns]"),
+    "n_events": pd.Series([], dtype="int64"),
+}
+
+
+def _session_row(user_id: int, start_ms: int, end_ms: int, n: int):
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_ms, unit="ms")],
+            "session_end": [pd.Timestamp(end_ms, unit="ms")],
+            "n_events": [n],
+        }
+    )
+
+
+def _sessionize_factory(gap_ms: int):
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield _session_row(user_id, start_ms, end_ms, n)
+            return
+        ts_ms: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_ms.extend(
+                    (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                )
+        ts_ms.sort()
+        cur = list(state.get) if state.exists else None
+        closed: list[pd.DataFrame] = []
+        for t in ts_ms:
+            if cur is None:
+                cur = [t, t, 0]
+            elif t - cur[1] > gap_ms:
+                closed.append(_session_row(user_id, *cur))
+                cur = [t, t, 0]
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+            # event-time timeout: fires once the watermark passes the gap
+            # after the session's last event — closing and removing it
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if closed:
+            yield pd.concat(closed, ignore_index=True)
+        else:
+            yield pd.DataFrame(_EMPTY)
+
+    return _fn
+
+
+def streaming_sessions(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """stream(user_id, ts, ...) -> stream of CLOSED sessions
+    (user_id, session_start, session_end, n_events). A session closes when
+    a same-user event arrives more than gap_minutes later (emitted in that
+    micro-batch) or when the watermark passes session_end + gap (emitted
+    by the event-time timeout). Late events beyond the watermark are
+    dropped by the watermark operator — standard streaming semantics."""
+    ev = events_stream.withWatermark(ts_col, watermark).select(
+        "user_id", ts_col
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_factory(gap_minutes * 60 * 1000),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,81 @@
+"""Streaming sessionization (applyInPandasWithState, event-time timeout):
+sessions close on gap within a batch, across batches via checkpointed
+state, and via watermark timeout; state is removed after emission."""
+
+import datetime as dt
+
+from pdf_extractor_spark.streaming.session_stream import streaming_sessions
+
+SCHEMA = "user_id long, ts timestamp"
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _run(spark, inp, out, ckpt, gap_minutes=30):
+    stream = spark.readStream.schema(SCHEMA).parquet(inp)
+    sess = streaming_sessions(stream, gap_minutes=gap_minutes)
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(
+        (
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        )
+    )
+
+
+def test_sessions_close_on_gap_and_watermark(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    # batch 1: user 7 has two bursts separated by > gap — burst 1 closes on
+    # the gap. The 12:00 event puts the watermark at 11:50, past user 8's
+    # timeout (10:00 + 30 min), so 8's session closes by EVENT-TIME TIMEOUT
+    # in the same run; 7's 12:00 burst (timeout 12:30) stays open.
+    spark.createDataFrame(
+        [
+            (7, _ts(10, 0)),
+            (7, _ts(10, 10)),
+            (7, _ts(12, 0)),   # 110 min gap -> closes burst 1
+            (8, _ts(10, 0)),
+        ],
+        SCHEMA,
+    ).write.mode("append").parquet(inp)
+    got1 = _run(spark, inp, out, ckpt)
+    assert got1 == [
+        (7, _ts(10, 0), _ts(10, 10), 2),
+        (8, _ts(10, 0), _ts(10, 0), 1),
+    ]
+
+    # batch 2: 7's 12:05 event first EXTENDS the open session (within gap
+    # of 12:00, state restored from the checkpoint); 9's 20:00 event then
+    # advances the watermark past 12:35, closing it by timeout
+    spark.createDataFrame(
+        [(7, _ts(12, 5)), (9, _ts(20, 0))],
+        SCHEMA,
+    ).write.mode("append").parquet(inp)
+    got2 = _run(spark, inp, out, ckpt)
+    assert (7, _ts(12, 0), _ts(12, 5), 2) in got2
+    # 9's session is still open (nothing beyond it)
+    assert not any(u == 9 for u, *_ in got2)
+
+    # batch 3: replaying a closed user's id starts a FRESH session (state
+    # was removed on timeout — no leak), and another future event closes 9
+    spark.createDataFrame(
+        [(8, _ts(21, 0)), (9, _ts(23, 59))],
+        SCHEMA,
+    ).write.mode("append").parquet(inp)
+    got3 = _run(spark, inp, out, ckpt)
+    assert (9, _ts(20, 0), _ts(20, 0), 1) in got3
+    # 8's fresh 21:00 session must not have absorbed the 10:00 history
+    assert not any(
+        u == 8 and s == _ts(10, 0) and n > 1 for u, s, e, n in got3
+    )

@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 59 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 64 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -978,6 +978,99 @@ def _asof_last_purchase(spark, sf_dir):
     )
 
 
+def _events_rollup(spark, sf_dir):
+    """Grouping-set coverage: ROLLUP over (event_type, date) — per-cell,
+    per-type subtotal, and grand-total rows in one shuffle pass."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.coalesce("event_type", F.lit("unknown")).alias("event_type"),
+        F.col("ts").cast("date").cast("string").alias("date"),
+        "value",
+    )
+    return ev.rollup("event_type", "date").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias(
+            "total_value"
+        ),
+    )
+
+
+def _events_pivot(spark, sf_dir):
+    """Pivot coverage: daily counts spread across the five event types
+    (explicit pivot values — never a collected distinct at scale)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("string").alias("date"), "event_type"
+    )
+    out = ev.groupBy("date").pivot("event_type", types).count()
+    return out.select(
+        "date",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in types
+        ],
+    )
+
+
+def _value_quantiles(spark, sf_dir):
+    """Exact percentiles per event type (Spark `percentile`, linear
+    interpolation — mirrored by DuckDB quantile_cont)."""
+    qs = {"q25": 0.25, "q50": 0.5, "q75": 0.75, "q90": 0.9}
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").cast("long").alias("n_values"),
+            *[
+                F.round(F.expr(f"percentile(value, {p})"), 6).alias(name)
+                for name, p in qs.items()
+            ],
+        )
+    )
+
+
+def _click_not_purchase_users(spark, sf_dir):
+    """Set-op coverage: users who clicked but never made a large
+    (value > 300) purchase — the threshold keeps the result non-vacuous
+    at every test scale."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300)
+    ).select("user_id")
+    # subtract = EXCEPT (set semantics, like the SQL oracle); exceptAll
+    # would be bag semantics and only cancel one click per buyer
+    return clicks.subtract(buys)
+
+
+def _range_join_windows(spark, sf_dir):
+    """Bucketized range join: events against 4-day maintenance windows
+    derived from the nation table (stride 3 days — overlapping, so one
+    event can land in two windows). The operator is the big×big pattern
+    (bucket equi-join + boundary filter); the oracle is DuckDB's native
+    inequality join — an independent implementation."""
+    from pdf_extractor_spark.operators.events import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("window_label"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(days=F.col("n_nationkey") * 3)
+        ).alias("w_start"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(days=F.col("n_nationkey") * 3 + 4)
+        ).alias("w_end"),
+    )
+    j = bucketed_range_join(ev, windows, "ts", "w_start", "w_end")
+    return j.groupBy("window_label").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias(
+            "total_value"
+        ),
+    )
+
+
 def _span_validations(spark, sf_dir):
     """Per-span structured validator output (north_star): three typed-token
     spans per document (email / CPF / date), detected and validated
@@ -1166,6 +1259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _layout_text,
         "sessionize": _sessionize,
         "asof_last_purchase": _asof_last_purchase,
+        "events_rollup": _events_rollup,
+        "events_pivot": _events_pivot,
+        "value_quantiles": _value_quantiles,
+        "click_not_purchase_users": _click_not_purchase_users,
+        "range_join_windows": _range_join_windows,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -2151,6 +2249,49 @@ SELECT user_id, session_num,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_purchases
 FROM n GROUP BY 1, 2"""
+    sql["events_rollup"] = """
+WITH e AS (
+  SELECT coalesce(event_type, 'unknown') AS event_type,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS date, value
+  FROM events)
+SELECT event_type, date, CAST(count(*) AS BIGINT) AS n,
+       round(coalesce(sum(value), 0.0), 4) AS total_value
+FROM e GROUP BY ROLLUP (event_type, date)"""
+    sql["events_pivot"] = (
+        "SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS {t}"
+            for t in ["click", "error", "purchase", "signup", "view"]
+        )
+        + " FROM events GROUP BY 1"
+    )
+    sql["value_quantiles"] = (
+        "SELECT event_type, CAST(count(value) AS BIGINT) AS n_values, "
+        "round(quantile_cont(value, 0.25), 6) AS q25, "
+        "round(quantile_cont(value, 0.5), 6) AS q50, "
+        "round(quantile_cont(value, 0.75), 6) AS q75, "
+        "round(quantile_cont(value, 0.9), 6) AS q90 "
+        "FROM events GROUP BY 1"
+    )
+    sql["click_not_purchase_users"] = (
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "EXCEPT "
+        "SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "AND value > 300"
+    )
+    # range_join_windows: DuckDB native inequality join (IEJoin) — an
+    # independent implementation of the containment predicate.
+    sql["range_join_windows"] = """
+WITH w AS (
+  SELECT n_name AS window_label,
+         TIMESTAMP '2024-01-01' + INTERVAL (n_nationkey * 3) DAY AS w_start,
+         TIMESTAMP '2024-01-01' + INTERVAL (n_nationkey * 3 + 4) DAY AS w_end
+  FROM nation)
+SELECT w.window_label, CAST(count(*) AS BIGINT) AS n_events,
+       round(coalesce(sum(e.value), 0.0), 4) AS total_value
+FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1"""
     # asof_last_purchase: DuckDB's NATIVE ASOF JOIN — an independent
     # implementation of the semantics, not a transliteration of the
     # Spark carry-forward plan.

@@ -55,6 +55,8 @@ HEADLINE = [
     "layout_text",
     "sessionize",
     "asof_last_purchase",
+    "events_rollup",
+    "range_join_windows",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh",

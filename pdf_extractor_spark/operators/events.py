@@ -77,6 +77,51 @@ def session_stats(
     )
 
 
+def bucketed_range_join(
+    facts: DataFrame,
+    windows: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Range join (fact.ts in [window.start, window.end)) as a bucketized
+    equi-join: each window explodes into the time buckets it covers, facts
+    map to their bucket, the join is a plain hash equi-join on the bucket,
+    and the exact containment predicate filters the boundary buckets.
+
+    This is the big×big scale pattern: a naive inequality join is a
+    nested-loop (Spark: BroadcastNestedLoopJoin, only viable when one side
+    broadcasts); bucketizing turns it into a shuffle hash/sort-merge join
+    whose fan-out is windows × (span/bucket) — bounded when bucket_seconds
+    is chosen near the typical window length. The DuckDB oracle uses a
+    native inequality join (IEJoin), an independent implementation.
+
+    End-exclusive: a window covers buckets floor(start/b)..floor((end-1)/b);
+    empty (end <= start) windows match nothing."""
+    b = int(bucket_seconds)
+    wb = windows.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b),
+                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / b),
+            )
+        ),
+    )
+    fb = facts.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / b)
+    )
+    return (
+        fb.join(wb, "_bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

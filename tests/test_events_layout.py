@@ -164,3 +164,43 @@ def test_layout_order_is_permutation(spark):
             assert [rk for _, rk in pairs] == [1, 4, 2, 5, 3]
             permuted += 1
     assert permuted > 0
+
+
+def test_bucketed_range_join_boundaries(spark):
+    from pdf_extractor_spark.operators.events import bucketed_range_join
+
+    facts = spark.createDataFrame(
+        [
+            (1, _ts(1, 0)),    # == w_start -> included
+            (2, _ts(2, 23)),   # inside
+            (3, _ts(3, 0)),    # == w_end -> EXCLUDED
+            (4, _ts(5, 0)),    # outside any window
+        ],
+        "event_id long, ts timestamp",
+    )
+    windows = spark.createDataFrame(
+        [
+            ("w1", _ts(1, 0), _ts(3, 0)),
+            ("empty", _ts(4, 0), _ts(4, 0)),  # zero-length -> matches nothing
+        ],
+        "label string, w_start timestamp, w_end timestamp",
+    )
+    got = sorted(
+        (r.event_id, r.label)
+        for r in bucketed_range_join(
+            facts, windows, "ts", "w_start", "w_end"
+        ).collect()
+    )
+    assert got == [(1, "w1"), (2, "w1")]
+
+
+def test_range_join_is_equi_join_plan(spark):
+    """Scale pin: the bucketized range join must compile to a hash/merge
+    EQUI-join on the bucket, never a BroadcastNestedLoopJoin (the plan a
+    naive inequality join degenerates to)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["range_join_windows"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

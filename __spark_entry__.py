@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 64 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 66 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -978,6 +978,45 @@ def _asof_last_purchase(spark, sf_dir):
     )
 
 
+def _moving_avg_daily(spark, sf_dir):
+    """Window-frame coverage: 7-day trailing moving average of daily event
+    counts. The frame window is global-ordered but runs over the DAILY
+    grain (one row per day — bounded domain), so the single-partition sort
+    is thousands of rows at any corpus size, not O(events)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("string").alias("date"),
+        F.col("n").cast("long").alias("count"),
+        F.round(F.avg("n").over(w), 6).alias("ma7"),
+    )
+
+
+def _approx_distinct_users(spark, sf_dir):
+    """Sketch coverage: HyperLogLog distinct-user estimate. Each engine
+    runs its OWN HLL (Spark HLL++ rsd=0.02, DuckDB's HLL), so the compared
+    value is the exact count plus a boolean 'estimate within 5% of exact'
+    — true on both sides iff both sketches hit their accuracy contract."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+    )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
+    )
+
+
 def _events_rollup(spark, sf_dir):
     """Grouping-set coverage: ROLLUP over (event_type, date) — per-cell,
     per-type subtotal, and grand-total rows in one shuffle pass."""
@@ -1259,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _layout_text,
         "sessionize": _sessionize,
         "asof_last_purchase": _asof_last_purchase,
+        "moving_avg_daily": _moving_avg_daily,
+        "approx_distinct_users": _approx_distinct_users,
         "events_rollup": _events_rollup,
         "events_pivot": _events_pivot,
         "value_quantiles": _value_quantiles,
@@ -2249,6 +2290,19 @@ SELECT user_id, session_num,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_purchases
 FROM n GROUP BY 1, 2"""
+    sql["moving_avg_daily"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1)
+SELECT CAST(d AS VARCHAR) AS date, CAST(n AS BIGINT) AS count,
+       round(avg(n) OVER (ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM daily"""
+    sql["approx_distinct_users"] = (
+        "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) "
+        "<= 0.05 * count(DISTINCT user_id) AS approx_within_5pct "
+        "FROM events"
+    )
     sql["events_rollup"] = """
 WITH e AS (
   SELECT coalesce(event_type, 'unknown') AS event_type,

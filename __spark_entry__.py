@@ -15,7 +15,7 @@ Column names are aliased identically on both sides; float columns are rounded
 (4-6 dp) in BOTH engines so order-of-summation noise cannot flip the value
 hash; integer aggregates are CAST to BIGINT (DuckDB HUGEINT would hash as
 float64); vector math mirrors Spark's fold order exactly (see _seq_dot).
-All 67 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
+All 68 SQL-checked queries pass at sf0.001, sf0.01, AND sf0.1.
 """
 
 from __future__ import annotations
@@ -978,6 +978,41 @@ def _asof_last_purchase(spark, sf_dir):
     )
 
 
+def _hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep a document iff its md5
+    bucket (0..9999) falls under the language's quota — the reproducible
+    alternative to RNG sampling for corpus curation (rerun-stable,
+    join-stable, audit-friendly; the standard trick at crawl scale).
+    Output is the per-language sample accounting."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("smp1_"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10000),
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 5000)
+        .when(F.col("lang") == "zh", 2500)
+        .otherwise(1000)
+    )
+    return (
+        docs.withColumn("_keep", (bucket < rate).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("_keep").cast("long").alias("n_sampled"),
+            F.round(F.avg("_keep"), 4).alias("sample_frac"),
+        )
+    )
+
+
 def _pack_sequences(spark, sf_dir):
     """Training-sequence packing: documents binned into ~2048-token packs
     per hash shard (greedy in-order cut on the running whitespace token
@@ -1331,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _sessionize,
         "asof_last_purchase": _asof_last_purchase,
         "pack_sequences": _pack_sequences,
+        "hash_sample": _hash_sample,
         "moving_avg_daily": _moving_avg_daily,
         "approx_distinct_users": _approx_distinct_users,
         "events_rollup": _events_rollup,
@@ -2323,6 +2359,19 @@ SELECT user_id, session_num,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_purchases
 FROM n GROUP BY 1, 2"""
+    sql["hash_sample"] = """
+WITH k AS (
+  SELECT lang,
+    CASE WHEN CAST(CAST('0x' || substr(md5('smp1_' ||
+           CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS BIGINT)
+         < (CASE WHEN lang = 'en' THEN 5000
+                 WHEN lang = 'zh' THEN 2500 ELSE 1000 END)
+         THEN 1 ELSE 0 END AS keep
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(keep) AS BIGINT) AS n_sampled,
+       round(avg(keep), 4) AS sample_frac
+FROM k GROUP BY 1"""
     sql["pack_sequences"] = """
 WITH toks AS (
   SELECT doc_id,

@@ -984,17 +984,13 @@ def _hash_sample(spark, sf_dir):
     alternative to RNG sampling for corpus curation (rerun-stable,
     join-stable, audit-friendly; the standard trick at crawl scale).
     Output is the per-language sample accounting."""
+    from pdf_extractor_spark.operators.dedup import simhash_token_hash
+
     docs = _t(spark, sf_dir, "documents")
     bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("smp1_"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+        simhash_token_hash(
+            F.concat(F.lit("smp1_"), F.col("doc_id").cast("string"))
+        ),
         F.lit(10000),
     )
     rate = (
@@ -1022,17 +1018,15 @@ def _pack_sequences(spark, sf_dir):
         token_count,
     )
 
+    from pdf_extractor_spark.operators.dedup import simhash_token_hash
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
-        # md5-derived shard (not xxhash64) so DuckDB mirrors it exactly
+        # md5-derived shard (not xxhash64) so DuckDB mirrors it exactly;
+        # simhash_token_hash IS the one cross-engine hash recipe
         F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(8),
+            simhash_token_hash(F.col("doc_id").cast("string")), F.lit(8)
         )
         .cast("int")
         .alias("shard"),

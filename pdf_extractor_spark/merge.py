@@ -49,7 +49,7 @@ def merge_upsert(
     columns) so the merge is idempotent. Returns merge stats."""
     data_cols = [c for c in updates.columns if c != "bucket"]
     upd = updates.select(*data_cols).withColumn(
-        "bucket", bucket_col(num_buckets)
+        "bucket", bucket_col(num_buckets, key=key)
     )
     # deterministic survivor per key: greatest struct of the other columns
     others = [c for c in data_cols if c != key]
@@ -58,9 +58,11 @@ def merge_upsert(
         .agg(F.max(F.struct(*others)).alias("_s"))
         .select(key, "bucket", *[F.col(f"_s.{c}").alias(c) for c in others])
     )
-    affected = sorted(
-        r.bucket for r in upd.select("bucket").distinct().collect()
-    )
+    # one action yields both the affected-bucket list and the update count
+    # (upd is a shuffle DAG — don't re-run it per statistic)
+    per_bucket = upd.groupBy("bucket").count().collect()
+    affected = sorted(r.bucket for r in per_bucket)
+    n_updates = sum(r["count"] for r in per_bucket)
     # a brand-new key may route to a bucket with no directory yet — only
     # read back the partitions that exist
     dirs = [
@@ -85,5 +87,5 @@ def merge_upsert(
     return {
         "affected_buckets": len(affected),
         "total_buckets": num_buckets,
-        "updates": upd.count(),
+        "updates": n_updates,
     }

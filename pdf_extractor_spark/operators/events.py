@@ -39,12 +39,17 @@ def sessionize(
     user) and is_session_start."""
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev_ts = F.lag(ts_col).over(w)
-    is_start = (
-        prev_ts.isNull()
-        | (
-            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
-            > gap_minutes * 60
-        )
+    # exact microsecond epoch, NOT unix_timestamp: the event log carries
+    # microsecond timestamps, and second-truncation would disagree with
+    # the oracle's fractional epoch() and the streaming twin's
+    # millisecond state on gaps within 1s of the threshold. (ltz cast:
+    # Spark 4 forbids casting NTZ timestamps to numbers; the conversion
+    # offset cancels in the subtraction.)
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp_ltz"))
+
+    is_start = prev_ts.isNull() | (
+        _us(F.col(ts_col)) - _us(prev_ts) > gap_minutes * 60 * 1_000_000
     )
     running = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -97,21 +102,27 @@ def bucketed_range_join(
     is chosen near the typical window length. The DuckDB oracle uses a
     native inequality join (IEJoin), an independent implementation.
 
-    End-exclusive: a window covers buckets floor(start/b)..floor((end-1)/b);
-    empty (end <= start) windows match nothing."""
-    b = int(bucket_seconds)
+    End-exclusive: a window covers buckets floor(start/b)..ceil(end/b)-1
+    (fractional-second epochs — the event log carries microseconds, and a
+    second-truncated end just past a bucket boundary would silently drop
+    the last bucket's facts); empty (end <= start) windows match nothing."""
+    b_us = int(bucket_seconds) * 1_000_000
+
+    def _us(c):
+        # exact microsecond epoch; ltz cast because Spark 4 forbids
+        # casting NTZ timestamps to numbers (offset is bucket-consistent)
+        return F.unix_micros(c.cast("timestamp_ltz"))
+
     wb = windows.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / b),
-                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / b),
+                F.floor(_us(F.col(start_col)) / b_us),
+                F.ceil(_us(F.col(end_col)) / b_us) - 1,
             )
         ),
     )
-    fb = facts.withColumn(
-        "_bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / b)
-    )
+    fb = facts.withColumn("_bucket", F.floor(_us(F.col(ts_col)) / b_us))
     return (
         fb.join(wb, "_bucket")
         .filter(

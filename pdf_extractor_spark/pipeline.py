@@ -87,8 +87,10 @@ def extract_documents(
     return out.select(*OUTPUT_COLUMNS)
 
 
-def bucket_col(num_buckets: int = DEFAULT_BUCKETS) -> "F.Column":
-    return F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+def bucket_col(
+    num_buckets: int = DEFAULT_BUCKETS, key: str = "doc_id"
+) -> "F.Column":
+    return F.pmod(F.xxhash64(key), F.lit(num_buckets)).cast("int")
 
 
 def with_bucket_and_salt(

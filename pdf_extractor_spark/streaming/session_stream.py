@@ -65,7 +65,7 @@ def _session_row(user_id: int, start_ms: int, end_ms: int, n: int):
     )
 
 
-def _sessionize_factory(gap_ms: int):
+def _sessionize_factory(gap_ms: int, ts_col: str):
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -79,7 +79,7 @@ def _sessionize_factory(gap_ms: int):
         for pdf in pdfs:
             if len(pdf):
                 ts_ms.extend(
-                    (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                    (pdf[ts_col].astype("int64") // 1_000_000).tolist()
                 )
         ts_ms.sort()
         cur = list(state.get) if state.exists else None
@@ -90,6 +90,10 @@ def _sessionize_factory(gap_ms: int):
             elif t - cur[1] > gap_ms:
                 closed.append(_session_row(user_id, *cur))
                 cur = [t, t, 0]
+            # a late-but-within-watermark event may PREDATE the open
+            # session's start (cross-batch out-of-order delivery): it
+            # extends the start, matching the batch twin's semantics
+            cur[0] = min(cur[0], t)
             cur[1] = max(cur[1], t)
             cur[2] += 1
         if cur is not None:
@@ -121,7 +125,7 @@ def streaming_sessions(
         "user_id", ts_col
     )
     return ev.groupBy("user_id").applyInPandasWithState(
-        _sessionize_factory(gap_minutes * 60 * 1000),
+        _sessionize_factory(gap_minutes * 60 * 1000, ts_col),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

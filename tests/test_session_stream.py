@@ -79,3 +79,21 @@ def test_sessions_close_on_gap_and_watermark(spark, tmp_path):
     assert not any(
         u == 8 and s == _ts(10, 0) and n > 1 for u, s, e, n in got3
     )
+
+
+def test_out_of_order_event_extends_session_start(spark, tmp_path):
+    """A late-but-within-watermark event that PREDATES the open session's
+    start must extend session_start (batch-twin semantics), not be
+    absorbed with the start left wrong."""
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in2", "out2", "ckpt2"))
+    spark.createDataFrame([(5, _ts(12, 0))], SCHEMA).write.mode(
+        "append"
+    ).parquet(inp)
+    _run(spark, inp, out, ckpt)
+    # watermark is 11:50; 11:55 is late but accepted, and earlier than the
+    # open session's start; 20:00 then closes the session via timeout
+    spark.createDataFrame(
+        [(5, _ts(11, 55)), (6, _ts(20, 0))], SCHEMA
+    ).write.mode("append").parquet(inp)
+    got = _run(spark, inp, out, ckpt)
+    assert (5, _ts(11, 55), _ts(12, 0), 2) in got

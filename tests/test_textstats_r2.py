@@ -76,6 +76,12 @@ def test_pack_sequences_budget_discipline(spark):
     under budget + max single doc, and packs are contiguous per shard."""
     import __spark_entry__ as entry
 
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    max_doc = docs.agg(
+        F.max(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
     rows = (
         entry.queries()["pack_sequences"](spark, "/root/testdata/sf0.001")
         .orderBy("shard", "pack_id")
@@ -87,9 +93,11 @@ def test_pack_sequences_budget_discipline(spark):
         by_shard.setdefault(r.shard, []).append(r)
     for shard, packs in by_shard.items():
         ids = [p.pack_id for p in packs]
-        assert ids == sorted(ids)
+        assert ids == sorted(ids) and ids == list(range(len(ids)))
         for p in packs[:-1]:
-            # a pack closes only once it crossed the budget boundary
-            assert p.pack_tokens + 558 >= 2048 or p.n_docs >= 1
+            # greedy-cut invariant: a non-final pack spans from within
+            # max_doc of its lower boundary to past its upper boundary,
+            # so it holds at least budget - max_doc tokens
+            assert p.pack_tokens >= 2048 - max_doc
         for p in packs:
             assert p.pack_tokens > 0

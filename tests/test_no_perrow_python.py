@@ -19,6 +19,10 @@ ALLOW = {
     # deterministic distributed corpus synthesis — input generation,
     # not a pipeline operator (sources/corpus.py docstring)
     ("sources/corpus.py", ".rdd access"),
+    # merge planning: the collected list is per-BUCKET counts, bounded by
+    # num_buckets (<= 4096), never by table or update rows — the same
+    # bounded-metadata class as the IVF centroid collect
+    ("merge.py", "driver-side loop over collect()"),
 }
 
 

@@ -1289,6 +1289,118 @@ def _table_match(spark, sf_dir):
     )
 
 
+def _tpch_q13(spark, sf_dir):
+    """TPC-H Q13 adapted (no o_comment; the excluded-orders predicate is
+    priority-based): distribution of customers by how many non-urgent
+    orders they placed, including zero-order customers via the left join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _tpch_q15(spark, sf_dir):
+    """TPC-H Q15: top supplier(s) by revenue over one quarter. The scalar
+    max is computed once and broadcast back over the per-supplier revenue
+    aggregate (never a global sort); revenue is rounded to 4 dp BEFORE the
+    max-equality so the cross-engine comparison is on identical values."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def _tpch_q17(spark, sf_dir):
+    """TPC-H Q17 adapted (no p_container; brand+size selects the part
+    class): average yearly revenue lost if small-quantity orders were not
+    taken. The per-part quantity threshold is a broadcast-joined aggregate
+    of the SAME filtered lineitem slice; integer-valued quantity sums keep
+    0.2*avg bit-identical across engines."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 15)
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        F.round(F.avg("l_quantity") * 0.2, 6).alias("q_limit")
+    )
+    return (
+        li.join(F.broadcast(thresh), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("q_limit"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def _dup_ngram_stats(spark, sf_dir):
+    """Corpus-level duplicate n-gram mass per document."""
+    from pdf_extractor_spark.operators.curation import dup_ngram_stats
+
+    return dup_ngram_stats(_t_wide(spark, sf_dir, "documents"), n=3)
+
+
+def _decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    held-out eval set; every remaining corpus doc is scored by how many of
+    its distinct 3-gram shingles appear anywhere in the eval set."""
+    from pdf_extractor_spark.operators.curation import decontaminate
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, eval_set, n=3, min_hits=1)
+
+
+def _token_entropy(spark, sf_dir):
+    from pdf_extractor_spark.operators.curation import token_entropy
+
+    return token_entropy(_t_wide(spark, sf_dir, "documents"))
+
+
+def _dedup_survivors(spark, sf_dir):
+    """End of the dedup pipeline: minhash pairs -> connected components ->
+    one canonical survivor per cluster (longest text, ties to smallest id)."""
+    from pdf_extractor_spark.operators.curation import dedup_survivors
+    from pdf_extractor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.7
+    )
+    clusters = neardup_clusters(docs, pairs).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+    return dedup_survivors(docs, clusters)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -1313,7 +1425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": _tpch_q7,
         "tpch_q10": _tpch_q10,
         "tpch_q12": _tpch_q12,
+        "tpch_q13": _tpch_q13,
         "tpch_q14": _tpch_q14,
+        "tpch_q15": _tpch_q15,
+        "tpch_q17": _tpch_q17,
         "tpch_q18": _tpch_q18,
         "tpch_q19": _tpch_q19,
         "top_revenue_orders": _top_revenue_orders,
@@ -1335,7 +1450,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _ngram_jaccard,
         "minhash_lsh": _minhash_lsh,
         "neardup_clusters": _neardup_clusters,
+        "dedup_survivors": _dedup_survivors,
         "simhash_neardup": _simhash,
+        # corpus curation
+        "dup_ngram_stats": _dup_ngram_stats,
+        "decontaminate": _decontaminate,
+        "token_entropy": _token_entropy,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
@@ -2021,8 +2141,10 @@ WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.7
     # neardup_clusters: connected components over the same brute-force
     # near-dup pairs, via a recursive reachability CTE; cluster = min
     # reachable id, singletons map to themselves.
-    sql["neardup_clusters"] = f"""
-WITH RECURSIVE tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+    # shared recursive connected-components body: exact-Jaccard pairs at
+    # the minhash verify threshold -> symmetric edges -> reachability CTE;
+    # reused by both the cluster-assignment and survivor-selection oracles
+    _cc_body = f"""tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -2042,9 +2164,28 @@ edges AS (
 reach AS (
   SELECT doc_id AS id, doc_id AS r FROM documents
   UNION
-  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)"""
+    sql["neardup_clusters"] = f"""
+WITH RECURSIVE {_cc_body}
 SELECT id AS doc_id, min(r) AS cluster
 FROM reach GROUP BY id
+"""
+    # dedup_survivors: same components, then one survivor per cluster —
+    # longest text wins, ties to the smallest doc_id.
+    sql["dedup_survivors"] = f"""
+WITH RECURSIVE {_cc_body},
+clusters AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+member AS (
+  SELECT c.cluster, c.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT cluster, doc_id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS n_members
+  FROM member)
+SELECT cluster, doc_id AS survivor_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
 """
 
     # simhash_neardup: full signature replication — the md5-derived 60-bit
@@ -2455,6 +2596,85 @@ SELECT c.event_id, c.user_id, c.ts,
        round(p.purchase_value, 6) AS asof_purchase_value
 FROM c ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND c.ts >= p.purchase_ts"""
+    sql["tpch_q13"] = (
+        "SELECT CAST(c_count AS BIGINT) AS c_count, "
+        "CAST(count(*) AS BIGINT) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    )
+    sql["tpch_q15"] = (
+        "WITH rev AS (SELECT l_suppkey AS suppkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+        "SELECT s_suppkey, s_name, total_revenue "
+        "FROM supplier JOIN rev ON s_suppkey = suppkey "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) "
+        "ORDER BY s_suppkey"
+    )
+    sql["tpch_q17"] = (
+        "SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE p.p_brand = 'Brand#13' AND p.p_size <= 15 "
+        "AND l.l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 6) "
+        "FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"
+    )
+    # dup_ngram_stats: distinct-shingle document frequency joined back —
+    # same shingle CTE as the jaccard/cluster oracles.
+    sql["dup_ngram_stats"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+dfreq AS (SELECT s, count(*) AS sdf FROM sh GROUP BY 1),
+per AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN sdf > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM sh JOIN dfreq USING (s) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+       round(CASE WHEN coalesce(n_shingles, 0) > 0
+             THEN n_dup * 1.0 / n_shingles ELSE 0 END, 6) AS dup_ngram_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+    # decontaminate: eval = doc_id % 97 == 0; corpus docs scored by
+    # distinct-shingle overlap with the eval shingle set.
+    sql["decontaminate"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM sh JOIN ev USING (s) WHERE doc_id % 97 <> 0 GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+    # token_entropy: -sum(p ln p) over the per-doc unigram distribution;
+    # + 0.0 normalizes IEEE -0.0 (single-token-type docs) in both engines.
+    sql["token_entropy"] = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_LTOKS}) AS term FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+tfn AS (SELECT doc_id, tf,
+               sum(tf) OVER (PARTITION BY doc_id) AS n FROM tf),
+ent AS (
+  SELECT doc_id, max(n) AS n_tokens,
+         round(-sum((tf * 1.0 / n) * ln(tf * 1.0 / n)), 6) + 0.0 AS entropy
+  FROM tfn GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN ent USING (doc_id)
+"""
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

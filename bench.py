@@ -35,7 +35,10 @@ HEADLINE = [
     "tpch_q7",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
     "tpch_q18",
     "tpch_q19",
     "top_revenue_orders",
@@ -51,6 +54,9 @@ HEADLINE = [
     "fingerprint",
     "repetition_stats",
     "tfidf_top_terms",
+    "dup_ngram_stats",
+    "token_entropy",
+    "decontaminate",
     "pack_sequences",
     "html_main_content",
     "layout_text",
@@ -62,6 +68,7 @@ HEADLINE = [
     "ngram_jaccard",
     "minhash_lsh",
     "neardup_clusters",
+    "dedup_survivors",
     "simhash_neardup",
     "embedding_neardup",
     "cosine_topk",

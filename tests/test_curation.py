@@ -1,0 +1,91 @@
+"""Hand-computed unit tests for the corpus-curation operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def test_dup_ngram_stats_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import dup_ngram_stats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d", 7),   # shingles: "a b c", "b c d"
+            (2, "a b c x", 7),   # shingles: "a b c", "b c x"
+            (3, "z z z", 5),     # one distinct shingle "z z z"
+            (4, "q w", 3),       # too short -> no shingles
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["dup_ngram_frac"])
+        for r in dup_ngram_stats(docs, n=3).collect()
+    }
+    # "a b c" appears in docs 1 and 2 -> each has 1 of 2 shingles duplicated
+    assert got == {1: (2, 0.5), 2: (2, 0.5), 3: (1, 0.0), 4: (0, 0.0)}
+
+
+def test_decontaminate_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import decontaminate
+
+    eval_set = _docs(spark, [(100, "a b c d", 7)])
+    corpus = _docs(
+        spark,
+        [
+            (1, "x a b c", 7),   # shares shingle "a b c" with eval
+            (2, "p q r s", 7),   # no overlap
+            (3, "ab", 2),        # no shingles at all
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(corpus, eval_set, n=3).collect()
+    }
+    assert got == {1: (1, True), 2: (0, False), 3: (0, False)}
+
+
+def test_token_entropy_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import token_entropy
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a a b b", 7),  # uniform over 2 types -> ln 2
+            (2, "a", 1),        # single type -> exactly 0.0 (not -0.0)
+            (3, "", 0),         # no tokens
+            (4, "a a a b", 7),  # 3/4, 1/4
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"])
+        for r in token_entropy(docs).collect()
+    }
+    assert got[1] == (4, round(math.log(2), 6))
+    assert got[2] == (1, 0.0)
+    assert math.copysign(1.0, got[2][1]) == 1.0  # +0.0, never -0.0
+    assert got[3] == (0, 0.0)
+    h4 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert got[4] == (4, round(h4, 6))
+
+
+def test_dedup_survivors_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import dedup_survivors
+
+    docs = _docs(
+        spark,
+        [(1, "t", 10), (2, "t", 20), (3, "t", 20), (4, "t", 5)],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster long"
+    )
+    got = {
+        r["cluster"]: (r["survivor_id"], r["n_members"])
+        for r in dedup_survivors(docs, clusters).collect()
+    }
+    # cluster 1: docs 2 and 3 tie on length 20 -> smaller id (2) survives
+    assert got == {1: (2, 3), 4: (4, 1)}

@@ -122,3 +122,46 @@ def test_media_features_single_python_stage(spark):
     plan = _plan(spark, "media_features")
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan  # narrow: scan -> derive -> extract
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    plan = _plan(spark, "decontaminate")
+    # the eval shingle set is benchmark-sized: it must broadcast, and the
+    # corpus side must stream through with NO sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_ngram_stats_partial_agg(spark):
+    plan = _plan(spark, "dup_ngram_stats")
+    # shingle document-frequency aggregate must partial-aggregate map-side
+    # (the exploded index is the big intermediate; the shuffle moves
+    # (shingle, partial count), never raw exploded rows twice)
+    assert plan.count("HashAggregate") >= 4  # df agg + per-doc agg, 2 each
+    # the shingle-df join is stats-driven: at sf0.001 Catalyst broadcasts
+    # the tiny df table (correct there). The scale property to pin is that
+    # NOTHING in the operator forces a broadcast — with the threshold off
+    # (simulating a corpus-sized df table) the plan must degrade to a
+    # shuffled join on the shingle key, not fail or replan a broadcast.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = _plan(spark, "dup_ngram_stats")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin [shingle" in big or "ShuffledHashJoin [shingle" in big
+
+
+def test_token_entropy_two_shuffles_only(spark):
+    plan = _plan(spark, "token_entropy")
+    # (doc,term) count -> per-doc entropy: the term aggregate and the
+    # doc-level window/agg; plus the final left-join back to doc ids
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_tpch_q15_no_global_sort_for_max(spark):
+    plan = _plan(spark, "tpch_q15")
+    # the scalar max comes from an aggregate joined back, never a global
+    # sort-limit over per-supplier revenue
+    assert "TakeOrderedAndProject" not in plan or "Sort [s_suppkey" not in plan
+    assert "BroadcastHashJoin" in plan

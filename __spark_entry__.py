@@ -1357,6 +1357,306 @@ def _tpch_q17(spark, sf_dir):
     )
 
 
+def _tpch_q2(spark, sf_dir):
+    """TPC-H Q2 adapted (no partsupp table): the part-supplier "offer"
+    relation is derived from lineitem — a supplier's offer cost for a part
+    is its MINIMUM observed unit price (min, not avg: min is exact and
+    order-independent, so the correlated-min equality is bit-identical
+    across engines). The correlated `min(ps_supplycost)` subquery becomes
+    a per-part min aggregate broadcast-joined back — the classic Spark
+    decorrelation, no per-row subquery."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+        .alias("offer_cost")
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min("offer_cost").alias("_best")
+    ).withColumnRenamed("l_partkey", "_pk")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers.l_partkey == F.col("_pk"))
+            & (offers.offer_cost == F.col("_best")),
+        )
+        .join(supp, offers.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_acctbal", "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            "offer_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def _tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_3's share of ECONOMY-part
+    revenue sold into ASIA, by order year. Nation and region dims
+    broadcast; the share is a conditional-sum ratio inside one aggregate
+    (never two scans)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def _tpch_q9(spark, sf_dir):
+    """TPC-H Q9 adapted (no ps_supplycost): per-line profit uses
+    p_retailprice * 0.1 * quantity as the cost proxy. Profit by supplier
+    nation and order year over 'red' parts."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def _tpch_q11(spark, sf_dir):
+    """TPC-H Q11 adapted (no partsupp): per-part "inventory value" is the
+    revenue shipped by NATION_0 suppliers; parts above 0.01% of the total
+    survive. Each line's price is rounded to integer CENTS before summing
+    so both the per-part values and the global threshold are exact
+    integer arithmetic — no float-sum order dependence at the strict
+    inequality. The scalar total broadcasts back over the per-part
+    aggregate."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_part = (
+        li.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation),
+                    supp.s_nationkey == nation.n_nationkey,
+                ).select("s_suppkey")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("_cents"))
+    )
+    total = per_part.agg(F.sum("_cents").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_cents") * 10000 > F.col("_total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("_cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def _tpch_q16(spark, sf_dir):
+    """TPC-H Q16 adapted: supplier count per (brand, type, size) over the
+    DISTINCT part-supplier pairs observed in lineitem (the partsupp
+    stand-in), excluding Brand#13, restricting to odd sizes, and
+    excluding "complaint" suppliers (negative account balance — the
+    deterministic proxy for the comment scan). The exclusion is an
+    anti-join, never a collected NOT-IN list."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 3, 5, 7, 9)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def _tpch_q20(spark, sf_dir):
+    """TPC-H Q20 adapted (no partsupp.availqty): a NATION_1 supplier has
+    "excess stock" in a red part if its all-time shipped quantity of that
+    part exceeds half of the part's total 1996 shipments across all
+    suppliers. Nested semi-join chain: threshold aggregate -> qualifying
+    (part, supplier) pairs -> left-semi into supplier. Quantities are
+    integral doubles, so the sums are exact."""
+    red = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(red), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    part96 = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("qty96"))
+        .withColumnRenamed("l_partkey", "_pk")
+    )
+    excess = per_ps.join(
+        F.broadcast(part96), F.col("l_partkey") == F.col("_pk")
+    ).filter(F.col("qty") > 0.5 * F.col("qty96"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        supp.join(
+            excess.select("l_suppkey").distinct(),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def _tpch_q21(spark, sf_dir):
+    """TPC-H Q21 adapted (no commit/receipt dates): a supplier "kept an
+    order waiting" if, in a finished multi-supplier order, it is the ONLY
+    supplier that shipped late (> 60 days after the order date). The
+    EXISTS / NOT EXISTS pair of the original becomes two aggregate flags
+    — per-(order, supplier) any_late, then per-order supplier and
+    late-supplier counts — so there is no correlated per-row probe, just
+    two hash aggregations that reuse the same shuffle key."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("any_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+    )
+    waiting = (
+        per_os.filter(F.col("any_late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+def _tpch_q22(spark, sf_dir):
+    """TPC-H Q22 adapted (no c_phone): the "country code" is
+    c_custkey % 7, selected codes are 0-4. Customers with above-average
+    positive balance and no RECENT orders (anti-join against the
+    1999-onward order slice — every synthetic customer has some historic
+    order, so the unscoped anti-join would be vacuously empty) grouped by
+    code. The scalar average broadcasts back over the filtered customer
+    scan."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_custkey") % 7).cast("int")
+    ).filter(F.col("cntrycode").isin(0, 1, 2, 3, 4))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def _dup_ngram_stats(spark, sf_dir):
     """Corpus-level duplicate n-gram mass per document."""
     from pdf_extractor_spark.operators.curation import dup_ngram_stats
@@ -1422,15 +1722,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _tpch_q4,
         "tpch_q5": _tpch_q5,
         "tpch_q6": _tpch_q6,
+        "tpch_q2": _tpch_q2,
         "tpch_q7": _tpch_q7,
+        "tpch_q8": _tpch_q8,
+        "tpch_q9": _tpch_q9,
         "tpch_q10": _tpch_q10,
+        "tpch_q11": _tpch_q11,
         "tpch_q12": _tpch_q12,
         "tpch_q13": _tpch_q13,
         "tpch_q14": _tpch_q14,
         "tpch_q15": _tpch_q15,
+        "tpch_q16": _tpch_q16,
         "tpch_q17": _tpch_q17,
         "tpch_q18": _tpch_q18,
         "tpch_q19": _tpch_q19,
+        "tpch_q20": _tpch_q20,
+        "tpch_q21": _tpch_q21,
+        "tpch_q22": _tpch_q22,
         "top_revenue_orders": _top_revenue_orders,
         "customers_per_region": _customers_per_region,
         # extraction-domain operators (columnar twins of pipeline stages)
@@ -2596,6 +2904,114 @@ SELECT c.event_id, c.user_id, c.ts,
        round(p.purchase_value, 6) AS asof_purchase_value
 FROM c ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND c.ts >= p.purchase_ts"""
+    sql["tpch_q2"] = (
+        "WITH offers AS (SELECT l_partkey, l_suppkey, "
+        "round(min(l_extendedprice / l_quantity), 4) AS offer_cost "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_size = 5 AND p_type = 'STANDARD' GROUP BY 1, 2) "
+        "SELECT s_acctbal, s_name, n_name AS nation, "
+        "l_partkey AS p_partkey, offer_cost "
+        "FROM offers JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE offer_cost = (SELECT min(o2.offer_cost) FROM offers o2 "
+        "WHERE o2.l_partkey = offers.l_partkey) "
+        "ORDER BY s_acctbal DESC, nation, s_name, p_partkey LIMIT 100"
+    )
+    sql["tpch_q8"] = (
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        "round(sum(CASE WHEN n1.n_name = 'NATION_3' THEN "
+        "l_extendedprice * (1 - l_discount) ELSE 0.0 END) / "
+        "sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "JOIN region ON n2.n_regionkey = r_regionkey "
+        "WHERE p_type = 'ECONOMY' AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    sql["tpch_q9"] = (
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+        "round(sum(l_extendedprice * (1 - l_discount) - "
+        "p_retailprice * 0.1 * l_quantity), 2) AS sum_profit "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_name LIKE '%red%' "
+        "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+    )
+    sql["tpch_q11"] = (
+        "WITH per_part AS (SELECT l_partkey, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_0' GROUP BY 1) "
+        "SELECT l_partkey, round(cents / 100.0, 2) AS part_value "
+        "FROM per_part "
+        "WHERE cents * 10000 > (SELECT sum(cents) FROM per_part) "
+        "ORDER BY part_value DESC, l_partkey"
+    )
+    sql["tpch_q16"] = (
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#13' AND p_size IN (1, 3, 5, 7, 9) "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+        "WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2, 3 "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    )
+    sql["tpch_q20"] = (
+        "WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'), "
+        "li AS (SELECT l_partkey, l_suppkey, l_quantity, l_shipdate "
+        "FROM lineitem JOIN red ON l_partkey = p_partkey), "
+        "per_ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty "
+        "FROM li GROUP BY 1, 2), "
+        "part96 AS (SELECT l_partkey, sum(l_quantity) AS qty96 FROM li "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1) "
+        "SELECT s_name, s_acctbal FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_1' AND s_suppkey IN ("
+        "SELECT l_suppkey FROM per_ps JOIN part96 USING (l_partkey) "
+        "WHERE qty > 0.5 * qty96) "
+        "ORDER BY s_name"
+    )
+    sql["tpch_q21"] = (
+        "WITH per_os AS (SELECT l_orderkey, l_suppkey, "
+        "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "THEN 1 ELSE 0 END) AS any_late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+        "per_o AS (SELECT l_orderkey, count(*) AS n_supp, "
+        "sum(any_late) AS n_late_supp FROM per_os GROUP BY 1) "
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM per_os JOIN per_o USING (l_orderkey) "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE any_late = 1 AND n_supp > 1 AND n_late_supp = 1 "
+        "AND n_name = 'NATION_2' "
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"
+    )
+    sql["tpch_q22"] = (
+        "WITH cust AS (SELECT c_custkey, c_acctbal, "
+        "CAST(c_custkey % 7 AS INT) AS cntrycode FROM customer "
+        "WHERE c_custkey % 7 IN (0, 1, 2, 3, 4)) "
+        "SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, "
+        "round(sum(c_acctbal), 2) AS totacctbal FROM cust "
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust "
+        "WHERE c_acctbal > 0.0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '1999-01-01') "
+        "GROUP BY 1 ORDER BY 1"
+    )
     sql["tpch_q13"] = (
         "SELECT CAST(c_count AS BIGINT) AS c_count, "
         "CAST(count(*) AS BIGINT) AS custdist FROM ("

@@ -1682,6 +1682,42 @@ def _token_entropy(spark, sf_dir):
     return token_entropy(_t_wide(spark, sf_dir, "documents"))
 
 
+def _line_dedup(spark, sf_dir):
+    """CCNet-style duplicate-line removal over the documents table:
+    3-token lines, corpus-wide occurrence > 2 -> boilerplate, dropped."""
+    from pdf_extractor_spark.operators.curation import line_dedup
+
+    return line_dedup(
+        _t_wide(spark, sf_dir, "documents"), chunk=3, max_occ=2
+    )
+
+
+def _pii_scrub(spark, sf_dir):
+    """PII masking over a deterministically PII-augmented corpus: each doc
+    gets a synthetic email / phone / IPv4 derived from its doc_id (the
+    raw corpus has none), then the scrubber masks them back out. The
+    augmentation is part of the query so the oracle can replicate it."""
+    from pdf_extractor_spark.operators.curation import pii_scrub
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            ((did * 7) % 256).cast("string"),
+        ),
+    )
+    return pii_scrub(aug)
+
+
 def _dedup_survivors(spark, sf_dir):
     """End of the dedup pipeline: minhash pairs -> connected components ->
     one canonical survivor per cluster (longest text, ties to smallest id)."""
@@ -1764,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": _dup_ngram_stats,
         "decontaminate": _decontaminate,
         "token_entropy": _token_entropy,
+        "line_dedup": _line_dedup,
+        "pii_scrub": _pii_scrub,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
@@ -3090,6 +3128,56 @@ ent AS (
 SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
        coalesce(entropy, 0.0) AS entropy
 FROM documents d LEFT JOIN ent USING (doc_id)
+"""
+    # line_dedup: 3-token chunk lines, corpus-wide occurrence > 2 dropped,
+    # text rebuilt from surviving lines in position order.
+    sql["line_dedup"] = f"""
+WITH tok AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = ''
+                  THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END AS toks
+             FROM documents),
+ln AS (SELECT doc_id,
+              unnest(range(0, CAST(ceil(len(toks)/3.0) AS INT))) AS pos,
+              toks
+       FROM tok),
+l2 AS (SELECT doc_id, pos,
+              array_to_string(list_slice(toks, pos*3+1, pos*3+3), ' ') AS line
+       FROM ln),
+freq AS (SELECT line, count(*) AS occ FROM l2 GROUP BY 1),
+kept AS (SELECT doc_id, count(*) AS n_kept,
+                array_to_string(list(line ORDER BY pos), ' ') AS cleaned_text
+         FROM l2 JOIN freq USING (line) WHERE occ <= 2 GROUP BY 1),
+nl AS (SELECT doc_id, CAST(ceil(len(toks)/3.0) AS BIGINT) AS n_lines FROM tok)
+SELECT d.doc_id, nl.n_lines,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(cleaned_text, '') AS cleaned_text
+FROM documents d JOIN nl USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+    # pii_scrub: identical pattern strings (Java ∩ RE2 subset) run in both
+    # engines; DuckDB needs the 'g' flag to match Spark's replace-all.
+    from pdf_extractor_spark.operators.curation import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    _aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or +1-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+        "CAST((doc_id * 7) % 256 AS VARCHAR)"
+    )
+    sql["pii_scrub"] = f"""
+WITH aug AS (SELECT doc_id, {_aug} AS text FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(
+    text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+    '{PII_PHONE}', '<PHONE>', 'g'),
+    '{PII_IPV4}', '<IP>', 'g') AS scrubbed
+FROM aug
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

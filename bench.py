@@ -65,6 +65,8 @@ HEADLINE = [
     "dup_ngram_stats",
     "token_entropy",
     "decontaminate",
+    "line_dedup",
+    "pii_scrub",
     "pack_sequences",
     "html_main_content",
     "layout_text",

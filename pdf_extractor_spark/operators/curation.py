@@ -14,6 +14,16 @@ corpus-LEVEL quality/dedup signals that complement the per-row textstats:
                         KEEP (longest text, ties to smallest id) — the
                         final step that turns pair detection into an
                         actual deduplicated corpus.
+  * line_dedup        — CCNet-style duplicate-LINE removal: drop every
+                        line whose corpus-wide occurrence count exceeds a
+                        threshold, and rebuild the document from the
+                        surviving lines in order. ("Lines" are fixed
+                        token-count chunks — the synthetic corpus has no
+                        newlines.)
+  * pii_scrub         — columnar PII masking (email / phone / IPv4 ->
+                        typed placeholders) with per-doc match counts;
+                        regexes kept in the Java ∩ RE2 dialect subset so
+                        the DuckDB oracle runs the same patterns.
 
 All pure DataFrame ops with DuckDB oracles in __spark_entry__.py.
 
@@ -155,6 +165,105 @@ def token_entropy(
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
         )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 8,
+    max_occ: int = 1,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, cleaned_text) — CCNet-style duplicate-line
+    removal. Every document is split into consecutive `chunk`-token lines;
+    a line whose occurrence count across the WHOLE corpus exceeds
+    `max_occ` is boilerplate and is dropped from every document; the
+    cleaned text is the surviving lines re-joined in original order.
+
+    Physical shape: posexplode lines -> line-frequency aggregate (map-side
+    combine on the line key; the frequency table is corpus-sized and joins
+    back by SHUFFLE, with AQE free to broadcast when small) -> per-doc
+    rebuild via collect_list(struct(pos, line)) + array_sort, which is
+    order-correct regardless of shuffle order. One line-key shuffle, one
+    doc-key shuffle — no window, no UDF."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    n_lines = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    lines = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk + 1, chunk), " "
+            ),
+        )
+    )
+    base = df.select(F.col(id_col), lines.alias("_lines"))
+    exploded = base.select(
+        F.col(id_col).alias("id"),
+        F.posexplode("_lines").alias("pos", "line"),
+    )
+    freq = exploded.groupBy("line").agg(F.count("*").alias("occ"))
+    kept = (
+        exploded.join(freq, "line")
+        .filter(F.col("occ") <= max_occ)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    return (
+        base.join(kept, base[id_col] == kept.id, "left")
+        .select(
+            F.col(id_col),
+            F.size("_lines").cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+# PII patterns restricted to the Java ∩ RE2 regex subset (character
+# classes, bounded repetition, \b word boundary) so Spark and the DuckDB
+# oracle execute the IDENTICAL pattern strings.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, scrubbed) — mask emails, then
+    phone numbers, then IPv4 addresses with typed placeholders, counting
+    matches BEFORE masking. Fully columnar (regexp_count/regexp_replace in
+    whole-stage codegen): a narrow map over the corpus, no shuffle, no
+    Python — the shape that streams through 100 TB at scan speed.
+
+    Masking order matters and is part of the contract: emails are masked
+    first so their host dots can never be re-matched as IPv4 octets."""
+    text = F.col(text_col)
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(text, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        scrub.alias("scrubbed"),
     )
 
 

@@ -73,6 +73,62 @@ def test_token_entropy_hand_computed(spark):
     assert got[4] == (4, round(h4, 6))
 
 
+def test_line_dedup_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import line_dedup
+
+    # chunk=2 lines; "a b" appears in docs 1 and 2 and twice in doc 3
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d", 7),   # lines: "a b", "c d"
+            (2, "a b x", 5),     # lines: "a b", "x"
+            (3, "a b a b", 7),   # lines: "a b", "a b"
+            (4, "", 0),          # no lines
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["cleaned_text"])
+        for r in line_dedup(docs, chunk=2, max_occ=3).collect()
+    }
+    # "a b" occurs 4 times corpus-wide > 3 -> dropped everywhere
+    assert got == {
+        1: (2, 1, "c d"),
+        2: (2, 1, "x"),
+        3: (2, 0, ""),
+        4: (0, 0, ""),
+    }
+    # with a looser threshold everything survives, in original order
+    loose = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in line_dedup(docs, chunk=2, max_occ=4).collect()
+    }
+    assert loose[1] == "a b c d" and loose[3] == "a b a b"
+
+
+def test_pii_scrub_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import pii_scrub
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail bob.smith@corp.example.org now", 30),
+            (2, "call +1-555-0042 or 1-555-9999", 30),
+            (3, "host 192.168.0.1 and 10.0.0.255", 30),
+            (4, "clean text only", 15),
+        ],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_emails"], r["n_phones"], r["n_ips"], r["scrubbed"]
+        )
+        for r in pii_scrub(docs).collect()
+    }
+    assert got[1] == (1, 0, 0, "mail <EMAIL> now")
+    assert got[2] == (0, 2, 0, "call <PHONE> or <PHONE>")
+    assert got[3] == (0, 0, 2, "host <IP> and <IP>")
+    assert got[4] == (0, 0, 0, "clean text only")
+
+
 def test_dedup_survivors_hand_computed(spark):
     from pdf_extractor_spark.operators.curation import dedup_survivors
 

@@ -1718,6 +1718,45 @@ def _pii_scrub(spark, sf_dir):
     return pii_scrub(aug)
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic messy-URL synthesis from the documents table: mixed
+    scheme case, WWW./Example.COM host case, default and non-default
+    ports, utm_* tracking params around a real id param, fragments on
+    every 5th doc. The mess is the test fixture for normalization."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    port = (
+        F.when(did % 3 == 0, F.lit(":443"))
+        .when(did % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 5 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url",
+        F.concat(
+            scheme, F.lit("://WWW."), F.col("source"),
+            F.lit(".Example.COM"), port,
+            F.lit("/Page/"), (did % 50).cast("string"),
+            F.lit("?utm_source=feed&utm_id="), (did % 7).cast("string"),
+            F.lit("&id="), did.cast("string"),
+            frag,
+        ),
+    )
+
+
+def _url_normalize(spark, sf_dir):
+    from pdf_extractor_spark.operators.urls import url_normalize
+
+    return url_normalize(_synth_urls(spark, sf_dir))
+
+
+def _host_stats(spark, sf_dir):
+    from pdf_extractor_spark.operators.urls import host_stats
+
+    return host_stats(_synth_urls(spark, sf_dir))
+
+
 def _dedup_survivors(spark, sf_dir):
     """End of the dedup pipeline: minhash pairs -> connected components ->
     one canonical survivor per cluster (longest text, ties to smallest id)."""
@@ -1802,6 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": _token_entropy,
         "line_dedup": _line_dedup,
         "pii_scrub": _pii_scrub,
+        "url_normalize": _url_normalize,
+        "host_stats": _host_stats,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
@@ -3178,6 +3219,56 @@ SELECT doc_id,
     '{PII_PHONE}', '<PHONE>', 'g'),
     '{PII_IPV4}', '<IP>', 'g') AS scrubbed
 FROM aug
+"""
+    # url_normalize / host_stats: identical synthesis + normalization
+    # replicated in SQL (same regex strings, list_filter for utm_* drop).
+    _url_synth = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || "
+        "'://WWW.' || source || '.Example.COM' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ':443' "
+        "WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) || "
+        "'/Page/' || CAST(doc_id % 50 AS VARCHAR) || "
+        "'?utm_source=feed&utm_id=' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'&id=' || CAST(doc_id AS VARCHAR) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END)"
+    )
+    _url_parts = (
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) "
+        "AS scheme, "
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) "
+        "AS hostport, "
+        "regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path, "
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query"
+    )
+    _url_port = "regexp_extract(hostport, ':([0-9]+)$', 1)"
+    _url_rebuild = (
+        "lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host, "
+        "scheme || '://' || lower(regexp_replace(hostport, ':[0-9]+$', '')) "
+        f"|| (CASE WHEN {_url_port} = '' "
+        f"OR (scheme = 'http' AND {_url_port} = '80') "
+        f"OR (scheme = 'https' AND {_url_port} = '443') "
+        f"THEN '' ELSE ':' || {_url_port} END) || path || "
+        "(CASE WHEN len(list_filter(string_split(query, '&'), "
+        "p -> p <> '' AND NOT regexp_matches(p, '^utm_'))) > 0 "
+        "THEN '?' || array_to_string(list_filter(string_split(query, '&'), "
+        "p -> p <> '' AND NOT regexp_matches(p, '^utm_')), '&') "
+        "ELSE '' END) AS norm_url"
+    )
+    sql["url_normalize"] = f"""
+WITH aug AS (SELECT doc_id, {_url_synth} AS url FROM documents),
+parts AS (SELECT doc_id, {_url_parts} FROM aug)
+SELECT doc_id, {_url_rebuild} FROM parts
+"""
+    sql["host_stats"] = f"""
+WITH aug AS (SELECT doc_id, {_url_synth} AS url FROM documents),
+parts AS (SELECT doc_id, {_url_parts} FROM aug),
+norm AS (SELECT doc_id, {_url_rebuild} FROM parts)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT norm_url) AS BIGINT) AS distinct_urls,
+       round(avg(n_chars), 4) AS avg_chars
+FROM norm JOIN documents USING (doc_id)
+GROUP BY 1 ORDER BY 1
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -67,6 +67,8 @@ HEADLINE = [
     "decontaminate",
     "line_dedup",
     "pii_scrub",
+    "url_normalize",
+    "host_stats",
     "pack_sequences",
     "html_main_content",
     "layout_text",

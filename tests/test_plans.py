@@ -159,6 +159,29 @@ def test_token_entropy_two_shuffles_only(spark):
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_pii_scrub_narrow_zero_shuffle(spark):
+    plan = _plan(spark, "pii_scrub")
+    # columnar regex masking is a pure map: the only Exchange allowed is
+    # the _t_wide ingest repartition (parallelism over one parquet file),
+    # never an operator-induced shuffle; and no Python stage
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_url_normalize_narrow_zero_shuffle(spark):
+    plan = _plan(spark, "url_normalize")
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_host_stats_partial_agg(spark):
+    plan = _plan(spark, "host_stats")
+    # hosts are heavy-hitter keys in real crawls: the rollup must
+    # partial-aggregate map-side so the shuffle carries one row per
+    # (mapper, host), not one row per document
+    assert "partial_count" in plan or "partial_finalmerge" in plan.lower()
+
+
 def test_tpch_q15_no_global_sort_for_max(spark):
     plan = _plan(spark, "tpch_q15")
     # the scalar max comes from an aggregate joined back, never a global

@@ -1,0 +1,58 @@
+"""Hand-computed URL normalization cases, including every rule's edge."""
+
+
+def _u(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+
+
+def test_url_normalize_hand_computed(spark):
+    from pdf_extractor_spark.operators.urls import url_normalize
+
+    docs = _u(
+        spark,
+        [
+            # https default port stripped, host+scheme lowercased,
+            # fragment dropped, utm_* dropped, real param kept
+            (1, "HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&id=7#frag", 0),
+            # http with :443 is NOT the default -> port kept
+            (2, "http://ex.com:443/p", 0),
+            # http default port stripped
+            (3, "HTTP://EX.com:80/p?a=1&b=2", 0),
+            # only tracking params -> the whole query (and '?') drops
+            (4, "https://ex.com/p?utm_a=1&utm_b=2", 0),
+            # path case preserved, non-default port kept
+            (5, "https://Ex.Com:8443/CaseSensitive/Path", 0),
+            # no port, no query, no fragment: unchanged except case
+            (6, "https://ex.com/x", 0),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["host"], r["norm_url"])
+        for r in url_normalize(docs).collect()
+    }
+    assert got[1] == ("www.ex.com", "https://www.ex.com/A/b?id=7")
+    assert got[2] == ("ex.com", "http://ex.com:443/p")
+    assert got[3] == ("ex.com", "http://ex.com/p?a=1&b=2")
+    assert got[4] == ("ex.com", "https://ex.com/p")
+    assert got[5] == ("ex.com", "https://ex.com:8443/CaseSensitive/Path")
+    assert got[6] == ("ex.com", "https://ex.com/x")
+
+
+def test_host_stats_hand_computed(spark):
+    from pdf_extractor_spark.operators.urls import host_stats
+
+    docs = _u(
+        spark,
+        [
+            # same canonical URL spelled two ways -> 1 distinct URL
+            (1, "HTTPS://A.com:443/p?utm_x=1", 10),
+            (2, "https://a.COM/p", 30),
+            (3, "https://a.com/q", 20),
+            (4, "https://b.com/p", 40),
+        ],
+    )
+    got = {
+        r["host"]: (r["n_docs"], r["distinct_urls"], r["avg_chars"])
+        for r in host_stats(docs).collect()
+    }
+    assert got == {"a.com": (3, 2, 20.0), "b.com": (1, 1, 40.0)}

@@ -549,6 +549,40 @@ def _embedding_neardup(spark, sf_dir):
     )
 
 
+def _semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the seeded near-duplicate corpus
+    (the base testdata has no natural near-dups — max pairwise cosine
+    ~0.47): K=16 deterministic coarse centroids over the augmented set,
+    within-cluster pairwise cosine >= 0.95 drops the later id. Centroids
+    are index state, cached like ivf_ann_topk's."""
+    from pdf_extractor_spark.operators.similarity import ivf_centroids, semdedup
+
+    emb = _augmented_embeddings(spark, sf_dir)
+    key = (os.path.abspath(sf_dir), "aug16")
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = ivf_centroids(emb, 16)
+        _IVF_CENTROID_CACHE[key] = cents
+    return semdedup(emb, cents, threshold=0.95)
+
+
+def _mix_weights(spark, sf_dir):
+    """Data-mixing weights: reshape the corpus's per-source token mass into
+    a deterministic non-uniform target (src k gets (k+1)/210 of the mix)."""
+    from pdf_extractor_spark.operators.curation import mix_weights
+
+    targets = {f"src{k}": (k + 1) / 210.0 for k in range(20)}
+    return mix_weights(_t(spark, sf_dir, "documents"), targets)
+
+
+def _global_shuffle(spark, sf_dir):
+    """Deterministic global training order (seeded md5 ranking) with the
+    sharded two-level position assignment — no corpus-wide window."""
+    from pdf_extractor_spark.operators.curation import global_shuffle
+
+    return global_shuffle(_t(spark, sf_dir, "documents"), seed="shuf1")
+
+
 def _page_filter(spark, sf_dir):
     """Page-range predicate (reference extractor.py:46-51 semantics) over a
     deterministic interleaved span layout derived from each document's
@@ -1843,11 +1877,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "url_normalize": _url_normalize,
         "host_stats": _host_stats,
+        "mix_weights": _mix_weights,
+        "global_shuffle": _global_shuffle,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
         "embedding_neardup": _embedding_neardup,
+        "semdedup": _semdedup,
         "avg_time_tiers": _avg_time_tiers,
         "span_validations": _span_validations,
         # validation auto-repair + template table matching
@@ -2702,6 +2739,89 @@ ranked AS (
                             ORDER BY cosine DESC, id) AS rank
   FROM scored)
 SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+    # semdedup: same deterministic quantizer as ivf_ann_topk but over the
+    # seeded-near-dup augmented corpus; within-cluster pairwise cosine via
+    # the sequential fold, drop-the-later-id rule replicated exactly.
+    aug_cte = """aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, (x, i) -> CASE WHEN i - 1 = vec_id % 64
+             THEN CAST(0.0 AS FLOAT) ELSE x END) AS embedding
+  FROM embeddings)"""
+    sql["semdedup"] = f"""
+WITH {aug_cte},
+params AS (SELECT greatest(1, count(*) // 16) AS stride FROM aug),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM aug, params WHERE vec_id % stride = 0
+  ORDER BY vec_id LIMIT 16),
+assign0 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM aug e, seeds c),
+a0 AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+cells AS (
+  SELECT a0.cid, comp.d, avg(comp.x) AS m
+  FROM a0 JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM aug) comp USING (vec_id)
+  GROUP BY 1, 2),
+refined AS (SELECT cid, list(m ORDER BY d) AS cv FROM cells GROUP BY 1),
+cents AS (
+  SELECT s.cid, coalesce(r.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN refined r USING (cid)),
+corpus_assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM aug e, cents c),
+ca AS (SELECT vec_id, cid FROM corpus_assign WHERE rn = 1),
+pairs AS (
+  SELECT b.vec_id AS id2, a.vec_id AS id1,
+         {_sql_cosine('e1.embedding', 'e2.embedding')} AS cosine
+  FROM ca a JOIN ca b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN aug e1 ON e1.vec_id = a.vec_id
+  JOIN aug e2 ON e2.vec_id = b.vec_id),
+dup AS (SELECT id2 AS vec_id, min(id1) AS dup_of
+        FROM pairs WHERE cosine >= 0.95 GROUP BY 1)
+SELECT ca.vec_id, CAST(ca.cid AS INT) AS cluster, dup.dup_of,
+       dup.dup_of IS NULL AS keep
+FROM ca LEFT JOIN dup USING (vec_id)
+"""
+    # mix_weights: per-source token mass -> sampling weight toward the
+    # deterministic (k+1)/210 target mixture. weight divides the ROUNDED
+    # target by the raw corpus fraction, matching the Spark column order.
+    tgt = "round((CAST(substr(source, 4) AS INT) + 1) / 210.0, 6)"
+    sql["mix_weights"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len({_TOKS}) END) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_tokens) AS t FROM per)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_tokens / t, 6) AS corpus_frac,
+       {tgt} AS target_frac,
+       CASE WHEN n_tokens > 0
+            THEN round({tgt} / (n_tokens / t), 6)
+            ELSE 0.0 END AS weight
+FROM per, tot
+"""
+    # global_shuffle: the oracle IS the naive global ranking; the Spark
+    # side's sharded two-level positions must reproduce it exactly because
+    # the shard is the md5 key's hex prefix.
+    shuf_key = "md5('shuf1_' || CAST(doc_id AS VARCHAR))"
+    sql["global_shuffle"] = f"""
+SELECT doc_id,
+       CAST(CAST('0x' || substr({shuf_key}, 1, 2) AS BIGINT) AS INT) AS shard,
+       CAST(row_number() OVER (ORDER BY {shuf_key}, doc_id) AS BIGINT)
+           AS shuffle_pos
+FROM documents
 """
     # html family: rebuild the synthesized page, the noise strip, the block
     # split, and the per-block features in DuckDB with the SAME pattern

@@ -69,6 +69,8 @@ HEADLINE = [
     "pii_scrub",
     "url_normalize",
     "host_stats",
+    "mix_weights",
+    "global_shuffle",
     "pack_sequences",
     "html_main_content",
     "layout_text",
@@ -83,6 +85,7 @@ HEADLINE = [
     "dedup_survivors",
     "simhash_neardup",
     "embedding_neardup",
+    "semdedup",
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingle_index
-from .textstats import tokens_col
+from .textstats import token_count, tokens_col
 
 
 def dup_ngram_stats(
@@ -264,6 +264,99 @@ def pii_scrub(
         F.regexp_count(text, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         F.regexp_count(text, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
         scrub.alias("scrubbed"),
+    )
+
+
+def mix_weights(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, corpus_frac, target_frac, weight) — the
+    data-mixing step of a training pipeline: given the corpus's actual
+    per-source token mass and a TARGET mixture (fractions summing to 1),
+    the per-source sampling/repetition weight that reshapes the corpus into
+    the target: weight = target_frac / corpus_frac. weight < 1 means
+    downsample the source, > 1 means repeat it (epoch oversampling).
+
+    Scale: one per-source aggregate with map-side combine — the result is
+    sources-sized (dozens of rows), so the total-token denominator is a
+    broadcast cross join of a 1-row frame, never a global window."""
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    target = F.coalesce(
+        *[
+            F.when(F.col("source") == k, F.lit(float(v)))
+            for k, v in sorted(targets.items())
+        ],
+        F.lit(0.0),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .withColumn("corpus_frac", F.round(F.col("n_tokens") / F.col("_tot"), 6))
+        .withColumn("target_frac", F.round(target, 6))
+        .withColumn(
+            "weight",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("target_frac") / (F.col("n_tokens") / F.col("_tot")), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "corpus_frac", "target_frac", "weight"
+        )
+    )
+
+
+def global_shuffle(
+    df: DataFrame, seed: str = "shuf1", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shard, shuffle_pos) — deterministic global training order:
+    every document gets a unique 1-based position, ordered by
+    md5(seed || '_' || doc_id). Rerun-stable (same seed => same order on
+    any cluster size) — the reproducible alternative to RNG shuffles for
+    epoch ordering.
+
+    Scale shape: a naive global row_number() is a single-partition window.
+    Instead the md5 key's FIRST BYTE is the shard (the hex prefix, so
+    (shard, key) order == key order), positions are per-shard windows, and
+    the global offset of each shard is a running sum over the 256-row
+    shard-count table — the only single-partition step touches 256 rows,
+    never the corpus. One shuffle on the shard key, as any global sort
+    would need; unlike a sort, the heavy side never compares keys across
+    shards."""
+    key = F.md5(F.concat(F.lit(seed + "_"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("shard"),
+    )
+    counts = base.groupBy("shard").agg(F.count("*").alias("_n"))
+    offsets = counts.select(
+        "shard",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (
+        base.join(F.broadcast(offsets), "shard")
+        .select(
+            F.col(id_col),
+            "shard",
+            (F.col("_off") + F.row_number().over(w)).cast("long").alias(
+                "shuffle_pos"
+            ),
+        )
     )
 
 

@@ -253,6 +253,60 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cluster, dup_of, keep) — SemDeDup-style semantic
+    deduplication (the published embedding-cluster scheme from the public
+    LM data-curation literature): vectors are assigned to their nearest
+    coarse centroid, pairwise cosine is computed ONLY within a cluster,
+    and a vector is dropped (keep = false) iff some SMALLER-id member of
+    its cluster sits within the threshold; dup_of is the smallest such id
+    (the survivor it duplicates).
+
+    Scale: the point of the scheme is that K grows with the corpus so
+    cluster size stays ~corpus/K bounded — within-cluster pairing is the
+    per-partition quadratic the paper accepts, never corpus-quadratic.
+    Centroids are index state (ivf_centroids, built once at write time);
+    the self-join keys on the cluster id, and the assigned frame is
+    lazily checkpointed so the pandas-UDF assignment runs once, not once
+    per join side."""
+    assign1 = _assign_udf(centroids, 1)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
+    ).localCheckpoint(eager=False)
+    a = c.select("cluster", F.col("id").alias("id1"), F.col("vec").alias("v1"))
+    b = c.select("cluster", F.col("id").alias("id2"), F.col("vec").alias("v2"))
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id2",
+            "id1",
+            F.round(
+                _dot(F.col("v1"), F.col("v2"))
+                / (_norm(F.col("v1")) * _norm(F.col("v2"))),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("id2")
+        .agg(F.min("id1").alias("dup_of"))
+    )
+    return c.join(dup, c.id == dup.id2, "left").select(
+        F.col("id").alias(id_col),
+        "cluster",
+        "dup_of",
+        F.col("dup_of").isNull().alias("keep"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -145,3 +145,96 @@ def test_dedup_survivors_hand_computed(spark):
     }
     # cluster 1: docs 2 and 3 tie on length 20 -> smaller id (2) survives
     assert got == {1: (2, 3), 4: (4, 1)}
+
+
+def test_mix_weights_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import mix_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "web"),   # 4 tokens
+            (2, "a b", "web"),       # 2 tokens
+            (3, "x y z w", "books"), # 4 tokens
+            (4, "", "empty"),        # 0 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in mix_weights(
+            docs, {"web": 0.5, "books": 0.5, "empty": 0.0}
+        ).collect()
+    }
+    # total tokens = 10: web 6/10, books 4/10, empty 0
+    assert got["web"]["n_docs"] == 2 and got["web"]["n_tokens"] == 6
+    assert got["web"]["corpus_frac"] == 0.6
+    assert got["web"]["weight"] == round(0.5 / 0.6, 6)
+    assert got["books"]["weight"] == 1.25
+    assert got["empty"]["weight"] == 0.0
+    # invariant: weight * corpus_frac recovers the target mixture
+    for r in got.values():
+        assert abs(r["weight"] * r["corpus_frac"] - r["target_frac"]) < 1e-5
+
+
+def test_global_shuffle_matches_naive_ranking(spark):
+    import hashlib
+
+    from pdf_extractor_spark.operators.curation import global_shuffle
+
+    ids = list(range(97))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["shuffle_pos"])
+        for r in global_shuffle(docs, seed="t0").collect()
+    }
+    expect_order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"t0_{i}".encode()).hexdigest(), i)
+    )
+    # positions are the exact 1-based rank under the seeded md5 ordering,
+    # and the shard is the key's first byte
+    for pos, i in enumerate(expect_order, start=1):
+        h = hashlib.md5(f"t0_{i}".encode()).hexdigest()
+        assert got[i] == (int(h[:2], 16), pos)
+    # different seed -> different permutation (not a fixed point mapping)
+    got2 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in global_shuffle(docs, seed="t1").collect()
+    }
+    assert sorted(got2.values()) == list(range(1, 98))
+    assert any(got[i][1] != got2[i] for i in ids)
+
+
+def test_semdedup_hand_computed(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators.similarity import semdedup
+
+    # two well-separated directions; ids 1,2,3 identical along e0 (dups),
+    # id 10 alone along e1, id 11 a near-dup of 10, id 12 orthogonal-ish
+    def v(*xs):
+        out = [0.0] * 8
+        for i, x in zip(range(0, len(xs)), xs):
+            out[i] = x
+        return out
+
+    rows = [
+        (1, v(1.0, 0.01)),
+        (2, v(1.0, 0.01)),
+        (3, v(0.99, 0.01)),
+        (10, v(0.0, 1.0)),
+        (11, v(0.02, 1.0)),
+        (12, v(0.0, 0.0, 1.0)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([v(1.0), v(0.0, 1.0)])
+    got = {
+        r["vec_id"]: (r["cluster"], r["dup_of"], r["keep"])
+        for r in semdedup(emb, cents, threshold=0.95).collect()
+    }
+    assert got[1] == (0, None, True)      # first of its cluster survives
+    assert got[2] == (0, 1, False)        # exact dup of 1
+    assert got[3] == (0, 1, False)        # near dup, dup_of = smallest id
+    assert got[10] == (1, None, True)
+    assert got[11] == (1, 10, False)
+    # id 12 assigned to some cluster but far from every member -> kept
+    assert got[12][2] is True

@@ -583,6 +583,14 @@ def _global_shuffle(spark, sf_dir):
     return global_shuffle(_t(spark, sf_dir, "documents"), seed="shuf1")
 
 
+def _lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity quality scoring, model trained on the corpus
+    itself (the CCNet-style LM filter without an external model)."""
+    from pdf_extractor_spark.operators.curation import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
 def _page_filter(spark, sf_dir):
     """Page-range predicate (reference extractor.py:46-51 semantics) over a
     deterministic interleaved span layout derived from each document's
@@ -1879,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _host_stats,
         "mix_weights": _mix_weights,
         "global_shuffle": _global_shuffle,
+        "lm_perplexity": _lm_perplexity,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
@@ -2811,6 +2820,39 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
             THEN round({tgt} / (n_tokens / t), 6)
             ELSE 0.0 END AS weight
 FROM per, tot
+"""
+    # lm_perplexity: add-1 bigram model rebuilt in SQL — first token by
+    # unigram, the rest by bigram; same double arithmetic, round-6/-4 on
+    # the per-doc mean (the token_entropy precedent: 6-dp rounding absorbs
+    # cross-engine sum-order noise in ln-space).
+    sql["lm_perplexity"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_LTOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+uni AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS N,
+               CAST(count(*) AS DOUBLE) AS V FROM uni),
+pairs AS (
+  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+bi AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+first AS (
+  SELECT doc_id, ln((cw + 1.0) / (N + 1.0 * V)) AS logp
+  FROM (SELECT doc_id, t[1] AS w FROM toks) f
+  JOIN uni USING (w), tot),
+rest AS (
+  SELECT p.doc_id, ln((cb + 1.0) / (cw + 1.0 * V)) AS logp
+  FROM pairs p JOIN bi USING (w1, w2) JOIN uni ON uni.w = p.w1, tot),
+scored AS (
+  SELECT doc_id, count(*) AS n, -sum(logp) / count(*) AS h
+  FROM (SELECT * FROM first UNION ALL SELECT * FROM rest) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+       coalesce(round(h, 6), 0.0) AS cross_entropy,
+       coalesce(round(exp(h), 4), 1.0) AS perplexity
+FROM documents d LEFT JOIN scored USING (doc_id)
 """
     # global_shuffle: the oracle IS the naive global ranking; the Spark
     # side's sharded two-level positions must reproduce it exactly because

@@ -71,6 +71,7 @@ HEADLINE = [
     "host_stats",
     "mix_weights",
     "global_shuffle",
+    "lm_perplexity",
     "pack_sequences",
     "html_main_content",
     "layout_text",

@@ -388,3 +388,88 @@ def dedup_survivors(
             F.count("*").alias("n_members"),
         )
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy, perplexity) — CCNet-style
+    perplexity quality scoring with a bigram language model trained on the
+    corpus itself (the self-supervised stand-in for CCNet's external
+    KenLM): the first token is scored by the add-k unigram model, every
+    later token by add-k bigram p(w_i | w_{i-1}); cross_entropy is the
+    mean negative log-likelihood in nats, perplexity = exp(it). High
+    perplexity flags text unlike the corpus (gibberish, boilerplate
+    soup) — the classic LM quality filter.
+
+    Scale shape: unigram and bigram count tables are corpus-sized —
+    shuffle aggregates with map-side combine, never broadcast; the scoring
+    pass re-joins the exploded token/bigram rows on those keys, so the
+    whole op is three hash shuffles (token, bigram, doc) over narrow rows.
+    The model tables are reusable state: at production scale they'd be
+    built once at write time and the scoring pass alone reruns."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    words = base.select(F.explode("t").alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").alias("cw"))
+    tot = uni.agg(
+        F.sum("cw").cast("double").alias("N"),
+        F.count("*").cast("double").alias("V"),
+    )
+
+    pairs = base.select(
+        F.col("id"),
+        F.posexplode(
+            F.when(F.size("t") >= 2, F.expr("slice(t, 1, size(t) - 1)"))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "w1"),
+        F.col("t"),
+    ).select("id", "pos", "w1", F.expr("t[pos + 1]").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+
+    first = (
+        base.filter(F.size("t") >= 1)
+        .select("id", F.expr("t[0]").alias("w"))
+        .join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            F.log((F.col("cw") + F.lit(k)) / (F.col("N") + F.lit(k) * F.col("V"))).alias("logp"),
+        )
+    )
+    rest = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            F.log((F.col("cb") + F.lit(k)) / (F.col("cw") + F.lit(k) * F.col("V"))).alias("logp"),
+        )
+    )
+    scored = (
+        first.unionByName(rest)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (-F.sum("logp") / F.count("*")).alias("_h"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round("_h", 6).alias("cross_entropy"),
+            F.round(F.exp("_h"), 4).alias("perplexity"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, F.col(id_col) == scored.id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+            F.coalesce("perplexity", F.lit(1.0)).alias("perplexity"),
+        )
+    )

@@ -238,3 +238,24 @@ def test_semdedup_hand_computed(spark):
     assert got[11] == (1, 10, False)
     # id 12 assigned to some cluster but far from every member -> kept
     assert got[12][2] is True
+
+
+def test_lm_perplexity_hand_computed(spark):
+    import math
+
+    from pdf_extractor_spark.operators.curation import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"], r["perplexity"])
+        for r in lm_perplexity(docs).collect()
+    }
+    # corpus: uni a:3 b:2 (N=5, V=2); bi (a,b):1 (b,a):2; add-1 smoothing
+    h1 = -(math.log(4 / 7) + math.log(2 / 5) + math.log(3 / 4)) / 3
+    h2 = -(math.log(3 / 7) + math.log(3 / 4)) / 2
+    assert got[1] == (3, round(h1, 6), round(math.exp(h1), 4))
+    assert got[2] == (2, round(h2, 6), round(math.exp(h2), 4))
+    assert got[3] == (0, 0.0, 1.0)

@@ -11,7 +11,8 @@ level, understating efficiency. Levels are interleaved across rounds
 (A/B/A/B) and the per-level minimum is reported, which suppresses
 shared-host load bursts.
 
-Writes one JSON line to stdout and (with --md) refreshes BENCH.md.
+Writes one JSON line to stdout and (with --md) BENCH_SCALING.md —
+never BENCH.md itself, which carries the hand-written measurement log.
 
 Usage: python tools/scaling_bench.py [--docs 100000] [--trials 2] [--md]
 """
@@ -147,7 +148,7 @@ def main() -> None:
 
 def write_md(out: dict) -> None:
     lo, hi = out["levels"][0], out["levels"][-1]
-    md = f"""# BENCH — measured results
+    md = f"""# BENCH_SCALING — latest scaling_bench run (see BENCH.md for the log)
 
 ## Scaling efficiency (north_rule: >=0.8 from N to 4N)
 
@@ -179,7 +180,7 @@ throttling on G1 concurrent cycles.
 Regenerate: `python tools/scaling_bench.py --md`
 """
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH.md"), "w") as f:
+            os.path.abspath(__file__))), "BENCH_SCALING.md"), "w") as f:
         f.write(md)
 
 

@@ -287,6 +287,9 @@ def mix_weights(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+    # two consumers (the result and the total) would each re-run the corpus
+    # scan+tokenize+aggregate — checkpoint the sources-sized result instead
+    per = per.localCheckpoint(eager=False)
     tot = per.agg(F.sum("n_tokens").alias("_tot"))
     target = F.coalesce(
         *[
@@ -414,7 +417,16 @@ def lm_perplexity(
     toks = tokens_col(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
     words = base.select(F.explode("t").alias("w"))
-    uni = words.groupBy("w").agg(F.count("*").alias("cw"))
+    # the model tables have multiple consumers (uni: first-token scoring,
+    # bigram-denominator join, totals; pairs: bigram counts and the scoring
+    # rows) — without a checkpoint each consumer re-runs the corpus
+    # explode+aggregate (Catalyst has no CTE sharing). At production scale
+    # these are the persisted model tables the docstring describes.
+    uni = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cw"))
+        .localCheckpoint(eager=False)
+    )
     tot = uni.agg(
         F.sum("cw").cast("double").alias("N"),
         F.count("*").cast("double").alias("V"),
@@ -428,6 +440,7 @@ def lm_perplexity(
         ).alias("pos", "w1"),
         F.col("t"),
     ).select("id", "pos", "w1", F.expr("t[pos + 1]").alias("w2"))
+    pairs = pairs.localCheckpoint(eager=False)
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
 
     first = (

@@ -188,3 +188,41 @@ def test_tpch_q15_no_global_sort_for_max(spark):
     # sort-limit over per-supplier revenue
     assert "TakeOrderedAndProject" not in plan or "Sort [s_suppkey" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_global_shuffle_no_corpus_wide_window(spark):
+    plan = _plan(spark, "global_shuffle")
+    # the corpus-sized ranking window partitions by the md5-prefix shard —
+    # a global row_number() would be a single-partition sort of the corpus
+    assert "row_number() windowspecdefinition(shard" in plan
+    # the only SinglePartition exchange feeds the 256-row offsets window,
+    # and the offsets join back by broadcast, never shuffle
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mix_weights_single_corpus_pass(spark):
+    plan = _plan(spark, "mix_weights")
+    # the per-source aggregate is checkpointed: its two consumers (result
+    # + total) read the sources-sized RDD, not two corpus scans
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+
+
+def test_lm_perplexity_model_tables_checkpointed(spark):
+    plan = _plan(spark, "lm_perplexity")
+    # uni (3 consumers) and pairs (2 consumers) come from checkpointed
+    # RDDs; only the first-token projection and the left-join corpus side
+    # rescan parquet. Without the checkpoints this plan held SIX
+    # corpus-derived explode+aggregate subtrees.
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Scan ExistingRDD") >= 5
+
+
+def test_semdedup_assignment_computed_once(spark):
+    plan = _plan(spark, "semdedup")
+    # the pandas-UDF centroid assignment runs inside the checkpointed
+    # frame: the self-join reads the RDD on both sides plus the keep-join
+    # probe — zero ArrowEvalPython stages in the final plan
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("Scan ExistingRDD") == 3

@@ -583,6 +583,14 @@ def _global_shuffle(spark, sf_dir):
     return global_shuffle(_t(spark, sf_dir, "documents"), seed="shuf1")
 
 
+def _gopher_filter(spark, sf_dir):
+    """Gopher-style composite accept/reject filter — six doc-local rules,
+    zero operator shuffle, exact-ratio comparisons (no rounding boundary)."""
+    from pdf_extractor_spark.operators.textstats import gopher_filter
+
+    return gopher_filter(_t_wide(spark, sf_dir, "documents"))
+
+
 def _lm_perplexity(spark, sf_dir):
     """Bigram-LM perplexity quality scoring, model trained on the corpus
     itself (the CCNet-style LM filter without an external model)."""
@@ -1888,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": _mix_weights,
         "global_shuffle": _global_shuffle,
         "lm_perplexity": _lm_perplexity,
+        "gopher_filter": _gopher_filter,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
@@ -2820,6 +2829,53 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
             THEN round({tgt} / (n_tokens / t), 6)
             ELSE 0.0 END AS weight
 FROM per, tot
+"""
+    # gopher_filter: the six rules re-stated over the same token/bigram
+    # lists; every comparison is on an exact integer ratio, so no rounding
+    # is needed anywhere for cross-engine agreement.
+    sql["gopher_filter"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id, lang, text, toks,
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM t),
+m AS (
+  SELECT doc_id, lang,
+    len(toks) AS n,
+    len(list_filter(toks, x -> list_contains({_EN_STOP}, x))) AS n_stop,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x)))
+         ELSE 0 END AS tok_chars,
+    coalesce(length(text), 0) AS n_chars,
+    coalesce(length(regexp_replace(text, '[^0-9]', '', 'g')), 0) AS n_digit,
+    CASE WHEN len(bg) > 0
+         THEN list_max(list_transform(bg,
+                x -> len(list_filter(bg, y -> y = x))))
+         ELSE 0 END AS top_bg,
+    len(list_distinct(toks)) AS n_dist,
+    len(bg) AS n_bg
+  FROM b)
+SELECT doc_id,
+  (n >= 10 AND n <= 100000) AS ok_len,
+  (n > 0 AND tok_chars * 1.0 / n >= 3.0
+         AND tok_chars * 1.0 / n <= 10.0) AS ok_wordlen,
+  (lang <> 'en' OR n_stop >= 2) AS ok_stop,
+  (n > 0 AND 1.0 - n_dist * 1.0 / n <= 0.5) AS ok_dup_unigram,
+  (n_bg = 0 OR top_bg * 1.0 / n_bg <= 0.2) AS ok_top_bigram,
+  (n_chars = 0 OR n_digit * 1.0 / n_chars <= 0.2) AS ok_digit,
+  ((n >= 10 AND n <= 100000)
+   AND (n > 0 AND tok_chars * 1.0 / n >= 3.0 AND tok_chars * 1.0 / n <= 10.0)
+   AND (lang <> 'en' OR n_stop >= 2)
+   AND (n > 0 AND 1.0 - n_dist * 1.0 / n <= 0.5)
+   AND (n_bg = 0 OR top_bg * 1.0 / n_bg <= 0.2)
+   AND (n_chars = 0 OR n_digit * 1.0 / n_chars <= 0.2)) AS accept
+FROM m
 """
     # lm_perplexity: add-1 bigram model rebuilt in SQL — first token by
     # unigram, the rest by bigram; same double arithmetic, round-6/-4 on

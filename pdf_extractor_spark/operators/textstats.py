@@ -315,3 +315,147 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "score", "rank")
     )
+
+
+def gopher_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+):
+    """(doc_id, ok_len, ok_wordlen, ok_stop, ok_dup_unigram, ok_top_bigram,
+    ok_digit, accept) — the Gopher-style composite document filter from the
+    public LM data-curation literature, every rule doc-local:
+
+      * ok_len         — 10 <= token count <= 100,000
+      * ok_wordlen     — mean token length in [3, 10]
+      * ok_stop        — >= 2 English stopwords (applied to en docs only;
+                         other languages pass vacuously — the published
+                         rule is English-specific)
+      * ok_dup_unigram — duplicate-word mass (1 - distinct/total) <= 0.5
+      * ok_top_bigram  — most common bigram's share <= 0.2
+      * ok_digit       — digit characters <= 20% of text
+      * accept         — AND of all six
+
+    All comparisons are on exact integer ratios (same IEEE doubles in any
+    engine — no rounding boundary to disagree on), so the DuckDB oracle
+    matches bit-for-bit.
+
+    Scale: zero shuffle, zero Python — a narrow codegen projection that
+    filters at scan speed, the shape a 100 TB accept/reject pass must
+    have. Tokens and the bigram array sit behind projection boundaries
+    (withColumn) so Catalyst cannot re-inline the tokenization into each
+    of the six rules."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("_toks", tokens_col(F.lower(F.col(text_col))))
+    n = F.size(F.col("_toks"))
+    out = out.withColumn(
+        "_bg",
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.expr("slice(_toks, 1, size(_toks) - 1)"),
+                F.expr("slice(_toks, 2, size(_toks) - 1)"),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    # every rule scalar behind ONE projection boundary: referenced twice
+    # below, an inline fold/filter would be evaluated twice per row
+    out = (
+        out.withColumn("_n", n)
+        .withColumn(
+            "_n_stop",
+            F.size(F.filter("_toks", lambda t: F.array_contains(stop_arr, t))),
+        )
+        .withColumn(
+            "_tok_chars",
+            F.aggregate(
+                F.transform("_toks", lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("_n_chars", F.coalesce(F.length(F.col(text_col)), F.lit(0)))
+        .withColumn(
+            "_n_digit",
+            F.coalesce(
+                F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", "")),
+                F.lit(0),
+            ),
+        )
+        # top-bigram count via sort + max run length: O(n log n) per doc,
+        # not the O(n^2) transform-with-nested-filter — on a 100k-token doc
+        # that's ~1e6 comparisons instead of ~1e10. Initial prev='' can
+        # never equal a real bigram ('tok tok' is non-empty).
+        .withColumn(
+            "_top_bg",
+            F.aggregate(
+                F.array_sort("_bg"),
+                F.struct(
+                    F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    x.alias("prev"),
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1))
+                    .alias("run"),
+                    F.greatest(
+                        acc["best"],
+                        F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                            F.lit(1)
+                        ),
+                    ).alias("best"),
+                ),
+                lambda acc: acc["best"],
+            ),
+        )
+        .withColumn("_n_dist", F.size(F.array_distinct("_toks")))
+        .withColumn("_n_bg", F.size("_bg"))
+    )
+    c = F.col
+    # try_divide, not `/`: ANSI mode evaluates both AND branches in codegen,
+    # so a `(n > 0) & (x / n ...)` guard still throws DIVIDE_BY_ZERO on
+    # empty docs. try_divide yields NULL and three-valued logic resolves
+    # the guard (false & null = false, true | null = true).
+    wordlen = F.try_divide(c("_tok_chars"), c("_n"))
+    ok_len = (c("_n") >= 10) & (c("_n") <= 100000)
+    ok_wordlen = (c("_n") > 0) & ((wordlen >= 3.0) & (wordlen <= 10.0))
+    ok_stop = (c(lang_col) != "en") | (c("_n_stop") >= 2)
+    ok_dup = (c("_n") > 0) & (
+        F.lit(1.0) - F.try_divide(c("_n_dist"), c("_n")) <= 0.5
+    )
+    ok_bg = (c("_n_bg") == 0) | (F.try_divide(c("_top_bg"), c("_n_bg")) <= 0.2)
+    ok_digit = (c("_n_chars") == 0) | (
+        F.try_divide(c("_n_digit"), c("_n_chars")) <= 0.2
+    )
+    out = (
+        out.withColumn("ok_len", ok_len)
+        .withColumn("ok_wordlen", ok_wordlen)
+        .withColumn("ok_stop", ok_stop)
+        .withColumn("ok_dup_unigram", ok_dup)
+        .withColumn("ok_top_bigram", ok_bg)
+        .withColumn("ok_digit", ok_digit)
+    )
+    acc = (
+        F.col("ok_len")
+        & F.col("ok_wordlen")
+        & F.col("ok_stop")
+        & F.col("ok_dup_unigram")
+        & F.col("ok_top_bigram")
+        & F.col("ok_digit")
+    )
+    return out.select(
+        F.col(id_col),
+        "ok_len",
+        "ok_wordlen",
+        "ok_stop",
+        "ok_dup_unigram",
+        "ok_top_bigram",
+        "ok_digit",
+        acc.alias("accept"),
+    )

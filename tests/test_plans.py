@@ -219,6 +219,15 @@ def test_lm_perplexity_model_tables_checkpointed(spark):
     assert plan.count("Scan ExistingRDD") >= 5
 
 
+def test_gopher_filter_narrow_single_tokenize(spark):
+    plan = _plan(spark, "gopher_filter")
+    # doc-local rules: the only Exchange is the ingest repartition, no
+    # Python stage, and the tokenizer is NOT re-inlined into the six rules
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("split(") <= 2
+
+
 def test_semdedup_assignment_computed_once(spark):
     plan = _plan(spark, "semdedup")
     # the pandas-UDF centroid assignment runs inside the checkpointed

@@ -101,3 +101,37 @@ def test_pack_sequences_budget_discipline(spark):
             assert p.pack_tokens >= 2048 - max_doc
         for p in packs:
             assert p.pack_tokens > 0
+
+
+def test_gopher_filter_hand_computed(spark):
+    from pdf_extractor_spark.operators.textstats import gopher_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 12 distinct 3-5 char tokens, 2 stopwords -> accept
+            (1, "the cat with dog bird fish goat lion wolf bear frog newt", "en"),
+            # too short (3 tokens)
+            (2, "the cat sat", "en"),
+            # en doc with one stopword -> ok_stop fails
+            (3, "cat dog bird fish goat lion wolf bear frog newt the xxx", "en"),
+            # same token repeated -> dup-unigram and top-bigram fail
+            (4, "spam spam spam spam spam spam spam spam spam spam spam spam", "pt"),
+            # digit-heavy -> ok_digit fails
+            (5, "111 222 333 444 555 666 777 888 999 000 123 456", "pt"),
+            (6, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_filter(docs).collect()}
+    assert got[1]["accept"] is True
+    assert got[2]["ok_len"] is False and got[2]["accept"] is False
+    assert got[3]["ok_stop"] is False and got[3]["ok_len"] is True
+    assert got[4]["ok_dup_unigram"] is False
+    assert got[4]["ok_top_bigram"] is False
+    assert got[4]["ok_stop"] is True  # non-en passes vacuously
+    assert got[5]["ok_digit"] is False
+    assert got[6] == {
+        "doc_id": 6, "ok_len": False, "ok_wordlen": False, "ok_stop": False,
+        "ok_dup_unigram": False, "ok_top_bigram": True, "ok_digit": True,
+        "accept": False,
+    }

@@ -591,6 +591,15 @@ def _gopher_filter(spark, sf_dir):
     return gopher_filter(_t_wide(spark, sf_dir, "documents"))
 
 
+def _hash_lr(spark, sf_dir):
+    """Hashed bag-of-words linear classifier (fastText-style quality filter)
+    applied as a zero-shuffle columnar projection; md5-derived deterministic
+    weights ride the plan as a foldable array literal."""
+    from pdf_extractor_spark.operators.textstats import hash_lr_score
+
+    return hash_lr_score(_t_wide(spark, sf_dir, "documents"))
+
+
 def _lm_perplexity(spark, sf_dir):
     """Bigram-LM perplexity quality scoring, model trained on the corpus
     itself (the CCNet-style LM filter without an external model)."""
@@ -1897,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": _global_shuffle,
         "lm_perplexity": _lm_perplexity,
         "gopher_filter": _gopher_filter,
+        "hash_lr": _hash_lr,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
@@ -2875,6 +2885,38 @@ SELECT doc_id,
    AND (n > 0 AND 1.0 - n_dist * 1.0 / n <= 0.5)
    AND (n_bg = 0 OR top_bg * 1.0 / n_bg <= 0.2)
    AND (n_chars = 0 OR n_digit * 1.0 / n_chars <= 0.2)) AS accept
+FROM m
+"""
+    # hash_lr: same md5 bucket hash and the IDENTICAL double literals for
+    # the weight vector; list_reduce folds left-to-right exactly like
+    # Spark's aggregate, so margin is bit-identical.
+    from pdf_extractor_spark.operators.textstats import (
+        HASH_LR_BUCKETS,
+        hash_lr_weights,
+    )
+
+    _w_sql = "[" + ", ".join(repr(x) for x in hash_lr_weights()) + "]"
+    sql["hash_lr"] = f"""
+WITH w AS (SELECT CAST({_w_sql} AS DOUBLE[]) AS wv),
+t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(toks, tk ->
+               wv[CAST(CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)
+                       % {HASH_LR_BUCKETS} AS INT) + 1])),
+           (acc, x) -> acc + x) AS margin
+  FROM t CROSS JOIN w)
+SELECT doc_id,
+       CAST(n AS INT) AS n_tokens,
+       round(margin, 6) AS margin,
+       round(margin / nullif(n, 0), 6) AS score,
+       (margin > 0) AS accept
 FROM m
 """
     # lm_perplexity: add-1 bigram model rebuilt in SQL — first token by

@@ -72,6 +72,8 @@ HEADLINE = [
     "mix_weights",
     "global_shuffle",
     "lm_perplexity",
+    "gopher_filter",
+    "hash_lr",
     "pack_sequences",
     "html_main_content",
     "layout_text",

@@ -459,3 +459,83 @@ def gopher_filter(
         "ok_digit",
         acc.alias("accept"),
     )
+
+
+# Hashed-bag-of-words linear classifier ("fastText-style" quality filter).
+# D buckets; weights derived deterministically from md5 so the model is
+# reproducible anywhere and the DuckDB oracle can embed the identical
+# double literals. Python float repr round-trips exactly, so both engines
+# compute with bit-identical coefficients.
+HASH_LR_BUCKETS = 256
+
+
+def hash_lr_weights(buckets: int = HASH_LR_BUCKETS) -> list[float]:
+    """Deterministic weight vector in [-1, 1): bucket j's weight comes from
+    the top 60 bits of md5('lrw_<j>') scaled to [-1, 1). A real deployment
+    swaps this for trained coefficients (same shape: a D-vector broadcast
+    as a literal/array — the model RIDES THE PLAN, no side file, no UDF)."""
+    import hashlib
+
+    out = []
+    for j in range(buckets):
+        h = int(hashlib.md5(f"lrw_{j}".encode()).hexdigest()[:15], 16)
+        out.append(h / float(2**60) * 2.0 - 1.0)
+    return out
+
+
+def hash_lr_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = HASH_LR_BUCKETS,
+):
+    """(doc_id, n_tokens, margin, score, accept) — hashed bag-of-words
+    linear model applied fully columnar: each token hashes (md5, 60-bit,
+    cross-engine — see simhash_token_hash) into one of `buckets` weight
+    slots; margin = left-to-right fold of the per-token weights; score =
+    margin / n_tokens; accept = margin > 0.
+
+    This is the shape of a fastText/CCNet-style learned quality filter at
+    100 TB: the model is a small dense vector shipped INSIDE the plan as a
+    foldable array literal (the degenerate no-join "broadcast"), scoring is
+    a narrow whole-stage-codegen projection — no shuffle, no Python worker,
+    no model file to distribute to executors.
+
+    Cross-engine determinism: weights are identical double literals in both
+    engines, the fold order is sequential left-to-right in both (Spark
+    `aggregate`, DuckDB `list_reduce`), so `margin` is bit-identical and
+    `accept`'s strict comparison cannot flip."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import simhash_token_hash
+
+    w = F.array(*[F.lit(x) for x in hash_lr_weights(buckets)])
+    out = (
+        df.withColumn("_toks", tokens_col(F.lower(F.col(text_col))))
+        # weight lookup behind a projection boundary: the margin fold
+        # references the array once; inlining the tokenizer+hash into the
+        # fold would re-run md5 per fold step after project collapsing
+        .withColumn(
+            "_tw",
+            F.transform(
+                "_toks",
+                lambda t: F.element_at(
+                    w, (simhash_token_hash(t) % buckets).cast("int") + 1
+                ),
+            ),
+        )
+        .withColumn(
+            "_margin",
+            F.aggregate(
+                "_tw", F.lit(0.0).cast("double"), lambda acc, x: acc + x
+            ),
+        )
+        .withColumn("_n", F.size("_toks"))
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("_n").alias("n_tokens"),
+        F.round("_margin", 6).alias("margin"),
+        F.round(F.try_divide("_margin", F.col("_n")), 6).alias("score"),
+        (F.col("_margin") > 0).alias("accept"),
+    )

@@ -235,3 +235,12 @@ def test_semdedup_assignment_computed_once(spark):
     # probe — zero ArrowEvalPython stages in the final plan
     assert plan.count("ArrowEvalPython") == 0
     assert plan.count("Scan ExistingRDD") == 3
+
+
+def test_hash_lr_narrow_single_tokenize(spark):
+    plan = _plan(spark, "hash_lr")
+    # model-application is a pure projection: no Python stage, no shuffle
+    # beyond the ingest repartition, tokenizer evaluated once
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("split(") <= 2

@@ -135,3 +135,39 @@ def test_gopher_filter_hand_computed(spark):
         "ok_dup_unigram": False, "ok_top_bigram": True, "ok_digit": True,
         "accept": False,
     }
+
+
+def test_hash_lr_matches_pure_python(spark):
+    import hashlib
+
+    from pdf_extractor_spark.operators.textstats import (
+        HASH_LR_BUCKETS,
+        hash_lr_score,
+        hash_lr_weights,
+    )
+
+    w = hash_lr_weights()
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "totally unrelated words entirely different content here"),
+        (3, ""),
+        (4, None),
+        (5, "   padded    whitespace   tokens   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in hash_lr_score(df).collect()}
+
+    for doc_id, text in docs:
+        toks = (text or "").strip().lower().split()
+        margin = 0.0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            margin += w[h % HASH_LR_BUCKETS]
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["margin"] == round(margin, 6)
+        assert r["accept"] is (margin > 0)
+        if toks:
+            assert r["score"] == round(margin / len(toks), 6)
+        else:
+            assert r["score"] is None

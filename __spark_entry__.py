@@ -600,6 +600,15 @@ def _hash_lr(spark, sf_dir):
     return hash_lr_score(_t_wide(spark, sf_dir, "documents"))
 
 
+def _curation_funnel(spark, sf_dir):
+    """End-to-end curation pipeline composed on one frame (quality rules ->
+    learned classifier -> exact dedup), reported as a one-row stage funnel;
+    one corpus scan, no stage joins."""
+    from pdf_extractor_spark.operators.curation import curation_funnel
+
+    return curation_funnel(_t_wide(spark, sf_dir, "documents"))
+
+
 def _lm_perplexity(spark, sf_dir):
     """Bigram-LM perplexity quality scoring, model trained on the corpus
     itself (the CCNet-style LM filter without an external model)."""
@@ -1907,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _lm_perplexity,
         "gopher_filter": _gopher_filter,
         "hash_lr": _hash_lr,
+        "curation_funnel": _curation_funnel,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
@@ -2918,6 +2928,23 @@ SELECT doc_id,
        round(margin / nullif(n, 0), 6) AS score,
        (margin > 0) AS accept
 FROM m
+"""
+    # curation_funnel: the two filter oracles composed verbatim as CTEs
+    # (their inner WITHs nest and shadow), joined back to documents for
+    # the digest; counts cast to BIGINT for dtype-exact hashing.
+    sql["curation_funnel"] = f"""
+WITH g AS ({sql["gopher_filter"]}),
+h AS ({sql["hash_lr"]}),
+j AS (
+  SELECT d.doc_id, d.text, g.accept AS q_ok, h.accept AS lr_ok
+  FROM documents d JOIN g USING (doc_id) JOIN h USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS n_input,
+       CAST(count(*) FILTER (WHERE q_ok) AS BIGINT) AS n_quality,
+       CAST(count(*) FILTER (WHERE q_ok AND lr_ok) AS BIGINT)
+         AS n_classifier,
+       CAST(count(DISTINCT CASE WHEN q_ok AND lr_ok THEN md5(text) END)
+            AS BIGINT) AS n_unique
+FROM j
 """
     # lm_perplexity: add-1 bigram model rebuilt in SQL — first token by
     # unigram, the rest by bigram; same double arithmetic, round-6/-4 on

@@ -74,6 +74,7 @@ HEADLINE = [
     "lm_perplexity",
     "gopher_filter",
     "hash_lr",
+    "curation_funnel",
     "pack_sequences",
     "html_main_content",
     "layout_text",

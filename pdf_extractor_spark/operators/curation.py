@@ -486,3 +486,51 @@ def lm_perplexity(
             F.coalesce("perplexity", F.lit(1.0)).alias("perplexity"),
         )
     )
+
+
+def curation_funnel(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+):
+    """One-row funnel report for the standard curation pipeline composed
+    end-to-end — quality rules -> learned classifier -> exact dedup:
+
+      n_input      — documents scanned
+      n_quality    — survive the Gopher-style 6-rule filter
+      n_classifier — additionally accepted by the hashed-BoW linear model
+      n_unique     — distinct md5(text) among classifier survivors
+                     (what exact dedup would keep)
+
+    This is the RefinedWeb/FineWeb-shaped funnel: each stage is a columnar
+    projection appended to the SAME frame, so the whole pipeline is ONE
+    corpus scan + one tiny aggregate — no joins between stages, no
+    intermediate materialization. At 10^12 docs the funnel costs exactly
+    what the most expensive single filter costs. The only non-projection
+    work is count(DISTINCT digest), whose partial aggregation ships one
+    16-byte digest per surviving doc to the final exchange."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.textstats import (
+        gopher_filter,
+        hash_lr_score,
+    )
+
+    x = gopher_filter(
+        df.select(id_col, text_col, lang_col),
+        text_col=text_col,
+        id_col=id_col,
+        lang_col=lang_col,
+        as_columns=True,
+    )
+    x = hash_lr_score(x, text_col=text_col, id_col=id_col, as_columns=True)
+    both = F.col("accept") & F.col("lr_accept")
+    return x.agg(
+        F.count("*").cast("long").alias("n_input"),
+        F.count_if(F.col("accept")).cast("long").alias("n_quality"),
+        F.count_if(both).cast("long").alias("n_classifier"),
+        F.count_distinct(
+            F.when(both, F.md5(F.col(text_col)))
+        ).cast("long").alias("n_unique"),
+    )

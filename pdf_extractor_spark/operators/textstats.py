@@ -322,6 +322,7 @@ def gopher_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    as_columns: bool = False,
 ):
     """(doc_id, ok_len, ok_wordlen, ok_stop, ok_dup_unigram, ok_top_bigram,
     ok_digit, accept) — the Gopher-style composite document filter from the
@@ -449,6 +450,13 @@ def gopher_filter(
         & F.col("ok_top_bigram")
         & F.col("ok_digit")
     )
+    if as_columns:
+        # append mode for pipeline composition: input columns + the six
+        # rule flags + accept, temp columns dropped
+        return out.withColumn("accept", acc).drop(
+            "_toks", "_bg", "_n", "_n_stop", "_tok_chars", "_n_chars",
+            "_n_digit", "_top_bg", "_n_dist", "_n_bg",
+        )
     return out.select(
         F.col(id_col),
         "ok_len",
@@ -488,6 +496,7 @@ def hash_lr_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = HASH_LR_BUCKETS,
+    as_columns: bool = False,
 ):
     """(doc_id, n_tokens, margin, score, accept) — hashed bag-of-words
     linear model applied fully columnar: each token hashes (md5, 60-bit,
@@ -532,6 +541,17 @@ def hash_lr_score(
         )
         .withColumn("_n", F.size("_toks"))
     )
+    if as_columns:
+        # append mode for pipeline composition; lr_ prefix so the columns
+        # compose with gopher_filter's `accept` on the same frame
+        return (
+            out.withColumn("lr_margin", F.round("_margin", 6))
+            .withColumn(
+                "lr_score", F.round(F.try_divide("_margin", F.col("_n")), 6)
+            )
+            .withColumn("lr_accept", F.col("_margin") > 0)
+            .drop("_toks", "_tw", "_margin", "_n")
+        )
     return out.select(
         F.col(id_col),
         F.col("_n").alias("n_tokens"),

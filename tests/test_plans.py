@@ -244,3 +244,13 @@ def test_hash_lr_narrow_single_tokenize(spark):
     assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM")
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("split(") <= 2
+
+
+def test_curation_funnel_single_scan_no_joins(spark):
+    plan = _plan(spark, "curation_funnel")
+    # stages compose as projections on ONE frame: one scan, zero joins,
+    # no Python stage; the only exchanges are ingest repartition + the
+    # two-phase distinct/final aggregation
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

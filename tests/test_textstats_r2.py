@@ -171,3 +171,37 @@ def test_hash_lr_matches_pure_python(spark):
             assert r["score"] == round(margin / len(toks), 6)
         else:
             assert r["score"] is None
+
+
+def test_curation_funnel_counts(spark):
+    import hashlib
+
+    from pdf_extractor_spark.operators.curation import curation_funnel
+    from pdf_extractor_spark.operators.textstats import (
+        HASH_LR_BUCKETS,
+        hash_lr_weights,
+    )
+
+    good = "the cat with dog bird fish goat lion wolf bear frog newt"
+
+    def margin(text):
+        w = hash_lr_weights()
+        return sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+              % HASH_LR_BUCKETS]
+            for t in text.lower().split()
+        )
+
+    rows = [
+        (1, good, "en"),          # gopher-accept; lr sign known below
+        (2, good, "en"),          # exact duplicate of 1
+        (3, "the cat sat", "en"), # gopher-reject (too short)
+        (4, "", "en"),            # gopher-reject (empty)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = curation_funnel(df).collect()[0].asDict()
+    lr_ok = margin(good) > 0
+    assert r["n_input"] == 4
+    assert r["n_quality"] == 2
+    assert r["n_classifier"] == (2 if lr_ok else 0)
+    assert r["n_unique"] == (1 if lr_ok else 0)

@@ -85,7 +85,11 @@ def run_pinned(cpus: int, corpus_path: str) -> tuple[float, int]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=100000)
+    # 600k default: each timed run carries a ~3.3s fixed overhead (JVM job
+    # setup + commit), so small corpora understate the wide level — at 100k
+    # docs a CLEAN 16-core run is ~6.3s of which half is overhead. 600k
+    # amortizes it below 20% and produced the first clean 4v16 pass.
+    ap.add_argument("--docs", type=int, default=600000)
     ap.add_argument("--trials", type=int, default=4)
     ap.add_argument("--md", action="store_true")
     ap.add_argument("--child", type=int, default=None)
@@ -99,7 +103,11 @@ def main() -> None:
     from pdf_extractor_spark.session import build_session
     from pdf_extractor_spark.sources.corpus import write_corpus
 
-    tmp = tempfile.mkdtemp(prefix="scaling_corpus_")
+    # corpus on tmpfs when available: /tmp is a shared virtio DISK here,
+    # so scan I/O would fold other tenants' disk traffic into the
+    # measurement; /dev/shm isolates the CPU-scaling signal
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="scaling_corpus_", dir=shm)
     corpus_path = os.path.join(tmp, "documents")
     try:
         spark = build_session("scaling-gen", master="local[32]",

@@ -600,6 +600,19 @@ def _hash_lr(spark, sf_dir):
     return hash_lr_score(_t_wide(spark, sf_dir, "documents"))
 
 
+def _incremental_dedup(spark, sf_dir):
+    """Daily-increment exact dedup: the whole corpus arrives as a batch and
+    is deduped against the digest index of the already-ingested sources
+    (src0..src9) — batch-internal min-id, then anti-join on the digest."""
+    from pdf_extractor_spark.operators.curation import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(
+        F.substring("source", 4, 10).cast("int") < 10
+    ).select(F.md5("text").alias("digest"))
+    return incremental_dedup(docs, seen)
+
+
 def _curation_funnel(spark, sf_dir):
     """End-to-end curation pipeline composed on one frame (quality rules ->
     learned classifier -> exact dedup), reported as a one-row stage funnel;
@@ -1917,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _gopher_filter,
         "hash_lr": _hash_lr,
         "curation_funnel": _curation_funnel,
+        "incremental_dedup": _incremental_dedup,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
@@ -2945,6 +2959,17 @@ SELECT CAST(count(*) AS BIGINT) AS n_input,
        CAST(count(DISTINCT CASE WHEN q_ok AND lr_ok THEN md5(text) END)
             AS BIGINT) AS n_unique
 FROM j
+"""
+    # incremental_dedup: same md5 digests; DuckDB's ANTI JOIN mirrors the
+    # left_anti exactly.
+    sql["incremental_dedup"] = """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents
+  WHERE CAST(substr(source, 4) AS INT) < 10),
+b AS (
+  SELECT md5(text) AS digest, min(doc_id) AS doc_id
+  FROM documents GROUP BY 1)
+SELECT b.digest, b.doc_id FROM b ANTI JOIN seen USING (digest)
 """
     # lm_perplexity: add-1 bigram model rebuilt in SQL — first token by
     # unigram, the rest by bigram; same double arithmetic, round-6/-4 on

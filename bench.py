@@ -83,6 +83,7 @@ HEADLINE = [
     "events_rollup",
     "range_join_windows",
     "exact_dedup",
+    "incremental_dedup",
     "ngram_jaccard",
     "minhash_lsh",
     "neardup_clusters",

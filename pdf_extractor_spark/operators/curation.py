@@ -534,3 +534,27 @@ def curation_funnel(
             F.when(both, F.md5(F.col(text_col)))
         ).cast("long").alias("n_unique"),
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(digest, doc_id) — incoming-batch documents that survive exact dedup
+    against an already-ingested corpus: batch-internal first occurrence
+    (min id per digest) followed by an ANTI-JOIN against the seen-digest
+    index. The daily-increment step of a continuously-ingested corpus.
+
+    Scale shape: the one big-big anti-join in the operator inventory. Both
+    sides reduce to 16-byte digests before any exchange (map-side combine
+    collapses the batch to one row per digest), so the shuffle moves keys,
+    never text. AQE picks broadcast when the index side is small; at
+    10^12-doc scale the index is bucketed by digest at write time (the
+    write_bucketed_input pattern), which deletes its exchange and makes
+    the join storage-partitioned — the batch side alone shuffles, sized
+    by the increment, not the corpus."""
+    d = batch.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+    firsts = d.groupBy("digest").agg(F.min(id_col).alias(id_col))
+    return firsts.join(seen_digests.select("digest"), "digest", "left_anti")

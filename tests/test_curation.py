@@ -259,3 +259,26 @@ def test_lm_perplexity_hand_computed(spark):
     assert got[1] == (3, round(h1, 6), round(math.exp(h1), 4))
     assert got[2] == (2, round(h2, 6), round(math.exp(h2), 4))
     assert got[3] == (0, 0.0, 1.0)
+
+
+def test_incremental_dedup_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.curation import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha"),   # digest already seen -> dropped
+            (11, "beta"),    # new -> survives
+            (12, "beta"),    # intra-batch dup of 11 -> collapsed into it
+            (13, "gamma"),   # new -> survives
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame([("alpha",)], "text string").select(
+        F.md5("text").alias("digest")
+    )
+    got = {
+        r["doc_id"] for r in incremental_dedup(batch, seen).collect()
+    }
+    assert got == {11, 13}

@@ -254,3 +254,11 @@ def test_curation_funnel_single_scan_no_joins(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_incremental_dedup_antijoin_on_digest(spark):
+    plan = _plan(spark, "incremental_dedup")
+    # the dedup is an anti-join on the 16-byte digest after a map-side
+    # combined min-id aggregate; no Python stage anywhere
+    assert "LeftAnti" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

@@ -1209,6 +1209,38 @@ def _value_quantiles(spark, sf_dir):
     )
 
 
+def _approx_value_quantiles(spark, sf_dir):
+    """Quantile-sketch coverage (the percentile analogue of the HLL check):
+    each engine runs its OWN sketch (Spark percentile_approx/GK, DuckDB
+    approx_quantile/t-digest) and the compared value is the exact quantile
+    plus a boolean 'sketch within 5% of exact' — true on both sides iff
+    both sketches meet their accuracy contract. At 100 TB the sketch is
+    the only option: it partial-aggregates (mergeable summaries per
+    partition), while exact percentile sorts every group."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.count("value").cast("long").alias("n_values"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("exact_p90"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_a50"),
+        F.expr("percentile_approx(value, 0.9, 10000)").alias("_a90"),
+    )
+    return out.select(
+        "event_type",
+        "n_values",
+        "exact_p50",
+        "exact_p90",
+        (
+            F.abs(F.col("_a50") - F.col("exact_p50"))
+            <= 0.05 * F.col("exact_p50")
+        ).alias("p50_within_5pct"),
+        (
+            F.abs(F.col("_a90") - F.col("exact_p90"))
+            <= 0.05 * F.col("exact_p90")
+        ).alias("p90_within_5pct"),
+    )
+
+
 def _click_not_purchase_users(spark, sf_dir):
     """Set-op coverage: users who clicked but never made a large
     (value > 300) purchase — the threshold keeps the result non-vacuous
@@ -1962,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _events_rollup,
         "events_pivot": _events_pivot,
         "value_quantiles": _value_quantiles,
+        "approx_value_quantiles": _approx_value_quantiles,
         "click_not_purchase_users": _click_not_purchase_users,
         "range_join_windows": _range_join_windows,
         "extract_pipeline": _extract_pipeline,
@@ -3260,6 +3293,16 @@ FROM e GROUP BY ROLLUP (event_type, date)"""
         "round(quantile_cont(value, 0.5), 6) AS q50, "
         "round(quantile_cont(value, 0.75), 6) AS q75, "
         "round(quantile_cont(value, 0.9), 6) AS q90 "
+        "FROM events GROUP BY 1"
+    )
+    sql["approx_value_quantiles"] = (
+        "SELECT event_type, CAST(count(value) AS BIGINT) AS n_values, "
+        "round(quantile_cont(value, 0.5), 6) AS exact_p50, "
+        "round(quantile_cont(value, 0.9), 6) AS exact_p90, "
+        "abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5)) "
+        "<= 0.05 * quantile_cont(value, 0.5) AS p50_within_5pct, "
+        "abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9)) "
+        "<= 0.05 * quantile_cont(value, 0.9) AS p90_within_5pct "
         "FROM events GROUP BY 1"
     )
     sql["click_not_purchase_users"] = (

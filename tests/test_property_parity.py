@@ -93,3 +93,94 @@ def test_field_validator_parity(spark, values):
             ok, err = validate_field(v, t, {})
             want = None if ok else err
             assert got[str(i)][t] == want, (v, t, got[str(i)][t], want)
+
+
+_words = st.one_of(
+    st.sampled_from(["the", "and", "of", "with", "cat", "dog", "spam",
+                     "123", "4567", "a", "é", "的是", "x1y2"]),
+    st.text(alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+            min_size=1, max_size=12),
+)
+# token-structured text: words joined by mixed separators; non-space
+# whitespace kept AWAY from string edges (leading/trailing \t\n produce
+# empty tokens whose handling is engine-consistent and oracle-checked,
+# but is a split() quirk, not rule logic)
+_docs = st.lists(_words, min_size=0, max_size=30).map(
+    lambda ws: "  ".join(ws)
+).flatmap(
+    lambda s: st.sampled_from([s, s.replace("  ", " \t ") if s else s,
+                               " " + s + " "])
+)
+_doc_lists = st.lists(st.one_of(st.none(), _docs), min_size=6, max_size=16)
+
+_JWS = "[ \t\n\x0b\f\r]+"  # Java/RE2 \s class (NOT Python's unicode \s)
+
+
+def _jtoks(text):
+    import re
+
+    tr = (text or "").strip(" ")
+    return re.split(_JWS, tr.lower()) if tr else []
+
+
+@given(texts=_doc_lists)
+@settings(**_SETTINGS)
+def test_gopher_filter_property_parity(spark, texts):
+    from pdf_extractor_spark.operators.textstats import (
+        EN_STOPWORDS,
+        gopher_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, "en" if i % 2 else "pt") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_filter(df).collect()}
+    for i, t in enumerate(texts):
+        toks, lang = _jtoks(t), ("en" if i % 2 else "pt")
+        n, chars = len(toks), len(t or "")
+        digits = sum(c.isdigit() and c in "0123456789" for c in (t or ""))
+        bg = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top_bg = max((bg.count(x) for x in bg), default=0)
+        tok_chars = sum(len(x) for x in toks)
+        want = {
+            "ok_len": 10 <= n <= 100000,
+            "ok_wordlen": n > 0 and 3.0 <= tok_chars / n <= 10.0,
+            "ok_stop": lang != "en"
+            or sum(x in EN_STOPWORDS for x in toks) >= 2,
+            "ok_dup_unigram": n > 0 and 1.0 - len(set(toks)) / n <= 0.5,
+            "ok_top_bigram": not bg or top_bg / len(bg) <= 0.2,
+            "ok_digit": chars == 0 or digits / chars <= 0.2,
+        }
+        want["accept"] = all(want.values())
+        got_i = {k: got[i][k] for k in want}
+        assert got_i == want, (i, t, got_i, want)
+
+
+@given(texts=_doc_lists)
+@settings(**_SETTINGS)
+def test_hash_lr_property_parity(spark, texts):
+    import hashlib
+
+    from pdf_extractor_spark.operators.textstats import (
+        HASH_LR_BUCKETS,
+        hash_lr_score,
+        hash_lr_weights,
+    )
+
+    w = hash_lr_weights()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in hash_lr_score(df).collect()}
+    for i, t in enumerate(texts):
+        toks = _jtoks(t)
+        margin = sum(
+            w[int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+              % HASH_LR_BUCKETS]
+            for x in toks
+        )
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["margin"] == round(margin, 6), (i, t)
+        assert r["accept"] is (margin > 0)

@@ -558,3 +558,37 @@ def incremental_dedup(
     d = batch.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
     firsts = d.groupBy("digest").agg(F.min(id_col).alias(id_col))
     return firsts.join(seen_digests.select("digest"), "digest", "left_anti")
+
+
+def curation_transform(df: DataFrame) -> DataFrame:
+    """Per-doc quality-annotation stage for the checkpointed pipeline
+    (jobs/run_curation.py): Gopher rule flags + hashed-LR columns + text
+    digest + the combined `keep` decision, appended to the input columns.
+    Purely doc-local, so it is bucket-safe: any subset of buckets can be
+    (re)computed independently and the resume machinery stays idempotent.
+    Global stages (exact/near dedup) run downstream on the digest column
+    this stage emits."""
+    from pdf_extractor_spark.operators.textstats import (
+        gopher_filter,
+        hash_lr_score,
+    )
+
+    x = gopher_filter(df, as_columns=True)
+    x = hash_lr_score(x, as_columns=True)
+    return x.withColumn("digest", F.md5(F.col("text"))).withColumn(
+        "keep", F.col("accept") & F.col("lr_accept")
+    )
+
+
+def curation_metrics(df: DataFrame, run_id: str, wave: int) -> DataFrame:
+    """Lineage/metrics row per document for the curation job — the same
+    per-partition resume contract as the extraction metrics table."""
+    return df.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(wave).alias("wave"),
+        F.col("bucket").alias("partition_id"),
+        "doc_id",
+        F.col("keep").alias("success"),
+        F.col("lr_score").alias("confidence"),
+        F.current_timestamp().alias("timestamp"),
+    )

@@ -172,12 +172,20 @@ def run_pipeline(
     resume: bool = True,
     fail_after_wave: int | None = None,
     lang_col: str | None = None,
+    transform=None,
+    metrics_fn=None,
 ) -> dict:
     """Run the full job with per-bucket checkpointing. Returns summary stats.
 
     fail_after_wave simulates a mid-job crash (for resume tests): raises
     after committing that wave.
-    """
+
+    transform/metrics_fn generalize the machinery beyond extraction: any
+    per-doc columnar stage that preserves doc_id rides the same bucketed
+    checkpoint/resume/lineage scheme (used by jobs/run_curation.py).
+    transform: DataFrame -> DataFrame; metrics_fn: (df, run_id, wave) ->
+    lineage rows with a partition_id column. Defaults = the extraction
+    pipeline."""
     data_path = os.path.join(out_dir, "extracted")
     metrics_path = os.path.join(out_dir, "metrics")
 
@@ -196,9 +204,12 @@ def run_pipeline(
         subset = bucketed.filter(F.col("bucket").isin(wave_buckets))
         # explicit co-location + skew spread: one shuffle on (bucket, salt)
         subset = subset.repartition(shuffle_n, "bucket", "salt")
-        extracted = extract_documents(
-            subset, lang_col=lang_col
-        ).withColumn(
+        stage = (
+            transform
+            if transform is not None
+            else (lambda d: extract_documents(d, lang_col=lang_col))
+        )
+        extracted = stage(subset).withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
         )
         # persist the wave once: the SAME materialized rows feed the data
@@ -213,7 +224,7 @@ def run_pipeline(
             .partitionBy("bucket")
             .parquet(data_path)
         )
-        m = metrics_rows(extracted, run_id, wave).withColumn(
+        m = (metrics_fn or metrics_rows)(extracted, run_id, wave).withColumn(
             "bucket", F.col("partition_id")
         )
         m.write.mode("overwrite").partitionBy("bucket").parquet(metrics_path)

@@ -1120,6 +1120,16 @@ def _pack_sequences(spark, sf_dir):
     )
 
 
+def _chunk_documents(spark, sf_dir):
+    """Training-window chunking: whitespace tokens cut into 32-token
+    windows with 8-token overlap (stride 24); redundant tail windows
+    suppressed. Zero-shuffle explode — output mass ~ corpus token mass."""
+    from pdf_extractor_spark.operators.textstats import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_size=32, overlap=8)
+
+
 def _moving_avg_daily(spark, sf_dir):
     """Window-frame coverage: 7-day trailing moving average of daily event
     counts. The frame window is global-ordered but runs over the DAILY
@@ -1988,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _sessionize,
         "asof_last_purchase": _asof_last_purchase,
         "pack_sequences": _pack_sequences,
+        "chunk_documents": _chunk_documents,
         "hash_sample": _hash_sample,
         "moving_avg_daily": _moving_avg_daily,
         "approx_distinct_users": _approx_distinct_users,
@@ -3257,6 +3268,23 @@ SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
        CAST(min(doc_id) AS BIGINT) AS first_doc
 FROM c GROUP BY 1, 2"""
+    sql["chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+), ks AS (
+  SELECT doc_id, t,
+         unnest(generate_series(
+           0, CAST(greatest(ceil((n - 32) / 24.0), 0) AS BIGINT))) AS k
+  FROM sized
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       CAST(len(t[k*24+1 : k*24+32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[k*24+1 : k*24+32], ' ') AS chunk_text
+FROM ks"""
     sql["moving_avg_daily"] = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1)

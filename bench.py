@@ -62,6 +62,7 @@ HEADLINE = [
     "fingerprint",
     "repetition_stats",
     "tfidf_top_terms",
+    "chunk_documents",
     "dup_ngram_stats",
     "token_entropy",
     "decontaminate",

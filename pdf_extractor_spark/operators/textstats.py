@@ -83,6 +83,54 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df,
+    chunk_size: int = 2048,
+    overlap: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Fixed-token-window chunking with overlap — the corpus→training-window
+    conversion every LLM data pipeline runs last. stride = chunk_size -
+    overlap; chunk k covers whitespace tokens [k*stride, k*stride +
+    chunk_size). Chunks that would contain only tokens already covered by
+    the previous window are not emitted: n_chunks = 1 + max(0,
+    ceil((n_tokens - chunk_size) / stride)). Empty/null docs emit no rows.
+
+    Scale: fully columnar (split → sequence → explode → slice), zero
+    shuffle, embarrassingly parallel over input splits — the right shape at
+    10^12 docs. Output rows ≈ n_tokens/stride per doc, so the fan-out is
+    bounded by corpus token mass, not corpus size; skew from one giant doc
+    stays within its input partition (pair with the pipeline's salting if
+    single docs exceed a task's memory). SQL-mirrorable: the DuckDB oracle
+    replays the same arithmetic with generate_series + list slicing.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    base = (
+        df.withColumn("_toks", tokens_col(F.col(text_col)))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+    )
+    n_chunks = F.lit(1).cast("long") + F.greatest(
+        F.ceil((F.col("_n") - F.lit(chunk_size)) / F.lit(stride)),
+        F.lit(0).cast("long"),
+    )
+    exploded = base.withColumn(
+        "chunk_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    chunk = F.slice(F.col("_toks"), (start + 1).cast("int"), chunk_size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 # GPT-2-style pretokenizer shape (public knowledge: the BPE pretokenize
 # regex family): contraction suffixes, letter runs, digit runs, punctuation
 # runs, whitespace runs. Java-regex-safe subset ('\p{L}', '\p{N}') so the

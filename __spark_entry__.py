@@ -1799,6 +1799,18 @@ def _decontaminate(spark, sf_dir):
     return decontaminate(corpus, eval_set, n=3, min_hits=1)
 
 
+def _decontaminate_near(spark, sf_dir):
+    """Near-dup decontamination: same eval split as `decontaminate`
+    (doc_id % 97 == 0), scored by shingle containment against the
+    best-matching eval doc instead of any-hit."""
+    from pdf_extractor_spark.operators.curation import decontaminate_near
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_near(corpus, eval_set, n=3, threshold=0.05)
+
+
 def _token_entropy(spark, sf_dir):
     from pdf_extractor_spark.operators.curation import token_entropy
 
@@ -1961,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation
         "dup_ngram_stats": _dup_ngram_stats,
         "decontaminate": _decontaminate,
+        "decontaminate_near": _decontaminate_near,
         "token_entropy": _token_entropy,
         "line_dedup": _line_dedup,
         "pii_scrub": _pii_scrub,
@@ -3534,6 +3547,38 @@ hits AS (
 SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(n_hits, 0) >= 1 AS contaminated
 FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+    # decontaminate_near: best-eval containment (overlap / doc shingles),
+    # argmax ties to the smallest eval id — ordered by the ROUNDED value
+    # to mirror Spark's struct-max on the rounded column.
+    sql["decontaminate_near"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+ev AS (SELECT DISTINCT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0),
+per AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+        WHERE doc_id % 97 <> 0 GROUP BY 1),
+ov AS (
+  SELECT sh.doc_id, ev.eval_id, count(*) AS n_common
+  FROM sh JOIN ev USING (s) WHERE sh.doc_id % 97 <> 0
+  GROUP BY 1, 2),
+scored AS (
+  SELECT ov.doc_id, eval_id,
+         round(n_common * 1.0 / n_shingles, 6) AS containment,
+         row_number() OVER (PARTITION BY ov.doc_id
+             ORDER BY round(n_common * 1.0 / n_shingles, 6) DESC, eval_id)
+           AS rk
+  FROM ov JOIN per USING (doc_id)),
+best AS (SELECT doc_id, eval_id, containment FROM scored WHERE rk = 1)
+SELECT d.doc_id, CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(b.eval_id AS BIGINT) AS best_eval_id,
+       coalesce(b.containment, 0.0) AS containment,
+       coalesce(b.containment, 0.0) >= 0.05 AS contaminated
+FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN best b USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
     # token_entropy: -sum(p ln p) over the per-doc unigram distribution;

@@ -66,6 +66,7 @@ HEADLINE = [
     "dup_ngram_stats",
     "token_entropy",
     "decontaminate",
+    "decontaminate_near",
     "line_dedup",
     "pii_scrub",
     "url_normalize",

@@ -127,6 +127,83 @@ def decontaminate(
     )
 
 
+def decontaminate_near(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate decontamination: where `decontaminate` flags ANY
+    shared shingle, this scores each corpus doc against each eval doc by
+    shingle CONTAINMENT = |shingles(doc) ∩ shingles(eval)| / |shingles(doc)|
+    and reports the best-matching eval doc (ties broken toward the smallest
+    eval id). Containment, not Jaccard: a short eval item fully embedded in
+    a long corpus doc is exactly the leak we must catch, and symmetric
+    Jaccard would dilute it.
+
+    Returns (doc_id, n_shingles, best_eval_id, containment, contaminated)
+    for every corpus doc; docs with no overlap (or too short to shingle)
+    get (0-or-n, null, 0.0, false).
+
+    Scale: the eval side — (eval_id, shingle) distinct pairs — is broadcast
+    (benchmark suites are thousands of docs → megabytes of shingles). The
+    corpus side streams through the broadcast join; the only shuffles are
+    the partial-aggregated counts keyed (doc, eval) then doc. Never a
+    corpus×eval cross product: the join fans out only on actual shingle
+    hits."""
+    corpus_idx = shingle_index(corpus, text_col, id_col, n, max_df=None)
+    eval_idx = (
+        shingle_index(eval_set, text_col, id_col, n, max_df=None)
+        .select(F.col("id").alias("eval_id"), "shingle")
+        .distinct()
+    )
+    per_doc = corpus_idx.groupBy("id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    overlap = (
+        corpus_idx.join(F.broadcast(eval_idx), "shingle")
+        .groupBy("id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    best = (
+        overlap.join(per_doc, "id")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.col("n_shingles"), 6),
+        )
+        .groupBy("id")
+        .agg(
+            # argmax by containment, smallest eval_id on ties
+            F.max(
+                F.struct(F.col("containment"), (-F.col("eval_id")).alias("neg"))
+            ).alias("top")
+        )
+        .select(
+            "id",
+            (-F.col("top.neg")).cast("long").alias("best_eval_id"),
+            F.col("top.containment").alias("containment"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == per_doc.id, "left")
+        .drop("id")
+        .join(best, F.col(id_col) == best.id, "left")
+        .drop("id")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.col("best_eval_id"),
+            F.coalesce("containment", F.lit(0.0)).alias("containment"),
+            (F.coalesce("containment", F.lit(0.0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def token_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -453,6 +453,17 @@ def _ngram_jaccard(spark, sf_dir):
     )
 
 
+def _winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing index: 5-token-gram md5 hashes, window-of-4 minima,
+    distinct per doc — the w+1-times-smaller inverted index for near-dup
+    candidate generation."""
+    from pdf_extractor_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t_wide(spark, sf_dir, "documents"), k=5, w=4
+    )
+
+
 def _minhash_lsh(spark, sf_dir):
     from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1966,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "exact_dedup": _exact_dedup,
         "ngram_jaccard": _ngram_jaccard,
+        "winnow_fingerprints": _winnow_fingerprints,
         "minhash_lsh": _minhash_lsh,
         "neardup_clusters": _neardup_clusters,
         "dedup_survivors": _dedup_survivors,
@@ -2447,6 +2459,25 @@ SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
         "SELECT md5(text) AS digest, min(doc_id) AS canonical_id, "
         "count(*) AS n_dups FROM documents GROUP BY 1"
     )
+    # winnow_fingerprints: k=5 token grams, window w=4 minima, distinct.
+    # Gram count = n-4 (i in 1..n-4); window count = grams-3 (j in
+    # 1..grams-3); DuckDB range() upper bound is exclusive.
+    sql["winnow_fingerprints"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents
+             WHERE text IS NOT NULL AND trim(text) <> ''),
+g AS (
+  SELECT doc_id,
+    [CAST('0x' || substr(md5(array_to_string(toks[i : i+4], ' ')), 1, 15)
+          AS BIGINT) for i in range(1, len(toks) - 3)] AS grams
+  FROM tok WHERE len(toks) >= 5),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) < 4 THEN [list_min(grams)]
+              ELSE [list_min(grams[j : j+3])
+                    for j in range(1, len(grams) - 2)] END AS minima
+  FROM g)
+SELECT doc_id, unnest(list_distinct(minima)) AS fingerprint FROM m
+"""
     sql["ngram_jaccard"] = f"""
 WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
 sh AS (

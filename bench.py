@@ -63,6 +63,7 @@ HEADLINE = [
     "repetition_stats",
     "tfidf_top_terms",
     "chunk_documents",
+    "winnow_fingerprints",
     "dup_ngram_stats",
     "token_entropy",
     "decontaminate",

@@ -1,0 +1,66 @@
+"""winnow_fingerprints: the winnowing guarantee (docs sharing a >= w+k-1
+token run share a fingerprint), short-doc degradation, independence from a
+pure-Python reimplementation, and the plan pin that the md5 gram pipeline
+is evaluated exactly once (the explode size-filter pushdown trap)."""
+
+import hashlib
+
+from pdf_extractor_spark.operators.dedup import winnow_fingerprints
+
+K, W = 3, 4
+
+
+def _py_winnow(text: str, k: int = K, w: int = W) -> set[int]:
+    """Independent reimplementation with stdlib md5 (no Spark types)."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        return set()
+    grams = [
+        int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    if len(grams) < w:
+        return {min(grams)}
+    return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    # shares the >= w+k-1 = 6-token run "quick brown fox jumps over the"
+    (2, "a very quick brown fox jumps over the sleeping cat today"),
+    (3, "completely different words about solar panels and wind turbines"),
+    (4, "tiny doc"),          # < k tokens -> no fingerprints
+    (5, "just three tokens"), # exactly k -> 1 gram -> 1 fingerprint
+]
+
+
+def test_matches_python_model(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=K, w=W).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for doc_id, text in DOCS:
+        assert got.get(doc_id, set()) == _py_winnow(text), doc_id
+
+
+def test_shared_run_guarantee(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=K, w=W).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[1] & fps[2], "docs sharing a w+k-1 token run must collide"
+    assert not (fps[1] & fps[3])
+    assert 4 not in fps
+    assert len(fps[5]) == 1
+
+
+def test_gram_pipeline_evaluated_once(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        winnow_fingerprints(df, k=K, w=W)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5(") == 1
+    assert "Exchange" not in plan

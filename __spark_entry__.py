@@ -1822,6 +1822,24 @@ def _decontaminate_near(spark, sf_dir):
     return decontaminate_near(corpus, eval_set, n=3, threshold=0.05)
 
 
+def _nfc_normalize(spark, sf_dir):
+    """Unicode NFC over a deterministically accent-augmented corpus: every
+    doc gets decomposed 'e&#769; u&#776; A&#778;' sequences appended, so
+    composition is exercised on every row (len_nfc = len_raw - 3)."""
+    from pdf_extractor_spark.operators.textstats import nfc_normalize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            # DECOMPOSED sequences (base + combining mark), written as
+            # escapes so no tooling silently re-composes the literal
+            F.lit(" cafe\u0301 u\u0308ber A\u030a"),
+        ).alias("text"),
+    )
+    return nfc_normalize(docs)
+
+
 def _token_entropy(spark, sf_dir):
     from pdf_extractor_spark.operators.curation import token_entropy
 
@@ -1968,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_name": _lang_name,
         # text analysis
         "token_count": _token_count,
+        "nfc_normalize": _nfc_normalize,
         "bpe_token_count": _bpe_token_count,
         "quality_score": _quality,
         "lang_id": _lang_id,
@@ -3611,6 +3630,21 @@ SELECT d.doc_id, CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
        coalesce(b.containment, 0.0) >= 0.05 AS contaminated
 FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN best b USING (doc_id)
 WHERE d.doc_id % 97 <> 0
+"""
+    # nfc_normalize: DuckDB's nfc_normalize is the independent NFC
+    # implementation; chr(769/776/778) are the combining marks appended
+    # on the Spark side.
+    sql["nfc_normalize"] = """
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' cafe' || chr(769) || ' u' || chr(776)
+           || 'ber A' || chr(778) AS text
+  FROM documents)
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       text IS DISTINCT FROM nfc_normalize(text) AS changed,
+       CAST(length(text) AS BIGINT) AS len_raw,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc
+FROM aug
 """
     # token_entropy: -sum(p ln p) over the per-doc unigram distribution;
     # + 0.0 normalizes IEEE -0.0 (single-token-type docs) in both engines.

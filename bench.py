@@ -64,6 +64,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "chunk_documents",
     "winnow_fingerprints",
+    "nfc_normalize",
     "dup_ngram_stats",
     "token_entropy",
     "decontaminate",

@@ -131,6 +131,42 @@ def chunk_documents(
     )
 
 
+def nfc_normalize(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Unicode NFC normalization — the canonical first step of any web-text
+    pipeline (decomposed accents, compatibility variants, and mixed-form
+    duplicates otherwise defeat exact dedup and tokenization). Spark SQL
+    has no normalization builtin, so this is one of the few legitimately-
+    Python ops in the engine: a single Arrow-batched pandas UDF (vectorized
+    transfer, one Python worker pass — never per-row). The UDF output is
+    bound with withColumn once, and the changed/length columns read the
+    bound attribute, so the plan has exactly ONE ArrowEvalPython stage.
+
+    Returns (doc_id, text_nfc, changed, len_raw, len_nfc). Cross-engine
+    oracle: DuckDB's nfc_normalize implements the same Unicode NFC."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize("NFC", v)
+        )
+
+    return (
+        df.withColumn("text_nfc", _nfc(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            "text_nfc",
+            (
+                ~F.col(text_col).eqNullSafe(F.col("text_nfc"))
+            ).alias("changed"),
+            F.length(F.col(text_col)).cast("long").alias("len_raw"),
+            F.length("text_nfc").cast("long").alias("len_nfc"),
+        )
+    )
+
+
 # GPT-2-style pretokenizer shape (public knowledge: the BPE pretokenize
 # regex family): contraction suffixes, letter runs, digit runs, punctuation
 # runs, whitespace runs. Java-regex-safe subset ('\p{L}', '\p{N}') so the

@@ -1305,6 +1305,52 @@ def _range_join_windows(spark, sf_dir):
     )
 
 
+def _media_captions(spark, sf_dir):
+    """Image-text pair mining over synthesized interleaved spans: every
+    doc becomes [media a, text T1, media b, text T2, media c] at offsets
+    0-4 — a must pair with the following T1, b ties and takes the
+    following T2, c takes the preceding T2. T1/T2 are the two halves of
+    the doc text, so captions vary per document."""
+    from pdf_extractor_spark.operators.multimodal import media_captions
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(txt)
+    half = F.floor(n / 2).cast("int")
+    t1 = F.substring(txt, F.lit(1), half)
+    t2 = F.substring(txt, half + 1, n)
+
+    def _text_span(t, off):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            t.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    def _media_span(prefix, off):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit(prefix), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    with_spans = docs.select(
+        "doc_id",
+        F.array(
+            _media_span("a-", 0),
+            _text_span(t1, 1),
+            _media_span("b-", 2),
+            _text_span(t2, 3),
+            _media_span("c-", 4),
+        ).alias("spans"),
+    )
+    return media_captions(with_spans)
+
+
 def _span_validations(spark, sf_dir):
     """Per-span structured validator output (north_star): three typed-token
     spans per document (email / CPF / date), detected and validated
@@ -2031,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "page_filter": _page_filter,
         "media_meta": _media_meta,
+        "media_captions": _media_captions,
         "media_resize": _media_resize,
         "media_features": _media_features,
         "frame_sample": _frame_sample,
@@ -2691,6 +2738,53 @@ FROM documents WHERE doc_id % 3 = 2
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
         "FROM documents WHERE doc_id % 3 = 0"
     )
+    # media_captions: independent window-logic reimplementation — the
+    # same interleaved synthesis, then IGNORE NULLS carries in SQL.
+    sql["media_captions"] = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n
+  FROM documents),
+halves AS (
+  SELECT doc_id,
+         substr(t, 1, CAST(n // 2 AS INT)) AS t1,
+         substr(t, CAST(n // 2 AS INT) + 1, n) AS t2
+  FROM base),
+spans AS (
+  SELECT doc_id, 'media' AS kind, NULL AS text,
+         'a-' || doc_id AS media_ref, 0 AS off FROM halves
+  UNION ALL SELECT doc_id, 'text', t1, NULL, 1 FROM halves
+  UNION ALL SELECT doc_id, 'media', NULL, 'b-' || doc_id, 2 FROM halves
+  UNION ALL SELECT doc_id, 'text', t2, NULL, 3 FROM halves
+  UNION ALL SELECT doc_id, 'media', NULL, 'c-' || doc_id, 4 FROM halves),
+car AS (
+  SELECT *,
+    last_value(CASE WHEN kind = 'text' THEN off END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_off,
+    last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_txt,
+    first_value(CASE WHEN kind = 'text' THEN off END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_off,
+    first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_txt
+  FROM spans),
+picked AS (
+  SELECT *,
+    next_off IS NOT NULL AND (prev_off IS NULL
+      OR next_off - off <= off - prev_off) AS take_next
+  FROM car WHERE kind = 'media')
+SELECT doc_id, media_ref, CAST(off AS INT) AS media_offset,
+  CAST(CASE WHEN take_next THEN next_off ELSE prev_off END AS INT)
+    AS caption_offset,
+  CASE WHEN take_next THEN next_txt ELSE prev_txt END AS caption,
+  CASE WHEN take_next THEN 'next'
+       WHEN prev_off IS NOT NULL THEN 'prev' END AS caption_side
+FROM picked
+"""
     sql["media_meta"] = (
         "SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id, "
         "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN "

@@ -65,6 +65,7 @@ HEADLINE = [
     "chunk_documents",
     "winnow_fingerprints",
     "nfc_normalize",
+    "media_captions",
     "dup_ngram_stats",
     "token_entropy",
     "decontaminate",

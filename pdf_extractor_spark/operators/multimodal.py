@@ -148,3 +148,65 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
         ).alias("frame_idx"),
         "meta",
     )
+
+
+def media_captions(docs: DataFrame) -> DataFrame:
+    """Image–text pair mining over the interleaved (doc_id, spans) corpus:
+    associate every media span with its caption — the nearest text span by
+    |offset| distance, preferring the FOLLOWING text span on ties (the
+    caption-below-the-image convention). This is the pair-extraction step a
+    multimodal (CLIP-style) training pipeline runs over interleaved docs.
+
+    Returns (doc_id, media_ref, media_offset, caption_offset, caption,
+    caption_side) — caption_side in ('prev','next'); all-null caption
+    columns when the document has no text spans at all.
+
+    Scale: explode + two IGNORE-NULLS window carries (last text at-or-
+    before, first text after) over ONE (doc_id, offset) sort — a single
+    hash shuffle on doc_id, co-partitioned with the pipeline's bucketing,
+    never O(text_spans × media_spans) per doc (the skew tail has 10^4-span
+    docs where a per-media scan would be quadratic)."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    is_text = F.col("kind") == "text"
+    t_off = F.when(is_text, F.col("offset"))
+    t_txt = F.when(is_text, F.col("text"))
+    carried = ex.select(
+        "*",
+        F.last(t_off, ignorenulls=True).over(before).alias("prev_off"),
+        F.last(t_txt, ignorenulls=True).over(before).alias("prev_txt"),
+        F.first(t_off, ignorenulls=True).over(after).alias("next_off"),
+        F.first(t_txt, ignorenulls=True).over(after).alias("next_txt"),
+    ).filter(~is_text)
+    next_dist = F.col("next_off") - F.col("offset")
+    prev_dist = F.col("offset") - F.col("prev_off")
+    take_next = F.col("next_off").isNotNull() & (
+        F.col("prev_off").isNull() | (next_dist <= prev_dist)
+    )
+    side = F.when(take_next, F.lit("next")).when(
+        F.col("prev_off").isNotNull(), F.lit("prev")
+    )
+    return carried.select(
+        "doc_id",
+        "media_ref",
+        F.col("offset").alias("media_offset"),
+        F.when(take_next, F.col("next_off"))
+        .otherwise(F.col("prev_off"))
+        .alias("caption_offset"),
+        F.when(take_next, F.col("next_txt"))
+        .otherwise(F.col("prev_txt"))
+        .alias("caption"),
+        side.alias("caption_side"),
+    )

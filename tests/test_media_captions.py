@@ -1,0 +1,84 @@
+"""media_captions: hand-computed nearest-text association over interleaved
+spans (tie -> following text, boundary media, text-less docs, shuffled
+array order), plus the scale pin: exactly ONE Exchange (the doc_id window
+shuffle) and no join in the plan."""
+
+from pdf_extractor_spark.operators.multimodal import media_captions
+
+SPAN = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def _doc(doc_id, spans):
+    return (doc_id, [(k, t, m, o) for (k, t, m, o) in spans])
+
+
+DOCS = [
+    # media between two texts, nearer to the earlier one
+    _doc("d1", [
+        ("text", "intro", None, 0),
+        ("media", None, "img1", 1),
+        ("text", "far away text", None, 5),
+    ]),
+    # exact tie -> following text wins
+    _doc("d2", [
+        ("text", "before", None, 0),
+        ("media", None, "img2", 1),
+        ("text", "after", None, 2),
+    ]),
+    # media first (no preceding text) and media last (no following text)
+    _doc("d3", [
+        ("media", None, "lead", 0),
+        ("text", "only text", None, 1),
+        ("media", None, "trail", 2),
+    ]),
+    # no text spans at all -> null caption
+    _doc("d4", [
+        ("media", None, "alone", 0),
+        ("media", None, "alone2", 3),
+    ]),
+    # SHUFFLED array order (corpus stores spans permuted): same semantics
+    _doc("d5", [
+        ("text", "tail", None, 4),
+        ("media", None, "mid", 2),
+        ("text", "head", None, 0),
+    ]),
+]
+
+
+def _collect(spark):
+    df = spark.createDataFrame(DOCS, SPAN)
+    return {r.media_ref: r for r in media_captions(df).collect()}
+
+
+def test_nearest_and_ties(spark):
+    out = _collect(spark)
+    # d1: dist to "intro"=1, to far text=4 -> previous
+    assert out["img1"].caption == "intro" and out["img1"].caption_side == "prev"
+    # d2: tie -> following
+    assert out["img2"].caption == "after" and out["img2"].caption_side == "next"
+    # d3 boundaries
+    assert out["lead"].caption == "only text" and out["lead"].caption_side == "next"
+    assert out["trail"].caption == "only text" and out["trail"].caption_side == "prev"
+
+
+def test_textless_doc_yields_nulls(spark):
+    out = _collect(spark)
+    for ref in ("alone", "alone2"):
+        r = out[ref]
+        assert r.caption is None and r.caption_offset is None
+        assert r.caption_side is None
+
+
+def test_shuffled_span_order_is_irrelevant(spark):
+    out = _collect(spark)
+    # d5: media at offset 2, "head"@0 dist 2, "tail"@4 dist 2 -> tie -> next
+    assert out["mid"].caption == "tail" and out["mid"].caption_side == "next"
+
+
+def test_one_shuffle_no_join(spark):
+    df = spark.createDataFrame(DOCS, SPAN)
+    plan = (
+        media_captions(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

@@ -464,6 +464,16 @@ def _winnow_fingerprints(spark, sf_dir):
     )
 
 
+def _winnow_pairs(spark, sf_dir):
+    """Candidate near-dup pairs from the winnowed index: >= 2 shared
+    fingerprints (k=5, w=4), hot-fingerprint cap at 1000 docs."""
+    from pdf_extractor_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t_wide(spark, sf_dir, "documents"), k=5, w=4, min_shared=2
+    )
+
+
 def _minhash_lsh(spark, sf_dir):
     from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2043,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _exact_dedup,
         "ngram_jaccard": _ngram_jaccard,
         "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_pairs": _winnow_pairs,
         "minhash_lsh": _minhash_lsh,
         "neardup_clusters": _neardup_clusters,
         "dedup_survivors": _dedup_survivors,
@@ -2543,6 +2554,32 @@ m AS (
                     for j in range(1, len(grams) - 2)] END AS minima
   FROM g)
 SELECT doc_id, unnest(list_distinct(minima)) AS fingerprint FROM m
+"""
+    # winnow_pairs: self-join of the winnowed index (same CTE), >= 2
+    # shared fingerprints, hot fingerprints (> 1000 docs) dropped.
+    sql["winnow_pairs"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents
+             WHERE text IS NOT NULL AND trim(text) <> ''),
+g AS (
+  SELECT doc_id,
+    [CAST('0x' || substr(md5(array_to_string(toks[i : i+4], ' ')), 1, 15)
+          AS BIGINT) for i in range(1, len(toks) - 3)] AS grams
+  FROM tok WHERE len(toks) >= 5),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) < 4 THEN [list_min(grams)]
+              ELSE [list_min(grams[j : j+3])
+                    for j in range(1, len(grams) - 2)] END AS minima
+  FROM g),
+fp AS (SELECT doc_id, unnest(list_distinct(minima)) AS fingerprint FROM m),
+ok AS (
+  SELECT * FROM fp WHERE fingerprint NOT IN (
+    SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) > 1000))
+SELECT l.doc_id AS id1, r.doc_id AS id2,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM ok l JOIN ok r
+  ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
 """
     sql["ngram_jaccard"] = f"""
 WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),

@@ -64,6 +64,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "chunk_documents",
     "winnow_fingerprints",
+    "winnow_pairs",
     "nfc_normalize",
     "media_captions",
     "dup_ngram_stats",

@@ -422,6 +422,51 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs from the winnowed index: docs sharing at
+    least `min_shared` fingerprints -> (id1, id2, n_shared). The winnowing
+    guarantee makes recall structural (a shared >= w+k-1 token run always
+    collides) while the index the self-join shuffles is ~(w+1)/2 times
+    smaller than the full shingle index — the whole point at 10^12 docs.
+
+    Same guards as the shingle/minhash family: fingerprints present in
+    more than max_df docs are dropped from BOTH sides (stop-gram
+    boilerplate would otherwise make one fingerprint's bucket quadratic),
+    and the self-join is hinted sort-merge so the two identical index
+    plans collapse into one computation via ReusedExchange."""
+    idx = winnow_fingerprints(df, text_col, id_col, k, w).withColumnRenamed(
+        id_col, "id"
+    )
+    if max_df is not None:
+        hot = (
+            idx.groupBy("fingerprint")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fingerprint")
+        )
+        idx = idx.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a = idx.hint("merge").alias("a")
+    b = idx.hint("merge").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash: per token, a 60-bit md5-derived hash -> for each bit,
     +1 if set else -1; sign of the per-bit balance forms the signature.

@@ -64,3 +64,46 @@ def test_gram_pipeline_evaluated_once(spark):
     )
     assert plan.count("md5(") == 1
     assert "Exchange" not in plan
+
+
+def test_winnow_pairs_detects_shared_run(spark):
+    from pdf_extractor_spark.operators.dedup import winnow_pairs
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = {
+        (r.id1, r.id2): r.n_shared
+        for r in winnow_pairs(df, k=K, w=W, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs  # the shared 6-token run
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_pairs_hot_cap_bounds_degenerate_corpus(spark):
+    from pdf_extractor_spark.operators.dedup import winnow_pairs
+
+    # 50 identical docs: every fingerprint has df=50 > max_df=10 -> all
+    # dropped, zero candidate pairs instead of 50*49/2 (exact_dedup's job)
+    dup = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere today") for i in range(50)],
+        "doc_id long, text string",
+    )
+    assert winnow_pairs(dup, k=K, w=W, min_shared=1, max_df=10).count() == 0
+    # with the cap off they all pair
+    assert (
+        winnow_pairs(dup, k=K, w=W, min_shared=1, max_df=None).count()
+        == 50 * 49 // 2
+    )
+
+
+def test_winnow_pairs_reuses_one_exchange(spark):
+    from pdf_extractor_spark.operators.dedup import winnow_pairs
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = winnow_pairs(df, k=K, w=W)
+    out.collect()  # AQE finalizes exchange reuse at runtime
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "ReusedExchange" in plan
+    # the index pipeline must not be rebuilt inside an inner broadcast
+    import re
+
+    assert not re.search(r"BroadcastHashJoin \[fingerprint[^\n]*Inner", plan)

@@ -651,6 +651,71 @@ def _lm_perplexity(spark, sf_dir):
     return lm_perplexity(_t(spark, sf_dir, "documents"))
 
 
+def _pagerank_hosts(spark, sf_dir):
+    """Damped PageRank (3 iterations) over a deterministic host link graph
+    synthesized from the documents table: each doc's host (source) links
+    to three arithmetically derived peer hosts. The host-quality signal of
+    crawl curation; oracle = the same 3 iterations unrolled in SQL."""
+    from pdf_extractor_spark.operators.graph import pagerank
+
+    docs = _t_wide(spark, sf_dir, "documents")
+
+    def tgt(a: int, b: int):
+        return F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * a + b) % 20).cast("string"),
+            F.lit(".example.com"),
+        )
+
+    edges = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+        F.explode(F.array(tgt(3, 1), tgt(7, 2), tgt(11, 5))).alias("dst"),
+    )
+    out = pagerank(edges, iters=3, damping=0.85)
+    return out.select(F.col("node").alias("host"), "rank")
+
+
+def _crawl_frontier(spark, sf_dir):
+    """2-hop frontier BFS from two seed hosts over the same synthetic host
+    graph as pagerank_hosts — min-hop label per reached node."""
+    from pdf_extractor_spark.operators.graph import khop_reachable
+
+    docs = _t_wide(spark, sf_dir, "documents")
+
+    def tgt(a: int, b: int):
+        return F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * a + b) % 20).cast("string"),
+            F.lit(".example.com"),
+        )
+
+    edges = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+        F.explode(F.array(tgt(3, 1), tgt(7, 2), tgt(11, 5))).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    seeds = spark.createDataFrame(
+        [("src0.example.com",), ("src1.example.com",)], "node string"
+    )
+    return khop_reachable(edges, seeds, k=2)
+
+
+def _quality_tiers(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail bucketing by LM
+    perplexity — the partition step downstream mixing policies consume."""
+    from pdf_extractor_spark.operators.curation import quality_tiers
+
+    return quality_tiers(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_lm(spark, sf_dir):
+    """The corpus bigram LM table (top-50 bigrams + MLE conditional
+    probabilities) — the persisted "train" half of the lm_perplexity
+    scorer's train-once / score-many split."""
+    from pdf_extractor_spark.operators.curation import ngram_lm
+
+    return ngram_lm(_t_wide(spark, sf_dir, "documents"))
+
+
 def _page_filter(spark, sf_dir):
     """Page-range predicate (reference extractor.py:46-51 semantics) over a
     deterministic interleaved span layout derived from each document's
@@ -711,6 +776,24 @@ def _page_filter(spark, sf_dir):
             "",
         ).alias("kept_text"),
     )
+
+
+def _media_dedup(spark, sf_dir):
+    """Exact media dedup by payload digest. The dup population is seeded
+    deterministically: every doc_id % 5 == 0 media item also exists as a
+    'copy-' variant with identical bytes, so the check compares a corpus
+    with a real 20% duplicate rate (non-vacuous by construction)."""
+    from pdf_extractor_spark.operators.multimodal import (
+        media_dedup,
+        media_from_documents,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    dups = media_from_documents(
+        docs.filter(F.col("doc_id") % 5 == 0)
+    ).withColumn("media_id", F.concat(F.lit("copy-"), F.col("media_id")))
+    return media_dedup(media.unionByName(dups))
 
 
 def _media_meta(spark, sf_dir):
@@ -817,6 +900,15 @@ def _html_blocks(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
     return html_blocks(synthesize_html(docs))
+
+
+def _html_links(spark, sf_dir):
+    """Web-graph feeder: every <a href> anchor per page with its cleaned
+    anchor text — the input to link-graph / anchor-text-index / host-rank
+    curation stages. Narrow per-row regex work, zero shuffle."""
+    from pdf_extractor_spark.operators.html import extract_links
+
+    return extract_links(_html_corpus(spark, sf_dir))
 
 
 def _tpch_q7(spark, sf_dir):
@@ -2070,6 +2162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": _mix_weights,
         "global_shuffle": _global_shuffle,
         "lm_perplexity": _lm_perplexity,
+        "ngram_lm": _ngram_lm,
+        "quality_tiers": _quality_tiers,
+        "pagerank_hosts": _pagerank_hosts,
+        "crawl_frontier": _crawl_frontier,
         "gopher_filter": _gopher_filter,
         "hash_lr": _hash_lr,
         "curation_funnel": _curation_funnel,
@@ -2088,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "page_filter": _page_filter,
         "media_meta": _media_meta,
+        "media_dedup": _media_dedup,
         "media_captions": _media_captions,
         "media_resize": _media_resize,
         "media_features": _media_features,
@@ -2095,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full pipeline (pandas-UDF stages; rows-only check)
         "html_main_content": _html_main_content,
         "html_blocks": _html_blocks,
+        "html_links": _html_links,
         "layout_order": _layout_order,
         "layout_text": _layout_text,
         "sessionize": _sessionize,
@@ -2830,6 +2928,28 @@ FROM picked
         "(length(text) % 640 + 1) AS width, (length(text) % 480 + 1) AS height "
         "FROM documents"
     )
+    # media_dedup: rebuild the seeded-duplicate media corpus (every 5th
+    # item exists twice), then group by content digest. DuckDB md5 of the
+    # source text == Spark md5 of its utf-8 payload bytes.
+    _media_kind = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN "
+        "'audio' ELSE 'video' END"
+    )
+    sql["media_dedup"] = f"""
+WITH m AS (
+  SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id,
+         {_media_kind} AS kind, text AS payload
+  FROM documents
+  UNION ALL
+  SELECT 'copy-media-' || CAST(doc_id AS VARCHAR) AS media_id,
+         {_media_kind} AS kind, text AS payload
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT md5(payload) AS digest,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(media_id) AS first_media_id,
+       array_to_string(list_sort(list(DISTINCT kind)), ',') AS kinds
+FROM m GROUP BY 1
+"""
     # minhash_lsh: the Spark side is LSH-candidates + exact-Jaccard verify,
     # whose output equals brute-force Jaccard wherever LSH recall is
     # complete (verified: all true pairs at sf0.01 have j >= 0.9 and 16
@@ -3213,7 +3333,7 @@ SELECT b.digest, b.doc_id FROM b ANTI JOIN seen USING (digest)
     # unigram, the rest by bigram; same double arithmetic, round-6/-4 on
     # the per-doc mean (the token_entropy precedent: 6-dp rounding absorbs
     # cross-engine sum-order noise in ln-space).
-    sql["lm_perplexity"] = f"""
+    _lm_ctes = f"""
 WITH toks AS (
   SELECT doc_id, {_LTOKS} AS t FROM documents
   WHERE text IS NOT NULL AND trim(text) <> ''),
@@ -3235,12 +3355,106 @@ rest AS (
   FROM pairs p JOIN bi USING (w1, w2) JOIN uni ON uni.w = p.w1, tot),
 scored AS (
   SELECT doc_id, count(*) AS n, -sum(logp) / count(*) AS h
-  FROM (SELECT * FROM first UNION ALL SELECT * FROM rest) GROUP BY 1)
-SELECT d.doc_id,
-       CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
-       coalesce(round(h, 6), 0.0) AS cross_entropy,
-       coalesce(round(exp(h), 4), 1.0) AS perplexity
-FROM documents d LEFT JOIN scored USING (doc_id)
+  FROM (SELECT * FROM first UNION ALL SELECT * FROM rest) GROUP BY 1),
+lmout AS (
+  SELECT d.doc_id,
+         CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+         coalesce(round(h, 6), 0.0) AS cross_entropy,
+         coalesce(round(exp(h), 4), 1.0) AS perplexity
+  FROM documents d LEFT JOIN scored USING (doc_id))"""
+    sql["lm_perplexity"] = (
+        _lm_ctes
+        + "\nSELECT doc_id, n_tokens, cross_entropy, perplexity FROM lmout\n"
+    )
+    # quality_tiers: per-language ntile over the ROUNDED cross-entropy
+    # (the value lm_perplexity proves bit-stable cross-engine) with doc_id
+    # tie-break, so bucket edges cannot flip on last-ulp differences.
+    sql["quality_tiers"] = (
+        _lm_ctes
+        + """,
+ranked AS (
+  SELECT d.lang, lmout.perplexity,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY lmout.cross_entropy, lmout.doc_id) AS tier
+  FROM lmout JOIN documents d USING (doc_id))
+SELECT lang, CAST(tier AS INT) AS tier, CAST(count(*) AS BIGINT) AS n_docs,
+       min(perplexity) AS min_ppl, max(perplexity) AS max_ppl
+FROM ranked GROUP BY 1, 2
+"""
+    )
+    # pagerank_hosts: rebuild the same synthetic host graph and unroll the
+    # 3 damped power iterations as chained CTEs.
+    _pr_tgt = (
+        "'src' || CAST((doc_id * {a} + {b}) % 20 AS VARCHAR) "
+        "|| '.example.com'"
+    )
+    _pr_arm = (
+        "SELECT source || '.example.com' AS src, "
+        + _pr_tgt
+        + " AS dst FROM documents"
+    )
+    _pr_step = """
+c{k} AS (
+  SELECT e.dst AS node, sum(r{j}.rank / od.od) AS contrib
+  FROM e JOIN r{j} ON e.src = r{j}.node JOIN od ON e.src = od.node
+  GROUP BY 1),
+r{k} AS (
+  SELECT nn.node, nn.N, 0.15 / nn.N + 0.85 * coalesce(c{k}.contrib, 0.0)
+           AS rank
+  FROM nn LEFT JOIN c{k} USING (node)),"""
+    _pr_edges = (
+        "WITH e AS (\n  SELECT DISTINCT src, dst FROM ("
+        + " UNION ".join(
+            _pr_arm.format(a=a, b=b) for a, b in ((3, 1), (7, 2), (11, 5))
+        )
+        + ") WHERE src <> dst),\n"
+    )
+    sql["pagerank_hosts"] = (
+        _pr_edges
+        + "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+        + "nn AS (SELECT node, (SELECT CAST(count(*) AS DOUBLE) FROM nodes)"
+        + " AS N FROM nodes),\n"
+        + "od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS od"
+        + " FROM e GROUP BY 1),\n"
+        + "r0 AS (SELECT node, N, 1.0 / N AS rank FROM nn),"
+        + "".join(_pr_step.format(k=k, j=k - 1) for k in (1, 2, 3)).rstrip(
+            ","
+        )
+        + "\nSELECT node AS host, round(rank, 6) AS rank FROM r3"
+    )
+    # crawl_frontier: 2 unrolled BFS rounds over the same edge CTE, hops =
+    # first round a node is reached.
+    sql["crawl_frontier"] = (
+        _pr_edges
+        + """
+h0 AS (SELECT 'src0.example.com' AS node, 0 AS hops
+       UNION SELECT 'src1.example.com', 0),
+f1 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN h0 ON e.src = h0.node
+  WHERE e.dst NOT IN (SELECT node FROM h0)),
+h1 AS (SELECT node, hops FROM h0 UNION ALL SELECT node, 1 FROM f1),
+f2 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+  WHERE e.dst NOT IN (SELECT node FROM h1))
+SELECT node, CAST(hops AS INT) AS hops FROM h1
+UNION ALL SELECT node, 2 FROM f2
+"""
+    )
+    # ngram_lm: same bigram construction as the lm_perplexity oracle, plus
+    # the prefix-total window and the fully tie-broken top-50.
+    sql["ngram_lm"] = f"""
+WITH toks AS (
+  SELECT {_LTOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+pairs AS (
+  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       FROM pairs GROUP BY 1, 2),
+wi AS (SELECT *, CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+       FROM bi)
+SELECT w1, w2, c12, c1, round(CAST(c12 AS DOUBLE) / c1, 6) AS p
+FROM wi ORDER BY c12 DESC, w1, w2 LIMIT 50
 """
     # global_shuffle: the oracle IS the naive global ranking; the Spark
     # side's sharded two-level positions must reproduce it exactly because
@@ -3262,6 +3476,7 @@ FROM documents
         ANCHOR_RE,
         BLOCK_SPLIT_RE,
         INLINE_TAG_RE,
+        LINK_RE,
         WS_RE,
     )
 
@@ -3371,6 +3586,24 @@ SELECT doc_id,
        (u.s.text_len >= 25 AND
         CAST(u.s.link_len AS DOUBLE) <= 0.33 * u.s.text_len) AS keep
 FROM ex""",
+    )
+    # html_links: same rebuilt page, both capture groups of LINK_RE, anchor
+    # text cleaned with the shared inline-tag + whitespace collapse.
+    sql["html_links"] = (
+        _page_sql.format(pred="")
+        + f""",
+l AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '{LINK_RE}', 1) AS hrefs,
+         regexp_extract_all(html, '{LINK_RE}', 2) AS texts
+  FROM page),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(hrefs, (h, i) -> struct_pack(
+           i := i, h := h, a := {_clean_txt.format(src='texts[i]')}))) AS u
+  FROM l)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS link_idx, u.h AS href, u.a AS anchor
+FROM ex"""
     )
     # layout family: rebuild the deterministic box corpus, then recover
     # reading order with the same midline rule via SQL windows.

@@ -83,6 +83,12 @@ HEADLINE = [
     "curation_funnel",
     "pack_sequences",
     "html_main_content",
+    "html_links",
+    "ngram_lm",
+    "quality_tiers",
+    "media_dedup",
+    "pagerank_hosts",
+    "crawl_frontier",
     "layout_text",
     "sessionize",
     "asof_last_purchase",

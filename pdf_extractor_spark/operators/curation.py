@@ -637,6 +637,79 @@ def incremental_dedup(
     return firsts.join(seen_digests.select("digest"), "digest", "left_anti")
 
 
+def quality_tiers(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_tiers: int = 3,
+) -> DataFrame:
+    """(lang, tier, n_docs, min_ppl, max_ppl) — CCNet-style quality
+    bucketing: within each language, rank documents by LM perplexity and
+    cut into n_tiers equal buckets (tier 1 = head / lowest perplexity,
+    tier n = tail). Downstream pipelines train on head+middle and drop or
+    re-weight the tail — this is the canonical CCNet partition.
+
+    Determinism across engines: the ntile ORDER BY is the ROUNDED
+    cross-entropy (6 dp — the same value the lm_perplexity oracle proves
+    bit-stable cross-engine) with doc_id as the total tie-break, so bucket
+    boundaries cannot flip on last-ulp float differences.
+
+    Scale shape: lm_perplexity's three narrow-key shuffles, one join back
+    to the corpus on doc_id for the language, then a per-language window.
+    Languages are few and docs many, so the window partition is the skew
+    surface — at 10^12 docs the rank-within-language step would switch to
+    approx quantile cuts (percentile_approx on cross_entropy) instead of
+    a total sort per language; tier COUNTS stay equal either way."""
+    ppl = lm_perplexity(df, text_col, id_col)
+    joined = ppl.join(df.select(F.col(id_col), F.col(lang_col)), id_col)
+    w = Window.partitionBy(lang_col).orderBy("cross_entropy", id_col)
+    return (
+        joined.withColumn("tier", F.ntile(n_tiers).over(w))
+        .groupBy(F.col(lang_col).alias("lang"), "tier")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("perplexity").alias("min_ppl"),
+            F.max("perplexity").alias("max_ppl"),
+        )
+    )
+
+
+def ngram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """(w1, w2, c12, c1, p) — the corpus bigram language-model table
+    itself: the top_n bigrams by count with their MLE conditional
+    probability p = c12 / c1 (c1 = occurrences of w1 as a bigram prefix).
+    This is the persisted model table the lm_perplexity scorer consumes —
+    materializing it is the "train" half of the train-once / score-many
+    split the perplexity docstring describes.
+
+    Scale shape: one explode + hash-shuffle count on (w1, w2) with
+    map-side combine, one window over w1 for the prefix totals (a second
+    narrow-key shuffle), and a TakeOrderedAndProject for the top_n — no
+    corpus-sized collect anywhere. Ordering is fully tie-broken
+    (count desc, w1, w2) so the limit is deterministic cross-engine."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(toks.alias("t")).where(F.size("t") >= 2)
+    pairs = base.select(
+        F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("pos", "w1"),
+        F.col("t"),
+    ).select("w1", F.expr("t[pos + 1]").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    w1_tot = Window.partitionBy("w1")
+    return (
+        bi.withColumn("c1", F.sum("c12").over(w1_tot))
+        .withColumn(
+            "p", F.round(F.col("c12") / F.col("c1"), 6)
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(top_n)
+    )
+
+
 def curation_transform(df: DataFrame) -> DataFrame:
     """Per-doc quality-annotation stage for the checkpointed pipeline
     (jobs/run_curation.py): Gopher rule flags + hashed-LR columns + text

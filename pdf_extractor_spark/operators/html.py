@@ -213,6 +213,55 @@ def html_main_content(
     )
 
 
+LINK_RE = r'(?is)<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Outlink extraction: (doc_id, link_idx, href, anchor) — one row per
+    <a href=...> anchor in document order, anchor text stripped of inline
+    tags and whitespace-collapsed. This is the web-graph feeder (link
+    graph, anchor-text index, PageRank-style host quality) of a crawl
+    curation pipeline.
+
+    Scale shape: two regex passes over the page plus one generate — a
+    narrow per-row map with NO shuffle, so it scales linearly with
+    executors like the rest of the HTML family. Both regex passes run over
+    the SAME materialized page column (withColumn projection boundaries —
+    see the round-1 Catalyst re-inlining lesson in textstats.py), and the
+    explode is posexplode_outer + null-filter so InferFiltersFromGenerate
+    cannot push the array expression into a pre-generate filter (round-2
+    winnowing lesson).
+
+    LINK_RE stays in the Java-regex ∩ RE2 subset (lazy quantifiers only, no
+    lookaround/backrefs) so the identical pattern string drives the DuckDB
+    oracle."""
+    out = (
+        pages.withColumn(
+            "_hrefs", F.regexp_extract_all(F.col(html_col), F.lit(LINK_RE), 1)
+        )
+        .withColumn(
+            "_texts", F.regexp_extract_all(F.col(html_col), F.lit(LINK_RE), 2)
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode_outer("_hrefs").alias("link_idx", "href"),
+            F.col("_texts"),
+        )
+        .where(F.col("href").isNotNull())
+    )
+    raw_anchor = F.get("_texts", F.col("link_idx"))
+    return out.select(
+        F.col(id_col),
+        F.col("link_idx"),
+        F.col("href"),
+        _collapse(F.regexp_replace(raw_anchor, INLINE_TAG_RE, " ")).alias(
+            "anchor"
+        ),
+    )
+
+
 def synthesize_html(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

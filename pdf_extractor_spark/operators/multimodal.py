@@ -150,6 +150,26 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact media deduplication across the interleaved corpus:
+    (digest, n_copies, first_media_id, kinds) — one row per distinct
+    payload content, keyed by md5 of the raw bytes. first_media_id (min)
+    is the canonical copy to keep; kinds is the sorted comma-joined set of
+    media kinds the same bytes appeared as (the same image re-encoded as a
+    video poster frame, etc.).
+
+    The binary twin of exact_dedup: at 10^12 media items the shuffle moves
+    16-byte digests + ids, never payload bytes — the digest is computed
+    map-side inside the scan projection and the groupBy partial-aggregates
+    before the exchange. md5 is the cross-engine hash (DuckDB md5 of the
+    source string == Spark md5 of its utf-8 payload bytes)."""
+    return media.groupBy(F.md5(F.col("payload")).alias("digest")).agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("media_id").alias("first_media_id"),
+        F.array_join(F.sort_array(F.collect_set("kind")), ",").alias("kinds"),
+    )
+
+
 def media_captions(docs: DataFrame) -> DataFrame:
     """Image–text pair mining over the interleaved (doc_id, spans) corpus:
     associate every media span with its caption — the nearest text span by

@@ -282,3 +282,48 @@ def test_incremental_dedup_hand_computed(spark):
         r["doc_id"] for r in incremental_dedup(batch, seen).collect()
     }
     assert got == {11, 13}
+
+
+def test_ngram_lm_counts_and_mle(spark):
+    from pdf_extractor_spark.operators.curation import ngram_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.w1, r.w2): (r.c12, r.c1, r.p) for r in ngram_lm(df).collect()
+    }
+    # bigrams: (a,b) x3, (b,a) x1, (b,c) x1
+    assert rows[("a", "b")] == (3, 3, 1.0)
+    assert rows[("b", "a")] == (1, 2, 0.5)
+    assert rows[("b", "c")] == (1, 2, 0.5)
+    assert len(rows) == 3
+
+
+def test_ngram_lm_top_n_is_deterministic(spark):
+    from pdf_extractor_spark.operators.curation import ngram_lm
+
+    df = spark.createDataFrame(
+        [(i, "x y z w") for i in range(10)], "doc_id long, text string"
+    )
+    # all 3 bigrams tie at c12=10 -> limit 2 must pick lexicographic first
+    got = [(r.w1, r.w2) for r in ngram_lm(df, top_n=2).collect()]
+    assert sorted(got) == [("x", "y"), ("y", "z")]
+
+
+def test_quality_tiers_balanced_and_ordered(spark):
+    from pdf_extractor_spark.operators.curation import quality_tiers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = quality_tiers(docs).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.tier] = r
+    for lang, tiers in by_lang.items():
+        sizes = [tiers[t].n_docs for t in sorted(tiers)]
+        # ntile balance: sizes differ by at most 1
+        assert max(sizes) - min(sizes) <= 1
+        # head tier has the lowest perplexity band
+        ts = sorted(tiers)
+        assert tiers[ts[0]].min_ppl <= tiers[ts[-1]].max_ppl

@@ -1,0 +1,83 @@
+"""pagerank: closed-form checks on tiny graphs + engine-shape pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edges, iters=3, d=0.85):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.rank for r in pagerank(df, iters=iters, damping=d).collect()}
+
+
+def _expected(edges, iters, d=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {v: (1 - d) / n + d * contrib[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    edges = [("a", "b"), ("b", "a"), ("c", "a"), ("c", "b")]
+    got = _ranks(spark, edges, iters=3)
+    want = _expected(edges, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    # a receives from b and c -> outranks the dangling-ish c
+    assert got["a"] > got["c"]
+
+
+def test_pagerank_dedups_edges_and_drops_self_loops(spark):
+    edges = [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a")]
+    got = _ranks(spark, edges, iters=2)
+    want = _expected([("a", "b"), ("b", "a")], iters=2)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+
+
+def test_pagerank_dangling_mass_leaks(spark):
+    # c has no outlinks: its damped mass leaves the system each round
+    got = _ranks(spark, [("a", "c"), ("b", "c"), ("c2", "a"), ("c2", "b")], iters=3)
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_plan_has_no_python_and_no_collect_scaling(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = pagerank(df, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    # iteration state is checkpointed: the final plan must be a narrow
+    # projection over the checkpoint scan, not a 2-iteration join tree
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_khop_reachable_min_hops(spark):
+    from pdf_extractor_spark.operators.graph import khop_reachable
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "a"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hops for r in khop_reachable(edges, seeds, k=2).collect()}
+    # a(seed)=0, b=1, c=2; d is 3 hops (out of range), x/y unreachable
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_khop_early_exit_on_empty_frontier(spark):
+    from pdf_extractor_spark.operators.graph import khop_reachable
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hops for r in khop_reachable(edges, seeds, k=10).collect()}
+    assert got == {"a": 0, "b": 1}

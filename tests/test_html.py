@@ -162,3 +162,35 @@ def test_corpus_has_no_html_metachars(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n = docs.filter(F.col("text").rlike("[<>&]")).count()
     assert n == 0
+
+
+def test_extract_links_rows_and_cleaning(spark):
+    from pdf_extractor_spark.operators.html import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<html><a href="/a">one</a> text <A HREF="/b"> two\n<b>bold</b> </A></html>'),
+            (2, "<html>no links</html>"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = sorted(
+        (r.doc_id, r.link_idx, r.href, r.anchor)
+        for r in extract_links(pages).collect()
+    )
+    # case-insensitive match, inline tags stripped, whitespace collapsed,
+    # doc 2 contributes nothing
+    assert rows == [(1, 0, "/a", "one"), (1, 1, "/b", "two bold")]
+
+
+def test_extract_links_plan_is_narrow(spark):
+    from pdf_extractor_spark.operators.html import extract_links
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = extract_links(synthesize_html(docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    # the page-synthesis concat must not be re-inlined into a pre-generate
+    # filter (InferFiltersFromGenerate); posexplode_outer keeps it out
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("concat(") <= 2  # one per regexp_extract_all arm

@@ -82,3 +82,42 @@ def test_one_shuffle_no_join(spark):
     )
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_media_dedup_groups_exact_copies(spark):
+    from pdf_extractor_spark.operators.multimodal import media_dedup
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", bytearray(b"samebytes")),
+            ("m2", "video", bytearray(b"samebytes")),
+            ("m3", "image", bytearray(b"other")),
+        ],
+        "media_id string, kind string, payload binary",
+    )
+    rows = {r.first_media_id: r for r in media_dedup(media).collect()}
+    assert rows["m1"].n_copies == 2 and rows["m1"].kinds == "image,video"
+    assert rows["m3"].n_copies == 1 and rows["m3"].kinds == "image"
+
+
+def test_media_dedup_shuffles_digests_not_payloads(spark):
+    """Scale pin: the exchange must carry the 16-byte digest, never the
+    payload bytes — the digest is computed below the shuffle."""
+    from pdf_extractor_spark.operators.multimodal import (
+        media_dedup,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = media_dedup(media_from_documents(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    ex = re.search(r"Exchange hashpartitioning\(([^)]*)", plan)
+    # the key is the md5 grouping expression (printed as
+    # _groupingexpression), never the payload column
+    assert ex and "payload" not in ex.group(1) and "text" not in ex.group(1)
+    # md5 + partial aggregation sit BELOW the exchange (plan prints
+    # top-down, so the digest projection appears after it)
+    assert plan.index("md5(") > plan.index("Exchange hashpartitioning")
+    assert "partial_count" in plan

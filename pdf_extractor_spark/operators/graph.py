@@ -49,27 +49,36 @@ def khop_reachable(
     reached frontier against the edge table (the standard optimization —
     joining the full visited set re-derives known nodes), then anti-joins
     the visited set, so per-round work is proportional to the frontier,
-    never to hops × graph. Edges are checkpointed once; visited/frontier
-    state is eagerly checkpointed per round (iteration-lineage rule).
-    Early-exits when the frontier empties — the count is one scalar per
-    round on an already-checkpointed frame, not a plan re-derivation."""
+    never to hops × graph. Edges are checkpointed once and each round's
+    frontier once (both have multiple consumers); the visited set is a
+    lazy union OVER those checkpoints, so no extra materialization job
+    per round and lineage depth stays O(1) regardless of k.
+    Early-exits when the frontier empties — the probe is one scalar read
+    of an already-checkpointed frame, not a plan re-derivation."""
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    visited = (
+    # the only frames worth materializing are the ones consumed more than
+    # once: the edge set (k joins) and each round's frontier (expand +
+    # emptiness probe + final union). `visited` is a lazy union of
+    # already-checkpointed rounds — checkpointing it too would add a
+    # whole materialization job per round for no lineage benefit.
+    frontier = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .coalesce(1)
         .distinct()
         .withColumn("hops", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
+    rounds = [frontier]
     for depth in range(1, k + 1):
+        visited = rounds[0]
+        for r in rounds[1:]:
+            visited = visited.unionByName(r)
         nxt = (
-            e.join(
-                frontier.select(F.col("node").alias("_s")), "_s"
-            )
+            e.join(frontier.select(F.col("node").alias("_s")), "_s")
             .select(F.col("_d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
@@ -78,9 +87,12 @@ def khop_reachable(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        rounds.append(nxt)
         frontier = nxt
-    return visited
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def pagerank(

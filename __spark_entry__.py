@@ -911,6 +911,25 @@ def _html_links(spark, sf_dir):
     return extract_links(_html_corpus(spark, sf_dir))
 
 
+def _anchor_text_index(spark, sf_dir):
+    """Aggregated anchor-text index per link target (the external page
+    description web rankers use) over the extracted outlinks."""
+    from pdf_extractor_spark.operators.html import (
+        anchor_text_index,
+        extract_links,
+    )
+
+    return anchor_text_index(extract_links(_html_corpus(spark, sf_dir)))
+
+
+def _host_quota_sample(spark, sf_dir):
+    """Per-host document cap (quota 20) by deterministic seeded hash
+    order — the anti-domination sampling step of crawl curation."""
+    from pdf_extractor_spark.operators.curation import host_quota_sample
+
+    return host_quota_sample(_t_wide(spark, sf_dir, "documents"), quota=20)
+
+
 def _tpch_q7(spark, sf_dir):
     """TPC-H Q7 (volume shipping between two nations): the classic
     two-dimension-lookup join — both nation references broadcast, the
@@ -2193,6 +2212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": _html_main_content,
         "html_blocks": _html_blocks,
         "html_links": _html_links,
+        "anchor_text_index": _anchor_text_index,
+        "host_quota_sample": _host_quota_sample,
         "layout_order": _layout_order,
         "layout_text": _layout_text,
         "sessionize": _sessionize,
@@ -3605,6 +3626,50 @@ ex AS (
 SELECT doc_id, CAST(u.i - 1 AS INT) AS link_idx, u.h AS href, u.a AS anchor
 FROM ex"""
     )
+    # anchor_text_index: aggregate the same link extraction; arg_min on
+    # the (-count, anchor) pair mirrors Spark's min_by struct key.
+    sql["anchor_text_index"] = (
+        _page_sql.format(pred="")
+        + f""",
+l AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '{LINK_RE}', 1) AS hrefs,
+         regexp_extract_all(html, '{LINK_RE}', 2) AS texts
+  FROM page),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(hrefs, (h, i) -> struct_pack(
+           h := h, a := {_clean_txt.format(src='texts[i]')}))) AS u
+  FROM l),
+links AS (SELECT doc_id, u.h AS href, u.a AS anchor FROM ex),
+per AS (SELECT href, anchor, count(*) AS c FROM links GROUP BY 1, 2),
+ranked AS (
+  SELECT href, anchor, c,
+         row_number() OVER (PARTITION BY href
+                            ORDER BY c DESC, anchor) AS rn,
+         sum(c) OVER (PARTITION BY href) AS tot
+  FROM per),
+top AS (
+  SELECT href, CAST(tot AS BIGINT) AS n_links, anchor AS top_anchor
+  FROM ranked WHERE rn = 1),
+dd AS (SELECT href, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM links GROUP BY 1)
+SELECT top.href, n_links, n_docs, top_anchor FROM top JOIN dd USING (href)
+"""
+    )
+    # host_quota_sample: identical md5 rank key in SQL.
+    sql["host_quota_sample"] = """
+SELECT doc_id, source AS host,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5('hq1_' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INT) AS host_rank,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5('hq1_' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INT) <= 20 AS kept
+FROM documents
+"""
     # layout family: rebuild the deterministic box corpus, then recover
     # reading order with the same midline rule via SQL windows.
     _boxes_cte = """

@@ -84,6 +84,8 @@ HEADLINE = [
     "pack_sequences",
     "html_main_content",
     "html_links",
+    "anchor_text_index",
+    "host_quota_sample",
     "ngram_lm",
     "quality_tiers",
     "media_dedup",

@@ -637,6 +637,34 @@ def incremental_dedup(
     return firsts.join(seen_digests.select("digest"), "digest", "left_anti")
 
 
+def host_quota_sample(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 20,
+    seed: str = "hq1",
+) -> DataFrame:
+    """(doc_id, host, host_rank, kept) — cap each host's contribution to
+    the corpus at `quota` documents, chosen by a deterministic seeded
+    hash order (NOT ingestion order, which over-samples whatever the
+    crawler saw first). The anti-domination step of crawl curation: one
+    link-farm host cannot flood the training mix.
+
+    Per-host rank = row_number over md5(seed, doc_id) — rerun-stable, and
+    re-seeding draws an independent sample. One window shuffle on the
+    host key; host skew is exactly the thing being capped, so the heavy
+    partitions this window sees are the ones it truncates. At 10^12 docs
+    the same semantics with bounded memory: rank only within
+    hash-bucketed sub-partitions and keep quota/n_buckets per bucket."""
+    okey = F.md5(F.concat(F.lit(seed + "_"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(host_col).orderBy(okey, F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        F.col(host_col).alias("host"),
+        F.row_number().over(w).alias("host_rank"),
+    ).withColumn("kept", F.col("host_rank") <= quota)
+
+
 def quality_tiers(
     df: DataFrame,
     text_col: str = "text",

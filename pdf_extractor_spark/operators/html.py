@@ -262,6 +262,34 @@ def extract_links(
     )
 
 
+def anchor_text_index(links: DataFrame) -> DataFrame:
+    """(href, n_links, n_docs, top_anchor) — the anchor-text index over an
+    `extract_links` output: per link target, total in-links, distinct
+    linking documents, and the most common anchor text (ties broken
+    lexicographically). Aggregated anchor text is the classic external
+    description of a page (the web-IR signal crawl rankers use).
+
+    Shape: a (href, anchor) partial-aggregating count feeding a min_by
+    argmax (count-ties break to the lexicographically smallest anchor via
+    a (-count, anchor) struct key — no window), plus a distinct-doc count
+    per href joined back. n_docs is NOT decomposable through the
+    (href, anchor) grouping (one doc linking a target under two anchors
+    must count once), hence the separate aggregation."""
+    per = links.groupBy("href", "anchor").agg(F.count("*").alias("c"))
+    top = per.groupBy("href").agg(
+        F.sum("c").cast("long").alias("n_links"),
+        F.min_by(
+            "anchor", F.struct((-F.col("c")).alias("nc"), F.col("anchor"))
+        ).alias("top_anchor"),
+    )
+    docs = links.groupBy("href").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return top.join(docs, "href").select(
+        "href", "n_links", "n_docs", "top_anchor"
+    )
+
+
 def synthesize_html(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

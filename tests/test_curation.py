@@ -327,3 +327,28 @@ def test_quality_tiers_balanced_and_ordered(spark):
         # head tier has the lowest perplexity band
         ts = sorted(tiers)
         assert tiers[ts[0]].min_ppl <= tiers[ts[-1]].max_ppl
+
+
+def test_host_quota_sample_caps_and_is_rerun_stable(spark):
+    from pdf_extractor_spark.operators.curation import host_quota_sample
+
+    df = spark.createDataFrame(
+        [(i, f"h{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out = host_quota_sample(df, quota=5).collect()
+    kept = [r for r in out if r.kept]
+    assert len(out) == 60 and len(kept) == 15  # 5 per host x 3 hosts
+    per_host = {}
+    for r in kept:
+        per_host.setdefault(r.host, set()).add(r.doc_id)
+    assert all(len(v) == 5 for v in per_host.values())
+    # deterministic: second run picks the identical sample
+    out2 = {r.doc_id: r.kept for r in host_quota_sample(df, quota=5).collect()}
+    assert all(out2[r.doc_id] == r.kept for r in out)
+    # a different seed draws a different (but equally sized) sample
+    out3 = {
+        r.doc_id
+        for r in host_quota_sample(df, quota=5, seed="other").collect()
+        if r.kept
+    }
+    assert len(out3) == 15 and out3 != {r.doc_id for r in kept}

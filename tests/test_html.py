@@ -194,3 +194,29 @@ def test_extract_links_plan_is_narrow(spark):
     # filter (InferFiltersFromGenerate); posexplode_outer keeps it out
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("concat(") <= 2  # one per regexp_extract_all arm
+
+
+def test_anchor_text_index_argmax_and_doc_counts(spark):
+    from pdf_extractor_spark.operators.html import anchor_text_index
+
+    links = spark.createDataFrame(
+        [
+            (1, 0, "/a", "zz"),
+            (1, 1, "/a", "mm"),
+            (2, 0, "/a", "mm"),
+            (2, 1, "/a", "aa"),  # counts: mm=2, zz=1, aa=1
+            (2, 2, "/b", "bb"),
+        ],
+        "doc_id long, link_idx int, href string, anchor string",
+    )
+    rows = {r.href: r for r in anchor_text_index(links).collect()}
+    assert rows["/a"].n_links == 4 and rows["/a"].n_docs == 2
+    assert rows["/a"].top_anchor == "mm"
+    assert rows["/b"].n_links == 1 and rows["/b"].top_anchor == "bb"
+    # count tie at 1-1 breaks lexicographically: single-doc href
+    links2 = spark.createDataFrame(
+        [(1, 0, "/t", "zebra"), (1, 1, "/t", "apple")],
+        "doc_id long, link_idx int, href string, anchor string",
+    )
+    top = anchor_text_index(links2).collect()[0]
+    assert top.top_anchor == "apple" and top.n_docs == 1

@@ -707,6 +707,14 @@ def _quality_tiers(spark, sf_dir):
     return quality_tiers(_t(spark, sf_dir, "documents"))
 
 
+def _vocab_coverage(spark, sf_dir):
+    """Per-doc coverage by the corpus top-100 vocabulary — the
+    tokenizer-fit / out-of-domain signal."""
+    from pdf_extractor_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_t_wide(spark, sf_dir, "documents"))
+
+
 def _ngram_lm(spark, sf_dir):
     """The corpus bigram LM table (top-50 bigrams + MLE conditional
     probabilities) — the persisted "train" half of the lm_perplexity
@@ -794,6 +802,25 @@ def _media_dedup(spark, sf_dir):
         docs.filter(F.col("doc_id") % 5 == 0)
     ).withColumn("media_id", F.concat(F.lit("copy-"), F.col("media_id")))
     return media_dedup(media.unionByName(dups))
+
+
+def _media_phash(spark, sf_dir):
+    """Perceptual-hash duplicate clusters over the decoded media features
+    (same seeded-duplicate corpus as media_dedup, so real clusters)."""
+    from pdf_extractor_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+        media_phash,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    dups = media_from_documents(
+        docs.filter(F.col("doc_id") % 5 == 0)
+    ).withColumn("media_id", F.concat(F.lit("copy-"), F.col("media_id")))
+    return media_phash(
+        extract_media_features(media.unionByName(dups), dim=8)
+    )
 
 
 def _media_meta(spark, sf_dir):
@@ -2183,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _lm_perplexity,
         "ngram_lm": _ngram_lm,
         "quality_tiers": _quality_tiers,
+        "vocab_coverage": _vocab_coverage,
         "pagerank_hosts": _pagerank_hosts,
         "crawl_frontier": _crawl_frontier,
         "gopher_filter": _gopher_filter,
@@ -2204,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_filter": _page_filter,
         "media_meta": _media_meta,
         "media_dedup": _media_dedup,
+        "media_phash": _media_phash,
         "media_captions": _media_captions,
         "media_resize": _media_resize,
         "media_features": _media_features,
@@ -2970,6 +2999,55 @@ SELECT md5(payload) AS digest,
        min(media_id) AS first_media_id,
        array_to_string(list_sort(list(DISTINCT kind)), ',') AS kinds
 FROM m GROUP BY 1
+"""
+    # media_phash: recompute ALL 8 strided byte-sum features in SQL (the
+    # media_features oracle checks f0; this one covers the full vector),
+    # threshold into bits, sum powers of two, cluster. Same seeded-
+    # duplicate corpus as media_dedup.
+    def _byte_sum_k(k: int) -> str:
+        return (
+            "(SELECT sum(CAST('0x' || substr(hx, 2*j+1, 2) AS BIGINT)) "
+            "FROM (SELECT unnest(range(0, coalesce(n, 0))) AS j) "
+            f"WHERE j % 8 = {k})"
+        )
+
+    _phash_bits = " + ".join(
+        f"(CASE WHEN round(coalesce({_byte_sum_k(k)}, 0) % 256 / 255.0, 6)"
+        f" >= 0.5 THEN {1 << k} ELSE 0 END)"
+        for k in range(8)
+    )
+    sql["media_phash"] = f"""
+WITH m AS (
+  SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id,
+         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+  UNION ALL
+  SELECT 'copy-media-' || CAST(doc_id AS VARCHAR) AS media_id,
+         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 5 = 0),
+h AS (SELECT media_id, CAST({_phash_bits} AS BIGINT) AS phash FROM m)
+SELECT phash, CAST(count(*) AS BIGINT) AS n_items,
+       min(media_id) AS first_media_id
+FROM h GROUP BY 1
+"""
+    # vocab_coverage: same tokenization, fully tie-broken top-100 cut.
+    sql["vocab_coverage"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_LTOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM w GROUP BY 1
+                 ORDER BY c DESC, w LIMIT 100)),
+sc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS n_in
+  FROM w GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_in, 0) AS BIGINT) AS n_in_vocab,
+       coalesce(round(n_in * 1.0 / n_tokens, 6), 0.0) AS coverage
+FROM documents d LEFT JOIN sc USING (doc_id)
 """
     # minhash_lsh: the Spark side is LSH-candidates + exact-Jaccard verify,
     # whose output equals brute-force Jaccard wherever LSH recall is

@@ -89,6 +89,8 @@ HEADLINE = [
     "ngram_lm",
     "quality_tiers",
     "media_dedup",
+    "media_phash",
+    "vocab_coverage",
     "pagerank_hosts",
     "crawl_frontier",
     "layout_text",

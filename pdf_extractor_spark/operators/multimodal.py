@@ -170,6 +170,41 @@ def media_dedup(media: DataFrame) -> DataFrame:
     )
 
 
+def media_phash(features: DataFrame) -> DataFrame:
+    """(phash, n_items, first_media_id) — perceptual-duplicate clusters:
+    the decoded feature vector is thresholded into a bit signature
+    (bit k set iff feature_k >= 0.5 — the aHash construction over
+    whatever the decode kernel emits) and items sharing a signature
+    cluster together. Catches re-encoded copies exact byte dedup misses,
+    because the signature is computed from decoded CONTENT features, not
+    payload bytes.
+
+    Fully columnar over `extract_media_features` output: a two-arg
+    transform (value, index) turns each feature into its power-of-two
+    bit, a sequential fold sums them, and one partial-aggregating
+    groupBy on the 8-byte hash clusters the corpus — same shuffle
+    economics as exact_dedup (keys, never payloads). Near-miss matching
+    (Hamming <= d) composes with the simhash pigeonhole blocking in
+    operators/dedup.py; the exact-signature cluster is the base case."""
+    bits = F.transform(
+        F.col("feature"),
+        lambda x, i: F.when(
+            x >= 0.5, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sig = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        features.withColumn("phash", sig)
+        .groupBy("phash")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.min("media_id").alias("first_media_id"),
+        )
+    )
+
+
 def media_captions(docs: DataFrame) -> DataFrame:
     """Image–text pair mining over the interleaved (doc_id, spans) corpus:
     associate every media span with its caption — the nearest text span by

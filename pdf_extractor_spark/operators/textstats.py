@@ -401,6 +401,62 @@ def tfidf_top_terms(
     )
 
 
+def vocab_coverage(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 100,
+):
+    """(doc_id, n_tokens, n_in_vocab, coverage) — per-document coverage by
+    the corpus top-`vocab_size` vocabulary (count desc, token asc — fully
+    tie-broken so the vocabulary cut is deterministic cross-engine). Low
+    coverage flags out-of-domain / gibberish / wrong-language text; the
+    same signal tokenizer-fit audits use before training.
+
+    Two corpus passes over the exploded tokens (vocabulary build, then
+    scoring) — the vocabulary is train-once state like the ngram_lm
+    table, persisted at production scale so the scoring pass alone
+    reruns. The vocabulary is broadcast (vocab_size rows by
+    construction), so scoring adds no shuffle beyond the per-doc count
+    aggregation; empty docs survive via the left join with coverage 0."""
+    from pyspark.sql import functions as F
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    words = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("_inv"))
+    )
+    scored = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("_inv"), F.lit(0)).cast("long").alias(
+                "n_in_vocab"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_in_vocab", F.lit(0)).alias("n_in_vocab"),
+            F.coalesce(
+                F.round(
+                    F.try_divide(F.col("n_in_vocab"), F.col("n_tokens")), 6
+                ),
+                F.lit(0.0),
+            ).alias("coverage"),
+        )
+    )
+
+
 def gopher_filter(
     df,
     text_col: str = "text",

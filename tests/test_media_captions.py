@@ -121,3 +121,42 @@ def test_media_dedup_shuffles_digests_not_payloads(spark):
     # top-down, so the digest projection appears after it)
     assert plan.index("md5(") > plan.index("Exchange hashpartitioning")
     assert "partial_count" in plan
+
+
+def test_media_phash_clusters_content_duplicates(spark):
+    from pdf_extractor_spark.operators.multimodal import (
+        extract_media_features,
+        media_phash,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", bytearray(b"hello world content")),
+            ("m2", "image", bytearray(b"hello world content")),  # exact
+            ("m3", "image", bytearray(b"completely different bytes here!")),
+        ],
+        "media_id string, kind string, payload binary",
+    )
+    rows = {r.first_media_id: r for r in
+            media_phash(extract_media_features(media, dim=8)).collect()}
+    assert rows["m1"].n_items == 2  # m1+m2 share a signature
+    total = sum(r.n_items for r in rows.values())
+    assert total == 3
+
+
+def test_media_phash_matches_manual_bits(spark):
+    from pdf_extractor_spark.operators.multimodal import (
+        _fake_decode,
+        extract_media_features,
+        media_phash,
+    )
+
+    payload = b"0123456789abcdef"
+    feats = _fake_decode(payload, 8)
+    want = sum((1 << k) for k, x in enumerate(feats) if x >= 0.5)
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(payload))],
+        "media_id string, kind string, payload binary",
+    )
+    got = media_phash(extract_media_features(media, dim=8)).collect()[0]
+    assert got.phash == want

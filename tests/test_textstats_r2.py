@@ -205,3 +205,32 @@ def test_curation_funnel_counts(spark):
     assert r["n_quality"] == 2
     assert r["n_classifier"] == (2 if lr_ok else 0)
     assert r["n_unique"] == (1 if lr_ok else 0)
+
+
+def test_vocab_coverage_counts(spark):
+    from pdf_extractor_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c"), (3, ""), (4, None), (5, "z q")],
+        "doc_id long, text string",
+    )
+    # vocab_size=2 -> top tokens by (count desc, token asc): a(4), b/c/z/q
+    # tie at 1 -> b wins lexicographically
+    rows = {r.doc_id: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert rows[1].n_tokens == 4 and rows[1].n_in_vocab == 4
+    assert rows[2].n_tokens == 2 and rows[2].n_in_vocab == 1
+    assert rows[2].coverage == 0.5
+    assert rows[3].n_tokens == 0 and rows[3].coverage == 0.0
+    assert rows[4].n_tokens == 0
+    assert rows[5].n_in_vocab == 0 and rows[5].coverage == 0.0
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    from pdf_extractor_spark.operators.textstats import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        vocab_coverage(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,168 @@
+"""Generate OPERATORS.md — the auditable catalog of every queries() entry:
+name, oracle status, and the first docstring line of its wrapper.
+
+Usage: python tools/gen_operator_docs.py   (writes OPERATORS.md, no Spark)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAMILIES: list[tuple[str, list[str]]] = [
+    ("Reference analytics (dashboard §2.7)", [
+        "success_rate", "kpis", "count_by_type", "distinct_types",
+        "avg_purchase_value", "count_by_date", "densified_daily_counts",
+        "filtered_range", "top_error_props", "recent_events",
+        "grouped_mean_value", "user_top_event", "avg_time_tiers",
+    ]),
+    ("Relational core (TPC-H adapted + joins)", [
+        *[f"tpch_q{i}" for i in range(1, 23)],
+        "top_revenue_orders", "customers_per_region",
+    ]),
+    ("Extraction / classification / validation (reference parity)", [
+        "extract_pipeline", "classify_rules", "preprocess_text",
+        "lang_name", "span_validations", "auto_repair", "table_match",
+        "page_filter", "nfc_normalize",
+    ]),
+    ("Text statistics & quality", [
+        "token_count", "bpe_token_count", "quality_score", "lang_id",
+        "fingerprint", "repetition_stats", "tfidf_top_terms",
+        "token_entropy", "lm_perplexity", "ngram_lm", "quality_tiers",
+        "gopher_filter", "hash_lr", "vocab_coverage",
+    ]),
+    ("Deduplication", [
+        "exact_dedup", "line_dedup", "ngram_jaccard",
+        "winnow_fingerprints", "winnow_pairs", "minhash_lsh",
+        "simhash_neardup", "neardup_clusters", "dedup_survivors",
+        "dup_ngram_stats", "incremental_dedup", "embedding_neardup",
+        "semdedup",
+    ]),
+    ("Decontamination & corpus curation", [
+        "decontaminate", "decontaminate_near", "pii_scrub", "mix_weights",
+        "global_shuffle", "hash_sample", "host_quota_sample",
+        "curation_funnel", "chunk_documents", "pack_sequences",
+    ]),
+    ("Similarity search (ANN)", [
+        "cosine_topk", "lsh_ann_topk", "ivf_ann_topk",
+    ]),
+    ("Web: HTML, URLs, link graph", [
+        "html_main_content", "html_blocks", "html_links",
+        "anchor_text_index", "url_normalize", "host_stats",
+        "pagerank_hosts", "crawl_frontier",
+    ]),
+    ("Layout (reading order)", ["layout_order", "layout_text"]),
+    ("Multimodal (interleaved media)", [
+        "media_meta", "media_features", "media_resize", "frame_sample",
+        "media_captions", "media_dedup", "media_phash",
+    ]),
+    ("Events: sessions, as-of, rollups, sketches", [
+        "sessionize", "asof_last_purchase", "events_rollup",
+        "events_pivot", "range_join_windows", "click_not_purchase_users",
+        "moving_avg_daily", "value_quantiles", "approx_value_quantiles",
+        "approx_distinct_users",
+    ]),
+]
+
+
+# one-liners for wrappers whose behavior is self-evident enough that the
+# wrapper carries no docstring; the operator modules hold the full story
+FALLBACK = {
+    "success_rate": "Batch success rate over the analytics log (dashboard batch report).",
+    "kpis": "The dashboard's 4-cell KPI row: total / success / today / avg processing time.",
+    "count_by_type": "Event count per type (dashboard bar chart).",
+    "distinct_types": "Distinct event types, sorted.",
+    "avg_purchase_value": "Average value of purchase events.",
+    "count_by_date": "Events per calendar day.",
+    "densified_daily_counts": "Daily counts densified over the full date range (zero-filled gaps).",
+    "filtered_range": "Events in a timestamp range with a type filter (pushdown-checked).",
+    "top_error_props": "Most common error properties (top-k with deterministic ties).",
+    "recent_events": "Most recent N events (TakeOrderedAndProject).",
+    "grouped_mean_value": "Mean event value per type (batch report row).",
+    "user_top_event": "Each user's most frequent event type (per-user window argmax).",
+    "tpch_q1": "TPC-H Q1 pricing summary: the canonical wide partial-agg scan.",
+    "tpch_q3": "TPC-H Q3 shipping priority: 3-way join + top-k revenue.",
+    "tpch_q5": "TPC-H Q5 local supplier volume: 6-way join, broadcast dims.",
+    "tpch_q6": "TPC-H Q6 forecast revenue: pure scan-filter-agg (pushdown showcase).",
+    "top_revenue_orders": "Top orders by lineitem revenue (join + agg + top-k).",
+    "customers_per_region": "Customer counts rolled up region<-nation (broadcast dims).",
+    "preprocess_text": "Reference text preprocessing (Python whitespace-class parity, lowercase).",
+    "lang_name": "Language code -> display name lookup (reference language map).",
+    "token_count": "Whitespace token count per document, fully columnar.",
+    "bpe_token_count": "BPE-ish subword count via the reference regex, columnar.",
+    "quality_score": "Length/stopword/punct/digit quality score per document.",
+    "lang_id": "N-gram heuristic language identification, columnar (no UDF).",
+    "fingerprint": "Rolling-hash document fingerprint (integer arithmetic, columnar).",
+    "repetition_stats": "Gopher-style repetition stats: dup-unigram fraction, top-bigram share.",
+    "tfidf_top_terms": "Per-doc top TF-IDF terms (corpus df join + per-doc window top-k).",
+    "exact_dedup": "Exact duplicate groups by text digest (digest-first shuffle).",
+    "ngram_jaccard": "Exact n-gram Jaccard similarity pairs via shingle inverted index.",
+    "minhash_lsh": "MinHash-LSH candidate pairs verified with exact Jaccard.",
+    "simhash_neardup": "SimHash near-dup pairs via multi-segment pigeonhole blocking.",
+    "token_entropy": "Per-doc Shannon entropy of the unigram distribution.",
+    "url_normalize": "URL canonicalization: scheme/host case, ports, utm_*, fragments.",
+    "host_stats": "Per-host rollups over normalized URLs (partial-agg heavy hitters).",
+    "cosine_topk": "Exact brute-force cosine top-k (the ANN recall baseline).",
+    "lsh_ann_topk": "Random-hyperplane LSH bucketed ANN top-k.",
+    "ivf_ann_topk": "IVF coarse-quantizer ANN top-k with precomputed centroids.",
+    "embedding_neardup": "Embedding near-duplicate pairs blocked by LSH bucket.",
+    "media_meta": "Typed metadata projection over the interleaved media table.",
+    "media_features": "mapInPandas decode+featurize plumbing (stubbed kernel, real batches).",
+    "frame_sample": "Every-nth frame sampling via explode of a frame sequence.",
+    "extract_pipeline": "The flagship end-to-end extract->classify->validate pipeline (rows-only; span-parity pytest).",
+}
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    qmap = entry.queries()
+    oracles = entry.oracle_sql()
+    listed = [n for _, names in FAMILIES for n in names]
+    missing = sorted(set(qmap) - set(listed))
+    extra = sorted(set(listed) - set(qmap))
+    if extra:
+        raise SystemExit(f"catalog lists unknown queries: {extra}")
+
+    lines = [
+        "# OPERATORS — the full queries() catalog",
+        "",
+        "Generated by `tools/gen_operator_docs.py`; do not edit by hand.",
+        f"{len(qmap)} queries, {sum(1 for q in qmap if q in oracles)} with "
+        "a DuckDB SQL oracle (cross-engine value-hash checked by "
+        "`tools/check_correctness.py` and the driver), the rest rows-only "
+        "with pytest parity coverage.",
+        "",
+    ]
+    for family, names in FAMILIES:
+        lines.append(f"## {family}")
+        lines.append("")
+        lines.append("| query | oracle | what it computes |")
+        lines.append("|---|---|---|")
+        for n in names:
+            fn = qmap[n]
+            doc = (fn.__doc__ or "").strip().split("\n\n")[0]
+            doc = " ".join(x.strip() for x in doc.split("\n"))
+            if not doc:
+                doc = FALLBACK.get(n, "")
+            orc = "SQL" if n in oracles else "rows-only (pytest parity)"
+            lines.append(f"| `{n}` | {orc} | {doc} |")
+        lines.append("")
+    if missing:
+        lines.append("## Uncataloged")
+        lines.append("")
+        for n in missing:
+            lines.append(f"- `{n}`")
+        lines.append("")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "OPERATORS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}: {len(qmap)} queries, {len(missing)} uncataloged")
+
+
+if __name__ == "__main__":
+    main()

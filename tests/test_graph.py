@@ -81,3 +81,28 @@ def test_khop_early_exit_on_empty_frontier(spark):
     seeds = spark.createDataFrame([("a",)], "node string")
     got = {r.node: r.hops for r in khop_reachable(edges, seeds, k=10).collect()}
     assert got == {"a": 0, "b": 1}
+
+
+def test_pagerank_invariants_on_random_graph(spark):
+    """On a seeded 30-node random graph: every rank >= (1-d)/N, total
+    rank <= 1 + eps (mass only leaks via dangling nodes), and values
+    match the plain-Python power iteration to 1e-6."""
+    import random
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(120)
+        }
+    )
+    edges = [(s, t) for s, t in edges if s != t]
+    got = _ranks(spark, edges, iters=3)
+    want = _expected(edges, iters=3)
+    n = len({x for e in edges for x in e})
+    assert set(got) == set(want) and len(got) == n
+    for v, r in got.items():
+        assert r >= (1 - 0.85) / n - 1e-9
+        assert r == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) <= 1.0 + 1e-6

@@ -107,3 +107,36 @@ def test_winnow_pairs_reuses_one_exchange(spark):
     import re
 
     assert not re.search(r"BroadcastHashJoin \[fingerprint[^\n]*Inner", plan)
+
+
+def test_winnow_pairs_guarantee_randomized(spark):
+    """Structural-recall property on 40 randomized cases: ANY two docs
+    sharing a contiguous run of >= w+k-1 tokens MUST emit a candidate
+    pair (min_shared=1, no hot cap). One batched Spark evaluation."""
+    import random
+
+    from pdf_extractor_spark.operators.dedup import winnow_pairs
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(200)]
+    rows, expected = [], set()
+    run_len = W + K - 1
+    for case in range(40):
+        a, b = 1000 + 2 * case, 1001 + 2 * case
+        run = [rng.choice(vocab) for _ in range(run_len + rng.randrange(3))]
+        pre_a = [rng.choice(vocab) for _ in range(rng.randrange(8))]
+        post_a = [rng.choice(vocab) for _ in range(rng.randrange(8))]
+        pre_b = [rng.choice(vocab) for _ in range(rng.randrange(8))]
+        post_b = [rng.choice(vocab) for _ in range(rng.randrange(8))]
+        rows.append((a, " ".join(pre_a + run + post_a)))
+        rows.append((b, " ".join(pre_b + run + post_b)))
+        expected.add((a, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2)
+        for r in winnow_pairs(
+            df, k=K, w=W, min_shared=1, max_df=None
+        ).collect()
+    }
+    missing = expected - got
+    assert not missing, f"guarantee violated for {sorted(missing)[:5]}"

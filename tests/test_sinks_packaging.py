@@ -123,3 +123,42 @@ def test_pyfiles_zip_imports_standalone(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "ZIP_OK" in out.stdout
+
+
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    """The north-rule shipping shape, literally: rebuild the dist zip, run
+    `spark-submit --py-files dist.zip jobs/run_extract.py` as a fresh
+    subprocess (its own JVM/session, package importable ONLY via
+    --py-files from a scratch cwd), and check the committed output."""
+    import glob
+    import shutil
+    import subprocess
+    import sys
+
+    from tools.make_package import build
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = build()
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    job = os.path.join(tmp_path, "run_extract.py")
+    shutil.copy(os.path.join(repo, "jobs", "run_extract.py"), job)
+    out = os.path.join(tmp_path, "out")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    proc = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zpath, job,
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--format", "parquet", "--input-kind", "documents",
+            "--output", out, "--buckets", "4", "--salts", "2",
+        ],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    data = glob.glob(os.path.join(out, "extracted", "**", "*.parquet"),
+                     recursive=True)
+    metrics = glob.glob(os.path.join(out, "metrics", "**", "*.parquet"),
+                        recursive=True)
+    assert data and metrics

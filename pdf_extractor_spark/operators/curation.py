@@ -643,6 +643,7 @@ def host_quota_sample(
     id_col: str = "doc_id",
     quota: int = 20,
     seed: str = "hq1",
+    buckets: int | None = None,
 ) -> DataFrame:
     """(doc_id, host, host_rank, kept) — cap each host's contribution to
     the corpus at `quota` documents, chosen by a deterministic seeded
@@ -652,11 +653,28 @@ def host_quota_sample(
 
     Per-host rank = row_number over md5(seed, doc_id) — rerun-stable, and
     re-seeding draws an independent sample. One window shuffle on the
-    host key; host skew is exactly the thing being capped, so the heavy
-    partitions this window sees are the ones it truncates. At 10^12 docs
-    the same semantics with bounded memory: rank only within
-    hash-bucketed sub-partitions and keep quota/n_buckets per bucket."""
+    host key; host skew is exactly the thing being capped. `buckets` is
+    the 10^12-doc path: rank within (host, md5-bucket) sub-partitions and
+    keep quota/buckets per bucket — every window partition shrinks by the
+    bucket factor (bounded memory under a single mega-host) while the
+    kept sample stays deterministic and uniformly hash-drawn; quota must
+    be divisible by buckets so the cap is exact."""
     okey = F.md5(F.concat(F.lit(seed + "_"), F.col(id_col).cast("string")))
+    if buckets is not None:
+        if quota % buckets:
+            raise ValueError("quota must be divisible by buckets")
+        sub = F.pmod(
+            F.conv(F.substring(okey, 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        )
+        w = Window.partitionBy(F.col(host_col), sub).orderBy(
+            okey, F.col(id_col)
+        )
+        return df.select(
+            F.col(id_col),
+            F.col(host_col).alias("host"),
+            F.row_number().over(w).alias("host_rank"),
+        ).withColumn("kept", F.col("host_rank") <= quota // buckets)
     w = Window.partitionBy(host_col).orderBy(okey, F.col(id_col))
     return df.select(
         F.col(id_col),
@@ -671,6 +689,7 @@ def quality_tiers(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     n_tiers: int = 3,
+    approx: bool = False,
 ) -> DataFrame:
     """(lang, tier, n_docs, min_ppl, max_ppl) — CCNet-style quality
     bucketing: within each language, rank documents by LM perplexity and
@@ -686,11 +705,40 @@ def quality_tiers(
     Scale shape: lm_perplexity's three narrow-key shuffles, one join back
     to the corpus on doc_id for the language, then a per-language window.
     Languages are few and docs many, so the window partition is the skew
-    surface — at 10^12 docs the rank-within-language step would switch to
-    approx quantile cuts (percentile_approx on cross_entropy) instead of
-    a total sort per language; tier COUNTS stay equal either way."""
+    surface — `approx=True` is the 10^12-doc path: per-language
+    percentile_approx cut points (a tiny aggregate) broadcast back and
+    bucketed by comparison — NO per-language total sort, the corpus pass
+    stays narrow. Tier counts are then approximate (sketch-bounded)
+    instead of exactly balanced; the exact path remains the oracle-checked
+    default."""
     ppl = lm_perplexity(df, text_col, id_col)
     joined = ppl.join(df.select(F.col(id_col), F.col(lang_col)), id_col)
+    if approx:
+        cuts = joined.groupBy(F.col(lang_col).alias("_cl")).agg(
+            F.percentile_approx(
+                "cross_entropy",
+                [i / n_tiers for i in range(1, n_tiers)],
+                10_000,
+            ).alias("cuts")
+        )
+        bucketed = joined.join(
+            F.broadcast(cuts), F.col(lang_col) == F.col("_cl")
+        ).withColumn(
+            "tier",
+            F.aggregate(
+                "cuts",
+                F.lit(1),
+                lambda acc, c: acc
+                + F.when(F.col("cross_entropy") > c, 1).otherwise(0),
+            ),
+        )
+        return bucketed.groupBy(
+            F.col(lang_col).alias("lang"), "tier"
+        ).agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("perplexity").alias("min_ppl"),
+            F.max("perplexity").alias("max_ppl"),
+        )
     w = Window.partitionBy(lang_col).orderBy("cross_entropy", id_col)
     return (
         joined.withColumn("tier", F.ntile(n_tiers).over(w))

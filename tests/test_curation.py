@@ -352,3 +352,69 @@ def test_host_quota_sample_caps_and_is_rerun_stable(spark):
         if r.kept
     }
     assert len(out3) == 15 and out3 != {r.doc_id for r in kept}
+
+
+def test_quality_tiers_approx_matches_exact_sizes(spark):
+    from pdf_extractor_spark.operators.curation import quality_tiers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r.lang, r.tier): r.n_docs for r in quality_tiers(docs).collect()}
+    approx = {
+        (r.lang, r.tier): r.n_docs
+        for r in quality_tiers(docs, approx=True).collect()
+    }
+    assert set(a[0] for a in approx) == set(e[0] for e in exact)
+    # per-language totals identical; per-tier sizes within sketch slack
+    for lang in {k[0] for k in exact}:
+        te = sum(v for k, v in exact.items() if k[0] == lang)
+        ta = sum(v for k, v in approx.items() if k[0] == lang)
+        assert te == ta
+        for tier in (1, 2, 3):
+            a = approx.get((lang, tier), 0)
+            e = exact.get((lang, tier), 0)
+            assert abs(a - e) <= max(3, int(0.2 * te))
+
+
+def test_quality_tiers_approx_has_no_per_language_sort(spark):
+    from pdf_extractor_spark.operators.curation import quality_tiers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        quality_tiers(docs, approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the scale path must not rank: no window operator, no ntile function
+    # ("ntile" alone would false-positive on perceNTILE_approx; "Window"
+    # alone on substrings of type strings — probe exact node/call tokens)
+    assert not any(
+        line.strip().startswith(("Window", "+- Window", ":- Window"))
+        for line in plan.splitlines()
+    )
+    assert "ntile(" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_host_quota_sample_bucketed_caps_exactly(spark):
+    from pdf_extractor_spark.operators.curation import host_quota_sample
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, f"h{i % 2}") for i in range(400)], "doc_id long, source string"
+    )
+    out = host_quota_sample(df, quota=8, buckets=4).collect()
+    kept = {}
+    for r in out:
+        if r.kept:
+            kept.setdefault(r.host, set()).add(r.doc_id)
+    # 2 per (host, bucket) x 4 buckets = exactly 8 per host
+    assert {len(v) for v in kept.values()} == {8}
+    # rerun-stable
+    again = {
+        r.doc_id
+        for r in host_quota_sample(df, quota=8, buckets=4).collect()
+        if r.kept
+    }
+    assert again == set().union(*kept.values())
+    with _pytest.raises(ValueError):
+        host_quota_sample(df, quota=7, buckets=4)

@@ -2134,6 +2134,30 @@ def _dedup_survivors(spark, sf_dir):
     return dedup_survivors(docs, clusters)
 
 
+def _dedup_apply(spark, sf_dir):
+    """The deduplicated corpus: pairs -> clusters -> survivors -> docs
+    minus non-survivor members (one broadcast anti-join on the corpus)."""
+    from pdf_extractor_spark.operators.curation import (
+        dedup_apply,
+        dedup_survivors,
+    )
+    from pdf_extractor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.7
+    )
+    clusters = neardup_clusters(docs, pairs).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+    survivors = dedup_survivors(docs, clusters)
+    kept = dedup_apply(docs, clusters, survivors)
+    return kept.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -2195,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _minhash_lsh,
         "neardup_clusters": _neardup_clusters,
         "dedup_survivors": _dedup_survivors,
+        "dedup_apply": _dedup_apply,
         "simhash_neardup": _simhash,
         # corpus curation
         "dup_ngram_stats": _dup_ngram_stats,
@@ -3119,6 +3144,22 @@ ranked AS (
   FROM member)
 SELECT cluster, doc_id AS survivor_id, CAST(n_members AS BIGINT) AS n_members
 FROM ranked WHERE rn = 1
+"""
+    # dedup_apply: same CC + ranking, keep rn=1 plus every unclustered doc.
+    sql["dedup_apply"] = f"""
+WITH RECURSIVE {_cc_body},
+clusters AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+member AS (
+  SELECT c.cluster, c.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT cluster, doc_id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM member),
+dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
     # simhash_neardup: full signature replication — the md5-derived 60-bit

@@ -470,6 +470,29 @@ def dedup_survivors(
     )
 
 
+def dedup_apply(
+    docs: DataFrame,
+    clusters: DataFrame,
+    survivors: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The deduplicated corpus itself — docs minus every non-survivor
+    cluster member. Completes the dedup pipeline end-to-end: pair
+    detection -> connected components -> survivor selection -> THIS
+    (previously only prose in dedup_survivors' docstring).
+
+    The drop list is (members − survivors): duplicate-class-sized, i.e.
+    tiny relative to the corpus after dedup did its job, so it broadcasts
+    and the corpus pass is one broadcast anti-join — the full-table side
+    never shuffles."""
+    drop = (
+        clusters.join(survivors.select("cluster", "survivor_id"), "cluster")
+        .filter(F.col(id_col) != F.col("survivor_id"))
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def lm_perplexity(
     df: DataFrame,
     text_col: str = "text",

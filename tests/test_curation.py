@@ -418,3 +418,39 @@ def test_host_quota_sample_bucketed_caps_exactly(spark):
     assert again == set().union(*kept.values())
     with _pytest.raises(ValueError):
         host_quota_sample(df, quota=7, buckets=4)
+
+
+def test_dedup_apply_keeps_survivors_and_singletons(spark):
+    from pdf_extractor_spark.operators.curation import dedup_apply
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 5)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "doc_id long, cluster long"
+    )
+    survivors = spark.createDataFrame(
+        [(100, 2, 3)], "cluster long, survivor_id long, n_members long"
+    )
+    kept = sorted(r.doc_id for r in dedup_apply(docs, clusters, survivors).collect())
+    # survivor 2 stays, members 1/3 drop, unclustered 4 stays
+    assert kept == [2, 4]
+
+
+def test_dedup_apply_corpus_side_never_shuffles(spark):
+    from pdf_extractor_spark.operators.curation import dedup_apply
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clusters = spark.createDataFrame([(1, 100)], "doc_id long, cluster long")
+    survivors = spark.createDataFrame(
+        [(100, 1, 1)], "cluster long, survivor_id long, n_members long"
+    )
+    plan = (
+        dedup_apply(docs, clusters, survivors)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # no hash-exchange of the docs scan: only broadcast exchanges allowed
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\([^)]*doc_id", plan)

@@ -432,6 +432,12 @@ def _tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def _bm25_topk(spark, sf_dir):
+    from pdf_extractor_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), k=10)
+
+
 def _fingerprint(spark, sf_dir):
     from pdf_extractor_spark.operators.textstats import fingerprint
 
@@ -2211,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _fingerprint,
         "repetition_stats": _repetition_stats,
         "tfidf_top_terms": _tfidf_top_terms,
+        "bm25_topk": _bm25_topk,
         # dedup
         "exact_dedup": _exact_dedup,
         "ngram_jaccard": _ngram_jaccard,
@@ -2704,6 +2711,51 @@ ranked AS (
                             ORDER BY score DESC, term) AS rank
   FROM scored)
 SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+"""
+    # bm25_topk: rational (log-free) Robertson idf and a term-ordered
+    # sequential fold of the per-term scores — every float op is the same
+    # IEEE dag in the same order as the Spark side, so scores are
+    # bit-identical; ranking orders by the ROUNDED score (window on the
+    # 6-dp alias) with doc_id tiebreak
+    sql["bm25_topk"] = f"""
+WITH q(query_id, qtext) AS (VALUES
+  ('q1', 'spark table scan'),
+  ('q2', 'hash join merge'),
+  ('q3', 'window order data')),
+qt AS (SELECT DISTINCT query_id,
+         unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS term
+       FROM q),
+base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END AS toks
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS total_dl FROM base),
+words AS (SELECT doc_id AS id, len(toks) AS dl, unnest(toks) AS term
+          FROM base),
+tf AS (SELECT id, term, count(*) AS tf, max(dl) AS dl
+       FROM words JOIN (SELECT DISTINCT term FROM qt) USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+per AS (
+  SELECT query_id, id, term,
+         ((n_docs - df + 0.5) / (df + 0.5))
+         * ((tf * (1.2 + 1.0))
+            / (tf + 1.2 * ((1.0 - 0.75)
+                           + 0.75 * dl
+                             / (CAST(total_dl AS DOUBLE) / n_docs)))) AS s
+  FROM tf JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN stats),
+summed AS (
+  SELECT query_id, id,
+         round(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                           (acc, x) -> acc + x), 6) AS score
+  FROM per GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, id) AS rank
+  FROM summed)
+SELECT query_id, id AS doc_id, score, rank FROM ranked WHERE rank <= 10
 """
     sql["exact_dedup"] = (
         "SELECT md5(text) AS digest, min(doc_id) AS canonical_id, "

@@ -62,6 +62,7 @@ HEADLINE = [
     "fingerprint",
     "repetition_stats",
     "tfidf_top_terms",
+    "bm25_topk",
     "chunk_documents",
     "winnow_fingerprints",
     "winnow_pairs",

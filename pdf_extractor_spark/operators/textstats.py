@@ -699,3 +699,102 @@ def hash_lr_score(
         F.round(F.try_divide("_margin", F.col("_n")), 6).alias("score"),
         (F.col("_margin") > 0).alias("accept"),
     )
+
+
+BM25_QUERIES = (
+    ("q1", "spark table scan"),
+    ("q2", "hash join merge"),
+    ("q3", "window order data"),
+)
+
+
+def bm25_topk(
+    df,
+    queries=BM25_QUERIES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """(query_id, doc_id, score, rank) — BM25 lexical top-k retrieval for a
+    small batch of queries over the corpus (reference parity: the keyword
+    scoring surface of classifier.py's rule engine, generalized to ranked
+    retrieval; the LLM-pipeline use is quality-probe / eval-set retrieval).
+
+    Scoring variant: idf is the RATIONAL Robertson idf without the log —
+    idf = (N - df + 0.5) / (df + 0.5) — so every per-term score is a fixed
+    dag of IEEE double ops (no libm transcendentals) and ranks identically
+    across engines; the per-doc sum folds per-term scores IN TERM ORDER
+    (array_sort + aggregate), making the float sum order-deterministic and
+    bit-identical to the DuckDB oracle's ordered list_reduce.
+
+    Physical shape (the inverted-index probe, NOT a corpus-wide tf-idf):
+    the broadcast query-term set filters the exploded token stream BEFORE
+    any aggregation, so tf/df aggregates touch only matching postings —
+    at 100 TB the scan is the only full pass; everything downstream is
+    proportional to matching postings, and doc-length stats come from a
+    columnar size() with a 1-row scalar broadcast (SCALAR_BROADCAST_OK).
+    Rank ties break on doc_id; ranking orders by the ROUNDED score so
+    cross-engine 1-ulp drift cannot flip ranks."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        list(queries), "query_id string, qtext string"
+    )
+    qterms = qdf.select(
+        "query_id",
+        F.explode(tokens_col(F.lower(F.col("qtext")))).alias("term"),
+    ).distinct()
+    base = df.withColumn("_toks", tokens_col(F.lower(F.col(text_col))))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("_toks")).alias("total_dl"),
+    )
+    words = base.select(
+        F.col(id_col).alias("id"),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    tf = (
+        words.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfp = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "id", "term", (idf * tfp).alias("s"))
+    )
+    summed = per_term.groupBy("query_id", "id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x["s"],
+            ),
+            6,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("id").alias(id_col), "score", "rank"
+        )
+    )

@@ -184,3 +184,37 @@ def test_hash_lr_property_parity(spark, texts):
         assert r["n_tokens"] == len(toks)
         assert r["margin"] == round(margin, 6), (i, t)
         assert r["accept"] is (margin > 0)
+
+
+# keyword-presence fuzz: the combined zero-width union scan in
+# oracle/classifier.py must agree with per-keyword \b<kw>\b search on
+# adversarial text — overlapping keywords, prefixes extended past a word
+# boundary ("Pagamentos"), case variants, unicode, punctuation adjacency.
+# Pure Python (no Spark job), so the example budget can be generous.
+_KW_POOL = [
+    "DANFE", "Nota Fiscal Eletrônica", "NF-e", "CNPJ", "Pagamento",
+    "Recebemos de", "Valor Recebido", "Valor", "Valor Total", "nf",
+    "Assinatura", "a b", "b c", "a b c", "ß", "x+y",
+]
+_kw_words = _KW_POOL + [
+    "Pagamentos", "Assinaturas", "CNPJx", "xDANFE", "NF", "e", "Total",
+    "de", "Recebido", "SS", "ss", "b", "c", "x", "+y",
+]
+
+
+@given(
+    kws=st.lists(st.sampled_from(_KW_POOL), min_size=1, max_size=10),
+    words=st.lists(st.sampled_from(_kw_words), min_size=0, max_size=30),
+    sep=st.sampled_from([" ", "\t", "\n", ".", "-", ""]),
+)
+@settings(max_examples=300, deadline=None, derandomize=True)
+def test_keyword_presence_parity(kws, words, sep):
+    from pdf_extractor_spark.oracle.classifier import (
+        _keyword_presence,
+        _kw_re,
+    )
+
+    text = sep.join(words)
+    kws_t = tuple(sorted(set(kws)))
+    want = frozenset(k for k in kws_t if _kw_re(k).search(text))
+    assert _keyword_presence(text, kws_t) == want

@@ -2056,6 +2056,17 @@ def _line_dedup(spark, sf_dir):
     )
 
 
+def _substring_dedup(spark, sf_dir):
+    """Duplicated-substring removal (k-gram approximation of exact
+    substring dedup): 5-token grams seen more than twice corpus-wide mark
+    their positions; docs are rebuilt from the unmarked tokens."""
+    from pdf_extractor_spark.operators.curation import substring_dedup
+
+    return substring_dedup(
+        _t_wide(spark, sf_dir, "documents"), k=5, max_occ=2
+    )
+
+
 def _pii_scrub(spark, sf_dir):
     """PII masking over a deterministically PII-augmented corpus: each doc
     gets a synthetic email / phone / IPv4 derived from its doc_id (the
@@ -2234,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_near": _decontaminate_near,
         "token_entropy": _token_entropy,
         "line_dedup": _line_dedup,
+        "substring_dedup": _substring_dedup,
         "pii_scrub": _pii_scrub,
         "url_normalize": _url_normalize,
         "host_stats": _host_stats,
@@ -4285,6 +4297,38 @@ SELECT d.doc_id, nl.n_lines,
        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(cleaned_text, '') AS cleaned_text
 FROM documents d JOIN nl USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+    # substring_dedup: same 60-bit md5 gram hash as winnowing; integer
+    # counts and position sets only (no floats), so cross-engine equality
+    # is exact. k=5, occurrence > 2 flags a gram's 5 positions.
+    sql["substring_dedup"] = f"""
+WITH base AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = ''
+                   THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END AS toks
+              FROM documents),
+g AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) >= 5 THEN
+          [CAST('0x' || substr(md5(array_to_string(toks[i : i+4], ' ')),
+                1, 15) AS BIGINT) for i in range(1, len(toks) - 3)]
+        ELSE CAST([] AS BIGINT[]) END AS grams
+      FROM base),
+e AS (SELECT doc_id, unnest(grams) AS gram,
+             generate_subscripts(grams, 1) AS pos
+      FROM g),
+freq AS (SELECT gram, count(*) AS occ FROM e GROUP BY 1),
+starts AS (SELECT doc_id, pos FROM e JOIN freq USING (gram) WHERE occ > 2),
+rm AS (SELECT doc_id,
+              list_distinct(flatten(list(range(pos, pos + 5)))) AS rmpos
+       FROM starts GROUP BY 1)
+SELECT b.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(coalesce(len(rmpos), 0) AS BIGINT) AS n_removed,
+  coalesce(CASE WHEN rmpos IS NULL THEN array_to_string(toks, ' ')
+       ELSE array_to_string(list_transform(
+              list_filter(range(1, len(toks) + 1),
+                          j -> NOT list_contains(rmpos, j)),
+              j -> toks[j]), ' ')
+  END, '') AS cleaned_text
+FROM base b LEFT JOIN rm USING (doc_id)
 """
     # pii_scrub: identical pattern strings (Java ∩ RE2 subset) run in both
     # engines; DuckDB needs the 'g' flag to match Spark's replace-all.

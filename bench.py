@@ -73,6 +73,7 @@ HEADLINE = [
     "decontaminate",
     "decontaminate_near",
     "line_dedup",
+    "substring_dedup",
     "pii_scrub",
     "url_normalize",
     "host_stats",

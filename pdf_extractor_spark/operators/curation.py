@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import shingle_index
+from .dedup import shingle_index, simhash_token_hash
 from .textstats import token_count, tokens_col
 
 
@@ -840,4 +840,94 @@ def curation_metrics(df: DataFrame, run_id: str, wave: int) -> DataFrame:
         F.col("keep").alias("success"),
         F.col("lr_score").alias("confidence"),
         F.current_timestamp().alias("timestamp"),
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_occ: int = 1,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, cleaned_text) — duplicated-SUBSTRING
+    removal, the k-gram-granular approximation of exact-substring training
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): every k-token gram whose corpus-wide occurrence count
+    exceeds `max_occ` marks its k token positions for removal, and the
+    document is rebuilt from the unmarked tokens in order — so any
+    duplicated run of >= k tokens disappears (overlapping flagged grams
+    merge into maximal runs by position-set union), while the unique text
+    around it survives. Complements line_dedup (fixed chunk boundaries;
+    this op is boundary-free) and dup_ngram_stats (signal only; this op
+    rewrites).
+
+    Physical shape: doc-local columnar gram hashing (same 60-bit
+    engine-portable md5 hash as winnowing; posexplode_outer + isNotNull
+    keeps the gram pipeline out of pushed-down predicates), ONE gram-key
+    shuffle for the frequency table, a shuffle join back on the gram key
+    (corpus-sized — NOT broadcastable at scale; AQE may still elect
+    broadcast at test scale), then one doc-key shuffle to assemble removal
+    positions. The rebuild is per-doc array work bounded by doc length
+    (membership scans cost O(n_tokens * n_removed) per doc — acceptable
+    because both factors are document-local, never corpus-scale)."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_toks", toks)
+        .drop(text_col)
+    )
+    grams = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - k),
+            lambda i: simhash_token_hash(
+                F.array_join(F.slice("_toks", i + 1, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = (
+        base.withColumn("_grams", grams)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode_outer("_grams").alias("pos", "gram"),
+        )
+        .where(F.col("gram").isNotNull())
+    )
+    freq = g.groupBy("gram").agg(F.count("*").alias("occ"))
+    starts = g.join(
+        freq.filter(F.col("occ") > max_occ).select("gram"), "gram"
+    ).select("id", "pos")
+    removed = starts.groupBy("id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.collect_list("pos"),
+                    lambda s: F.sequence(s, s + k - 1),
+                )
+            )
+        ).alias("_rm")
+    )
+    return (
+        base.join(removed, base[id_col] == removed.id, "left")
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("_rm"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.when(
+                F.col("_rm").isNull(), F.array_join("_toks", " ")
+            )
+            .otherwise(
+                F.array_join(
+                    F.filter(
+                        "_toks",
+                        lambda t, i: ~F.array_contains("_rm", i),
+                    ),
+                    " ",
+                )
+            )
+            .alias("cleaned_text"),
+        )
     )

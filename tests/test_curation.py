@@ -454,3 +454,57 @@ def test_dedup_apply_corpus_side_never_shuffles(spark):
     import re
 
     assert not re.search(r"Exchange hashpartitioning\([^)]*doc_id", plan)
+
+
+class TestSubstringDedup:
+    def test_duplicated_run_removed_unique_kept(self, spark):
+        shared = "alpha beta gamma delta epsilon"  # 5-token duplicated run
+        df = spark.createDataFrame(
+            [
+                (1, f"one two three {shared} four five six"),
+                (2, f"{shared} seven eight nine ten eleven"),
+                (3, "twelve thirteen fourteen fifteen sixteen seventeen"),
+            ],
+            "doc_id long, text string",
+        )
+        from pdf_extractor_spark.operators.curation import substring_dedup
+
+        out = {
+            r.doc_id: r
+            for r in substring_dedup(df, k=5, max_occ=1).collect()
+        }
+        assert out[1].cleaned_text == "one two three four five six"
+        assert out[1].n_removed == 5
+        assert out[2].cleaned_text == "seven eight nine ten eleven"
+        # unique doc untouched
+        assert out[3].n_removed == 0
+        assert out[3].cleaned_text.startswith("twelve thirteen")
+
+    def test_overlapping_grams_merge_to_maximal_run(self, spark):
+        # a 7-token duplicated run = 3 overlapping 5-grams -> one 7-token cut
+        run = "a b c d e f g"
+        df = spark.createDataFrame(
+            [(1, f"x {run} y"), (2, f"p {run} q")],
+            "doc_id long, text string",
+        )
+        from pdf_extractor_spark.operators.curation import substring_dedup
+
+        out = {
+            r.doc_id: r for r in substring_dedup(df, k=5, max_occ=1).collect()
+        }
+        assert out[1].cleaned_text == "x y"
+        assert out[1].n_removed == 7
+
+    def test_short_and_null_docs_pass_through(self, spark):
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        from pdf_extractor_spark.operators.curation import substring_dedup
+
+        out = {
+            r.doc_id: r for r in substring_dedup(df, k=5, max_occ=1).collect()
+        }
+        assert out[1].cleaned_text == "too short"
+        assert out[2].cleaned_text == "" and out[2].n_tokens == 0
+        assert out[3].cleaned_text == "" and out[3].n_removed == 0

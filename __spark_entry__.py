@@ -2056,6 +2056,16 @@ def _line_dedup(spark, sf_dir):
     )
 
 
+def _stratified_sample(spark, sf_dir):
+    """Exactly-100-doc stratified sample over lang with largest-remainder
+    quotas and smallest-md5-hash-per-stratum selection."""
+    from pdf_extractor_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), stratum_col="lang", total=100
+    )
+
+
 def _substring_dedup(spark, sf_dir):
     """Duplicated-substring removal (k-gram approximation of exact
     substring dedup): 5-token grams seen more than twice corpus-wide mark
@@ -2246,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": _token_entropy,
         "line_dedup": _line_dedup,
         "substring_dedup": _substring_dedup,
+        "stratified_sample": _stratified_sample,
         "pii_scrub": _pii_scrub,
         "url_normalize": _url_normalize,
         "host_stats": _host_stats,
@@ -4297,6 +4308,34 @@ SELECT d.doc_id, nl.n_lines,
        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(cleaned_text, '') AS cleaned_text
 FROM documents d JOIN nl USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+    # stratified_sample: all-integer Hamilton allocation + smallest-hash
+    # draw — no floats anywhere, so the oracle is exact. The oracle ranks
+    # the UNFILTERED corpus: if the Spark side's hash-space pre-filter
+    # ever dropped a needed row, this comparison fails loudly.
+    sql["stratified_sample"] = """
+WITH c AS (SELECT lang AS stratum, count(*) AS c FROM documents GROUP BY 1),
+n AS (SELECT sum(c) AS n FROM c),
+q AS (SELECT stratum, c, (c * 100) // n AS base, (c * 100) % n AS rem
+      FROM c CROSS JOIN n),
+r AS (SELECT 100 - sum(base) AS r FROM q),
+quota AS (
+  SELECT stratum,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+                          <= (SELECT r FROM r) THEN 1 ELSE 0 END AS quota
+  FROM q),
+h AS (SELECT doc_id, lang AS stratum,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents),
+ranked AS (
+  SELECT doc_id, stratum,
+         row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id)
+           AS sample_rank
+  FROM h)
+SELECT doc_id, stratum, sample_rank
+FROM ranked JOIN quota USING (stratum)
+WHERE sample_rank <= quota
 """
     # substring_dedup: same 60-bit md5 gram hash as winnowing; integer
     # counts and position sets only (no floats), so cross-engine equality

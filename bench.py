@@ -74,6 +74,7 @@ HEADLINE = [
     "decontaminate_near",
     "line_dedup",
     "substring_dedup",
+    "stratified_sample",
     "pii_scrub",
     "url_normalize",
     "host_stats",

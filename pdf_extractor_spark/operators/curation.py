@@ -931,3 +931,81 @@ def substring_dedup(
             .alias("cleaned_text"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    total: int = 100,
+    prefilter_factor: int = 8,
+) -> DataFrame:
+    """(doc_id, stratum, sample_rank) — a deterministic stratified sample
+    of exactly `total` documents, allocated across strata proportionally
+    with LARGEST-REMAINDER (Hamilton) rounding: quota_h =
+    floor(total*c_h/N) plus one for the R = total - sum(floor) strata with
+    the largest remainders (ties toward the smaller stratum; all integer
+    arithmetic, so allocation is exact cross-engine). Within a stratum the
+    sample is the quota_h documents with the smallest 60-bit md5 id hash
+    (ties impossible modulo md5 collisions; id tiebreak anyway) — i.e. a
+    deterministic uniform draw that is STABLE under corpus growth: a doc's
+    hash never changes, so re-sampling a grown corpus keeps most picks
+    (the property consistent eval-set carving needs).
+
+    Scale shape: per-stratum counts (one partial-agg shuffle; table stats
+    at production scale) -> tiny quota table broadcast -> the corpus is
+    PRE-FILTERED to hash < prefilter_factor*quota_h/c_h of the hash space
+    before the rank window, so the skew-prone per-stratum sort sees
+    ~prefilter_factor*total rows, not the corpus (a giant stratum no
+    longer funnels into one sort partition). The pre-filter keeps the
+    exact result whenever it retains >= quota_h rows per stratum — md5
+    uniformity makes the shortfall probability negligible at factor 8,
+    and the DuckDB oracle computes the UNFILTERED exact answer, so any
+    shortfall fails correctness loudly instead of silently skewing."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("c")
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    q = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"(c * {total}) div n"))
+        .withColumn("rem", (F.col("c") * total) % F.col("n"))
+    )
+    spill = q.agg((F.lit(total) - F.sum("base")).alias("r"))
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    quotas = (
+        q.crossJoin(F.broadcast(spill))
+        .withColumn("_rk", F.row_number().over(w_rem))
+        .withColumn(
+            "quota",
+            F.col("base")
+            + F.when(F.col("_rk") <= F.col("r"), 1).otherwise(0),
+        )
+        .select("stratum", "c", "quota")
+    )
+    # hash-space cut: keep ~prefilter_factor * quota rows per stratum
+    max_h = float(1 << 60)
+    quotas = quotas.withColumn(
+        "_cut",
+        F.least(
+            F.lit(max_h),
+            F.lit(float(prefilter_factor)) * F.col("quota") / F.col("c")
+            * F.lit(max_h),
+        ),
+    )
+    w = Window.partitionBy("stratum").orderBy("h", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            h.alias("h"),
+        )
+        .join(F.broadcast(quotas), "stratum")
+        .where(F.col("h") < F.col("_cut"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, "stratum", "sample_rank")
+    )

@@ -508,3 +508,61 @@ class TestSubstringDedup:
         assert out[1].cleaned_text == "too short"
         assert out[2].cleaned_text == "" and out[2].n_tokens == 0
         assert out[3].cleaned_text == "" and out[3].n_removed == 0
+
+
+class TestStratifiedSample:
+    def test_exact_total_and_proportional_quotas(self, spark):
+        rows = (
+            [(i, "en") for i in range(60)]
+            + [(i + 100, "pt") for i in range(30)]
+            + [(i + 200, "de") for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        from pdf_extractor_spark.operators.curation import stratified_sample
+
+        out = stratified_sample(df, total=10).collect()
+        assert len(out) == 10
+        by = {}
+        for r in out:
+            by[r.stratum] = by.get(r.stratum, 0) + 1
+        # 10 * (60,30,10)/100 is exact: no remainder distribution needed
+        assert by == {"en": 6, "pt": 3, "de": 1}
+
+    def test_largest_remainder_and_determinism(self, spark):
+        rows = [(i, ["a", "b", "c"][i % 3]) for i in range(10)]
+        # counts: a=4, b=3, c=3; total=4 -> base floor(16/10, 12/10, 12/10)
+        # = (1,1,1), R=1, remainders (6,2,2) -> 'a' gets the spill seat
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        from pdf_extractor_spark.operators.curation import stratified_sample
+
+        out = stratified_sample(df, total=4).collect()
+        by = {}
+        for r in out:
+            by[r.stratum] = by.get(r.stratum, 0) + 1
+        assert by == {"a": 2, "b": 1, "c": 1}
+        assert sorted(r.doc_id for r in out) == sorted(
+            r.doc_id for r in stratified_sample(df, total=4).collect()
+        )
+
+    def test_growth_stability(self, spark):
+        """Picks are hash-stable: growing one stratum can only displace
+        picks via quota shifts, not reshuffle the within-stratum order."""
+        from pdf_extractor_spark.operators.curation import stratified_sample
+
+        small = spark.createDataFrame(
+            [(i, "en") for i in range(50)], "doc_id long, lang string"
+        )
+        grown = spark.createDataFrame(
+            [(i, "en") for i in range(80)], "doc_id long, lang string"
+        )
+        picks_small = {
+            r.doc_id for r in stratified_sample(small, total=10).collect()
+        }
+        picks_grown = {
+            r.doc_id for r in stratified_sample(grown, total=10).collect()
+        }
+        # same quota, superset corpus: every grown pick that existed in the
+        # small corpus must have been picked there too (smallest-hash draw)
+        assert all(
+            d in picks_small for d in picks_grown if d < 50
+        )

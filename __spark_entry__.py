@@ -433,6 +433,8 @@ def _tfidf_top_terms(spark, sf_dir):
 
 
 def _bm25_topk(spark, sf_dir):
+    """BM25 lexical top-10 retrieval for a 3-query batch: broadcast
+    query-term probe of the token stream, rational (log-free) idf."""
     from pdf_extractor_spark.operators.textstats import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), k=10)

@@ -34,7 +34,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "gopher_filter", "hash_lr", "vocab_coverage",
     ]),
     ("Deduplication", [
-        "exact_dedup", "line_dedup", "ngram_jaccard",
+        "exact_dedup", "line_dedup", "substring_dedup", "ngram_jaccard",
         "winnow_fingerprints", "winnow_pairs", "minhash_lsh",
         "simhash_neardup", "neardup_clusters", "dedup_survivors",
         "dedup_apply", "dup_ngram_stats", "incremental_dedup", "embedding_neardup",
@@ -44,9 +44,10 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "decontaminate", "decontaminate_near", "pii_scrub", "mix_weights",
         "global_shuffle", "hash_sample", "host_quota_sample",
         "curation_funnel", "chunk_documents", "pack_sequences",
+        "stratified_sample",
     ]),
     ("Similarity search (ANN)", [
-        "cosine_topk", "lsh_ann_topk", "ivf_ann_topk",
+        "cosine_topk", "bm25_topk", "lsh_ann_topk", "ivf_ann_topk",
     ]),
     ("Web: HTML, URLs, link graph", [
         "html_main_content", "html_blocks", "html_links",

@@ -24,6 +24,24 @@ def test_py_ws_class_matches_str_isspace_bmp():
     assert mismatches == []
 
 
+def test_py_ws_chars_literal_set_matches_isspace_bmp():
+    """The btrim/translate literal set must equal the regex class — the
+    fast primitives and the regex path describe the same whitespace."""
+    from pdf_extractor_spark.operators.spans import (
+        CONTROL_CHARS,
+        PY_WS_CHARS,
+    )
+
+    assert sorted(PY_WS_CHARS) == sorted(
+        chr(c) for c in range(0x10000) if chr(c).isspace()
+    )
+    assert sorted(CONTROL_CHARS) == sorted(
+        chr(c)
+        for c in range(0x10000)
+        if 0x00 <= c <= 0x1F or 0x7F <= c <= 0x9F
+    )
+
+
 ADVERSARIAL = [
     "  This   is  a   text   with   extra   spaces.  ",
     "这是  中文  文本",

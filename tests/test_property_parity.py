@@ -218,3 +218,43 @@ def test_keyword_presence_parity(kws, words, sep):
     kws_t = tuple(sorted(set(kws)))
     want = frozenset(k for k in kws_t if _kw_re(k).search(text))
     assert _keyword_presence(text, kws_t) == want
+
+
+# preprocess guard fuzz: the one-scan "already clean" short-circuit in
+# operators/spans.py must never change preprocess semantics — fuzz the
+# whole BMP-ish character zoo against the Python oracle.
+_prep_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet=st.characters(min_codepoint=0x00, max_codepoint=0x7F)),
+        st.text(alphabet=" \t\n\x00\x1c\x7f\x85\xa0    　的a b  c"),
+        st.text(max_size=30),
+    ),
+    min_size=8,
+    max_size=24,
+)
+
+
+@given(texts=_prep_texts)
+@settings(**_SETTINGS)
+def test_preprocess_guard_parity(spark, texts):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.spans import preprocess_text
+    from pdf_extractor_spark.oracle.language import preprocess_for_language
+
+    for lang in ("en", "zh"):
+        df = spark.createDataFrame(
+            [(str(i), t) for i, t in enumerate(texts)], "id string, t string"
+        )
+        got = {
+            r.id: r.out
+            for r in df.select(
+                "id", preprocess_text(F.col("t"), F.lit(lang)).alias("out")
+            ).collect()
+        }
+        want = {
+            str(i): preprocess_for_language(t, lang)
+            for i, t in enumerate(texts)
+        }
+        assert got == want

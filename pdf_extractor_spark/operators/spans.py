@@ -194,8 +194,17 @@ def add_detected_language(
     tmp.append("_smp")
     smp = F.col("_smp")
 
+    # ASCII short-circuit: every script class matches only non-ASCII
+    # codepoints, so for a pure-ASCII sample (most of a web corpus) all 7
+    # counts are provably 0 — one rlike scan replaces 7 regexp_count scans
+    nonascii = col_of("_na", smp.rlike("[^\\x00-\\x7f]"))
     counts = {
-        k: col_of(f"_sc_{k}", F.regexp_count(smp, F.lit(rx)))
+        k: col_of(
+            f"_sc_{k}",
+            F.when(nonascii, F.regexp_count(smp, F.lit(rx))).otherwise(
+                F.lit(0)
+            ),
+        )
         for k, rx in _SCRIPT_CLASSES.items()
     }
     script_total = col_of(
@@ -235,7 +244,7 @@ def add_detected_language(
     )
     latin_lang = F.when(F.size(toks) == 0, F.lit("unknown")).when(
         best_hits <= 0,
-        F.when(smp.rlike("[^\\x00-\\x7f]"), F.lit("pt")).otherwise(F.lit("en")),
+        F.when(nonascii, F.lit("pt")).otherwise(F.lit("en")),
     ).otherwise(best_lang)
 
     lang = (

@@ -2058,6 +2058,14 @@ def _line_dedup(spark, sf_dir):
     )
 
 
+def _corpus_rollup(spark, sf_dir):
+    """Corpus accounting ROLLUP over (lang, source): per-pair rows, per-
+    lang subtotals, and the grand total in one grouping-sets pass."""
+    from pdf_extractor_spark.operators.curation import corpus_rollup
+
+    return corpus_rollup(_t(spark, sf_dir, "documents"))
+
+
 def _stratified_sample(spark, sf_dir):
     """Exactly-100-doc stratified sample over lang with largest-remainder
     quotas and smallest-md5-hash-per-stratum selection."""
@@ -2259,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _line_dedup,
         "substring_dedup": _substring_dedup,
         "stratified_sample": _stratified_sample,
+        "corpus_rollup": _corpus_rollup,
         "pii_scrub": _pii_scrub,
         "url_normalize": _url_normalize,
         "host_stats": _host_stats,
@@ -4310,6 +4319,18 @@ SELECT d.doc_id, nl.n_lines,
        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(cleaned_text, '') AS cleaned_text
 FROM documents d JOIN nl USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+    # corpus_rollup: GROUP BY ROLLUP with GROUPING() bitmask — integer
+    # sums, quotient rounded identically on both sides
+    sql["corpus_rollup"] = """
+SELECT lang, source,
+       CAST(grouping(lang, source) AS BIGINT) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(CAST(sum(length(text)) AS BIGINT) * 1.0 / count(*), 6)
+         AS avg_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
 """
     # stratified_sample: all-integer Hamilton allocation + smallest-hash
     # draw — no floats anywhere, so the oracle is exact. The oracle ranks

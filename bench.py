@@ -75,6 +75,7 @@ HEADLINE = [
     "line_dedup",
     "substring_dedup",
     "stratified_sample",
+    "corpus_rollup",
     "pii_scrub",
     "url_normalize",
     "host_stats",

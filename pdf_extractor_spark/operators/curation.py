@@ -1009,3 +1009,41 @@ def stratified_sample(
         .where(F.col("sample_rank") <= F.col("quota"))
         .select(id_col, "stratum", "sample_rank")
     )
+
+
+def corpus_rollup(
+    df: DataFrame,
+    dims: tuple[str, str] = ("lang", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(lang, source, gid, n_docs, total_chars, avg_chars) — the corpus
+    accounting panel as one ROLLUP: per (lang, source), per lang subtotal,
+    and the grand total in a single pass (gid = grouping_id bitmask
+    disambiguates subtotal NULLs from genuine NULL dimension values).
+    This is the engine's grouping-sets surface: Spark expands the rollup
+    into partial aggregates per grouping set BEFORE the shuffle, so the
+    pass stays one scan + one exchange at any corpus size.
+
+    Cross-engine exactness: counts and char totals are integer sums;
+    avg_chars is the rounded quotient of the two exact integers, so the
+    DuckDB oracle (GROUP BY ROLLUP + GROUPING()) matches bit-for-bit."""
+    d1, d2 = dims
+    return (
+        df.rollup(d1, d2)
+        .agg(
+            # grouping_id() is only legal inside the rollup's agg list
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .select(
+            F.col(d1),
+            F.col(d2),
+            "gid",
+            "n_docs",
+            "total_chars",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_chars"),
+        )
+    )

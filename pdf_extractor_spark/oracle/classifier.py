@@ -29,6 +29,49 @@ def _pat_re(pattern: str) -> re.Pattern:
     return re.compile(pattern, re.IGNORECASE | re.MULTILINE)
 
 
+# Characters that are literals in regex source (no metacharacter), and
+# whose case behavior is 1:1-stable so an IGNORECASE regex match implies
+# a casefold-substring hit (multi-char folds like ß→ss are excluded by
+# the stability guard below).
+_LIT_SAFE = re.compile(r"[^$^*+?.()\[\]{}\\|]+")
+
+
+@lru_cache(maxsize=4096)
+def _pat_literal(pattern: str) -> "str | None":
+    """Required leading literal of `pattern` (casefolded), or None.
+
+    Soundness: if the compiled pattern (IGNORECASE|MULTILINE) matches
+    anywhere in a text, the returned literal appears in text.casefold().
+    Conservative guards — any of these disables the prefilter for the
+    pattern rather than risking a wrong skip:
+      * '|' anywhere (a leading run before an alternation is not
+        required: 'ABC|DEF');
+      * the char after the run is *, ?, or { (the run's LAST char is
+        optional: 'DANFEX*' requires only 'DANFE') — handled by
+        dropping that char;
+      * any literal char with multi-char or unstable case folding
+        (ß, İ, …), where casefold-substring reasoning breaks;
+      * runs shorter than 4 chars (too weak to pay for the scan)."""
+    if "|" in pattern:
+        return None
+    m = _LIT_SAFE.match(pattern)
+    if not m:
+        return None
+    lit = m.group(0)
+    if len(pattern) > len(lit) and pattern[len(lit)] in "*?{":
+        lit = lit[:-1]
+    if len(lit) < 4:
+        return None
+    for ch in lit:
+        if (
+            len(ch.lower()) != 1
+            or len(ch.casefold()) != 1
+            or ch.lower() != ch.casefold()
+        ):
+            return None
+    return lit.casefold()
+
+
 @lru_cache(maxsize=64)
 def _kw_union_re(kws: tuple[str, ...]) -> re.Pattern:
     """One zero-width scan for ALL keywords: `\\b(?=(kw1|kw2|...)\\b)`.
@@ -84,6 +127,7 @@ def classify_by_rules(
         sorted({kw for pd in patterns.values() for kw in pd.keywords})
     )
     present = _keyword_presence(text, all_kws)
+    text_cf = text.casefold()
 
     best_match: str | None = None
     best_score = 0.0
@@ -96,6 +140,9 @@ def classify_by_rules(
                 score += 1
         for pat in pd.patterns:
             max_score += 2
+            lit = _pat_literal(pat)
+            if lit is not None and lit not in text_cf:
+                continue  # required literal absent -> search cannot match
             if _pat_re(pat).search(text):
                 score += 2
         if max_score > 0:

@@ -258,3 +258,37 @@ def test_preprocess_guard_parity(spark, texts):
             for i, t in enumerate(texts)
         }
         assert got == want
+
+
+# pattern-literal prefilter fuzz: a skip (required literal absent) must
+# imply the full IGNORECASE|MULTILINE search also fails — on config
+# patterns, quantifier/alternation traps, and case-folding traps.
+_PAT_POOL = [
+    "NF-e nº\\s*\\d+", "Chave de Acesso:\\s*\\d{44}", "DANFE",
+    "DANFEX*", "DANFEX?", "DANFEX{0,2}", "ABCD|EFGH", "^TOTAL",
+    "straße", "İstanbul", "KELVIN", "Valor Total:?\\s*R?\\$",
+    "(grouped)lit", "lit(grouped)", "\\d{3}", "abc",
+]
+_pat_words = [
+    "DANFE", "danfex", "NF-e nº 42", "Chave de Acesso: 1", "TOTAL",
+    "xTOTAL", "strasse", "STRASSE", "straße", "ıstanbul", "İSTANBUL",
+    "kelvin", "KELVIN", "Valor Total R$", "groupedlit", "litgrouped",
+    "ABCD", "EFGH", "ab", "ﬆop", "ſtop",
+]
+
+
+@given(
+    pats=st.lists(st.sampled_from(_PAT_POOL), min_size=1, max_size=6),
+    words=st.lists(st.sampled_from(_pat_words), min_size=0, max_size=12),
+    sep=st.sampled_from([" ", "\n", "", "."]),
+)
+@settings(max_examples=400, deadline=None, derandomize=True)
+def test_pattern_literal_prefilter_sound(pats, words, sep):
+    from pdf_extractor_spark.oracle.classifier import _pat_literal, _pat_re
+
+    text = sep.join(words)
+    cf = text.casefold()
+    for pat in pats:
+        lit = _pat_literal(pat)
+        if lit is not None and lit not in cf:
+            assert not _pat_re(pat).search(text), (pat, text)

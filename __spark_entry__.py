@@ -2058,6 +2058,25 @@ def _line_dedup(spark, sf_dir):
     )
 
 
+def _funnel_conversion(spark, sf_dir):
+    """Ordered view->click->purchase funnel: per-depth user counts with
+    strictly-after earliest-qualifying timestamps."""
+    from pdf_extractor_spark.operators.events import funnel_conversion
+
+    return funnel_conversion(_t(spark, sf_dir, "events"))
+
+
+def _retention_cohorts(spark, sf_dir):
+    """Retention triangle: first-event-date cohorts x day offset, distinct
+    active users per cell."""
+    from pdf_extractor_spark.operators.events import retention_cohorts
+
+    out = retention_cohorts(_t(spark, sf_dir, "events"))
+    return out.withColumn(
+        "cohort_date", F.col("cohort_date").cast("string")
+    )
+
+
 def _corpus_rollup(spark, sf_dir):
     """Corpus accounting ROLLUP over (lang, source): per-pair rows, per-
     lang subtotals, and the grand total in one grouping-sets pass."""
@@ -2268,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _substring_dedup,
         "stratified_sample": _stratified_sample,
         "corpus_rollup": _corpus_rollup,
+        "funnel_conversion": _funnel_conversion,
+        "retention_cohorts": _retention_cohorts,
         "pii_scrub": _pii_scrub,
         "url_normalize": _url_normalize,
         "host_stats": _host_stats,
@@ -4319,6 +4340,35 @@ SELECT d.doc_id, nl.n_lines,
        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(cleaned_text, '') AS cleaned_text
 FROM documents d JOIN nl USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+    # funnel_conversion: earliest-qualifying cascade — exact timestamp
+    # comparisons, integer counts
+    sql["funnel_conversion"] = """
+WITH v AS (SELECT user_id AS uid, min(ts) AS tk FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id AS uid, min(e.ts) AS tk FROM events e
+      JOIN v ON e.user_id = v.uid
+      WHERE e.event_type = 'click' AND e.ts > v.tk GROUP BY 1),
+p AS (SELECT e.user_id AS uid, min(e.ts) AS tk FROM events e
+      JOIN c ON e.user_id = c.uid
+      WHERE e.event_type = 'purchase' AND e.ts > c.tk GROUP BY 1)
+SELECT 'view' AS stage, CAST(1 AS BIGINT) AS depth,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'view -> click', 2, (SELECT count(*) FROM c)
+UNION ALL
+SELECT 'view -> click -> purchase', 3, (SELECT count(*) FROM p)
+"""
+    # retention_cohorts: all-integer date arithmetic; dates as VARCHAR on
+    # both sides (count_by_date convention)
+    sql["retention_cohorts"] = """
+WITH e AS (SELECT user_id AS uid, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT uid, min(d) AS cohort_date FROM e GROUP BY 1)
+SELECT CAST(cohort_date AS VARCHAR) AS cohort_date,
+       CAST(datediff('day', cohort_date, d) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+FROM e JOIN f USING (uid)
+GROUP BY f.cohort_date, 2
 """
     # corpus_rollup: GROUP BY ROLLUP with GROUPING() bitmask — integer
     # sums, quotient rounded identically on both sides

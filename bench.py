@@ -101,6 +101,8 @@ HEADLINE = [
     "sessionize",
     "asof_last_purchase",
     "events_rollup",
+    "funnel_conversion",
+    "retention_cohorts",
     "range_join_windows",
     "exact_dedup",
     "incremental_dedup",

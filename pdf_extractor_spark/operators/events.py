@@ -174,3 +174,74 @@ def asof_join(
     for c in payload_cols:
         out = out.withColumn(prefix + c, F.col("_asof")[c])
     return out.drop("_asof")
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(stage, depth, n_users) — ordered funnel conversion: a user reaches
+    stage k iff they have a stage-k event STRICTLY AFTER their earliest
+    qualifying stage-(k-1) event (the standard product-analytics funnel;
+    earliest-qualifying, not any-pairing, so the count is well-defined and
+    deterministic). Timestamp comparisons are exact (microsecond ints), so
+    the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: one filtered aggregate per stage, each keyed on user_id —
+    every join/aggregate in the cascade shuffles on the SAME key, so AQE
+    reuses one exchange layout; no windows over the full event stream, no
+    per-user arrays (a user's event count never materializes in memory)."""
+    e = events.select(
+        F.col(user_col).alias("uid"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).alias("t"),
+    )
+    reached = None  # DataFrame(uid, tk) of users at the previous depth
+    out = None
+    for depth, stage in enumerate(stages, start=1):
+        stage_events = e.filter(F.col("et") == stage)
+        if reached is not None:
+            stage_events = stage_events.join(reached, "uid").where(
+                F.col("t") > F.col("tk")
+            ).select("uid", "t")
+        reached = stage_events.groupBy("uid").agg(F.min("t").alias("tk"))
+        row = reached.agg(
+            F.lit(" -> ".join(stages[:depth])).alias("stage"),
+            F.lit(depth).cast("long").alias("depth"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_date, day_offset, n_users) — classic retention triangle:
+    users are cohorted by the calendar date of their first event, and each
+    (cohort, offset) cell counts the distinct cohort members active
+    day_offset days later. All-integer date arithmetic -> exact oracle.
+
+    Scale shape: first-event aggregate keyed on user (one shuffle), join
+    back along the same key (exchange reuse), then the cell aggregate —
+    cells are bounded by days^2/2, so the final aggregate is tiny however
+    large the event stream is."""
+    e = events.select(
+        F.col(user_col).alias("uid"), F.to_date(ts_col).alias("d")
+    )
+    first = e.groupBy("uid").agg(F.min("d").alias("cohort_date"))
+    return (
+        e.join(first, "uid")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count_distinct(F.col("uid")).cast("long").alias("n_users"))
+    )

@@ -204,3 +204,55 @@ def test_range_join_is_equi_join_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_strictly_after_ordering(spark):
+    """A user whose purchase precedes their click must not reach depth 3;
+    earliest-QUALIFYING stage anchors, not earliest overall."""
+    from datetime import datetime as dt
+
+    from pdf_extractor_spark.operators.events import funnel_conversion
+
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, dt(2024, 1, 1, 0), "view"),
+        (1, dt(2024, 1, 1, 1), "click"),
+        (1, dt(2024, 1, 1, 2), "purchase"),
+        # u2: purchase BEFORE click -> reaches depth 2 only
+        (2, dt(2024, 1, 1, 0), "view"),
+        (2, dt(2024, 1, 1, 1), "purchase"),
+        (2, dt(2024, 1, 1, 2), "click"),
+        # u3: click before view -> depth 1 only (view exists, click later missing)
+        (3, dt(2024, 1, 1, 0), "click"),
+        (3, dt(2024, 1, 1, 1), "view"),
+        # u4: equal timestamps are NOT strictly after
+        (4, dt(2024, 1, 1, 0), "view"),
+        (4, dt(2024, 1, 1, 0), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.depth: r.n_users for r in funnel_conversion(df).collect()}
+    assert out == {1: 4, 2: 2, 3: 1}
+
+
+def test_retention_cohort_cells(spark):
+    from datetime import datetime as dt
+
+    from pdf_extractor_spark.operators.events import retention_cohorts
+
+    rows = [
+        (1, dt(2024, 1, 1, 5)), (1, dt(2024, 1, 3, 1)),
+        (2, dt(2024, 1, 1, 9)), (2, dt(2024, 1, 1, 23)),
+        (3, dt(2024, 1, 3, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    cells = {
+        (str(r.cohort_date), r.day_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert cells == {
+        ("2024-01-01", 0): 2,   # u1+u2 on day 0
+        ("2024-01-01", 2): 1,   # u1 back on day 2
+        ("2024-01-03", 0): 1,   # u3 cohort of its own
+    }

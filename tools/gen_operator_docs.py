@@ -63,7 +63,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "sessionize", "asof_last_purchase", "events_rollup",
         "events_pivot", "range_join_windows", "click_not_purchase_users",
         "moving_avg_daily", "value_quantiles", "approx_value_quantiles",
-        "approx_distinct_users",
+        "approx_distinct_users", "funnel_conversion", "retention_cohorts",
     ]),
 ]
 

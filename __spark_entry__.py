@@ -2077,6 +2077,14 @@ def _retention_cohorts(spark, sf_dir):
     )
 
 
+def _key_skew_stats(spark, sf_dir):
+    """Shuffle-skew diagnostics for events.user_id: key counts, exact
+    rank-selected count quantiles, heaviest-key share."""
+    from pdf_extractor_spark.operators.events import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf_dir, "events"), key_col="user_id")
+
+
 def _corpus_rollup(spark, sf_dir):
     """Corpus accounting ROLLUP over (lang, source): per-pair rows, per-
     lang subtotals, and the grand total in one grouping-sets pass."""
@@ -2289,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": _corpus_rollup,
         "funnel_conversion": _funnel_conversion,
         "retention_cohorts": _retention_cohorts,
+        "key_skew_stats": _key_skew_stats,
         "pii_scrub": _pii_scrub,
         "url_normalize": _url_normalize,
         "host_stats": _host_stats,
@@ -4340,6 +4349,27 @@ SELECT d.doc_id, nl.n_lines,
        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(cleaned_text, '') AS cleaned_text
 FROM documents d JOIN nl USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+    # key_skew_stats: rank-selected quantiles from the count-of-counts
+    # histogram — all-integer except the rounded top1_share division
+    sql["key_skew_stats"] = """
+WITH counts AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+hist AS (SELECT c, count(*) AS nk FROM counts GROUP BY 1),
+cum AS (SELECT c, nk, sum(nk) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+        PRECEDING AND CURRENT ROW) AS cum FROM hist),
+tot AS (SELECT count(*) AS n_keys, sum(c) AS total_rows,
+               max(c) AS max_count FROM counts)
+SELECT 'n_keys' AS metric, CAST(n_keys AS DOUBLE) AS value FROM tot
+UNION ALL SELECT 'total_rows', CAST(total_rows AS DOUBLE) FROM tot
+UNION ALL SELECT 'max_count', CAST(max_count AS DOUBLE) FROM tot
+UNION ALL SELECT 'top1_share',
+  round(CAST(max_count AS DOUBLE) / total_rows, 6) FROM tot
+UNION ALL SELECT 'p50_count', CAST(min(c) AS DOUBLE) FROM cum, tot
+  WHERE cum >= 1 + floor(0.5 * (n_keys - 1))
+UNION ALL SELECT 'p90_count', CAST(min(c) AS DOUBLE) FROM cum, tot
+  WHERE cum >= 1 + floor(0.9 * (n_keys - 1))
+UNION ALL SELECT 'p99_count', CAST(min(c) AS DOUBLE) FROM cum, tot
+  WHERE cum >= 1 + floor(0.99 * (n_keys - 1))
 """
     # funnel_conversion: earliest-qualifying cascade — exact timestamp
     # comparisons, integer counts

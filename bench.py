@@ -103,6 +103,7 @@ HEADLINE = [
     "events_rollup",
     "funnel_conversion",
     "retention_cohorts",
+    "key_skew_stats",
     "range_join_windows",
     "exact_dedup",
     "incremental_dedup",

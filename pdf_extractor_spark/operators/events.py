@@ -245,3 +245,72 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(F.col("uid")).cast("long").alias("n_users"))
     )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(metric, value) — shuffle-skew diagnostics for a join/agg key:
+    n_keys, total_rows, max_count, exact count quantiles (p50/p90/p99 by
+    default), and top1_share (heaviest key's row share). The operator that
+    tells you whether a key needs salting BEFORE the 100 TB job dies.
+
+    Exactness: quantiles are rank-selected from the count-of-counts
+    histogram (value = smallest count c whose cumulative key coverage
+    reaches rank 1 + floor(q*(n_keys-1)) — all integer arithmetic), so the
+    DuckDB oracle matches exactly; only top1_share divides (rounded 6 dp).
+
+    Scale shape: one partial-agg shuffle to per-key counts, a second tiny
+    aggregate to the count-of-counts histogram — the window runs over
+    DISTINCT COUNT VALUES (bounded far below the key space; a 10^9-key
+    table has at most ~10^5 distinct counts in practice), never a global
+    sort of the keys themselves."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    hist = counts.groupBy("c").agg(F.count("*").alias("nk"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("nk").over(w))
+    totals = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_count"),
+    )
+    rows = totals.select(
+        F.lit("n_keys").alias("metric"),
+        F.col("n_keys").cast("double").alias("value"),
+    )
+    rows = rows.unionByName(
+        totals.select(
+            F.lit("total_rows").alias("metric"),
+            F.col("total_rows").cast("double").alias("value"),
+        )
+    ).unionByName(
+        totals.select(
+            F.lit("max_count").alias("metric"),
+            F.col("max_count").cast("double").alias("value"),
+        )
+    ).unionByName(
+        totals.select(
+            F.lit("top1_share").alias("metric"),
+            F.round(
+                F.col("max_count").cast("double") / F.col("total_rows"), 6
+            ).alias("value"),
+        )
+    )
+    for q in quantiles:
+        # rank 1 + floor(q * (n_keys - 1)): all-integer once q is a
+        # config literal with an exact decimal expansion (0.5/0.9/0.99)
+        target = cum.crossJoin(F.broadcast(totals.select("n_keys"))).where(
+            F.col("cum")
+            >= 1 + F.floor(F.lit(q) * (F.col("n_keys") - 1))
+        )
+        rows = rows.unionByName(
+            target.agg(
+                F.lit(f"p{int(q * 100)}_count").alias("metric"),
+                F.min("c").cast("double").alias("value"),
+            )
+        )
+    return rows

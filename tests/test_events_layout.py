@@ -256,3 +256,26 @@ def test_retention_cohort_cells(spark):
         ("2024-01-01", 2): 1,   # u1 back on day 2
         ("2024-01-03", 0): 1,   # u3 cohort of its own
     }
+
+
+def test_key_skew_stats_hand_computed(spark):
+    """Counts: a=4, b=2, c=2, d=1, e=1 -> n_keys 5, total 10, max 4.
+    Ranks (q over n_keys-1=4): p50 -> rank 3 -> count 2; p90 -> rank 4 ->
+    count 2 (cum at c=2 is 4); p99 -> rank 4 -> 2."""
+    from pdf_extractor_spark.operators.events import key_skew_stats
+
+    rows = (
+        [(i, "a") for i in range(4)]
+        + [(10, "b"), (11, "b"), (20, "c"), (21, "c"), (30, "d"), (40, "e")]
+    )
+    df = spark.createDataFrame(rows, "event_id long, user_id string")
+    out = {r.metric: r.value for r in key_skew_stats(df).collect()}
+    assert out == {
+        "n_keys": 5.0,
+        "total_rows": 10.0,
+        "max_count": 4.0,
+        "top1_share": 0.4,
+        "p50_count": 2.0,
+        "p90_count": 2.0,
+        "p99_count": 2.0,
+    }

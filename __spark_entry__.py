@@ -2077,6 +2077,25 @@ def _retention_cohorts(spark, sf_dir):
     )
 
 
+def _salted_join(spark, sf_dir):
+    """Skew-resistant (user_id, salt) join of events to the per-user
+    purchase-total dim; output provably equals the plain join (the
+    oracle), only the shuffle distribution differs."""
+    from pdf_extractor_spark.operators.events import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            6,
+        ).alias("user_purchase_total")
+    )
+    out = salted_join(
+        events.select("event_id", "user_id"), dim, "user_id", salt=8
+    )
+    return out.select("event_id", "user_id", "user_purchase_total")
+
+
 def _key_skew_stats(spark, sf_dir):
     """Shuffle-skew diagnostics for events.user_id: key counts, exact
     rank-selected count quantiles, heaviest-key share."""
@@ -2298,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _funnel_conversion,
         "retention_cohorts": _retention_cohorts,
         "key_skew_stats": _key_skew_stats,
+        "salted_join": _salted_join,
         "pii_scrub": _pii_scrub,
         "url_normalize": _url_normalize,
         "host_stats": _host_stats,
@@ -4349,6 +4369,19 @@ SELECT d.doc_id, nl.n_lines,
        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(cleaned_text, '') AS cleaned_text
 FROM documents d JOIN nl USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+    # salted_join: the oracle is the PLAIN join — salting must not change
+    # the result set, only the physical shuffle distribution. The summed
+    # dim value is rounded BEFORE the join fan-out (sum order per user is
+    # the same single aggregation in both engines at 6 dp).
+    sql["salted_join"] = """
+WITH dim AS (
+  SELECT user_id,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6)
+           AS user_purchase_total
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.user_id, dim.user_purchase_total
+FROM events e JOIN dim USING (user_id)
 """
     # key_skew_stats: rank-selected quantiles from the count-of-counts
     # histogram — all-integer except the rounded top1_share division

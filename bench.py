@@ -104,6 +104,7 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "key_skew_stats",
+    "salted_join",
     "range_join_windows",
     "exact_dedup",
     "incremental_dedup",

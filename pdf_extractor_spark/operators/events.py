@@ -314,3 +314,36 @@ def key_skew_stats(
             )
         )
     return rows
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: when one fact key carries a disproportion
+    of rows (see key_skew_stats), a plain shuffle join funnels that key
+    into ONE reducer. Here the fact side gets a deterministic salt
+    (xxhash64 of the whole row, mod `salt`) and the dim side is exploded
+    x`salt`, so the join key becomes (key, salt) and the hot key spreads
+    over `salt` reducers. Join OUTPUT is provably identical to the
+    unsalted join (each fact row meets exactly one dim replica); only the
+    physical distribution changes — which is why the DuckDB oracle is the
+    plain join.
+
+    Cost model: dim inflates x`salt` (use for corpus-sized dims too big to
+    broadcast but far smaller than facts — the classic mid-size dim with a
+    hot fact key). For small dims prefer broadcast; for balanced keys
+    prefer the plain join; AQE's skew-join handles moderate skew without
+    either, but cannot split a single key hotter than one task's budget at
+    plan time the way explicit salting can."""
+    fact_cols = [F.col(c) for c in facts.columns]
+    salted_facts = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact_cols), F.lit(salt)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_facts.join(salted_dim, [key, "_salt"], how).drop("_salt")

@@ -279,3 +279,19 @@ def test_key_skew_stats_hand_computed(spark):
         "p90_count": 2.0,
         "p99_count": 2.0,
     }
+
+
+def test_salted_join_equals_plain_join_and_salts_the_key(spark):
+    from pdf_extractor_spark.operators.events import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, "hot" if i % 10 < 9 else f"u{i}") for i in range(200)],
+        "event_id long, user_id string",
+    )
+    dim = facts.groupBy("user_id").count().withColumnRenamed("count", "n")
+    salted = salted_join(facts, dim, "user_id", salt=4)
+    plain = facts.join(dim, "user_id")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the shuffle key really is (key, salt)

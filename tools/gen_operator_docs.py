@@ -64,7 +64,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "events_pivot", "range_join_windows", "click_not_purchase_users",
         "moving_avg_daily", "value_quantiles", "approx_value_quantiles",
         "approx_distinct_users", "funnel_conversion", "retention_cohorts",
-        "key_skew_stats",
+        "key_skew_stats", "salted_join",
     ]),
 ]
 

@@ -687,12 +687,20 @@ def neardup_clusters(
     converges in 2-4 rounds. Each round is one shuffle join on id —
     O(E) per round, never materializing components on the driver. The
     fixpoint check is one count per round (cheap, and the loop is bounded
-    by max_iters as a safety stop)."""
+    by max_iters as a safety stop).
+
+    Scale shape: iteration runs ONLY over edge-connected nodes — after
+    dedup did its job those are a vanishing fraction of the corpus — so
+    per-round shuffles are O(E + dup-class members), never O(docs).
+    Singletons (the 10^12-doc bulk at target scale) join the result once
+    at the end via a single anti-join with cluster = own id; dragging them
+    through every propagation round (the round-1 shape) would shuffle the
+    whole corpus per iteration for labels that provably never change."""
     # localCheckpoint (eager) on the edge list and on each round's labels:
     # without lineage truncation every iteration's join re-derives the FULL
     # pair-detection pipeline (measured 6x the intended cost), and the plan
     # tree doubles per round. The checkpointed frames are bounded — O(near
-    # -dup pairs) and O(docs) label rows.
+    # -dup pairs) and O(members) label rows.
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionByName(
@@ -700,7 +708,9 @@ def neardup_clusters(
         )
         .localCheckpoint(eager=True)
     )
-    labels = docs.select(F.col(id_col).alias("id")).distinct().withColumn(
+    # the doubled edge list covers every member as src, so src-distinct IS
+    # the connected-node set
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
     for _ in range(max_iters):
@@ -709,6 +719,9 @@ def neardup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nl"))
         )
+        # carry the previous label through so the fixpoint check is a
+        # plain filter on the materialized frame — no per-round
+        # labels-vs-labels join
         new = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
@@ -716,17 +729,22 @@ def neardup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("_prev"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new.filter(F.col("label") != F.col("_prev")).limit(1).count()
         )
-        labels = new
+        labels = new.select("id", "label")
         if changed == 0:
             break
-    return labels.select("id", F.col("label").alias("cluster"))
+    singletons = (
+        docs.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("label", F.col("id"))
+    )
+    return labels.unionByName(singletons).select(
+        "id", F.col("label").alias("cluster")
+    )

@@ -271,39 +271,66 @@ def semdedup(
     Scale: the point of the scheme is that K grows with the corpus so
     cluster size stays ~corpus/K bounded — within-cluster pairing is the
     per-partition quadratic the paper accepts, never corpus-quadratic.
-    Centroids are index state (ivf_centroids, built once at write time);
-    the self-join keys on the cluster id, and the assigned frame is
-    lazily checkpointed so the pandas-UDF assignment runs once, not once
-    per join side."""
+    Centroids are index state (ivf_centroids, built once at write time).
+
+    Physical shape: ONE shuffle on the cluster id, then one numpy matmul
+    per cluster group (applyInPandas — the published scheme's per-cluster
+    GPU matmul re-expressed as an Arrow batch). The SQL alternative (a
+    cluster-keyed self-join with a fold-based dot per pair) evaluates
+    O(|cluster|² · dim) interpreted higher-order-function steps — measured
+    ~3x slower at 4k vectors and growing with cluster size; the matmul
+    keeps the same bounded-per-cluster memory (|cluster|² scores) while
+    doing the arithmetic vectorized. Cosines are rounded to 4 dp before
+    the threshold compare, mirroring the SQL/oracle arithmetic."""
     assign1 = _assign_udf(centroids, 1)
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
-    ).localCheckpoint(eager=False)
-    a = c.select("cluster", F.col("id").alias("id1"), F.col("vec").alias("v1"))
-    b = c.select("cluster", F.col("id").alias("id2"), F.col("vec").alias("v2"))
-    dup = (
-        a.join(b, "cluster")
-        .filter(F.col("id1") < F.col("id2"))
-        .select(
-            "id2",
-            "id1",
-            F.round(
-                _dot(F.col("v1"), F.col("v2"))
-                / (_norm(F.col("v1")) * _norm(F.col("v2"))),
-                4,
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .groupBy("id2")
-        .agg(F.min("id1").alias("dup_of"))
     )
-    return c.join(dup, c.id == dup.id2, "left").select(
-        F.col("id").alias(id_col),
-        "cluster",
-        "dup_of",
-        F.col("dup_of").isNull().alias("keep"),
+    thr = float(threshold)
+
+    def _cluster_dups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(V, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round((V @ V.T) / np.outer(n, n), 4)
+        # rows sorted by id ascending: for column j the first qualifying
+        # row above the diagonal IS the min-id duplicate source
+        m = len(ids)
+        tri = np.triu(np.ones((m, m), dtype=bool), k=1)
+        hit = np.nan_to_num(cos, nan=-2.0) >= thr
+        qual = hit & tri
+        has = qual.any(axis=0)
+        first = qual.argmax(axis=0)
+        dup_of = np.where(has, ids[first], None)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cluster": pdf["cluster"],
+                "dup_of": dup_of,
+            }
+        )
+
+    id_type = c.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("cluster", c.schema["cluster"].dataType),
+            T.StructField("dup_of", id_type),
+        ]
+    )
+    return (
+        c.groupBy("cluster")
+        .applyInPandas(_cluster_dups, schema=out_schema)
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
     )
 
 

@@ -29,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_extractor_spark.session import values_df
+
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 # synthetic doc-type rules over the driver documents table's vocabulary —
@@ -701,8 +703,10 @@ def _crawl_frontier(spark, sf_dir):
         F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
         F.explode(F.array(tgt(3, 1), tgt(7, 2), tgt(11, 5))).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
-    seeds = spark.createDataFrame(
-        [("src0.example.com",), ("src1.example.com",)], "node string"
+    seeds = values_df(
+        spark,
+        [("src0.example.com",), ("src1.example.com",)],
+        "node string",
     )
     return khop_reachable(edges, seeds, k=2)
 

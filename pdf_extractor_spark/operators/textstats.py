@@ -739,10 +739,10 @@ def bm25_topk(
     cross-engine 1-ulp drift cannot flip ranks."""
     from pyspark.sql import Window
 
+    from pdf_extractor_spark.session import values_df
+
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        list(queries), "query_id string, qtext string"
-    )
+    qdf = values_df(spark, list(queries), "query_id string, qtext string")
     qterms = qdf.select(
         "query_id",
         F.explode(tokens_col(F.lower(F.col("qtext")))).alias("term"),

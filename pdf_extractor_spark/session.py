@@ -66,3 +66,44 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def values_df(spark: SparkSession, rows, schema: str):
+    """JVM-side LocalRelation from small literal rows.
+
+    `spark.createDataFrame(py_list)` builds a Python-RDD-backed plan:
+    every downstream task pays Python-worker round-trips, and
+    materializing it costs SECONDS even for two rows (measured 4.0s for
+    a 2-row seed localCheckpoint at local[32] — Python worker spin-up
+    across 32 shuffle tasks). A VALUES literal parses to a pure Catalyst
+    LocalRelation: constant-foldable, broadcastable, zero Python in the
+    scan (same 2-row checkpoint: 0.1s). Use ONLY for small literal
+    frames — the rows travel through the SQL parser.
+
+    `schema` is a DDL column list ("query_id string, qtext string");
+    every cell is CAST to its declared type so the result schema never
+    depends on literal inference.
+    """
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.strip().split(None, 1)
+        cols.append((name, typ))
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return f"'{s}'"
+
+    tuples = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    proj = ", ".join(
+        f"CAST(c{i} AS {typ}) AS {name}" for i, (name, typ) in enumerate(cols)
+    )
+    anon = ", ".join(f"c{i}" for i in range(len(cols)))
+    return spark.sql(f"SELECT {proj} FROM VALUES {tuples} AS t({anon})")

@@ -49,17 +49,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingles(text_col: str, n: int) -> "F.Column":
-    toks = tokens_col(F.lower(F.col(text_col)))
-    return F.when(
-        F.size(toks) >= n,
+def _shingle_id_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, sids array<long>) — distinct numeric shingle ids per document.
+
+    A shingle's id is xxhash64 over the n token hashes (seed-chained
+    multi-arg xxhash64), NOT a hash of the joined string: building the
+    "tok tok tok" strings costs O(tokens x bytes) of allocation and was
+    the measured bottleneck of the whole MinHash pipeline (3.4s -> 0.6s
+    for full signatures at sf0.1/local[32]). Tokens are hashed ONCE into
+    a bound `_th` column (withColumn = projection boundary; the lambda
+    below references the attribute, so per-position work is three
+    element_at + one 3-long xxhash64). Every consumer (inverted index,
+    MinHash, exact-Jaccard verify) only ever uses shingles through
+    EQUALITY — distinct counts, join keys, intersections — so a 64-bit
+    id is semantics-preserving up to hash collisions (~1e-8 at 10^6
+    distinct shingles; the DuckDB string-shingle oracle would flag one)."""
+    base = df.withColumn(
+        "_th",
+        F.transform(
+            tokens_col(F.lower(F.col(text_col))), lambda tk: F.xxhash64(tk)
+        ),
+    )
+    sids = F.when(
+        F.size("_th") >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                F.sequence(F.lit(0), F.size("_th") - n),
+                lambda i: F.xxhash64(
+                    *[F.element_at("_th", i + 1 + j) for j in range(n)]
+                ),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
+    return base.select(F.col(id_col).alias("id"), sids.alias("sids"))
 
 
 def shingle_index(
@@ -71,9 +95,12 @@ def shingle_index(
 ) -> DataFrame:
     """(id, shingle) inverted index with optional hot-shingle cap: shingles
     appearing in more than max_df docs are dropped from BOTH sides (standard
-    guard — a stop-shingle would otherwise explode the self-join)."""
-    idx = df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("shingle")
+    guard — a stop-shingle would otherwise explode the self-join). Shingles
+    are 64-bit numeric ids (_shingle_id_sets): identity-only downstream use
+    means the index is equivalent to the string form, and the shuffle moves
+    8-byte keys instead of n-word strings."""
+    idx = _shingle_id_sets(df, text_col, id_col, n).select(
+        "id", F.explode("sids").alias("shingle")
     )
     if max_df is not None:
         hot = (
@@ -162,10 +189,9 @@ def minhash_signatures(
     coeffs = _minhash_coeffs(num_hashes, seed)
     # shingle id bounded to 2^31 so (id * a + b) stays well inside int64
     # (a, b < 2^30); modulus on a Mersenne-like prime keeps uniformity
-    ids = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(text_col, n)).alias("s"),
-    ).select("id", (F.abs(F.xxhash64("s")) % F.lit(1 << 31)).alias("x"))
+    ids = _shingle_id_sets(df, text_col, id_col, n).select(
+        "id", F.explode("sids").alias("s")
+    ).select("id", (F.abs(F.col("s")) % F.lit(1 << 31)).alias("x"))
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -299,10 +325,12 @@ def minhash_lsh_pairs(
         .unionByName(cands.select(F.col("id2").alias("cid")))
         .distinct()
     )
-    sh = (
-        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
-        .select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
-    )
+    sh = _shingle_id_sets(
+        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi"),
+        text_col,
+        id_col,
+        n,
+    ).select("id", F.col("sids").alias("sh"))
     return (
         cands
         .join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")

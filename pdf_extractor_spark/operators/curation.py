@@ -264,7 +264,12 @@ def line_dedup(
     rebuild via collect_list(struct(pos, line)) + array_sort, which is
     order-correct regardless of shuffle order. One line-key shuffle, one
     doc-key shuffle — no window, no UDF."""
-    toks = tokens_col(F.lower(F.col(text_col)))
+    # tokens bound as a COLUMN before the line build: a raw `toks`
+    # expression inside the transform lambda is part of the lambda body and
+    # re-tokenizes per line position — O(tokens^2/chunk) per doc. As a
+    # multi-referenced non-cheap alias, CollapseProject keeps the boundary
+    # and the split runs once per row per consumer.
+    toks = F.col("_toks")
     n_lines = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
     lines = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -274,11 +279,18 @@ def line_dedup(
             ),
         )
     )
-    base = df.select(F.col(id_col), lines.alias("_lines"))
+    base = df.select(
+        F.col(id_col), tokens_col(F.lower(F.col(text_col))).alias("_toks")
+    ).select(F.col(id_col), lines.alias("_lines"))
+    # posexplode_OUTER + isNotNull, not plain posexplode: the inferred
+    # size(_lines)>0 filter would be pushed below the projection, inlining
+    # the whole tokenize+line-build expression per conjunct (measured 21
+    # split() copies in the optimized plan). Null rows (token-less docs)
+    # are dropped on the generator OUTPUT attribute instead.
     exploded = base.select(
         F.col(id_col).alias("id"),
-        F.posexplode("_lines").alias("pos", "line"),
-    )
+        F.posexplode_outer("_lines").alias("pos", "line"),
+    ).where(F.col("line").isNotNull())
     freq = exploded.groupBy("line").agg(F.count("*").alias("occ"))
     kept = (
         exploded.join(freq, "line")

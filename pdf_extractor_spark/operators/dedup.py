@@ -99,8 +99,16 @@ def shingle_index(
     are 64-bit numeric ids (_shingle_id_sets): identity-only downstream use
     means the index is equivalent to the string form, and the shuffle moves
     8-byte keys instead of n-word strings."""
-    idx = _shingle_id_sets(df, text_col, id_col, n).select(
-        "id", F.explode("sids").alias("shingle")
+    # explode_OUTER + isNotNull, NOT plain explode: InferFiltersFromGenerate
+    # would add size(sids)>0 and predicate pushdown substitutes the whole
+    # tokenize+shingle pipeline below the projection, re-evaluating it per
+    # conjunct (same trap winnow_fingerprints documents; measured 11 split()
+    # copies in this plan before the fix). The isNotNull filter sits on the
+    # generator OUTPUT attribute, which cannot be pushed into the array expr.
+    idx = (
+        _shingle_id_sets(df, text_col, id_col, n)
+        .select("id", F.explode_outer("sids").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
     if max_df is not None:
         hot = (
@@ -189,9 +197,15 @@ def minhash_signatures(
     coeffs = _minhash_coeffs(num_hashes, seed)
     # shingle id bounded to 2^31 so (id * a + b) stays well inside int64
     # (a, b < 2^30); modulus on a Mersenne-like prime keeps uniformity
-    ids = _shingle_id_sets(df, text_col, id_col, n).select(
-        "id", F.explode("sids").alias("s")
-    ).select("id", (F.abs(F.col("s")) % F.lit(1 << 31)).alias("x"))
+    # explode_OUTER + isNotNull for the same InferFiltersFromGenerate reason
+    # as shingle_index; null rows (no-shingle docs) are dropped explicitly,
+    # preserving the "docs with < n tokens emit no signature" contract
+    ids = (
+        _shingle_id_sets(df, text_col, id_col, n)
+        .select("id", F.explode_outer("sids").alias("s"))
+        .where(F.col("s").isNotNull())
+        .select("id", (F.abs(F.col("s")) % F.lit(1 << 31)).alias("x"))
+    )
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)

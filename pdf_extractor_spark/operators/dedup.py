@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import fan_out
 from .textstats import tokens_col
 
 MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
@@ -106,7 +107,7 @@ def shingle_index(
     # copies in this plan before the fix). The isNotNull filter sits on the
     # generator OUTPUT attribute, which cannot be pushed into the array expr.
     idx = (
-        _shingle_id_sets(df, text_col, id_col, n)
+        _shingle_id_sets(fan_out(df), text_col, id_col, n)
         .select("id", F.explode_outer("sids").alias("shingle"))
         .where(F.col("shingle").isNotNull())
     )
@@ -201,7 +202,7 @@ def minhash_signatures(
     # as shingle_index; null rows (no-shingle docs) are dropped explicitly,
     # preserving the "docs with < n tokens emit no signature" contract
     ids = (
-        _shingle_id_sets(df, text_col, id_col, n)
+        _shingle_id_sets(fan_out(df), text_col, id_col, n)
         .select("id", F.explode_outer("sids").alias("s"))
         .where(F.col("s").isNotNull())
         .select("id", (F.abs(F.col("s")) % F.lit(1 << 31)).alias("x"))
@@ -428,7 +429,7 @@ def winnow_fingerprints(
     so the whole fingerprint set is SQL-mirrorable for the oracle."""
     toks = tokens_col(F.lower(F.col(text_col)))
     base = (
-        df.select(F.col(id_col), F.col(text_col))
+        fan_out(df).select(F.col(id_col), F.col(text_col))
         .withColumn("_toks", toks)
         .withColumn(
             "_grams",
@@ -523,7 +524,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     degenerate signature 0 would make every empty/null-text doc a hamming-0
     "near-dup" of every other — empties belong to exact_dedup, not here."""
     toks = tokens_col(F.lower(F.col(text_col)))
-    h = df.select(
+    h = fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(toks).alias("t")
     ).select("id", simhash_token_hash(F.col("t")).alias("h"))
     aggs = [

@@ -107,3 +107,23 @@ def values_df(spark: SparkSession, rows, schema: str):
     )
     anon = ", ".join(f"c{i}" for i in range(len(cols)))
     return spark.sql(f"SELECT {proj} FROM VALUES {tuples} AS t({anon})")
+
+
+def fan_out(df, min_parts: int | None = None):
+    """Repartition a degenerately-partitioned input before CPU-heavy
+    per-row work (tokenize/shingle/hash pipelines whose cost is
+    O(tokens) per row).
+
+    At target scale the input scan arrives with thousands of splits and
+    this is a structural no-op (the partition count already exceeds the
+    cluster's parallelism). At test scale a small parquet table is one
+    row-group — one task — so every downstream narrow op runs on a
+    single core no matter how many the session has; a round-robin
+    repartition costs one shuffle of the projected input columns and
+    buys full-width execution. Guarded, not unconditional: inputs that
+    are already parallel are returned unchanged so no shuffle is ever
+    added at scale."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

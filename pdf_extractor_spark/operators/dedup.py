@@ -294,25 +294,29 @@ def minhash_lsh_pairs(
     # plans, so SMJ's two shuffles collapse into one computation via
     # ReusedExchange — a broadcast side would recompute the whole signature
     # pipeline inside a single-threaded broadcast build (and at 10^12 docs
-    # the signature table isn't broadcastable anyway)
-    a = banded.hint("merge").alias("a")
-    b2 = banded.hint("merge").alias("b")
-    cands = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+    # the signature table isn't broadcastable anyway).
+    # verify=True prunes the signature column BEFORE the self-join: the
+    # exact check never reads it, and carrying two 64-long arrays through
+    # the candidate dropDuplicates multiplies the dominant shuffle ~20x
+    # (measured ~30 GB vs ~1.5 GB for 32M candidates on a dup-heavy
+    # 100k-doc corpus). Buckets are computed map-side from the signature,
+    # so the pruned side shuffles only (id, band, bucket).
+    bside = banded.select("id", "band", "bucket") if verify else banded
+    a = bside.hint("merge").alias("a")
+    b2 = bside.hint("merge").alias("b")
+    joined = a.join(
+        b2,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    if not verify:
+        cands = joined.select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
             F.col("a.sig").alias("sig1"),
             F.col("b.sig").alias("sig2"),
-        )
-        .dropDuplicates(["id1", "id2"])
-    )
-    if not verify:
+        ).dropDuplicates(["id1", "id2"])
         est = F.size(
             F.filter(
                 F.zip_with("sig1", "sig2", lambda x, y: x == y),
@@ -322,6 +326,9 @@ def minhash_lsh_pairs(
         return cands.select(
             "id1", "id2", F.round(est, 6).alias("est_jaccard")
         ).filter(F.col("est_jaccard") >= threshold)
+    cands = joined.select(
+        F.col("a.id").alias("id1"), F.col("b.id").alias("id2")
+    ).dropDuplicates(["id1", "id2"])
 
     # exact verification: join the (small) candidate set back to per-doc
     # shingle sets; `inter` materialized behind a projection boundary so
@@ -334,7 +341,7 @@ def minhash_lsh_pairs(
     # both sides of the id union) — without lineage truncation Catalyst
     # replicates the whole LSH candidate pipeline per consumer (measured
     # 3x: 7 SortMergeJoins in the plan instead of 1).
-    cands = cands.select("id1", "id2").localCheckpoint(eager=False)
+    cands = cands.localCheckpoint(eager=False)
     cand_ids = (
         cands.select(F.col("id1").alias("cid"))
         .unionByName(cands.select(F.col("id2").alias("cid")))

@@ -39,10 +39,17 @@ LEVELS = tuple(
 )
 
 
-def time_once(cpus: int, corpus_path: str) -> tuple[float, int]:
+def time_once(cpus: int, corpus_path: str, job: str = "extract") -> tuple[float, int]:
     """Fresh SparkSession at local[cpus]: one untimed warmup run (worker
-    spawn + codegen), then one timed run of the full extract job
-    (scan -> normalize -> fused classify/extract/validate -> noop sink)."""
+    spawn + codegen), then one timed run of the chosen job.
+
+    jobs: 'extract' = scan -> normalize -> fused classify/extract/validate
+    -> noop sink (narrow end-to-end); 'dedup' = text rebuild from spans ->
+    MinHash signatures -> banded LSH self-join -> exact-Jaccard verify ->
+    noop sink (shuffle-heavy: three exchanges — evidence that the scaling
+    criterion holds for the curation family too, not just the narrow path)."""
+    from pyspark.sql import functions as F
+
     from pdf_extractor_spark.pipeline import extract_documents
     from pdf_extractor_spark.session import build_session
 
@@ -51,30 +58,50 @@ def time_once(cpus: int, corpus_path: str) -> tuple[float, int]:
     )
     docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()
+
     # the corpus is written as 256 files, so the scan provides 256 splits at
     # either level — the extraction job is narrow end-to-end (the bucket
     # repartition in run_pipeline exists for checkpoint alignment, not for
     # parallelism, and a shared-disk shuffle of the whole corpus would
     # dominate this measurement without informing CPU scaling)
-    out = extract_documents(docs)
-    out.write.format("noop").mode("overwrite").save()  # warmup, untimed
+    def build():
+        if job == "extract":
+            return extract_documents(docs)
+        # dedup: rebuilt per run — minhash_lsh_pairs lazily localCheckpoints
+        # its candidate set, so reusing one DataFrame would let the timed
+        # run ride the warmup's cached RDD and measure nothing
+        from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+        flat = docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                    lambda s: s["text"],
+                ),
+            ).alias("text"),
+        )
+        return minhash_lsh_pairs(flat)
+
+    build().write.format("noop").mode("overwrite").save()  # warmup, untimed
     t0 = time.perf_counter()
-    out.write.format("noop").mode("overwrite").save()
+    build().write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     spark.stop()
     return dt, n_docs
 
 
-def child_main(cpus: int, corpus_path: str) -> None:
+def child_main(cpus: int, corpus_path: str, job: str) -> None:
     os.sched_setaffinity(0, set(range(cpus)))  # JVM + py workers inherit
-    dt, n_docs = time_once(cpus, corpus_path)
+    dt, n_docs = time_once(cpus, corpus_path, job)
     print(json.dumps({"sec": dt, "n_docs": n_docs}))
 
 
-def run_pinned(cpus: int, corpus_path: str) -> tuple[float, int]:
+def run_pinned(cpus: int, corpus_path: str, job: str) -> tuple[float, int]:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
-         "--corpus", corpus_path],
+         "--corpus", corpus_path, "--job", job],
         capture_output=True, text=True, timeout=900,
     )
     if proc.returncode != 0:
@@ -92,12 +119,13 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=600000)
     ap.add_argument("--trials", type=int, default=4)
     ap.add_argument("--md", action="store_true")
+    ap.add_argument("--job", choices=["extract", "dedup"], default="extract")
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--corpus", type=str, default=None)
     args = ap.parse_args()
 
     if args.child is not None:
-        child_main(args.child, args.corpus)
+        child_main(args.child, args.corpus, args.job)
         return
 
     from pdf_extractor_spark.session import build_session
@@ -122,10 +150,10 @@ def main() -> None:
         n_docs = args.docs
         for t in range(args.trials):
             for c in LEVELS:
-                dt, n_docs = run_pinned(c, corpus_path)
+                dt, n_docs = run_pinned(c, corpus_path, args.job)
                 best[c] = min(best[c], dt)
-                print(f"[scaling] round {t} local[{c}] (pinned to {c} cpus): "
-                      f"{dt:.2f}s", file=sys.stderr, flush=True)
+                print(f"[scaling] round {t} {args.job} local[{c}] (pinned to "
+                      f"{c} cpus): {dt:.2f}s", file=sys.stderr, flush=True)
         results = [
             {"cpus": c, "n_docs": n_docs, "sec": round(best[c], 3),
              "docs_per_sec": round(n_docs / best[c], 2)}
@@ -137,9 +165,10 @@ def main() -> None:
         eff = speedup / factor
         out = {
             "metric": (
-                f"extraction scaling efficiency N->4N "
+                f"{args.job} scaling efficiency N->4N "
                 f"(local[{LEVELS[0]}] vs local[{LEVELS[-1]}], CPU-pinned)"
             ),
+            "job": args.job,
             "docs": args.docs,
             "levels": results,
             "speedup": round(speedup, 3),
@@ -148,7 +177,9 @@ def main() -> None:
             "pass": eff >= 0.8,
         }
         print(json.dumps(out))
-        if args.md:
+        if args.md and args.job == "extract":
+            # BENCH_SCALING.md narrates the extract job; dedup runs are
+            # hand-logged into BENCH.md's measurement log
             write_md(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

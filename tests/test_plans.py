@@ -267,3 +267,25 @@ def test_incremental_dedup_antijoin_on_digest(spark):
     # combined min-id aggregate; no Python stage anywhere
     assert "LeftAnti" in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_fan_out_is_guarded(spark):
+    # fan_out repartitions ONLY degenerately-partitioned inputs: a
+    # single-partition frame gains defaultParallelism partitions; an
+    # already-parallel frame is returned UNCHANGED (same plan object, no
+    # added exchange) — the property that makes it a structural no-op at
+    # scale where scans arrive with thousands of splits.
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.session import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000, numPartitions=1).withColumn(
+        "t", F.lit("x")
+    )
+    widened = fan_out(narrow)
+    assert widened.rdd.getNumPartitions() == par
+    assert widened.count() == 1000
+
+    wide = spark.range(1000, numPartitions=par + 3)
+    assert fan_out(wide) is wide

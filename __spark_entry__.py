@@ -1340,6 +1340,27 @@ def _approx_distinct_users(spark, sf_dir):
     )
 
 
+def _zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, hour-since-epoch0):
+    write-time layout so per-file zone maps prune on EITHER key (Iceberg/
+    Delta `zorder` analog; pure shift/and/or column arithmetic, no UDF —
+    operators/zorder.py). The layout op itself (repartitionByRange + sort
+    by this key) is exercised by tests/test_zorder.py's bounding-box
+    tightening assertion; the key is what the oracle can check exactly."""
+    from pdf_extractor_spark.operators.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.floor(
+        (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / 3600
+    ).cast("long")
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        hour.alias("hour_idx"),
+        zorder_key(F.col("user_id"), hour).alias("zvalue"),
+    )
+
+
 def _events_rollup(spark, sf_dir):
     """Grouping-set coverage: ROLLUP over (event_type, date) — per-cell,
     per-type subtotal, and grand-total rows in one shuffle pass."""
@@ -2378,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_quantiles": _approx_value_quantiles,
         "click_not_purchase_users": _click_not_purchase_users,
         "range_join_windows": _range_join_windows,
+        "zorder_key": _zorder_key,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -4090,6 +4112,22 @@ FROM e GROUP BY ROLLUP (event_type, date)"""
         "SELECT user_id FROM events WHERE event_type = 'purchase' "
         "AND value > 300"
     )
+    # zorder_key: the Morton interleave reproduced bit-for-bit with the
+    # same shifts; DuckDB's >> / & / | operate on BIGINT like Spark's.
+    _z_terms = " | ".join(
+        f"(((u >> {i}) & 1) << {2 * i}) | (((h >> {i}) & 1) << {2 * i + 1})"
+        for i in range(20)
+    )
+    sql["zorder_key"] = f"""
+WITH k AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS u,
+         CAST(floor((epoch(ts) - 1704067200) / 3600) AS BIGINT) AS h
+  FROM events)
+SELECT event_id, u AS user_id, h AS hour_idx,
+       CAST({_z_terms} AS BIGINT) AS zvalue
+FROM k
+"""
+
     # range_join_windows: DuckDB native inequality join (IEJoin) — an
     # independent implementation of the containment predicate.
     sql["range_join_windows"] = """

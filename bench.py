@@ -106,6 +106,7 @@ HEADLINE = [
     "key_skew_stats",
     "salted_join",
     "range_join_windows",
+    "zorder_key",
     "exact_dedup",
     "incremental_dedup",
     "ngram_jaccard",

@@ -1340,6 +1340,20 @@ def _approx_distinct_users(spark, sf_dir):
     )
 
 
+def _cms_user_counts(spark, sf_dir):
+    """Count-Min Sketch point-frequency estimates next to ground truth
+    (operators/sketches.py): depth=4 md5-derived hash rows, width=64 so the
+    test corpus actually collides. Unlike the HLL/quantile sketches, the
+    CMS here is deterministic and SQL-mirrorable — the oracle rebuilds the
+    identical cell table and estimates, so the check is exact."""
+    from pdf_extractor_spark.operators.sketches import cms_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_estimates(ev, "user_id", depth=4, width=64).select(
+        F.col("key").cast("long").alias("user_id"), "exact_n", "cms_est"
+    )
+
+
 def _zorder_key(spark, sf_dir):
     """Z-order (Morton) clustering key over (user_id, hour-since-epoch0):
     write-time layout so per-file zone maps prune on EITHER key (Iceberg/
@@ -2400,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_not_purchase_users": _click_not_purchase_users,
         "range_join_windows": _range_join_windows,
         "zorder_key": _zorder_key,
+        "cms_user_counts": _cms_user_counts,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -4112,6 +4127,31 @@ FROM e GROUP BY ROLLUP (event_type, date)"""
         "SELECT user_id FROM events WHERE event_type = 'purchase' "
         "AND value > 300"
     )
+    # cms_user_counts: the IDENTICAL sketch rebuilt in SQL — same md5-
+    # derived row hashes (the simhash 60-bit construction), same cells,
+    # same min-over-rows estimate; exact match, no tolerance gate.
+    _cms_d = "(VALUES (0), (1), (2), (3)) AS dd(d)"
+    _cms_b = (
+        "CAST(('0x' || substr(md5('cms' || dd.d || ':' || "
+        "CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 64"
+    )
+    sql["cms_user_counts"] = f"""
+WITH cells AS (
+  SELECT dd.d, {_cms_b.format(k="user_id")} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN {_cms_d} GROUP BY 1, 2),
+keys AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY 1),
+probes AS (
+  SELECT k.user_id, k.exact_n, dd.d,
+         {_cms_b.format(k="k.user_id")} AS bucket
+  FROM keys k CROSS JOIN {_cms_d})
+SELECT p.user_id, p.exact_n, CAST(min(c.cnt) AS BIGINT) AS cms_est
+FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY 1, 2
+"""
+
     # zorder_key: the Morton interleave reproduced bit-for-bit with the
     # same shifts; DuckDB's >> / & / | operate on BIGINT like Spark's.
     _z_terms = " | ".join(

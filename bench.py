@@ -107,6 +107,7 @@ HEADLINE = [
     "salted_join",
     "range_join_windows",
     "zorder_key",
+    "cms_user_counts",
     "exact_dedup",
     "incremental_dedup",
     "ngram_jaccard",

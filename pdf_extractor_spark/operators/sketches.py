@@ -1,0 +1,95 @@
+"""Count-Min Sketch as DataFrame ops — the third mergeable summary next to
+HLL (`approx_distinct_users`) and the quantile sketch
+(`approx_value_quantiles`).
+
+At 10^12 rows you cannot keep exact per-key counts per shard/day, but a
+depth x width cell table (a few KB) per shard merges cell-wise and answers
+point frequency queries with est >= exact and
+est <= exact + eps * total (eps ~ e/width) at 1 - delta confidence
+(delta ~ exp(-depth)) — Cormode & Muthukrishnan's bound.
+
+Everything is deterministic and engine-portable: row hashes are md5-derived
+60-bit values (the same `simhash_token_hash` construction DuckDB reproduces
+with CAST('0x' || substr(md5(..), 1, 15) AS BIGINT)), so the ENTIRE sketch
+— cells and estimates — is SQL-mirrorable and the driver's oracle checks it
+exactly, not within tolerance.
+
+Physical shape: building the sketch explodes each row into `depth`
+(d, bucket) coordinates (constant fan-out) and partial-aggregates
+map-side, so the shuffle carries at most depth x width cells per mapper —
+the sketch, not the data. Estimation joins the (small, broadcast) sketch
+back to the queried keys and takes min over d.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import simhash_token_hash
+
+
+def _cms_bucket(key: "F.Column", d: int, width: int) -> "F.Column":
+    """Row-d bucket for a key: md5-derived 60-bit hash of 'cms{d}:{key}'
+    mod width. Seeding via the prefix keeps the rows independent while
+    staying bit-identical in any engine with md5."""
+    return simhash_token_hash(
+        F.concat(F.lit(f"cms{d}:"), key.cast("string"))
+    ) % F.lit(width)
+
+
+def cms_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(d, bucket, cnt) — the Count-Min cell table for one key column."""
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(F.col(key_col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(key, exact_n, cms_est) for every distinct key: the sketch estimate
+    next to ground truth, est >= exact by construction. The sketch table is
+    depth x width rows — broadcast to the keys join regardless of corpus
+    size."""
+    sketch = cms_table(df, key_col, depth, width)
+    keys = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").cast("long").alias("exact_n"))
+    )
+    probes = keys.select(
+        "key",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("key"), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "exact_n", F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

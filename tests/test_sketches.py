@@ -1,0 +1,44 @@
+"""Count-Min Sketch invariants: overestimate-only, exactness without
+collisions, and cell-wise mergeability (the property that makes it a
+per-shard summary at scale)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.sketches import cms_estimates, cms_table
+
+
+def test_cms_never_underestimates(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 37).cast("string").alias("k")
+    )
+    est = cms_estimates(df, "k", depth=4, width=16).collect()
+    assert len(est) == 37
+    assert all(r.cms_est >= r.exact_n for r in est)
+    # width 16 << 37 keys: collisions must exist somewhere
+    assert any(r.cms_est > r.exact_n for r in est)
+
+
+def test_cms_exact_when_wide(spark):
+    df = spark.range(300).select((F.col("id") % 5).cast("string").alias("k"))
+    est = cms_estimates(df, "k", depth=4, width=1024).collect()
+    assert all(r.cms_est == r.exact_n for r in est)
+
+
+def test_cms_merges_cellwise(spark):
+    a = spark.range(0, 500).select((F.col("id") % 11).cast("string").alias("k"))
+    b = spark.range(500, 900).select(
+        (F.col("id") % 13).cast("string").alias("k")
+    )
+    merged = (
+        cms_table(a, "k", depth=4, width=32)
+        .unionByName(cms_table(b, "k", depth=4, width=32))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_table(a.unionByName(b), "k", depth=4, width=32)
+    diff = merged.join(
+        whole.withColumnRenamed("cnt", "cnt2"), ["d", "bucket"], "full"
+    ).filter(
+        F.coalesce("cnt", F.lit(-1)) != F.coalesce("cnt2", F.lit(-1))
+    )
+    assert diff.count() == 0

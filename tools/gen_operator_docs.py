@@ -61,7 +61,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Events: sessions, as-of, rollups, sketches", [
         "sessionize", "asof_last_purchase", "events_rollup",
-        "events_pivot", "range_join_windows", "zorder_key",
+        "events_pivot", "range_join_windows", "zorder_key", "cms_user_counts",
         "click_not_purchase_users",
         "moving_avg_daily", "value_quantiles", "approx_value_quantiles",
         "approx_distinct_users", "funnel_conversion", "retention_cohorts",

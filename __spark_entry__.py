@@ -1340,6 +1340,26 @@ def _approx_distinct_users(spark, sf_dir):
     )
 
 
+def _embedding_quantize(spark, sf_dir):
+    """SQ8 scalar quantization of the embeddings table
+    (operators/similarity.sq8_quantize): per-dimension min/max corpus
+    stats, floor(x+0.5) quantization so the whole thing is a fixed dag of
+    IEEE double ops — the oracle reproduces qvec exactly and max_err to
+    4 decimals."""
+    from pdf_extractor_spark.operators.similarity import sq8_quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # the driver compares str(cell): emit the vector as a comma-joined
+    # string so Python-list vs numpy-array renderings cannot diverge
+    return sq8_quantize(emb).select(
+        F.col("id").alias("vec_id"),
+        F.array_join(
+            F.transform("qvec", lambda v: v.cast("string")), ","
+        ).alias("qvec_csv"),
+        "max_err",
+    )
+
+
 def _cms_user_counts(spark, sf_dir):
     """Count-Min Sketch point-frequency estimates next to ground truth
     (operators/sketches.py): depth=4 md5-derived hash rows, width=64 so the
@@ -2415,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": _range_join_windows,
         "zorder_key": _zorder_key,
         "cms_user_counts": _cms_user_counts,
+        "embedding_quantize": _embedding_quantize,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -4127,6 +4148,29 @@ FROM e GROUP BY ROLLUP (event_type, date)"""
         "SELECT user_id FROM events WHERE event_type = 'purchase' "
         "AND value > 300"
     )
+    # embedding_quantize: identical fixed dag of IEEE double ops (floor,
+    # not round, so no half-even/half-up divergence); qvec as CSV string.
+    sql["embedding_quantize"] = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+stats AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx,
+         CASE WHEN max(x) > min(x) THEN max(x) - min(x) ELSE 1.0 END AS rng
+  FROM e GROUP BY 1),
+q AS (
+  SELECT e.vec_id, e.pos,
+         CAST(floor((e.x - s.mn) * 127.0 / s.rng + 0.5) AS INT) AS qv,
+         abs(e.x - (s.mn + CAST(floor((e.x - s.mn) * 127.0 / s.rng + 0.5)
+                             AS INT) * s.rng / 127.0)) AS err
+  FROM e JOIN stats s ON e.pos = s.pos)
+SELECT vec_id,
+       array_to_string(list(qv ORDER BY pos), ',') AS qvec_csv,
+       round(max(err), 4) AS max_err
+FROM q GROUP BY 1
+"""
+
     # cms_user_counts: the IDENTICAL sketch rebuilt in SQL — same md5-
     # derived row hashes (the simhash 60-bit construction), same cells,
     # same min-over-rows estimate; exact match, no tolerance gate.

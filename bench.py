@@ -108,6 +108,7 @@ HEADLINE = [
     "range_join_windows",
     "zorder_key",
     "cms_user_counts",
+    "embedding_quantize",
     "exact_dedup",
     "incremental_dedup",
     "ngram_jaccard",

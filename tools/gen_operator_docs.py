@@ -48,6 +48,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "lsh_ann_topk", "ivf_ann_topk",
+        "embedding_quantize",
     ]),
     ("Web: HTML, URLs, link graph", [
         "html_main_content", "html_blocks", "html_links",

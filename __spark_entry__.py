@@ -1340,6 +1340,24 @@ def _approx_distinct_users(spark, sf_dir):
     )
 
 
+def _bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered exact decontamination (operators/sketches.py):
+    the eval set's text digests packed into a 4096-bit / 5-hash Bloom
+    filter (64 longs — broadcastable at ANY eval-set size), every corpus
+    doc tested with no false negatives. The production prefilter for the
+    broadcast-exact decontaminate when the eval set outgrows a broadcast
+    set; md5-derived probes make the filter bit-identical in SQL."""
+    from pdf_extractor_spark.operators.sketches import bloom_build, bloom_member
+
+    docs = _t(spark, sf_dir, "documents").withColumn("dg", F.md5("text"))
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bloom = bloom_build(ev, "dg", bits=4096, hashes=5)
+    return bloom_member(corpus, "dg", bloom, "doc_id", bits=4096, hashes=5).select(
+        F.col("id").alias("doc_id"), "bloom_hit"
+    )
+
+
 def _embedding_quantize(spark, sf_dir):
     """SQ8 scalar quantization of the embeddings table
     (operators/similarity.sq8_quantize): per-dimension min/max corpus
@@ -2436,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": _zorder_key,
         "cms_user_counts": _cms_user_counts,
         "embedding_quantize": _embedding_quantize,
+        "bloom_decontaminate": _bloom_decontaminate,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -4148,6 +4167,35 @@ FROM e GROUP BY ROLLUP (event_type, date)"""
         "SELECT user_id FROM events WHERE event_type = 'purchase' "
         "AND value > 300"
     )
+    # bloom_decontaminate: the identical 4096-bit/5-hash filter rebuilt in
+    # SQL — same md5-derived probes, same 63-bit word packing, bit_or agg.
+    _bf_i = "(VALUES (0), (1), (2), (3), (4)) AS ii(i)"
+    _bf_p = (
+        "CAST(('0x' || substr(md5('bf' || ii.i || ':' || {k}), 1, 15)) "
+        "AS BIGINT) % 4096"
+    )
+    sql["bloom_decontaminate"] = f"""
+WITH ev AS (
+  SELECT md5(text) AS dg FROM documents WHERE doc_id % 97 = 0),
+bp AS (
+  SELECT {_bf_p.format(k="dg")} AS p FROM ev CROSS JOIN {_bf_i}),
+bloom AS (
+  SELECT p // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bmask
+  FROM bp GROUP BY 1),
+corpus AS (
+  SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 97 <> 0),
+cp AS (
+  SELECT c.doc_id, {_bf_p.format(k="c.dg")} AS p
+  FROM corpus c CROSS JOIN {_bf_i})
+SELECT cp.doc_id,
+       CAST(min(CASE WHEN (CAST(1 AS BIGINT) << CAST(cp.p % 63 AS INT))
+                          & coalesce(b.bmask, 0) <> 0
+                     THEN 1 ELSE 0 END) = 1 AS BOOLEAN) AS bloom_hit
+FROM cp LEFT JOIN bloom b ON cp.p // 63 = b.word
+GROUP BY 1
+"""
+
     # embedding_quantize: identical fixed dag of IEEE double ops (floor,
     # not round, so no half-even/half-up divergence); qvec as CSV string.
     sql["embedding_quantize"] = """

@@ -109,6 +109,7 @@ HEADLINE = [
     "zorder_key",
     "cms_user_counts",
     "embedding_quantize",
+    "bloom_decontaminate",
     "exact_dedup",
     "incremental_dedup",
     "ngram_jaccard",

@@ -93,3 +93,98 @@ def cms_estimates(
         .groupBy("key", "exact_n")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def _bloom_probe(key: "F.Column", i: int, bits: int) -> "F.Column":
+    return simhash_token_hash(
+        F.concat(F.lit(f"bf{i}:"), key.cast("string"))
+    ) % F.lit(bits)
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, bits: int = 4096, hashes: int = 5
+) -> DataFrame:
+    """(word, mask) — a Bloom filter over a key column, packed 63 bits per
+    row (bit 63 would overflow a signed left-shift in some engines): at most bits/64 rows regardless of how many keys went in. The
+    fixed-size, cell-wise-OR-mergeable set summary: ship an eval set (or
+    yesterday's digest index) to every executor as a few KB even when the
+    underlying set has 10^9 members. md5-derived probes keep it
+    engine-portable (the oracle rebuilds the identical filter)."""
+    # pyspark's shiftleft() only takes a literal shift amount; bind the
+    # bit position as a column and shift via the SQL expression instead
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_probe(F.col(key_col), i, bits)
+                        for i in range(hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select(
+            F.floor(F.col("p") / 63).cast("long").alias("word"),
+            (F.col("p") % 63).cast("int").alias("pm"),
+        )
+        .select(
+            "word", F.expr("shiftleft(cast(1 as bigint), pm)").alias("mask")
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.col("mask")).alias("mask"))
+    )
+
+
+def bloom_member(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    id_col: str,
+    bits: int = 4096,
+    hashes: int = 5,
+) -> DataFrame:
+    """(id, bloom_hit) — no-false-negative membership against a
+    bloom_build filter: a row hits iff ALL `hashes` probe bits are set.
+    The filter is broadcast (bits/64 rows); the corpus side stays put —
+    ONE narrow pass plus a per-id aggregate, the decontamination /
+    incremental-dedup prefilter shape at corpus scale."""
+    probes = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_probe(F.col(key_col), i, bits)
+                        for i in range(hashes)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(
+            "id",
+            F.floor(F.col("p") / 63).cast("long").alias("word"),
+            (F.col("p") % 63).cast("int").alias("pm"),
+        )
+        .select(
+            "id",
+            "word",
+            F.expr("shiftleft(cast(1 as bigint), pm)").alias("mask"),
+        )
+    )
+    hit = (
+        probes.join(
+            F.broadcast(bloom.withColumnRenamed("mask", "bmask")),
+            "word",
+            "left",
+        )
+        .withColumn(
+            "h",
+            (
+                F.col("mask").bitwiseAND(F.coalesce("bmask", F.lit(0)))
+                != 0
+            ).cast("int"),
+        )
+        .groupBy("id")
+        .agg((F.min("h") == 1).alias("bloom_hit"))
+    )
+    return hit

@@ -42,3 +42,32 @@ def test_cms_merges_cellwise(spark):
         F.coalesce("cnt", F.lit(-1)) != F.coalesce("cnt2", F.lit(-1))
     )
     assert diff.count() == 0
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from pdf_extractor_spark.operators.sketches import (
+        bloom_build,
+        bloom_member,
+    )
+
+    members = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    bloom = bloom_build(members, "key", bits=4096, hashes=5)
+    assert bloom.count() <= 4096 // 63 + 1  # fixed-size summary
+
+    probe = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 200, F.concat(F.lit("k"), F.col("id")))
+        .otherwise(F.concat(F.lit("x"), F.col("id")))
+        .alias("key"),
+    )
+    res = {
+        r.id: r.bloom_hit
+        for r in bloom_member(probe, "key", bloom, "id").collect()
+    }
+    # every true member hits (no false negatives, the bloom guarantee)
+    assert all(res[i] for i in range(200))
+    # false positives bounded: 200*5/4096 bits set -> fp ~ (0.22)^5 ~ 0.05%
+    fps = sum(1 for i in range(200, 1000) if res[i])
+    assert fps <= 8, fps

@@ -44,6 +44,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "decontaminate", "decontaminate_near", "pii_scrub", "mix_weights",
         "global_shuffle", "hash_sample", "host_quota_sample",
         "curation_funnel", "chunk_documents", "pack_sequences",
+        "bloom_decontaminate",
         "stratified_sample", "corpus_rollup",
     ]),
     ("Similarity search (ANN)", [

@@ -123,6 +123,10 @@ def fan_out(df, min_parts: int | None = None):
     buys full-width execution. Guarded, not unconditional: inputs that
     are already parallel are returned unchanged so no shuffle is ever
     added at scale."""
+    if df.isStreaming:
+        # no .rdd on streaming frames; micro-batch parallelism comes from
+        # the source's own partitioning
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -257,6 +257,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int | None = 10_000,
     verify: bool = True,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Banded LSH near-dup detection, production shape: candidate pairs from
     the (band, bucket) join, then each candidate VERIFIED with its true
@@ -270,25 +271,60 @@ def minhash_lsh_pairs(
 
     max_bucket guards the duplicate-heavy corpus (the NORMAL input for
     dedup): D copies of one document land in the same bucket in every band,
-    and an uncapped self-join is O(D^2). Buckets larger than max_bucket are
-    dropped from the join (their members still pair via their other,
-    less-degenerate bands, and exact duplicates belong to exact_dedup
-    anyway). Use minhash_bucket_stats for drop observability."""
+    and an uncapped self-join is O(D^2). `oversize` picks what happens to
+    buckets past the cap: 'drop' (default) removes them from the join
+    (members still pair via their other, less-degenerate bands; exact
+    duplicates belong to exact_dedup anyway); 'star' instead emits
+    bucket-min -> member candidate edges — O(sz) per bucket, each still
+    exact-verified — so connected components / survivor selection see the
+    full duplicate class without any task materializing the quadratic
+    pair set. Use minhash_bucket_stats for cap observability."""
     assert num_hashes % bands == 0
+    assert oversize in ("drop", "star")
+    if oversize == "star" and not verify:
+        raise ValueError(
+            "oversize='star' requires verify=True: star edges carry no "
+            "signature pair for the est_jaccard path"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).filter(
         F.col("sig").isNotNull()
     )
     banded = _banded_buckets(sigs, bands, rows_per_band)
 
+    star_pairs = None
     if max_bucket is not None:
         hot = (
             banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("sz"))
+            .agg(F.count("*").alias("sz"), F.min("id").alias("root"))
             .filter(F.col("sz") > max_bucket)
-            .select("band", "bucket")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        if oversize == "star":
+            # oversized buckets would emit O(sz^2) pairs — the degenerate
+            # duplicate-class case dedup exists for. Star topology keeps
+            # the class CONNECTED with O(sz) candidate edges
+            # (bucket-min -> member), each still exact-verified below, so
+            # neardup_clusters/survivors see the full component while no
+            # task ever materializes the quadratic pair set. The pair
+            # LIST for oversized buckets is intentionally incomplete
+            # (root-centered); completeness of the list is only claimed
+            # for buckets within max_bucket — same contract the default
+            # 'drop' mode has, minus drop's lost connectivity.
+            star_pairs = (
+                banded.join(
+                    F.broadcast(hot.select("band", "bucket", "root")),
+                    ["band", "bucket"],
+                )
+                .filter(F.col("id") != F.col("root"))
+                .select(
+                    F.col("root").alias("id1"), F.col("id").alias("id2")
+                )
+            )
+        banded = banded.join(
+            F.broadcast(hot.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
 
     # self-join as sort-merge, NOT broadcast: the two sides are identical
     # plans, so SMJ's two shuffles collapse into one computation via
@@ -328,7 +364,10 @@ def minhash_lsh_pairs(
         ).filter(F.col("est_jaccard") >= threshold)
     cands = joined.select(
         F.col("a.id").alias("id1"), F.col("b.id").alias("id2")
-    ).dropDuplicates(["id1", "id2"])
+    )
+    if star_pairs is not None:
+        cands = cands.unionByName(star_pairs)
+    cands = cands.dropDuplicates(["id1", "id2"])
 
     # exact verification: join the (small) candidate set back to per-doc
     # shingle sets; `inter` materialized behind a projection boundary so

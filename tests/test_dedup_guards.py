@@ -111,3 +111,33 @@ def test_neardup_clusters_no_pairs_is_identity(spark):
     pairs = spark.createDataFrame([], "id1 long, id2 long")
     got = {r.id: r.cluster for r in neardup_clusters(docs, pairs).collect()}
     assert got == {7: 7, 8: 8}
+
+
+def test_minhash_star_mode_keeps_class_connected(spark, dup_heavy):
+    from pdf_extractor_spark.operators.dedup import neardup_clusters
+
+    # star: oversized buckets emit bucket-min -> member edges instead of
+    # dropping — O(sz) candidates, exact-verified, full connectivity
+    star = minhash_lsh_pairs(dup_heavy, max_bucket=50, oversize="star")
+    pairs = star.collect()
+    dup_ids = set(range(200))
+    touched = {r.id1 for r in pairs} | {r.id2 for r in pairs}
+    assert dup_ids <= touched
+    # linear, not quadratic: the 200-copy class yields ~199 star edges,
+    # nowhere near C(200,2) = 19,900
+    assert len(pairs) < 1_000
+    assert all(r.jaccard == 1.0 for r in pairs if r.id1 in dup_ids)
+
+    # the downstream pipeline sees ONE duplicate class
+    clusters = neardup_clusters(dup_heavy, star).collect()
+    labels = {r.id: r.cluster for r in clusters}
+    assert len({labels[i] for i in dup_ids}) == 1
+    # distinct docs stay singletons
+    assert all(labels[1000 + i] == 1000 + i for i in range(20))
+
+
+def test_minhash_star_requires_verify(spark, dup_heavy):
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(
+            dup_heavy, max_bucket=50, oversize="star", verify=False
+        )

@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.7)
     ap.add_argument("--max-hamming", type=int, default=3)
     ap.add_argument("--max-bucket", type=int, default=10_000)
+    ap.add_argument(
+        "--oversize", choices=["drop", "star"], default="star",
+        help="oversized-bucket policy (minhash): 'star' keeps duplicate "
+        "classes connected with O(sz) verified edges; 'drop' removes them "
+        "(the pair-list-completeness-only contract)",
+    )
     ap.add_argument("--max-df", type=int, default=1000)
     args = ap.parse_args()
 
@@ -82,7 +88,10 @@ def main() -> None:
     else:
         if args.strategy == "minhash":
             pairs = minhash_lsh_pairs(
-                docs, threshold=args.threshold, max_bucket=args.max_bucket
+                docs,
+                threshold=args.threshold,
+                max_bucket=args.max_bucket,
+                oversize=args.oversize,
             )
         else:
             pairs = simhash_neardup_pairs(

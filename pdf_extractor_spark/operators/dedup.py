@@ -598,6 +598,7 @@ def simhash_neardup_pairs(
     blocks: int = 6,
     seg_match: int = 2,
     max_bucket: int | None = 10_000,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance <= max_hamming via multi-segment
     pigeonhole blocking (the Manku/Jain/Sarma scheme generalized): split the
@@ -613,12 +614,15 @@ def simhash_neardup_pairs(
     * n^2 / 2^width per uniformly-hashed corpus. Defaults (6 blocks, match
     2) give 20-bit keys; at 10^12 docs use e.g. blocks=12, seg_match=8 for
     40-bit keys — same operator, wider key. max_bucket additionally caps
-    any degenerate (combo, key) bucket (duplicate-heavy corpora), same
-    guard/rationale as minhash_lsh_pairs."""
+    any degenerate (combo, key) bucket (duplicate-heavy corpora), with the
+    same oversize='drop'|'star' policy as minhash_lsh_pairs: 'star' emits
+    bucket-min -> member candidates (O(sz), each still hamming-verified)
+    so duplicate classes stay connected without quadratic pair sets."""
     assert max_hamming <= blocks - seg_match, (
         "pigeonhole completeness needs max_hamming <= blocks - seg_match"
     )
     assert SIMHASH_BITS % blocks == 0
+    assert oversize in ("drop", "star")
     from itertools import combinations
 
     sigs = simhash64(df, text_col, id_col)
@@ -642,14 +646,41 @@ def simhash_neardup_pairs(
         "id", "simhash", F.explode(F.array(*combo_keys)).alias("ck")
     ).select("id", "simhash", "ck.combo", "ck.key")
 
+    star = None
     if max_bucket is not None:
         hot = (
             keyed.groupBy("combo", "key")
-            .agg(F.count("*").alias("sz"))
+            .agg(F.count("*").alias("sz"), F.min("id").alias("root"))
             .filter(F.col("sz") > max_bucket)
-            .select("combo", "key")
         )
-        keyed = keyed.join(F.broadcast(hot), ["combo", "key"], "left_anti")
+        if oversize == "star":
+            # bucket-min -> member candidates for oversized buckets; both
+            # signatures recovered from the keyed rows (member) and a
+            # broadcast root-signature lookup, then hamming-verified like
+            # any other candidate — same rationale as minhash's star mode
+            roots = hot.select("combo", "key", "root").join(
+                sigs.select(
+                    F.col("id").alias("root"),
+                    F.col("simhash").alias("root_sim"),
+                ),
+                "root",
+            )
+            star = (
+                keyed.join(F.broadcast(roots), ["combo", "key"])
+                .filter(F.col("id") != F.col("root"))
+                .select(
+                    F.col("root").alias("id1"),
+                    F.col("id").alias("id2"),
+                    F.bit_count(
+                        F.col("root_sim").bitwiseXOR(F.col("simhash"))
+                    ).alias("hamming"),
+                )
+            )
+        keyed = keyed.join(
+            F.broadcast(hot.select("combo", "key")),
+            ["combo", "key"],
+            "left_anti",
+        )
 
     # sort-merge self-join for the same ReusedExchange reason as minhash
     a = keyed.hint("merge").alias("a")
@@ -657,19 +688,20 @@ def simhash_neardup_pairs(
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
+    pairs = a.join(
+        b,
+        (F.col("a.combo") == F.col("b.combo"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id1"),
+        F.col("b.id").alias("id2"),
+        hamming.alias("hamming"),
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
     return (
-        a.join(
-            b,
-            (F.col("a.combo") == F.col("b.combo"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+        pairs.filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])
     )
 

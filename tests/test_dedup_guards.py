@@ -141,3 +141,13 @@ def test_minhash_star_requires_verify(spark, dup_heavy):
         minhash_lsh_pairs(
             dup_heavy, max_bucket=50, oversize="star", verify=False
         )
+
+
+def test_simhash_star_mode_keeps_class_connected(spark, dup_heavy):
+    star = simhash_neardup_pairs(dup_heavy, max_bucket=50, oversize="star")
+    pairs = star.collect()
+    dup_ids = set(range(200))
+    touched = {r.id1 for r in pairs} | {r.id2 for r in pairs}
+    assert dup_ids <= touched
+    assert len(pairs) < 1_000  # linear star edges, not C(200,2)
+    assert all(r.hamming == 0 for r in pairs if r.id1 in dup_ids)

@@ -1340,6 +1340,30 @@ def _approx_distinct_users(spark, sf_dir):
     )
 
 
+def _scd2_user_status(spark, sf_dir):
+    """Type-2 SCD history (merge.scd2_versions): each user's last event
+    type per day is an update stream; versions open on change and close at
+    the next change (valid_to NULL = current). ONE window shuffle, no
+    joins — the history-preserving upsert the flat MERGE (merge_upsert)
+    deliberately doesn't do."""
+    from pdf_extractor_spark.merge import scd2_versions
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("status")
+    )
+    # dates as strings: pandas renders Spark DATE as datetime.date and
+    # DuckDB DATE as midnight Timestamp — same instant, different str()
+    return scd2_versions(daily, "user_id", "status", "d").select(
+        F.col("key").alias("user_id"),
+        F.col("value").alias("status"),
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+    )
+
+
 def _bloom_decontaminate(spark, sf_dir):
     """Bloom-prefiltered exact decontamination (operators/sketches.py):
     the eval set's text digests packed into a 4096-bit / 5-hash Bloom
@@ -2455,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": _cms_user_counts,
         "embedding_quantize": _embedding_quantize,
         "bloom_decontaminate": _bloom_decontaminate,
+        "scd2_user_status": _scd2_user_status,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -4167,6 +4192,27 @@ FROM e GROUP BY ROLLUP (event_type, date)"""
         "SELECT user_id FROM events WHERE event_type = 'purchase' "
         "AND value > 300"
     )
+    # scd2_user_status: identical window semantics — lag change detection,
+    # lead interval close, same (d, status) ordering for determinism.
+    sql["scd2_user_status"] = """
+WITH daily AS (
+  SELECT user_id, d, status FROM (
+    SELECT user_id, CAST(ts AS DATE) AS d, event_type AS status,
+           row_number() OVER (
+             PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+chg AS (
+  SELECT user_id, status, d FROM (
+    SELECT user_id, status, d,
+           lag(status) OVER (PARTITION BY user_id ORDER BY d, status) AS prev
+    FROM daily) WHERE prev IS NULL OR status <> prev)
+SELECT user_id, status, CAST(d AS VARCHAR) AS valid_from,
+       CAST(lead(d) OVER (PARTITION BY user_id ORDER BY d, status)
+            AS VARCHAR) AS valid_to
+FROM chg
+"""
+
     # bloom_decontaminate: the identical 4096-bit/5-hash filter rebuilt in
     # SQL — same md5-derived probes, same 63-bit word packing, bit_or agg.
     _bf_i = "(VALUES (0), (1), (2), (3), (4)) AS ii(i)"

@@ -110,6 +110,7 @@ HEADLINE = [
     "cms_user_counts",
     "embedding_quantize",
     "bloom_decontaminate",
+    "scd2_user_status",
     "exact_dedup",
     "incremental_dedup",
     "ngram_jaccard",

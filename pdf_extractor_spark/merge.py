@@ -89,3 +89,61 @@ def merge_upsert(
         "total_buckets": num_buckets,
         "updates": n_updates,
     }
+
+
+def scd2_versions(
+    updates: "DataFrame",
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    current: "DataFrame | None" = None,
+) -> "DataFrame":
+    """Type-2 slowly-changing-dimension history from an update stream:
+    (key, value, valid_from, valid_to) with valid_to NULL on the open
+    version — the warehouse pattern for "what was this key's value at
+    time T" against tables that only ever receive upserts.
+
+    Semantics: updates are ordered per key by (ts, value); consecutive
+    updates carrying the SAME value collapse into one version (a re-stated
+    value does not open a new version); each version's valid_to is the
+    next version's valid_from. Passing `current` (an existing SCD2 table)
+    seeds the chain: its OPEN rows join the ordering as version starts and
+    close if a later update changes the value; its closed history rows
+    pass through untouched.
+
+    Scale shape: ONE window over the per-key update stream (lag for
+    change detection, lead for interval close) — a single hash shuffle on
+    the key, no joins, no iteration; history rows are appended as-is.
+    Deterministic given the input (ties broken by value), so the whole
+    operator is SQL-mirrorable for the oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ups = updates.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("ts"),
+    )
+    if current is not None:
+        open_rows = current.filter(F.col("valid_to").isNull()).select(
+            F.col("key"), F.col("value"), F.col("valid_from").alias("ts")
+        )
+        ups = open_rows.unionByName(ups)
+
+    w = Window.partitionBy("key").orderBy("ts", "value")
+    chg = ups.withColumn("_prev", F.lag("value").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("value") != F.col("_prev"))
+    )
+    w2 = Window.partitionBy("key").orderBy("ts", "value")
+    out = chg.select(
+        "key",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    if current is not None:
+        closed = current.filter(F.col("valid_to").isNotNull()).select(
+            "key", "value", "valid_from", "valid_to"
+        )
+        out = closed.unionByName(out)
+    return out

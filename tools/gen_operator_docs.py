@@ -67,7 +67,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "click_not_purchase_users",
         "moving_avg_daily", "value_quantiles", "approx_value_quantiles",
         "approx_distinct_users", "funnel_conversion", "retention_cohorts",
-        "key_skew_stats", "salted_join",
+        "key_skew_stats", "salted_join", "scd2_user_status",
     ]),
 ]
 

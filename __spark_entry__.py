@@ -1340,6 +1340,50 @@ def _approx_distinct_users(spark, sf_dir):
     )
 
 
+def _hll_mergeable_users(spark, sf_dir):
+    """Mergeable HLL sketch columns (Spark's DataSketches surface,
+    hll_sketch_agg / hll_union_agg): per-event-type user sketches built
+    once, UNIONED across groups for the global estimate — the
+    per-shard/per-day summary algebra a 10^12-row pipeline keeps instead
+    of re-scanning (same class as the CMS/Bloom operators, here via the
+    built-in JVM sketches). The binary sketch is engine-specific, so the
+    oracle checks exact counts plus the within-2% accuracy contract of
+    both the per-group estimates and the merged one."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all")
+    )
+    exact_all = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_all")
+    )
+    return (
+        per.select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+                <= 0.02 * F.col("exact_users")
+            ).alias("group_est_within_2pct"),
+        )
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            "event_type",
+            "exact_users",
+            "group_est_within_2pct",
+            "exact_all",
+            (
+                F.abs(F.col("est_all") - F.col("exact_all"))
+                <= 0.02 * F.col("exact_all")
+            ).alias("merged_est_within_2pct"),
+        )
+    )
+
+
 def _scd2_user_status(spark, sf_dir):
     """Type-2 SCD history (merge.scd2_versions): each user's last event
     type per day is an update stream; versions open on change and close at
@@ -2480,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _embedding_quantize,
         "bloom_decontaminate": _bloom_decontaminate,
         "scd2_user_status": _scd2_user_status,
+        "hll_mergeable_users": _hll_mergeable_users,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -4192,6 +4237,23 @@ FROM e GROUP BY ROLLUP (event_type, date)"""
         "SELECT user_id FROM events WHERE event_type = 'purchase' "
         "AND value > 300"
     )
+    # hll_mergeable_users: the sketch binary is Spark-internal, so the
+    # oracle checks the exact counts and asserts the accuracy contract
+    # booleans — true on both sides iff Spark's sketches meet their bound
+    # (DuckDB emits literal TRUE; a sketch excursion past 2% flips the
+    # Spark side and fails the hash).
+    sql["hll_mergeable_users"] = """
+WITH per AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1),
+allx AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_all
+         FROM events)
+SELECT event_type, exact_users, TRUE AS group_est_within_2pct,
+       exact_all, TRUE AS merged_est_within_2pct
+FROM per CROSS JOIN allx
+"""
+
     # scd2_user_status: identical window semantics — lag change detection,
     # lead interval close, same (d, status) ordering for determinism.
     sql["scd2_user_status"] = """

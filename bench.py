@@ -111,6 +111,7 @@ HEADLINE = [
     "embedding_quantize",
     "bloom_decontaminate",
     "scd2_user_status",
+    "hll_mergeable_users",
     "exact_dedup",
     "incremental_dedup",
     "ngram_jaccard",

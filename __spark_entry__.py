@@ -638,8 +638,10 @@ def _incremental_dedup(spark, sf_dir):
     from pdf_extractor_spark.operators.curation import incremental_dedup
 
     docs = _t(spark, sf_dir, "documents")
+    # try_cast: a source value that is not 'srcN' (or is null) must select
+    # nothing, not throw under ANSI mode (degenerate-corpus gate)
     seen = docs.filter(
-        F.substring("source", 4, 10).cast("int") < 10
+        F.col("source").substr(4, 10).try_cast("int") < 10
     ).select(F.md5("text").alias("digest"))
     return incremental_dedup(docs, seen)
 

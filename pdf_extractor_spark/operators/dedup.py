@@ -779,10 +779,11 @@ def embedding_neardup_pairs(
     )
     nrm1 = F.sqrt(F.aggregate("vec1", F.lit(0.0), lambda acc, x: acc + x * x))
     nrm2 = F.sqrt(F.aggregate("vec2", F.lit(0.0), lambda acc, x: acc + x * x))
+    # NULL cosine for zero-norm vectors (ANSI divide-by-zero guard; a
+    # zero vector has no cosine and drops out of the threshold filter)
+    cos = F.when(nrm1 * nrm2 > 0, F.round(dot / (nrm1 * nrm2), 4))
     return (
-        cands.select(
-            "id1", "id2", F.round(dot / (nrm1 * nrm2), 4).alias("cosine")
-        )
+        cands.select("id1", "id2", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

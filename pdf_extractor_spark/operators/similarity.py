@@ -37,6 +37,25 @@ def _norm(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _safe_cosine(a, b):
+    """Cosine rounded to 4 dp, NULL when either norm is zero — ANSI mode
+    otherwise turns the zero-vector division into a job-killing error;
+    a NULL cosine then drops out of every threshold/rank filter."""
+    prod = _norm(a) * _norm(b)
+    return F.when(prod > 0, F.round(_dot(a, b) / prod, 4))
+
+
+def _valid_vectors(df: DataFrame, vec_col: str, dim: int | None = None):
+    """Drop rows a poisoned corpus WILL contain and vector math cannot
+    survive: null embeddings (numpy batch -> inhomogeneous array) and,
+    when `dim` is known, wrong-length vectors. Zero vectors are handled
+    separately where cosine needs a nonzero norm."""
+    cond = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    if dim is not None:
+        cond = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    return df.filter(cond)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,16 +66,18 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query. queries must be small enough to
     broadcast (it is, by construction of the problem)."""
-    c = corpus.select(
+    # norm > 0: cosine is undefined for zero/null vectors, and ANSI mode
+    # turns the division into a job-killing error (degenerate-corpus gate)
+    c = _valid_vectors(corpus, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cnrm"),
-    )
-    q = queries.select(
+    ).filter(F.col("cnrm") > 0)
+    q = _valid_vectors(queries, vec_col).select(
         F.col(qid_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnrm"),
-    )
+    ).filter(F.col("qnrm") > 0)
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "id",
@@ -120,7 +141,7 @@ def lsh_buckets(
         bk = (signs.reshape(len(v), tables, bits) * powers).sum(axis=2)
         return pd.Series(list(bk))
 
-    return df.select(
+    return _valid_vectors(df, vec_col, dim).select(
         "*", F.posexplode(bucket_ids(F.col(vec_col))).alias("table", "bucket")
     )
 
@@ -158,6 +179,7 @@ def ivf_centroids(
     -> groupBy(cluster, pos).avg, fully distributed; only the
     n_centroids x dim averaged cells ever reach the driver). Deterministic
     and cluster-size-independent: same centroids on every run."""
+    corpus = _valid_vectors(corpus, vec_col)
     n = corpus.count()
     stride = max(1, n // n_centroids)
     rows = (
@@ -222,13 +244,13 @@ def ivf_topk(
     )
 
     assign1 = _assign_udf(cents, 1)
-    c = corpus.select(
+    c = _valid_vectors(corpus, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
     )
     assign_p = _assign_udf(cents, n_probe)
-    q = queries.select(
+    q = _valid_vectors(queries, vec_col).select(
         F.col(qid_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(assign_p(F.col(vec_col))).alias("cluster"),
@@ -239,12 +261,8 @@ def ivf_topk(
     scored = cands.select(
         "query_id",
         "id",
-        F.round(
-            _dot(F.col("vec"), F.col("qvec"))
-            / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
-            4,
-        ).alias("cosine"),
-    )
+        _safe_cosine(F.col("vec"), F.col("qvec")).alias("cosine"),
+    ).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -283,7 +301,7 @@ def semdedup(
     doing the arithmetic vectorized. Cosines are rounded to 4 dp before
     the threshold compare, mirroring the SQL/oracle arithmetic."""
     assign1 = _assign_udf(centroids, 1)
-    c = corpus.select(
+    c = _valid_vectors(corpus, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
@@ -365,8 +383,8 @@ def lsh_topk(
     scored = cands.select(
         "query_id",
         "id",
-        F.round(_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec"))), 4).alias("cosine"),
-    )
+        _safe_cosine(F.col("vec"), F.col("qvec")).alias("cosine"),
+    ).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

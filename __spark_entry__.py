@@ -2195,6 +2195,25 @@ def _token_entropy(spark, sf_dir):
     return token_entropy(_t_wide(spark, sf_dir, "documents"))
 
 
+def _bpe_pair_counts(spark, sf_dir):
+    """BPE first-merge pair statistics over the documents corpus:
+    word-frequency-weighted adjacent character-pair counts (the table the
+    tokenizer-training merge argmax reads)."""
+    from pdf_extractor_spark.operators.curation import bpe_pair_counts
+
+    return bpe_pair_counts(_t_wide(spark, sf_dir, "documents"))
+
+
+def _pmi_cooccurrence(spark, sf_dir):
+    """Directed token co-occurrence (forward window 2) with PMI against
+    the unigram distribution; pairs seen >= 5 times."""
+    from pdf_extractor_spark.operators.curation import pmi_cooccurrence
+
+    return pmi_cooccurrence(
+        _t_wide(spark, sf_dir, "documents"), window=2, min_pairs=5
+    )
+
+
 def _line_dedup(spark, sf_dir):
     """CCNet-style duplicate-line removal over the documents table:
     3-token lines, corpus-wide occurrence > 2 -> boilerplate, dropped."""
@@ -2457,6 +2476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "decontaminate_near": _decontaminate_near,
         "token_entropy": _token_entropy,
+        "bpe_pair_counts": _bpe_pair_counts,
+        "pmi_cooccurrence": _pmi_cooccurrence,
         "line_dedup": _line_dedup,
         "substring_dedup": _substring_dedup,
         "stratified_sample": _stratified_sample,
@@ -4630,6 +4651,48 @@ ent AS (
 SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
        coalesce(entropy, 0.0) AS entropy
 FROM documents d LEFT JOIN ent USING (doc_id)
+"""
+    # bpe_pair_counts: word-frequency-weighted adjacent character pairs
+    # over the distinct-word table (the BPE merge-selection statistic).
+    # range(1, len(w)) is [1, len) — same index set as Spark's inclusive
+    # sequence(1, length - 1); len >= 2 filtered on both sides.
+    sql["bpe_pair_counts"] = f"""
+WITH words AS (
+  SELECT unnest({_LTOKS}) AS w FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+wf AS (SELECT w, count(*) AS wf FROM words WHERE len(w) >= 2 GROUP BY 1),
+wi AS (SELECT w, wf, unnest(range(1, len(w))) AS i FROM wf),
+pr AS (SELECT substring(w, i, 1) AS lhs, substring(w, i + 1, 1) AS rhs, wf
+       FROM wi)
+SELECT lhs, rhs, CAST(sum(wf) AS BIGINT) AS pair_count
+FROM pr GROUP BY 1, 2
+"""
+    # pmi_cooccurrence: directed pairs (toks[i], toks[i+d]) for d in 1..2,
+    # PMI vs the unigram distribution, pairs seen >= 5 times. DuckDB lists
+    # are 1-based; range(1, len+1) x range(1, 3) with i + d <= len mirrors
+    # Spark's zip_with-over-slices construction exactly. 6-dp rounding
+    # absorbs cross-engine double ulp differences (token_entropy precedent).
+    sql["pmi_cooccurrence"] = f"""
+WITH tok AS (
+  SELECT {_LTOKS} AS toks FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+pos AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+prd AS (SELECT toks, i, unnest(range(1, 3)) AS d FROM pos),
+pr AS (SELECT toks[i] AS a, toks[i + d] AS b FROM prd
+       WHERE i + d <= len(toks)),
+pc AS (SELECT a, b, count(*) AS pair_n FROM pr GROUP BY 1, 2
+       HAVING count(*) >= 5),
+uni AS (SELECT unnest(toks) AS t FROM tok),
+uc AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT count(*) AS nt FROM uni),
+tp AS (SELECT count(*) AS np FROM pr)
+SELECT pc.a, pc.b, CAST(pc.pair_n AS BIGINT) AS pair_n,
+       round(ln((pc.pair_n * 1.0 / tp.np) /
+                ((ca.c * 1.0 / tot.nt) * (cb.c * 1.0 / tot.nt))), 6) AS pmi
+FROM pc
+JOIN uc ca ON ca.t = pc.a
+JOIN uc cb ON cb.t = pc.b
+CROSS JOIN tot CROSS JOIN tp
 """
     # line_dedup: 3-token chunk lines, corpus-wide occurrence > 2 dropped,
     # text rebuilt from surviving lines in position order.

@@ -70,6 +70,8 @@ HEADLINE = [
     "media_captions",
     "dup_ngram_stats",
     "token_entropy",
+    "bpe_pair_counts",
+    "pmi_cooccurrence",
     "decontaminate",
     "decontaminate_near",
     "line_dedup",

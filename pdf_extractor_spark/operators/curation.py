@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import fan_out
 from .dedup import shingle_index, simhash_token_hash
 from .textstats import token_count, tokens_col
 
@@ -1057,5 +1058,139 @@ def corpus_rollup(
             F.round(
                 F.col("total_chars").cast("double") / F.col("n_docs"), 6
             ).alias("avg_chars"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """(lhs, rhs, pair_count) — corpus-wide adjacent-symbol pair
+    frequencies at the character level, weighted by word frequency: the
+    exact statistic the first BPE merge iteration maximizes (the public
+    byte-pair-encoding tokenizer-training recipe; Sennrich et al.'s
+    algorithm counts pairs over the word-frequency table, not the raw
+    stream). One call = one merge-selection table; a driver loop applying
+    the argmax merge and re-counting reproduces full BPE training.
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD table first
+    (one word-key shuffle with map-side combine), so the character-pair
+    explode and the (lhs, rhs) aggregate run over vocabulary-sized data —
+    corpus size only ever affects the first aggregate. This is the
+    standard corpus-collapse trick that makes BPE training tractable.
+
+    No reference counterpart (SURVEY §2.8): tokenizer-training support
+    for the LLM-pipeline family."""
+    words = (
+        fan_out(df)
+        .select(
+            F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("w")
+        )
+        # length >= 2: single-char words have no adjacent pair, and the
+        # guard keeps sequence(1, length-1) strictly ascending (Spark's
+        # sequence(1, 0) would DESCEND, not return empty)
+        .where(F.col("w").isNotNull() & (F.length("w") >= 2))
+    )
+    wf = words.groupBy("w").agg(F.count("*").cast("long").alias("wf"))
+    pairs = (
+        wf.withColumn(
+            "ps",
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> "
+                "struct(substring(w, i, 1) AS lhs, "
+                "substring(w, i + 1, 1) AS rhs))"
+            ),
+        )
+        .select(F.explode_outer("ps").alias("p"), "wf")
+        .where(F.col("p").isNotNull())
+    )
+    return (
+        pairs.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("wf").alias("pair_count"))
+        .where(F.col("pair_count") >= F.lit(min_count))
+    )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """(a, b, pair_n, pmi) — directed token co-occurrence counts within a
+    forward positional window of `window` tokens, plus each pair's
+    pointwise mutual information ln(p(a,b) / (p(a) p(b))) against the
+    corpus unigram distribution. The classic collocation / phrase-mining
+    statistic (word2vec-era SGNS is implicit PMI factorization); in a
+    curation pipeline it powers phrase vocabularies and template-boilerplate
+    discovery. `min_pairs` prunes the long random-cooccurrence tail BEFORE
+    the unigram joins, which is also what bounds the output at corpus
+    scale (vocabulary² worst case otherwise).
+
+    Physical shape: the pair list is built per row as ONE bound array
+    column (window zip_with slices — no self-join, no window function on
+    the token stream), exploded, then aggregated with map-side combine.
+    The two unigram joins are vocabulary-sized (AQE broadcasts them when
+    small); the two scalar totals ride in via broadcast cross joins.
+
+    No reference counterpart (SURVEY §2.8): corpus-statistics support for
+    the LLM-pipeline family."""
+    toks = fan_out(df).select(
+        tokens_col(F.lower(F.col(text_col))).alias("toks")
+    )
+    # zip_with pads the shorter (shifted) side with nulls, so padding rows
+    # drop on p.b IS NOT NULL; explode_outer keeps the generator from
+    # re-inlining the tokenize pipeline (see dedup.py note)
+    pair_col = F.concat(
+        *[
+            F.expr(
+                f"zip_with(toks, slice(toks, {d + 1}, "
+                f"greatest(size(toks) - {d}, 0)), "
+                "(x, y) -> struct(x AS a, y AS b))"
+            )
+            for d in range(1, window + 1)
+        ]
+    )
+    pairs = (
+        toks.select(pair_col.alias("prs"))
+        .select(F.explode_outer("prs").alias("p"))
+        .where(F.col("p.b").isNotNull())
+    )
+    pc = (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= F.lit(min_pairs))
+    )
+    uni = toks.select(F.explode_outer("toks").alias("t")).where(
+        F.col("t").isNotNull()
+    )
+    uc = uni.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    nt = uni.agg(F.count("*").cast("long").alias("nt"))
+    np_ = pairs.agg(F.count("*").cast("long").alias("np"))
+    ca = uc.select(F.col("t").alias("a"), F.col("c").alias("ca"))
+    cb = uc.select(F.col("t").alias("b"), F.col("c").alias("cb"))
+    return (
+        pc.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "a",
+            "b",
+            "pair_n",
+            F.round(
+                F.log(
+                    (F.col("pair_n") / F.col("np"))
+                    / (
+                        (F.col("ca") / F.col("nt"))
+                        * (F.col("cb") / F.col("nt"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
         )
     )

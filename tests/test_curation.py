@@ -566,3 +566,75 @@ class TestStratifiedSample:
         assert all(
             d in picks_small for d in picks_grown if d < 50
         )
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import bpe_pair_counts
+
+    docs = _docs(
+        spark,
+        [
+            (1, "ab ab cd", 8),  # "ab" twice, "cd" once
+            (2, "ab x", 4),      # "ab" again; "x" has no pair (len 1)
+            (3, "", 0),          # no tokens
+            (4, "aaa", 3),       # one word, two (a,a) positions
+        ],
+    )
+    got = {
+        (r["lhs"], r["rhs"]): r["pair_count"]
+        for r in bpe_pair_counts(docs).collect()
+    }
+    # word frequencies: ab=3, cd=1, aaa=1; "aaa" contributes TWO (a,a)
+    # positions at weight 1 each
+    assert got == {("a", "b"): 3, ("c", "d"): 1, ("a", "a"): 2}
+
+
+def test_bpe_pair_counts_min_count(spark):
+    from pdf_extractor_spark.operators.curation import bpe_pair_counts
+
+    docs = _docs(spark, [(1, "ab ab cd", 8)])
+    got = {
+        (r["lhs"], r["rhs"]): r["pair_count"]
+        for r in bpe_pair_counts(docs, min_count=2).collect()
+    }
+    assert got == {("a", "b"): 2}
+
+
+def test_pmi_cooccurrence_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import pmi_cooccurrence
+
+    docs = _docs(
+        spark,
+        [
+            (1, "x y z", 5),  # d=1: (x,y),(y,z); d=2: (x,z)
+            (2, "x y", 3),    # d=1: (x,y)
+            (3, "x x", 3),    # d=1: (x,x)
+            (4, "", 0),       # no tokens at all
+        ],
+    )
+    # unigrams: x=4, y=2, z=1 -> nt=7; total directed pairs np=5
+    got = {
+        (r["a"], r["b"]): (r["pair_n"], r["pmi"])
+        for r in pmi_cooccurrence(docs, window=2, min_pairs=1).collect()
+    }
+
+    def pmi(c_ab, ca, cb, np=5, nt=7):
+        return round(math.log((c_ab / np) / ((ca / nt) * (cb / nt))), 6)
+
+    assert got == {
+        ("x", "y"): (2, pmi(2, 4, 2)),
+        ("y", "z"): (1, pmi(1, 2, 1)),
+        ("x", "z"): (1, pmi(1, 4, 1)),
+        ("x", "x"): (1, pmi(1, 4, 4)),
+    }
+
+
+def test_pmi_cooccurrence_min_pairs_prunes(spark):
+    from pdf_extractor_spark.operators.curation import pmi_cooccurrence
+
+    docs = _docs(spark, [(1, "x y z", 5), (2, "x y", 3), (3, "x x", 3)])
+    got = [
+        (r["a"], r["b"])
+        for r in pmi_cooccurrence(docs, window=2, min_pairs=2).collect()
+    ]
+    assert got == [("x", "y")]

@@ -93,7 +93,14 @@ def time_once(cpus: int, corpus_path: str, job: str = "extract") -> tuple[float,
 
 
 def child_main(cpus: int, corpus_path: str, job: str) -> None:
-    os.sched_setaffinity(0, set(range(cpus)))  # JVM + py workers inherit
+    # Pin to the TOP cpu ids: cpu0 (and low ids generally) carry the host's
+    # IRQ handling and kernel housekeeping (verified via /proc/stat — cpu0
+    # shows ~3.4x the mean system time on this box), so a level pinned to
+    # range(cpus) shares its budget with the OS in a way a real executor's
+    # dedicated-core cgroup would not — and the narrower the level, the
+    # larger the distortion. JVM + py workers inherit the affinity mask.
+    n_host = os.cpu_count() or cpus
+    os.sched_setaffinity(0, set(range(n_host - cpus, n_host)))
     dt, n_docs = time_once(cpus, corpus_path, job)
     print(json.dumps({"sec": dt, "n_docs": n_docs}))
 
@@ -122,6 +129,13 @@ def main() -> None:
     ap.add_argument("--job", choices=["extract", "dedup"], default="extract")
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--corpus", type=str, default=None)
+    # idle gap before each WIDE-level run: on this shared host a sustained
+    # multi-core load decays the achievable wide-level throughput run over
+    # run (guest-visible busy stays 100%, steal stays 0 — a hypervisor-side
+    # burst budget), and an idle gap restores it; the narrow level is
+    # insensitive (its floors repeat within ~5%). Levels stay interleaved;
+    # minima per level are still reported.
+    ap.add_argument("--cooldown", type=int, default=0)
     args = ap.parse_args()
 
     if args.child is not None:
@@ -135,21 +149,30 @@ def main() -> None:
     # so scan I/O would fold other tenants' disk traffic into the
     # measurement; /dev/shm isolates the CPU-scaling signal
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    tmp = tempfile.mkdtemp(prefix="scaling_corpus_", dir=shm)
-    corpus_path = os.path.join(tmp, "documents")
+    # --corpus <path> (parent mode): reuse a pre-generated corpus and do
+    # NOT delete it — lets separate short campaigns share one corpus so
+    # the 32-core generation burst doesn't precede (and poison) every run.
+    reuse = args.corpus is not None
+    tmp = None if reuse else tempfile.mkdtemp(prefix="scaling_corpus_", dir=shm)
+    corpus_path = args.corpus if reuse else os.path.join(tmp, "documents")
     try:
-        spark = build_session("scaling-gen", master="local[32]",
-                              shuffle_partitions=32)
-        # 256 files: fine task granularity so the last scheduling wave at the
-        # 4N level is ~1 task long, not a 4-second straggler (measured:
-        # 64 files left a wave-quantization tail costing ~0.1 efficiency)
-        write_corpus(spark, corpus_path, args.docs, partitions=256)
-        spark.stop()
+        if not reuse or not os.path.isdir(corpus_path):
+            spark = build_session("scaling-gen", master="local[32]",
+                                  shuffle_partitions=32)
+            # 256 files: fine task granularity so the last scheduling wave
+            # at the 4N level is ~1 task long, not a 4-second straggler
+            # (measured: 64 files left a wave-quantization tail costing
+            # ~0.1 efficiency)
+            write_corpus(spark, corpus_path, args.docs, partitions=256)
+            spark.stop()
 
         best: dict[int, float] = {c: float("inf") for c in LEVELS}
         n_docs = args.docs
         for t in range(args.trials):
-            for c in LEVELS:
+            # widest level first, right after the cooldown gap
+            for c in sorted(LEVELS, reverse=True):
+                if args.cooldown and c == max(LEVELS):
+                    time.sleep(args.cooldown)
                 dt, n_docs = run_pinned(c, corpus_path, args.job)
                 best[c] = min(best[c], dt)
                 print(f"[scaling] round {t} {args.job} local[{c}] (pinned to "
@@ -182,7 +205,8 @@ def main() -> None:
             # hand-logged into BENCH.md's measurement log
             write_md(out)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_md(out: dict) -> None:

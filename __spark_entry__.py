@@ -2214,6 +2214,17 @@ def _pmi_cooccurrence(spark, sf_dir):
     )
 
 
+def _bpe_merges(spark, sf_dir):
+    """The first 3 BPE merge rules learned from the corpus — the full
+    tokenizer-training loop (select argmax pair -> apply merge greedily
+    left-to-right -> recount), word-frequency weighted, ties broken
+    lexicographically so every engine picks the same rule. The oracle
+    replays the identical 3 iterations with recursive CTEs."""
+    from pdf_extractor_spark.operators.curation import bpe_merges
+
+    return bpe_merges(_t_wide(spark, sf_dir, "documents"), n_merges=3)
+
+
 def _line_dedup(spark, sf_dir):
     """CCNet-style duplicate-line removal over the documents table:
     3-token lines, corpus-wide occurrence > 2 -> boilerplate, dropped."""
@@ -2477,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_near": _decontaminate_near,
         "token_entropy": _token_entropy,
         "bpe_pair_counts": _bpe_pair_counts,
+        "bpe_merges": _bpe_merges,
         "pmi_cooccurrence": _pmi_cooccurrence,
         "line_dedup": _line_dedup,
         "substring_dedup": _substring_dedup,
@@ -4666,6 +4678,54 @@ pr AS (SELECT substring(w, i, 1) AS lhs, substring(w, i + 1, 1) AS rhs, wf
        FROM wi)
 SELECT lhs, rhs, CAST(sum(wf) AS BIGINT) AS pair_count
 FROM pr GROUP BY 1, 2
+"""
+    # bpe_merges: the full 3-iteration BPE training loop replayed in SQL.
+    # Each iteration = pair recount over the symbolized vocabulary, argmax
+    # with the (cnt DESC, lhs, rhs) tie-break, then the greedy
+    # left-to-right non-overlapping merge as a recursive CTE that consumes
+    # one symbol (or one merged pair) per recursion step — DuckDB's
+    # independent replay of Sennrich et al.'s merge_word loop. Unrolled
+    # x3, pagerank_hosts-style.
+    _bpe_walk = """
+  SELECT w, wf, syms, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM {src}
+  UNION ALL
+  SELECT k.w, k.wf, k.syms,
+         CASE WHEN k.i < len(k.syms) AND k.syms[k.i] = t.lhs
+                   AND k.syms[k.i + 1] = t.rhs
+              THEN k.i + 2 ELSE k.i + 1 END,
+         list_append(k.out,
+           CASE WHEN k.i < len(k.syms) AND k.syms[k.i] = t.lhs
+                     AND k.syms[k.i + 1] = t.rhs
+                THEN t.lhs || t.rhs ELSE k.syms[k.i] END)
+  FROM {walk} k, {top} t WHERE k.i <= len(k.syms)"""
+    _bpe_pc = """SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(wf) AS cnt
+  FROM (SELECT syms, wf, unnest(range(1, len(syms))) AS i FROM {src})
+  GROUP BY 1, 2"""
+    _bpe_top = "SELECT lhs, rhs, cnt FROM {pc} ORDER BY cnt DESC, lhs, rhs LIMIT 1"
+    sql["bpe_merges"] = f"""
+WITH RECURSIVE words AS (
+  SELECT unnest({_LTOKS}) AS w FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+wf AS (SELECT w, count(*) AS wf FROM words WHERE len(w) >= 2 GROUP BY 1),
+s0 AS (SELECT w, wf, list_transform(range(1, len(w) + 1),
+                                    i -> substring(w, i, 1)) AS syms
+       FROM wf),
+pc1 AS ({_bpe_pc.format(src="s0")}),
+t1 AS ({_bpe_top.format(pc="pc1")}),
+walk1 AS ({_bpe_walk.format(src="s0", walk="walk1", top="t1")}),
+s1 AS (SELECT w, wf, out AS syms FROM walk1 WHERE i > len(syms)),
+pc2 AS ({_bpe_pc.format(src="s1")}),
+t2 AS ({_bpe_top.format(pc="pc2")}),
+walk2 AS ({_bpe_walk.format(src="s1", walk="walk2", top="t2")}),
+s2 AS (SELECT w, wf, out AS syms FROM walk2 WHERE i > len(syms)),
+pc3 AS ({_bpe_pc.format(src="s2")}),
+t3 AS ({_bpe_top.format(pc="pc3")})
+SELECT CAST(1 AS INT) AS step, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count
+FROM t1
+UNION ALL
+SELECT 2, lhs, rhs, CAST(cnt AS BIGINT) FROM t2
+UNION ALL
+SELECT 3, lhs, rhs, CAST(cnt AS BIGINT) FROM t3
 """
     # pmi_cooccurrence: directed pairs (toks[i], toks[i+d]) for d in 1..2,
     # PMI vs the unigram distribution, pairs seen >= 5 times. DuckDB lists

@@ -71,6 +71,7 @@ HEADLINE = [
     "dup_ngram_stats",
     "token_entropy",
     "bpe_pair_counts",
+    "bpe_merges",
     "pmi_cooccurrence",
     "decontaminate",
     "decontaminate_near",

@@ -1194,3 +1194,142 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def _bpe_apply_merge(syms: "F.Column", lhs: str, rhs: str) -> "F.Column":
+    """One greedy left-to-right non-overlapping BPE merge pass over a
+    symbol array (Sennrich et al.'s merge_word loop as a Catalyst
+    aggregate fold). The accumulator carries (out, pend): `pend` is the
+    last not-yet-consumed ORIGINAL symbol, so a freshly merged symbol can
+    never re-match as lhs within the same pass — exactly the reference
+    loop's i += 2 semantics. Column-bound literals (no SQL-string
+    interpolation), so arbitrary symbol text is safe."""
+    merged = F.lit(lhs + rhs)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("pend"),
+    )
+
+    def step(acc, s):
+        hit = (acc["pend"] == F.lit(lhs)) & (s == F.lit(rhs))
+        return (
+            F.when(
+                hit,
+                F.struct(
+                    F.array_append(acc["out"], merged).alias("out"),
+                    F.lit("").alias("pend"),
+                ),
+            )
+            .when(
+                acc["pend"] == F.lit(""),
+                F.struct(acc["out"].alias("out"), s.alias("pend")),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["pend"]).alias("out"),
+                    s.alias("pend"),
+                )
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"] == F.lit(""), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """(step, lhs, rhs, pair_count) — the first `n_merges` BPE merge rules
+    learned from the corpus: the actual tokenizer-TRAINING loop, not just
+    the first-merge statistic (`bpe_pair_counts` is one iteration's
+    selection table; this runs selection -> apply -> recount).
+
+    Semantics follow the public BPE recipe (Sennrich et al. 2016): pair
+    counts are word-frequency weighted over the distinct-word table; the
+    argmax pair (ties broken by (lhs, rhs) lexicographic order so every
+    engine picks the same rule) becomes a merge; merging rewrites each
+    word's symbol sequence greedily left-to-right non-overlapping; repeat.
+
+    Scale shape: the corpus collapses to the vocabulary ONCE (the same
+    word-key shuffle as bpe_pair_counts), and every iteration after that
+    touches only vocabulary-sized data — pair recount with map-side
+    combine, argmax via TakeOrderedAndProject (a bounded 1-row driver
+    collect, the ivf-centroid pattern), merge application as a narrow
+    per-word fold. Each round's symbol table is persisted and the
+    previous round's unpersisted, so iteration k never replays rounds
+    1..k-1. Driver state is O(n_merges) rule rows.
+
+    No reference counterpart (SURVEY §2.8): tokenizer-training support
+    for the LLM-pipeline family."""
+    from ..session import values_df
+
+    spark = df.sparkSession
+    words = (
+        fan_out(df)
+        .select(
+            F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("w")
+        )
+        .where(F.col("w").isNotNull() & (F.length("w") >= 2))
+    )
+    wf = words.groupBy("w").agg(F.count("*").cast("long").alias("wf"))
+    syms = (
+        wf.select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+            "wf",
+        )
+        .persist()
+    )
+    rules: list[tuple[int, str, str, int]] = []
+    try:
+        cur = syms
+        for step_no in range(1, n_merges + 1):
+            pc = (
+                cur.select(
+                    F.expr(
+                        "zip_with(syms, slice(syms, 2, "
+                        "greatest(size(syms) - 1, 0)), "
+                        "(x, y) -> struct(x AS lhs, y AS rhs))"
+                    ).alias("prs"),
+                    "wf",
+                )
+                .select(F.explode_outer("prs").alias("p"), "wf")
+                .where(F.col("p.rhs").isNotNull())
+                .groupBy(
+                    F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+                )
+                .agg(F.sum("wf").cast("long").alias("pair_count"))
+            )
+            top = (
+                pc.orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
+            rules.append((step_no, lhs, rhs, int(cnt)))
+            if step_no < n_merges:
+                nxt = cur.select(
+                    _bpe_apply_merge(F.col("syms"), lhs, rhs).alias("syms"),
+                    "wf",
+                ).persist()
+                nxt.count()  # materialize before releasing the parent
+                cur.unpersist()
+                cur = nxt
+    finally:
+        cur.unpersist()
+    schema = "step int, lhs string, rhs string, pair_count bigint"
+    if not rules:
+        # empty VALUES doesn't parse; an empty createDataFrame is a pure
+        # zero-row LocalRelation (no Python scan to pay for)
+        return spark.createDataFrame([], schema)
+    return values_df(spark, rules, schema)

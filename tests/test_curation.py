@@ -638,3 +638,93 @@ def test_pmi_cooccurrence_min_pairs_prunes(spark):
         for r in pmi_cooccurrence(docs, window=2, min_pairs=2).collect()
     ]
     assert got == [("x", "y")]
+
+
+def _bpe_ref(texts, n_merges):
+    """Inline Sennrich et al. reference: greedy left-to-right merge_word."""
+    import collections
+
+    wf = collections.Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            if len(w) >= 2:
+                wf[w] += 1
+    words = {w: list(w) for w in wf}
+    rules = []
+    for step in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((step, lhs, rhs, cnt))
+        for w, syms in words.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    ns.append(lhs + rhs)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[w] = ns
+    return rules
+
+
+def test_bpe_merges_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import bpe_merges
+
+    # wf: aaab=3, aa=2. Iter1: (a,a) = 2*3 + 2 = 8 beats (a,b)=3.
+    # Greedy merge: aaab -> [aa,a,b] (non-overlapping), aa -> [aa].
+    # Iter2: (aa,a)=3 ties (a,b)=3 -> lexicographic lhs: "a" < "aa",
+    # so (a,b) wins; aaab -> [aa,ab].  Iter3: (aa,ab)=3.
+    docs = _docs(spark, [(1, "aaab aaab aa", 12), (2, "aaab aa", 7)])
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    assert got == [(1, "a", "a", 8), (2, "a", "b", 3), (3, "aa", "ab", 3)]
+
+
+def test_bpe_merges_greedy_nonoverlap(spark):
+    from pdf_extractor_spark.operators.curation import bpe_merges
+
+    # "aaaa" under merge (a,a) must become [aa, aa] (the reference loop's
+    # i += 2), never [aa, a, a]; iteration 2 then sees exactly (aa, aa).
+    docs = _docs(spark, [(1, "aaaa", 4)])
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=2).orderBy("step").collect()
+    ]
+    assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+def test_bpe_merges_reference_parity(spark):
+    from pdf_extractor_spark.operators.curation import bpe_merges
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quicker the better said the brown bear",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "the theme there is thorough the thick thicket",
+    ]
+    docs = _docs(spark, [(i, t, len(t)) for i, t in enumerate(texts)])
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=4).orderBy("step").collect()
+    ]
+    assert got == _bpe_ref(texts, 4)
+
+
+def test_bpe_merges_exhausted_corpus(spark):
+    from pdf_extractor_spark.operators.curation import bpe_merges
+
+    # only 1-char words and blanks: no pairs anywhere -> zero rules, not
+    # an error (the loop breaks on the empty argmax)
+    docs = _docs(spark, [(1, "a b c", 5), (2, "", 0), (3, None, 0)])
+    assert bpe_merges(docs, n_merges=3).count() == 0

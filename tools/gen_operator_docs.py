@@ -30,7 +30,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Text statistics & quality", [
         "token_count", "bpe_token_count", "quality_score", "lang_id",
         "fingerprint", "repetition_stats", "tfidf_top_terms",
-        "token_entropy", "bpe_pair_counts", "pmi_cooccurrence",
+        "token_entropy", "bpe_pair_counts", "bpe_merges", "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
         "gopher_filter", "hash_lr", "vocab_coverage",
     ]),
@@ -109,6 +109,7 @@ FALLBACK = {
     "simhash_neardup": "SimHash near-dup pairs via multi-segment pigeonhole blocking.",
     "token_entropy": "Per-doc Shannon entropy of the unigram distribution.",
     "bpe_pair_counts": "BPE merge statistic: word-frequency-weighted adjacent character-pair counts over the distinct-word table.",
+    "bpe_merges": "BPE tokenizer TRAINING (first 3 merge rules): argmax pair -> greedy left-to-right merge -> recount, all over the vocabulary-sized symbol table; oracle replays the loop with recursive CTEs.",
     "pmi_cooccurrence": "Windowed token co-occurrence counts with PMI vs the unigram distribution.",
     "url_normalize": "URL canonicalization: scheme/host case, ports, utm_*, fragments.",
     "host_stats": "Per-host rollups over normalized URLs (partial-agg heavy hitters).",

@@ -1342,6 +1342,30 @@ def _approx_distinct_users(spark, sf_dir):
     )
 
 
+def _sample_quantile_sketch(spark, sf_dir):
+    """Mergeable bottom-k sample sketch (the fourth summary next to
+    CMS/HLL/Bloom): per event type, the 64 rows with the smallest
+    md5-derived hashes carry their values; p50/p90 are order-stat
+    estimates read off the sketch. Bottom-k under a global hash ranking
+    merges exactly across shards (pytest-pinned semilattice law); the
+    oracle rebuilds the identical sketch with an UNFILTERED rank, so the
+    scale prefilter's correctness is checked loudly."""
+    from pdf_extractor_spark.operators.sketches import (
+        sample_sketch,
+        sketch_quantile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = sample_sketch(ev, "event_type", "value", "event_id", k=64)
+    return sk.select(
+        F.col("g").alias("event_type"),
+        "n",
+        F.size("sk").alias("m"),
+        F.round(sketch_quantile(F.col("sk"), 0.5), 6).alias("p50_est"),
+        F.round(sketch_quantile(F.col("sk"), 0.9), 6).alias("p90_est"),
+    )
+
+
 def _hll_mergeable_users(spark, sf_dir):
     """Mergeable HLL sketch columns (Spark's DataSketches surface,
     hll_sketch_agg / hll_union_agg): per-event-type user sketches built
@@ -2560,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _bloom_decontaminate,
         "scd2_user_status": _scd2_user_status,
         "hll_mergeable_users": _hll_mergeable_users,
+        "sample_quantile_sketch": _sample_quantile_sketch,
         "extract_pipeline": _extract_pipeline,
     }
 
@@ -4287,6 +4312,28 @@ allx AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_all
 SELECT event_type, exact_users, TRUE AS group_est_within_2pct,
        exact_all, TRUE AS merged_est_within_2pct
 FROM per CROSS JOIN allx
+"""
+
+    # sample_quantile_sketch: the oracle rebuilds the bottom-64 sketch
+    # with an UNFILTERED per-group rank (no hash-space prefilter), so the
+    # Spark side's scale prefilter is verified to change nothing. Same
+    # md5-derived 60-bit hash, same (h, v) rank order, same
+    # floor(q*(m-1))+1 order-stat indexing.
+    sql["sample_quantile_sketch"] = """
+WITH b AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+         CAST('0x' || substr(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+      FROM b),
+n AS (SELECT g, count(*) AS n FROM b GROUP BY 1),
+s AS (SELECT g, list(v ORDER BY v) AS vs FROM r WHERE rn <= 64 GROUP BY 1)
+SELECT s.g AS event_type, CAST(n.n AS BIGINT) AS n,
+       CAST(len(vs) AS INT) AS m,
+       round(vs[CAST(floor(0.5 * (len(vs) - 1)) AS INT) + 1], 6) AS p50_est,
+       round(vs[CAST(floor(0.9 * (len(vs) - 1)) AS INT) + 1], 6) AS p90_est
+FROM s JOIN n ON n.g = s.g
 """
 
     # scd2_user_status: identical window semantics — lag change detection,

@@ -115,6 +115,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "scd2_user_status",
     "hll_mergeable_users",
+    "sample_quantile_sketch",
     "exact_dedup",
     "incremental_dedup",
     "ngram_jaccard",

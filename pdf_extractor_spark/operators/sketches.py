@@ -188,3 +188,96 @@ def bloom_member(
         .agg((F.min("h") == 1).alias("bloom_hit"))
     )
     return hit
+
+
+def _sample_hash(id_col: "F.Column") -> "F.Column":
+    """60-bit md5-derived row hash ('smp:' seed prefix) — bit-identical in
+    DuckDB via CAST('0x' || substr(md5('smp:' || id), 1, 15) AS BIGINT)."""
+    return simhash_token_hash(
+        F.concat(F.lit("smp:"), id_col.cast("string"))
+    )
+
+
+def sample_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 64,
+    prefilter_factor: int = 8,
+) -> DataFrame:
+    """(g, n, sk) — the fourth mergeable summary next to CMS / HLL /
+    Bloom: a deterministic bottom-k-by-hash row sample per group. `sk` is
+    the sorted array of the k (hash, value) pairs with the smallest
+    60-bit md5 row hashes; `n` is the exact group count. Because bottom-k
+    under a global hash ranking is a semilattice, two shard sketches merge
+    exactly (`merge_sample_sketches`) into the sketch of the union — the
+    per-shard/per-day summary algebra that answers quantile queries at
+    10^12 rows without re-scanning (the KMV/bottom-k construction from
+    the public sketching literature, with values carried alongside).
+
+    Scale shape mirrors stratified_sample: per-group counts (one
+    partial-agg shuffle) -> broadcast hash-space cut keeping
+    ~prefilter_factor*k rows per group -> the rank window runs over the
+    tiny survivor set, never the corpus, so a giant group cannot funnel
+    into one sort partition. md5 uniformity makes per-group shortfall
+    (< k survivors) negligible at factor 8, and the DuckDB oracle ranks
+    UNFILTERED, so a shortfall fails correctness loudly."""
+    base = (
+        df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("double").alias("v"),
+            _sample_hash(F.col(id_col)).alias("h"),
+        )
+    )
+    counts = base.groupBy("g").agg(F.count("*").cast("long").alias("n"))
+    max_h = float(1 << 60)
+    cut = counts.withColumn(
+        "h_cut",
+        F.when(
+            F.col("n") <= F.lit(prefilter_factor * k), F.lit(max_h)
+        ).otherwise(
+            F.lit(max_h) * F.lit(float(prefilter_factor * k)) / F.col("n")
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.asc("h"), F.asc("v"))
+    kept = (
+        base.join(F.broadcast(cut), "g")
+        .where(F.col("h") <= F.col("h_cut"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    return kept.groupBy("g").agg(
+        F.first("n").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("h"), F.col("v")))
+        ).alias("sk"),
+    )
+
+
+def merge_sample_sketches(a: "F.Column", b: "F.Column", k: int) -> "F.Column":
+    """Exact sketch union: concatenate, re-sort by hash, keep the k
+    smallest — bottom-k(shard1 ∪ shard2) == merge(bottom-k(shard1),
+    bottom-k(shard2)). Null-safe for groups absent from one shard."""
+    empty = F.array().cast("array<struct<h:bigint,v:double>>")
+    return F.slice(
+        F.sort_array(F.concat(F.coalesce(a, empty), F.coalesce(b, empty))),
+        1,
+        k,
+    )
+
+
+def sketch_quantile(sk: "F.Column", q: float) -> "F.Column":
+    """Quantile estimate from a sample sketch: the floor(q*(m-1))+1-th
+    smallest sampled VALUE (m = sketch size). Deterministic order-stat
+    indexing (no interpolation) so any engine reproduces it exactly."""
+    return F.element_at(
+        F.sort_array(F.transform(sk, lambda x: x["v"])),
+        (
+            F.floor(F.lit(q) * (F.size(sk) - F.lit(1)).cast("double"))
+            + F.lit(1)
+        ).cast("int"),
+    )

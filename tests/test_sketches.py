@@ -71,3 +71,89 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     # false positives bounded: 200*5/4096 bits set -> fp ~ (0.22)^5 ~ 0.05%
     fps = sum(1 for i in range(200, 1000) if res[i])
     assert fps <= 8, fps
+
+
+def _ev(spark, n=600):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).cast("string").alias("event_type"),
+        (F.col("id") * 7 % 101).cast("double").alias("value"),
+    )
+
+
+def test_sample_sketch_merges_exactly(spark):
+    from pdf_extractor_spark.operators.sketches import (
+        merge_sample_sketches,
+        sample_sketch,
+    )
+
+    ev = _ev(spark)
+    whole = sample_sketch(ev, "event_type", "value", "event_id", k=16)
+    shards = [
+        sample_sketch(
+            ev.where(F.col("event_id") % 3 == i),
+            "event_type",
+            "value",
+            "event_id",
+            k=16,
+        )
+        for i in range(3)
+    ]
+    joined = (
+        shards[0]
+        .select("g", F.col("sk").alias("s0"))
+        .join(shards[1].select("g", F.col("sk").alias("s1")), "g", "full")
+        .join(shards[2].select("g", F.col("sk").alias("s2")), "g", "full")
+    )
+    merged = joined.select(
+        "g",
+        merge_sample_sketches(
+            merge_sample_sketches(F.col("s0"), F.col("s1"), 16),
+            F.col("s2"),
+            16,
+        ).alias("sk"),
+    )
+    cmp = merged.join(whole.select("g", F.col("sk").alias("sk_g")), "g")
+    # semilattice law: merge of shard bottom-ks == bottom-k of the union
+    assert cmp.where(F.col("sk") != F.col("sk_g")).count() == 0
+    assert cmp.count() == 4
+
+
+def test_sample_sketch_small_group_is_exhaustive(spark):
+    from pdf_extractor_spark.operators.sketches import (
+        sample_sketch,
+        sketch_quantile,
+    )
+
+    # group smaller than k: the sketch IS the group, quantiles are exact
+    # order stats of the full value set
+    ev = _ev(spark, n=40).where(F.col("event_type") == "1")
+    row = (
+        sample_sketch(ev, "event_type", "value", "event_id", k=64)
+        .select(
+            "n",
+            F.size("sk").alias("m"),
+            sketch_quantile(F.col("sk"), 0.0).alias("lo"),
+            sketch_quantile(F.col("sk"), 1.0).alias("hi"),
+        )
+        .collect()[0]
+    )
+    vals = sorted(r.value for r in ev.collect())
+    assert row.n == row.m == len(vals)
+    assert row.lo == vals[0] and row.hi == vals[-1]
+
+
+def test_sample_sketch_prefilter_matches_unfiltered(spark):
+    from pdf_extractor_spark.operators.sketches import sample_sketch
+
+    ev = _ev(spark, n=2000)
+    # factor 8 cut vs effectively-unfiltered: identical sketches (the
+    # md5-uniformity argument the scale prefilter rests on)
+    cut = sample_sketch(ev, "event_type", "value", "event_id", k=8,
+                        prefilter_factor=8)
+    full = sample_sketch(ev, "event_type", "value", "event_id", k=8,
+                         prefilter_factor=10**9)
+    cmp = cut.select("g", "sk").join(
+        full.select("g", F.col("sk").alias("sk_f")), "g"
+    )
+    assert cmp.where(F.col("sk") != F.col("sk_f")).count() == 0

@@ -289,3 +289,53 @@ def test_fan_out_is_guarded(spark):
 
     wide = spark.range(1000, numPartitions=par + 3)
     assert fan_out(wide) is wide
+
+
+def test_sample_sketch_prefilter_broadcasts_and_prunes(spark):
+    plan = _plan(spark, "sample_quantile_sketch")
+    # the per-group hash-cut table is tiny and must broadcast back onto
+    # the corpus; the rank window then runs over the prefiltered survivors
+    assert "BroadcastHashJoin" in plan
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in plan
+
+
+def test_bpe_merges_argmax_is_take_ordered(spark):
+    import __spark_entry__ as entry
+
+    # the per-iteration argmax must be TakeOrderedAndProject (a bounded
+    # 1-row collect), never a global sort — pin it on the pair-count
+    # frame the loop actually ranks
+    from pdf_extractor_spark.operators.curation import bpe_merges  # noqa: F401
+    from pdf_extractor_spark.operators.textstats import tokens_col
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = docs.select(
+        F.explode_outer(tokens_col(F.lower(F.col("text")))).alias("w")
+    ).where(F.col("w").isNotNull() & (F.length("w") >= 2))
+    wf = words.groupBy("w").agg(F.count("*").cast("long").alias("wf"))
+    syms = wf.select(
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+        "wf",
+    )
+    pc = (
+        syms.select(
+            F.expr(
+                "zip_with(syms, slice(syms, 2, greatest(size(syms) - 1, 0)),"
+                " (x, y) -> struct(x AS lhs, y AS rhs))"
+            ).alias("prs"),
+            "wf",
+        )
+        .select(F.explode_outer("prs").alias("p"), "wf")
+        .where(F.col("p.rhs").isNotNull())
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("wf").cast("long").alias("pair_count"))
+    )
+    ranked = pc.orderBy(
+        F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+    ).limit(1)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine on pairs

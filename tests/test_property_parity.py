@@ -292,3 +292,30 @@ def test_pattern_literal_prefilter_sound(pats, words, sep):
         lit = _pat_literal(pat)
         if lit is not None and lit not in cf:
             assert not _pat_re(pat).search(text), (pat, text)
+
+
+# small alphabet so merges collide and multi-char symbols appear by step 2;
+# whitespace inside strings makes multiple words per doc
+_bpe_docs = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=4,
+    max_size=10,
+)
+
+
+@given(texts=_bpe_docs)
+@settings(**_SETTINGS)
+def test_bpe_merges_property_parity(spark, texts):
+    from tests.test_curation import _bpe_ref
+
+    from pdf_extractor_spark.operators.curation import bpe_merges
+
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_merges(df, n_merges=3).orderBy("step").collect()
+    ]
+    assert got == _bpe_ref(texts, 3)

@@ -646,6 +646,21 @@ def _incremental_dedup(spark, sf_dir):
     return incremental_dedup(docs, seen)
 
 
+def _incremental_lsh_dedup(spark, sf_dir):
+    """Daily-increment NEAR-dup dedup (the LSH twin of incremental_dedup):
+    batch docs (src5..src9) probed against the banded signature index of
+    the already-ingested sources (src0..src4); candidates verified at
+    exact shingle Jaccard >= 0.7. Oracle = brute-force cross-split
+    Jaccard, so LSH recall is checked exactly."""
+    from pdf_extractor_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    src_no = F.col("source").substr(4, 10).try_cast("int")
+    index = docs.filter(src_no < 5)
+    batch = docs.filter(src_no >= 5)
+    return incremental_minhash_pairs(batch, index, threshold=0.7)
+
+
 def _curation_funnel(spark, sf_dir):
     """End-to-end curation pipeline composed on one frame (quality rules ->
     learned classifier -> exact dedup), reported as a one-row stage funnel;
@@ -2537,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_lr": _hash_lr,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
+        "incremental_lsh_dedup": _incremental_lsh_dedup,
         # similarity search
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
@@ -3440,6 +3456,31 @@ inter AS (
 SELECT id1, id2,
        round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
 FROM inter JOIN cnt ca ON id1 = ca.doc_id JOIN cnt cb ON id2 = cb.doc_id
+WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.7
+"""
+
+    # incremental_lsh_dedup: brute-force cross-split ground truth — every
+    # (batch, index) doc pair sharing a shingle, exact Jaccard >= 0.7.
+    # Matching this exactly proves the banded probe's recall is complete
+    # on the split (same contract as the minhash_lsh oracle).
+    sql["incremental_lsh_dedup"] = f"""
+WITH tok AS (SELECT doc_id, source, {_LTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, source, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT b.doc_id AS batch_id, a.doc_id AS index_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE try_cast(substring(a.source, 4, 10) AS INT) < 5
+    AND try_cast(substring(b.source, 4, 10) AS INT) >= 5
+  GROUP BY 1, 2)
+SELECT batch_id, index_id,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+FROM inter JOIN cnt ca ON index_id = ca.doc_id
+JOIN cnt cb ON batch_id = cb.doc_id
 WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.7
 """
 

@@ -118,6 +118,7 @@ HEADLINE = [
     "sample_quantile_sketch",
     "exact_dedup",
     "incremental_dedup",
+    "incremental_lsh_dedup",
     "ngram_jaccard",
     "minhash_lsh",
     "neardup_clusters",

@@ -870,3 +870,103 @@ def neardup_clusters(
     return labels.unionByName(singletons).select(
         "id", F.col("label").alias("cluster")
     )
+
+
+def incremental_minhash_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: "int | None" = 10_000,
+) -> DataFrame:
+    """(batch_id, index_id, jaccard) — daily-increment NEAR-dup dedup: the
+    LSH twin of curation.incremental_dedup's exact-digest anti-join. Each
+    new-batch document is probed against the already-ingested corpus's
+    banded signature index; emitted pairs are candidates that VERIFY at
+    exact shingle Jaccard >= threshold (so output is LSH-parameter-free
+    wherever recall is complete, same contract as minhash_lsh_pairs —
+    which is what lets the driver's brute-force oracle check it exactly).
+
+    Production shape: the index side's (band, bucket) table is the thing a
+    pipeline PERSISTS and appends to each day (signatures never recompute
+    for ingested docs); the batch side streams through signature -> bucket
+    -> probe. The probe is a batch-vs-index equi-join on (band, bucket) —
+    never a self-join — so batch-internal duplicates are out of scope here
+    (run minhash_lsh_pairs/exact_dedup within the batch for those).
+
+    Hot buckets are capped on BOTH sides by the INDEX's bucket population
+    (the side that accumulates duplicate classes across days): an
+    over-cap bucket would make the probe quadratic, and its members are
+    exactly the exact-duplicate classes incremental_dedup's digest
+    anti-join already removes upstream."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sb = minhash_signatures(
+        batch, text_col, id_col, n, num_hashes, seed
+    ).filter(F.col("sig").isNotNull())
+    si = minhash_signatures(
+        index, text_col, id_col, n, num_hashes, seed
+    ).filter(F.col("sig").isNotNull())
+    bb = _banded_buckets(sb, bands, rpb).select(
+        "band", "bucket", F.col("id").alias("batch_id")
+    )
+    bi = _banded_buckets(si, bands, rpb).select(
+        "band", "bucket", F.col("id").alias("index_id")
+    )
+    if max_bucket is not None:
+        hot = (
+            bi.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band", "bucket")
+        )
+        bi = bi.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        bb = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    cands = (
+        bb.join(bi, ["band", "bucket"])
+        .select("batch_id", "index_id")
+        .dropDuplicates(["batch_id", "index_id"])
+        # three consumers below (pair frame + both id-set prunes): truncate
+        # lineage so Catalyst doesn't replicate the LSH probe per consumer
+        .localCheckpoint(eager=False)
+    )
+    shb = _shingle_id_sets(
+        batch.join(
+            cands.select(F.col("batch_id").alias("cid")).distinct(),
+            F.col(id_col) == F.col("cid"),
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        n,
+    ).select(F.col("id").alias("batch_id"), F.col("sids").alias("sh1"))
+    shi = _shingle_id_sets(
+        index.join(
+            cands.select(F.col("index_id").alias("cid")).distinct(),
+            F.col(id_col) == F.col("cid"),
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        n,
+    ).select(F.col("id").alias("index_id"), F.col("sids").alias("sh2"))
+    return (
+        cands.join(shb, "batch_id")
+        .join(shi, "index_id")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .select(
+            "batch_id",
+            "index_id",
+            F.round(
+                F.col("inter")
+                / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

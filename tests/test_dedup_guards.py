@@ -151,3 +151,51 @@ def test_simhash_star_mode_keeps_class_connected(spark, dup_heavy):
     assert dup_ids <= touched
     assert len(pairs) < 1_000  # linear star edges, not C(200,2)
     assert all(r.hamming == 0 for r in pairs if r.id1 in dup_ids)
+
+
+def test_incremental_minhash_pairs_cross_split_only(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import incremental_minhash_pairs
+
+    base = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    rows = [
+        # index side: two docs, one a near-dup of a batch doc
+        (1, base, "idx"),
+        (2, "completely different content with no shared shingles here at all", "idx"),
+        # batch side: 10 = near-dup of 1 (one token changed), 11 = exact dup
+        # of 2? no — 11 unique, 12 = near-dup of 2? keep one clean positive
+        (10, base.replace("tonight", "today"), "new"),
+        (11, "unrelated fresh text that matches nothing in the index corpus", "new"),
+        # batch-internal near-dups must NOT pair (probe is batch-vs-index)
+        (12, "unrelated fresh text that matches nothing in the index corpuz", "new"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    batch = docs.filter(F.col("source") == "new")
+    index = docs.filter(F.col("source") == "idx")
+    got = {
+        (r.batch_id, r.index_id): r.jaccard
+        for r in incremental_minhash_pairs(batch, index, threshold=0.5).collect()
+    }
+    assert set(got) == {(10, 1)}
+    assert 0.5 <= got[(10, 1)] <= 1.0
+
+
+def test_incremental_minhash_hot_bucket_cap(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import incremental_minhash_pairs
+
+    # 30 exact copies in the index: every bucket they share blows the cap,
+    # so a probing copy in the batch yields NO pairs under a tiny cap
+    # (exact dups are incremental_dedup's job) but pairs without the cap
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    idx_rows = [(i, text, "idx") for i in range(30)]
+    docs = spark.createDataFrame(idx_rows + [(100, text, "new")],
+                                 "doc_id long, text string, source string")
+    batch = docs.filter(F.col("source") == "new")
+    index = docs.filter(F.col("source") == "idx")
+    capped = incremental_minhash_pairs(batch, index, max_bucket=5)
+    assert capped.count() == 0
+    uncapped = incremental_minhash_pairs(batch, index, max_bucket=None)
+    assert uncapped.count() == 30

@@ -38,7 +38,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "exact_dedup", "line_dedup", "substring_dedup", "ngram_jaccard",
         "winnow_fingerprints", "winnow_pairs", "minhash_lsh",
         "simhash_neardup", "neardup_clusters", "dedup_survivors",
-        "dedup_apply", "dup_ngram_stats", "incremental_dedup", "embedding_neardup",
+        "dedup_apply", "dup_ngram_stats", "incremental_dedup", "incremental_lsh_dedup", "embedding_neardup",
         "semdedup",
     ]),
     ("Decontamination & corpus curation", [

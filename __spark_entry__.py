@@ -1647,6 +1647,67 @@ def _range_join_windows(spark, sf_dir):
     )
 
 
+def _multimodal_pack(spark, sf_dir):
+    """Interleaved sequence packing: each doc's training cost = whitespace
+    tokens of its two text-half spans + 64 image-patch tokens per media
+    span (1 + doc_id%3 media spans synthesized per doc), then greedy
+    in-order ~2048-cost packs per md5 shard — pack_sequences with the
+    multimodal cost column. Per-pack rollup proves budget discipline."""
+    from pdf_extractor_spark.operators.dedup import simhash_token_hash
+    from pdf_extractor_spark.operators.multimodal import multimodal_pack_cost
+    from pdf_extractor_spark.operators.textstats import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(txt)
+    half = F.floor(n / 2).cast("int")
+    t1 = F.substring(txt, F.lit(1), half)
+    t2 = F.substring(txt, half + 1, n)
+    n_media = (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")
+
+    def _text_span(t, off):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            t.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    media = F.transform(
+        F.sequence(F.lit(1), n_media),
+        lambda i: F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(
+                F.lit("m"), i.cast("string"), F.lit("-"),
+                F.col("doc_id").cast("string"),
+            ).alias("media_ref"),
+            (i - 1).cast("int").alias("offset"),
+        ),
+    )
+    spans = F.concat(
+        media,
+        F.array(_text_span(t1, n_media), _text_span(t2, n_media + 1)),
+    )
+    costs = docs.select(
+        "doc_id",
+        multimodal_pack_cost(spans, image_budget=64).alias("mm_cost"),
+        F.pmod(
+            simhash_token_hash(F.col("doc_id").cast("string")), F.lit(8)
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    packed = pack_sequences(
+        costs, budget=2048, shards=8, count_col="mm_cost"
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("mm_cost").cast("long").alias("pack_cost"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
 def _media_captions(spark, sf_dir):
     """Image-text pair mining over synthesized interleaved spans: every
     doc becomes [media a, text T1, media b, text T2, media c] at offsets
@@ -2570,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": _media_dedup,
         "media_phash": _media_phash,
         "media_captions": _media_captions,
+        "multimodal_pack": _multimodal_pack,
         "media_resize": _media_resize,
         "media_features": _media_features,
         "frame_sample": _frame_sample,
@@ -3313,6 +3375,36 @@ FROM documents WHERE doc_id % 3 = 2
     )
     # media_captions: independent window-logic reimplementation — the
     # same interleaved synthesis, then IGNORE NULLS carries in SQL.
+    # multimodal_pack: identical cost arithmetic (ws tokens of the two
+    # halves + 64 per media span, media count = doc_id%3 + 1), identical
+    # md5 shard, identical greedy cumulative cut.
+    sql["multimodal_pack"] = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n
+  FROM documents),
+costs AS (
+  SELECT doc_id,
+    CAST(
+      CASE WHEN trim(substr(t, 1, CAST(n // 2 AS INT))) = '' THEN 0
+           ELSE len(regexp_split_to_array(
+                trim(substr(t, 1, CAST(n // 2 AS INT))), '\\s+')) END
+    + CASE WHEN trim(substr(t, CAST(n // 2 AS INT) + 1, n)) = '' THEN 0
+           ELSE len(regexp_split_to_array(
+                trim(substr(t, CAST(n // 2 AS INT) + 1, n)), '\\s+')) END
+    + (doc_id % 3 + 1) * 64 AS BIGINT) AS mm_cost,
+    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         % 8 AS INT) AS shard
+  FROM base),
+c AS (
+  SELECT *, sum(mm_cost) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - mm_cost AS cum_before
+  FROM costs)
+SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(mm_cost) AS BIGINT) AS pack_cost,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY 1, 2"""
     sql["media_captions"] = """
 WITH base AS (
   SELECT doc_id, coalesce(text, '') AS t,

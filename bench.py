@@ -68,6 +68,7 @@ HEADLINE = [
     "winnow_pairs",
     "nfc_normalize",
     "media_captions",
+    "multimodal_pack",
     "dup_ngram_stats",
     "token_entropy",
     "bpe_pair_counts",

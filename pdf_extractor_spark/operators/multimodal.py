@@ -265,3 +265,27 @@ def media_captions(docs: DataFrame) -> DataFrame:
         .alias("caption"),
         side.alias("caption_side"),
     )
+
+
+def multimodal_pack_cost(spans: "Column", image_budget: int = 64) -> "Column":
+    """Training-token cost of one interleaved spans array: whitespace
+    tokens of every text span plus a fixed `image_budget` per media span —
+    the image-patch token accounting interleaved VLM training uses when
+    packing mixed documents into fixed-size sequences. Pure array
+    expressions over the bound spans column (tiny per-doc arrays, no
+    explode, zero shuffle); feed the result to textstats.pack_sequences
+    as its count_col to pack interleaved docs the way text-only docs pack."""
+    from pyspark.sql import functions as F
+
+    from .textstats import tokens_col
+
+    text_tok = F.aggregate(
+        F.transform(
+            F.filter(spans, lambda s: s["kind"] == F.lit("text")),
+            lambda s: F.size(tokens_col(s["text"])).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    media_n = F.size(F.filter(spans, lambda s: s["kind"] == F.lit("media")))
+    return text_tok + media_n.cast("long") * F.lit(image_budget)

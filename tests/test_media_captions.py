@@ -160,3 +160,30 @@ def test_media_phash_matches_manual_bits(spark):
     )
     got = media_phash(extract_media_features(media, dim=8)).collect()[0]
     assert got.phash == want
+
+
+def test_multimodal_pack_cost_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.multimodal import multimodal_pack_cost
+
+    df = spark.createDataFrame(
+        [(1, [("text", "a b c", None, 0), ("media", None, "m1", 1),
+              ("text", "", None, 2), ("media", None, "m2", 3)]),
+         (2, [("media", None, "m3", 0)]),
+         (3, [("text", None, None, 0)])],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        r.doc_id: r.cost
+        for r in df.select(
+            "doc_id",
+            multimodal_pack_cost(F.col("spans"), image_budget=64).alias(
+                "cost"
+            ),
+        ).collect()
+    }
+    # doc 1: 3 text tokens + '' -> 0 tokens + 2 media * 64;  doc 2: 1 media;
+    # doc 3: null text span -> 0 tokens, 0 media
+    assert got == {1: 3 + 128, 2: 64, 3: 0}

@@ -60,7 +60,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Layout (reading order)", ["layout_order", "layout_text"]),
     ("Multimodal (interleaved media)", [
         "media_meta", "media_features", "media_resize", "frame_sample",
-        "media_captions", "media_dedup", "media_phash",
+        "media_captions", "multimodal_pack", "media_dedup", "media_phash",
     ]),
     ("Events: sessions, as-of, rollups, sketches", [
         "sessionize", "asof_last_purchase", "events_rollup",

@@ -49,6 +49,12 @@ def main() -> None:
         "(the pair-list-completeness-only contract)",
     )
     ap.add_argument("--max-df", type=int, default=1000)
+    ap.add_argument(
+        "--write-index", action="store_true",
+        help="also write index_buckets/ — the banded (band, bucket, "
+        "doc_id) signature index over the survivors, the persisted probe "
+        "artifact daily incremental dedup appends to",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -109,12 +115,34 @@ def main() -> None:
         clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
 
+    if args.write_index:
+        # the persisted probe artifact for daily increments: banded
+        # (band, bucket, doc_id) rows over the SURVIVOR set (probing
+        # against dropped members would resurrect their duplicate
+        # classes). incremental_minhash_pairs / streaming_lsh_dedup read
+        # the survivor corpus as their `index` side; this table is the
+        # precomputed bucket half a production pipeline appends to daily
+        # instead of re-signing the whole history.
+        from pdf_extractor_spark.operators.dedup import (
+            _banded_buckets,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(survivors).filter(F.col("sig").isNotNull())
+        _banded_buckets(sigs, bands=16, rows_per_band=4).select(
+            "band", "bucket", F.col("id").alias("doc_id")
+        ).write.mode("overwrite").parquet(f"{args.output}/index_buckets")
+
     stats = {
         "strategy": args.strategy,
         "docs_in": docs.count(),
         "docs_out": spark.read.parquet(f"{args.output}/survivors").count(),
         "pairs": spark.read.parquet(f"{args.output}/pairs").count(),
     }
+    if args.write_index:
+        stats["index_buckets"] = spark.read.parquet(
+            f"{args.output}/index_buckets"
+        ).count()
     print(json.dumps(stats))
     spark.stop()
 

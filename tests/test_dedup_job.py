@@ -52,3 +52,26 @@ def test_run_dedup_job_minhash(spark, tmp_path):
     assert set(range(16, 40)) <= ids
     clusters = spark.read.parquet(os.path.join(out, "clusters"))
     assert clusters.count() == 40
+
+
+def test_run_dedup_job_write_index(spark, tmp_path):
+    rows = [(i, " ".join(f"u{i}v{j} tok{i * 37 + j}" for j in range(20)))
+            for i in range(12)]
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_dedup.py"),
+         "--input", inp, "--output", out, "--strategy", "minhash",
+         "--write-index"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    idx = spark.read.parquet(os.path.join(out, "index_buckets"))
+    # every survivor appears in exactly 16 bands
+    assert stats["index_buckets"] == stats["docs_out"] * 16
+    assert idx.columns == ["band", "bucket", "doc_id"]
+    per = idx.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 16 for r in per)

@@ -319,3 +319,54 @@ def test_bpe_merges_property_parity(spark, texts):
         for r in bpe_merges(df, n_merges=3).orderBy("step").collect()
     ]
     assert got == _bpe_ref(texts, 3)
+
+
+_lsh_texts = st.lists(
+    st.text(alphabet="abc d", min_size=0, max_size=60),
+    min_size=6,
+    max_size=14,
+)
+
+
+@given(texts=_lsh_texts)
+@settings(**_SETTINGS)
+def test_incremental_lsh_sound_and_exact(spark, texts):
+    """Soundness fuzz: every emitted (batch, index) pair must be a true
+    brute-force near-dup with the exact shingle Jaccard the oracle would
+    compute (LSH may MISS low-similarity pairs by design; it must never
+    invent one or mis-score one)."""
+    from pdf_extractor_spark.operators.dedup import incremental_minhash_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = df.where(F.col("doc_id") % 2 == 0)
+    index = df.where(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.batch_id, r.index_id): r.jaccard
+        for r in incremental_minhash_pairs(
+            batch, index, threshold=0.3
+        ).collect()
+    }
+
+    def sh(t):
+        toks = (t or "").strip().split()
+        return {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    truth = {}
+    for bi, bt in rows:
+        if bi % 2 != 0:
+            continue
+        for ii, it in rows:
+            if ii % 2 != 1:
+                continue
+            a, b = sh(bt), sh(it)
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if round(j, 6) >= 0.3:
+                truth[(bi, ii)] = round(j, 6)
+    assert set(got) <= set(truth)
+    for k, v in got.items():
+        assert abs(v - truth[k]) < 1e-9

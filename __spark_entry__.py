@@ -648,10 +648,11 @@ def _incremental_dedup(spark, sf_dir):
 
 def _incremental_lsh_dedup(spark, sf_dir):
     """Daily-increment NEAR-dup dedup (the LSH twin of incremental_dedup):
-    batch docs (src5..src9) probed against the banded signature index of
-    the already-ingested sources (src0..src4); candidates verified at
-    exact shingle Jaccard >= 0.7. Oracle = brute-force cross-split
-    Jaccard, so LSH recall is checked exactly."""
+    batch docs (src5..src19 — the 15 newer of the corpus's 20 sources)
+    probed against the banded signature index of the already-ingested
+    sources (src0..src4); candidates verified at exact shingle
+    Jaccard >= 0.7. Oracle = brute-force cross-split Jaccard, so LSH
+    recall is checked exactly."""
     from pdf_extractor_spark.operators.dedup import incremental_minhash_pairs
 
     docs = _t_wide(spark, sf_dir, "documents")

@@ -38,14 +38,9 @@ def main() -> None:
     from pdf_extractor_spark.session import build_session
 
     spark = build_session("curation-job")
-    if args.format == "table":
-        docs = spark.read.table(args.input)
-    elif args.format == "parquet":
-        docs = spark.read.parquet(args.input)
-    elif "." in args.input and "/" not in args.input and not args.input.endswith(".parquet"):
-        docs = spark.read.table(args.input)
-    else:
-        docs = spark.read.parquet(args.input)
+    from pdf_extractor_spark.session import read_input
+
+    docs = read_input(spark, args.input, args.format)
     summary = run_pipeline(
         spark,
         docs,

@@ -43,16 +43,6 @@ import argparse
 import json
 
 
-def read_input(spark, path: str, fmt: "str | None"):
-    if fmt == "table":
-        return spark.read.table(path)
-    if fmt == "parquet":
-        return spark.read.parquet(path)
-    if "." in path and "/" not in path and not path.endswith(".parquet"):
-        return spark.read.table(path)
-    return spark.read.parquet(path)
-
-
 def build_training_data(
     docs,
     chunk_size: int = 2048,
@@ -64,7 +54,12 @@ def build_training_data(
     seed: str = "shuf1",
 ):
     """The composed pipeline as a library function (the job's testable
-    core): docs -> (chunks DataFrame, stats dict of lazy counts)."""
+    core): docs -> (chunks DataFrame, stats dict). The two stage frames
+    every later stage re-reads (quality survivors, dedup survivors) are
+    persisted so the funnel counts and the downstream chunk/pack/shuffle
+    chain never replay the curation or pair-detection work; the caller
+    owns the returned frame's lifetime (unpersist happens on session
+    end — these are job-scoped)."""
     from pyspark.sql import functions as F
 
     from pdf_extractor_spark.operators.curation import (
@@ -84,7 +79,7 @@ def build_training_data(
 
     n_in = docs.count()
 
-    kept = curation_transform(docs).filter(F.col("keep"))
+    kept = curation_transform(docs).filter(F.col("keep")).persist()
     n_kept = kept.count()
 
     # exact dedup: min-doc_id survivor per digest, one digest-key shuffle
@@ -110,7 +105,9 @@ def build_training_data(
         sized = deduped.withColumn("n_chars", F.length("text"))
         survivors = dedup_survivors(sized, clusters)
         deduped = dedup_apply(deduped, clusters, survivors)
+    deduped = deduped.persist()
     n_dedup = deduped.count()
+    kept.unpersist()
 
     chunks = chunk_documents(
         deduped, chunk_size=chunk_size, overlap=overlap

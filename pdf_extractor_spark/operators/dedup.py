@@ -883,6 +883,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket: "int | None" = 10_000,
+    index_buckets: "DataFrame | None" = None,
 ) -> DataFrame:
     """(batch_id, index_id, jaccard) — daily-increment NEAR-dup dedup: the
     LSH twin of curation.incremental_dedup's exact-digest anti-join. Each
@@ -894,10 +895,17 @@ def incremental_minhash_pairs(
 
     Production shape: the index side's (band, bucket) table is the thing a
     pipeline PERSISTS and appends to each day (signatures never recompute
-    for ingested docs); the batch side streams through signature -> bucket
-    -> probe. The probe is a batch-vs-index equi-join on (band, bucket) —
-    never a self-join — so batch-internal duplicates are out of scope here
-    (run minhash_lsh_pairs/exact_dedup within the batch for those).
+    for ingested docs) — pass it as `index_buckets` ((band, bucket,
+    doc_id) rows, the artifact `jobs/run_dedup.py --write-index` emits)
+    and the index side's signature pipeline is skipped entirely; `index`
+    is then read only for the shingle sets of verify-candidates (a
+    semi-join-pruned vanishing fraction). Without `index_buckets` the
+    buckets are derived from `index` on the fly (must use the same
+    bands/num_hashes/seed). The batch side streams through signature ->
+    bucket -> probe. The probe is a batch-vs-index equi-join on
+    (band, bucket) — never a self-join — so batch-internal duplicates are
+    out of scope here (run minhash_lsh_pairs/exact_dedup within the batch
+    for those).
 
     Hot buckets are capped on BOTH sides by the INDEX's bucket population
     (the side that accumulates duplicate classes across days): an
@@ -909,15 +917,20 @@ def incremental_minhash_pairs(
     sb = minhash_signatures(
         batch, text_col, id_col, n, num_hashes, seed
     ).filter(F.col("sig").isNotNull())
-    si = minhash_signatures(
-        index, text_col, id_col, n, num_hashes, seed
-    ).filter(F.col("sig").isNotNull())
     bb = _banded_buckets(sb, bands, rpb).select(
         "band", "bucket", F.col("id").alias("batch_id")
     )
-    bi = _banded_buckets(si, bands, rpb).select(
-        "band", "bucket", F.col("id").alias("index_id")
-    )
+    if index_buckets is not None:
+        bi = index_buckets.select(
+            "band", "bucket", F.col("doc_id").alias("index_id")
+        )
+    else:
+        si = minhash_signatures(
+            index, text_col, id_col, n, num_hashes, seed
+        ).filter(F.col("sig").isNotNull())
+        bi = _banded_buckets(si, bands, rpb).select(
+            "band", "bucket", F.col("id").alias("index_id")
+        )
     if max_bucket is not None:
         hot = (
             bi.groupBy("band", "bucket")

@@ -271,21 +271,43 @@ def multimodal_pack_cost(spans: "Column", image_budget: int = 64) -> "Column":
     """Training-token cost of one interleaved spans array: whitespace
     tokens of every text span plus a fixed `image_budget` per media span —
     the image-patch token accounting interleaved VLM training uses when
-    packing mixed documents into fixed-size sequences. Pure array
-    expressions over the bound spans column (tiny per-doc arrays, no
-    explode, zero shuffle); feed the result to textstats.pack_sequences
-    as its count_col to pack interleaved docs the way text-only docs pack."""
+    packing mixed documents into fixed-size sequences. ONE aggregate fold
+    over the spans array (tiny per-doc arrays, no explode, zero shuffle)
+    — a single reference to `spans`, so a caller passing a derived
+    expression (the usual case: spans synthesized from text) never pays
+    the construction twice (Catalyst inlines multi-referenced non-cheap
+    aliases; see the repo's textstats projection-boundary notes). Feed
+    the result to textstats.pack_sequences as its count_col to pack
+    interleaved docs the way text-only docs pack."""
     from pyspark.sql import functions as F
 
     from .textstats import tokens_col
 
-    text_tok = F.aggregate(
-        F.transform(
-            F.filter(spans, lambda s: s["kind"] == F.lit("text")),
-            lambda s: F.size(tokens_col(s["text"])).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    init = F.struct(
+        F.lit(0).cast("long").alias("tok"),
+        F.lit(0).cast("long").alias("media"),
     )
-    media_n = F.size(F.filter(spans, lambda s: s["kind"] == F.lit("media")))
-    return text_tok + media_n.cast("long") * F.lit(image_budget)
+
+    def step(acc, s):
+        return F.struct(
+            (
+                acc["tok"]
+                + F.when(
+                    s["kind"] == F.lit("text"),
+                    F.size(tokens_col(s["text"])).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("tok"),
+            (
+                acc["media"]
+                + F.when(s["kind"] == F.lit("media"), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("media"),
+        )
+
+    return F.aggregate(
+        spans,
+        init,
+        step,
+        lambda a: a["tok"] + a["media"] * F.lit(image_budget),
+    )

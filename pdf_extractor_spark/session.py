@@ -131,3 +131,18 @@ def fan_out(df, min_parts: int | None = None):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def read_input(spark: SparkSession, path: str, fmt: "str | None" = None):
+    """Shared spark-submit input dispatch for jobs/: 'table' = catalog /
+    temp-view name, 'parquet' = path; with fmt=None, dotted slash-free
+    names read as tables and anything else as a parquet path (the one
+    inference rule, so all jobs accept the same --input forms and a fix
+    here fixes every entry point)."""
+    if fmt == "table":
+        return spark.read.table(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if "." in path and "/" not in path and not path.endswith(".parquet"):
+        return spark.read.table(path)
+    return spark.read.parquet(path)

@@ -13,9 +13,13 @@ operator per micro-batch") and keeps ONE implementation of the probe
 semantics: the streaming path cannot drift from the oracled batch path.
 
 State: none in the stream (the index is the state, managed outside the
-query as a table the daily batch job appends to). Exactly-once comes from
-the sink's idempotent overwrite-per-epoch keyed by batch_id; the default
-parquet-append used in tests relies on Spark's per-batch transaction log.
+query as a table the daily batch job appends to). foreachBatch is
+at-least-once — a failure between the sink write and the checkpoint
+commit replays the micro-batch — so the sink writes each epoch to its own
+`batch_id=N` partition directory with overwrite: a replay rewrites the
+same directory byte-identically instead of appending duplicates, which is
+the standard idempotent-foreachBatch recipe. Readers see batch_id as a
+discovered partition column.
 """
 
 from __future__ import annotations
@@ -55,7 +59,12 @@ def streaming_lsh_dedup(
         fresh = batch.join(
             dup_ids, F.col(id_col) == F.col("_dup"), "left_anti"
         )
-        fresh.write.mode("append").parquet(sink_path)
+        # idempotent per-epoch commit: overwrite THIS batch's partition
+        # directory, so an at-least-once replay rewrites rather than
+        # duplicates (foreachBatch gives no transaction log of its own)
+        fresh.write.mode("overwrite").parquet(
+            f"{sink_path}/batch_id={batch_id}"
+        )
 
     return (
         stream.writeStream.foreachBatch(_probe)

@@ -199,3 +199,41 @@ def test_incremental_minhash_hot_bucket_cap(spark):
     assert capped.count() == 0
     uncapped = incremental_minhash_pairs(batch, index, max_bucket=None)
     assert uncapped.count() == 30
+
+
+def test_incremental_minhash_precomputed_index_equivalent(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import (
+        _banded_buckets,
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    docs = spark.createDataFrame(
+        [(1, base, "idx"), (2, "some other indexed corpus text body", "idx"),
+         (10, base.replace("tonight", "today"), "new"),
+         (11, "fresh unrelated arrival matching nothing indexed", "new")],
+        "doc_id long, text string, source string",
+    )
+    batch = docs.filter(F.col("source") == "new")
+    index = docs.filter(F.col("source") == "idx")
+    # the artifact run_dedup --write-index persists
+    sigs = minhash_signatures(index).filter(F.col("sig").isNotNull())
+    buckets = _banded_buckets(sigs, bands=16, rows_per_band=4).select(
+        "band", "bucket", F.col("id").alias("doc_id")
+    )
+    live = {
+        tuple(r)
+        for r in incremental_minhash_pairs(
+            batch, index, threshold=0.5
+        ).collect()
+    }
+    pre = {
+        tuple(r)
+        for r in incremental_minhash_pairs(
+            batch, index, threshold=0.5, index_buckets=buckets
+        ).collect()
+    }
+    assert live == pre and live  # identical and non-empty

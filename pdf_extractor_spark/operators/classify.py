@@ -40,12 +40,19 @@ def classify_by_rules_udf(patterns: dict[str, DocTypePattern]):
         import pandas as pd
 
         from ..config import DocTypePattern as DTP
-        from ..oracle.classifier import classify_by_rules
+        from ..oracle.classifier import (
+            classify_by_rules,
+            keyword_presence_batch,
+        )
 
         pats = {dt: DTP(dt, kw, rx) for dt, kw, rx in pattern_items}
+        all_kws = tuple(
+            sorted({kw for p in pats.values() for kw in p.keywords})
+        )
+        presence = keyword_presence_batch(texts, all_kws)
         types, scores = [], []
-        for text in texts:
-            t, s = classify_by_rules(text, pats)
+        for text, present in zip(texts, presence):
+            t, s = classify_by_rules(text, pats, present=present)
             types.append(t)
             scores.append(s)
         return pd.DataFrame({"rule_type": types, "rule_score": scores})

@@ -95,7 +95,11 @@ def classify_extract_validate_udf(
         import pandas as pd
 
         from ..config import DocTypePattern as DTP
-        from ..oracle.classifier import classify_by_rules, fuse_classification
+        from ..oracle.classifier import (
+            classify_by_rules,
+            fuse_classification,
+            keyword_presence_batch,
+        )
         from ..oracle.extract import _field_to_string
         from ..oracle.template import extract_template_fields
         from ..oracle.validator import validate_data
@@ -103,14 +107,24 @@ def classify_extract_validate_udf(
         pats = {dt: DTP(dt, kw, rx) for dt, kw, rx in pattern_items}
         schemas = _rebuild_schemas(schemas_conf)
 
+        # keyword presence for the whole Arrow batch in one C++ pass per
+        # keyword (exactness argument in keyword_presence_batch) — the
+        # per-doc Python union scan was the kernel's dominant cost
+        all_kws = tuple(
+            sorted({kw for p in pats.values() for kw in p.keywords})
+        )
+        presence = keyword_presence_batch(all_text, all_kws)
+
         out = []
         pending: dict[str, list] = {}  # schema name -> [(row idx, fields, validation)]
-        for text in all_text:
+        for text, present in zip(all_text, presence):
             # failure-row semantics (batch_processor.py:81-83): ANY per-doc
             # exception becomes a success=false record downstream — a
             # poisoned document must never kill the 10^12-doc job
             try:
-                rule_type, rule_score = classify_by_rules(text, pats)
+                rule_type, rule_score = classify_by_rules(
+                    text, pats, present=present
+                )
                 doc_type, confidence = fuse_classification(
                     rule_type, rule_score, None, 0.0
                 )

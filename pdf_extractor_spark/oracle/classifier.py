@@ -117,16 +117,131 @@ def _keyword_presence(text: str, kws: tuple[str, ...]) -> frozenset[str]:
     return frozenset(present)
 
 
+@lru_cache(maxsize=1)
+def _bmp_probe():
+    """Every BMP codepoint as a 1-char string + its Arrow array — the
+    probe corpus for the engine-divergence scan, built once per process."""
+    import pyarrow as pa
+
+    cps = [
+        chr(c) for c in range(0x20, 0x10000) if not (0xD800 <= c <= 0xDFFF)
+    ]
+    return cps, pa.array(cps, type=pa.string())
+
+
+@lru_cache(maxsize=4096)
+def _arrow_missed_chars(ch: str) -> tuple[str, ...]:
+    """BMP chars that Python re's IGNORECASE matches for `ch` but Arrow's
+    ignore_case containment does NOT — the fold-table divergence set
+    between CPython sre (full-folding extra cases: İ/ı↔i) and utf8proc
+    simple folding. Computed EXHAUSTIVELY (never hardcoded) so a CPython
+    or Arrow upgrade changes behavior here instead of silently breaking
+    parity; ~15 ms per distinct char, cached per process. Unicode case
+    mappings never cross plane boundaries, so probing the BMP covers all
+    chars that could fold into a BMP keyword char."""
+    import pyarrow.compute as pc
+
+    cps, arr = _bmp_probe()
+    pat = re.compile(re.escape(ch), re.IGNORECASE)
+    arrow = pc.match_substring(arr, ch, ignore_case=True).to_numpy(
+        zero_copy_only=False
+    )
+    return tuple(
+        c for c, a in zip(cps, arrow) if not a and pat.fullmatch(c)
+    )
+
+
+@lru_cache(maxsize=65536)
+def _danger_chars(kws: tuple[str, ...]) -> tuple[str, ...]:
+    """Union of the divergence sets over every keyword character: a text
+    containing NONE of these chars can never produce a Python-re keyword
+    match that Arrow containment misses."""
+    out: set[str] = set()
+    for k in kws:
+        for ch in set(k):
+            out.update(_arrow_missed_chars(ch))
+    return tuple(sorted(out))
+
+
+def keyword_presence_batch(
+    texts, kws: tuple[str, ...]
+) -> "list[frozenset[str]]":
+    """Exact `_keyword_presence` for a whole Arrow batch, with the scan
+    cost moved to C++: one `pyarrow.compute.match_substring(...,
+    ignore_case=True)` pass per keyword prunes each row's keyword set to
+    the keywords CONTAINED in it (case-insensitively), then the exact
+    Python-`re` scan runs per row over only that tiny candidate tuple —
+    most rows skip it entirely, and the rest scan a 1-4-way alternation
+    instead of the full keyword set.
+
+    Exactness: presence of a keyword depends only on (text, keyword), so
+    restricting the union scan to a candidate subset is lossless PROVIDED
+    excluded keywords are truly absent. Arrow's ignore_case containment
+    is per-character simple case folding and containment-without-\\b is a
+    superset of the \\b-anchored match — EXCEPT for the small fixed set of
+    chars where CPython's fold table is wider (İ/ı↔i). Rows containing
+    any such danger char (detected with case-sensitive Arrow scans, one
+    per danger char) fall back to the full exact scan; for every other
+    row an Arrow miss PROVES a Python-re miss. The per-char superset
+    property net of the computed danger set is pinned exhaustively over
+    every BMP codepoint by tests/test_parity_regex.py.
+    Falls back to the pure-Python scan when pyarrow is unavailable."""
+    if not kws:
+        return [frozenset() for _ in texts]
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+    except ImportError:  # pragma: no cover — pyarrow ships with Spark
+        return [
+            _keyword_presence(t, kws) if isinstance(t, str) and t
+            else frozenset()
+            for t in texts
+        ]
+    clean = [t if isinstance(t, str) else None for t in texts]
+    arr = pa.array(clean, type=pa.string())
+    false = pa.scalar(False)
+    masks = [
+        pc.fill_null(
+            pc.match_substring(arr, k, ignore_case=True), false
+        ).to_numpy(zero_copy_only=False)
+        for k in kws
+    ]
+    danger = None
+    for dc in _danger_chars(kws):
+        m = pc.fill_null(pc.match_substring(arr, dc), false).to_numpy(
+            zero_copy_only=False
+        )
+        danger = m if danger is None else (danger | m)
+    out: list[frozenset[str]] = []
+    for i, t in enumerate(clean):
+        if not t:
+            out.append(frozenset())
+            continue
+        if danger is not None and danger[i]:
+            # fold-divergent char present: the prefilter is not a proof
+            # for this row — run the full exact scan
+            out.append(_keyword_presence(t, kws))
+            continue
+        cand = tuple(k for k, m in zip(kws, masks) if m[i])
+        out.append(_keyword_presence(t, cand) if cand else frozenset())
+    return out
+
+
 def classify_by_rules(
-    text: str | None, patterns: dict[str, DocTypePattern]
+    text: str | None,
+    patterns: dict[str, DocTypePattern],
+    present: "frozenset[str] | None" = None,
 ) -> tuple[str | None, float]:
+    """`present` short-circuits the keyword scan with a precomputed
+    presence set (keyword_presence_batch) — semantics identical."""
     if not text or not patterns:
         return None, 0.0
 
-    all_kws = tuple(
-        sorted({kw for pd in patterns.values() for kw in pd.keywords})
-    )
-    present = _keyword_presence(text, all_kws)
+    if present is None:
+        all_kws = tuple(
+            sorted({kw for pd in patterns.values() for kw in pd.keywords})
+        )
+        present = _keyword_presence(text, all_kws)
     text_cf = text.casefold()
 
     best_match: str | None = None

@@ -597,6 +597,46 @@ def _semdedup(spark, sf_dir):
     return semdedup(emb, cents, threshold=0.95)
 
 
+def _kmeans_clusters(spark, sf_dir):
+    """Per-cluster occupancy + mean cosine-to-centroid after TWO full
+    Lloyd iterations (K=8, deterministic stride seeding) — the clustering
+    surface behind cluster-balanced sampling / SemDeDup / IVF builds.
+    The oracle replays both Lloyd rounds in SQL (the ivf_ann_topk pattern
+    unrolled once more)."""
+    from pdf_extractor_spark.operators.similarity import (
+        ivf_centroids,
+        kmeans_cluster_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), "kmeans8x2")
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = ivf_centroids(emb, 8, refine_iters=2)
+        _IVF_CENTROID_CACHE[key] = cents
+    return kmeans_cluster_stats(emb, n_clusters=8, centroids=cents)
+
+
+def _compaction_plan(spark, sf_dir):
+    """Iceberg rewrite_data_files binpack planning over a synthetic file
+    inventory (one file per document: partition = source, bytes = text
+    length + 512): greedy in-order 8 KiB rewrite bins per partition, with
+    single-file bins flagged as no-rewrite."""
+    from pdf_extractor_spark.operators.maintenance import compaction_plan
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.col("source").alias("part"),
+        F.concat(
+            F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+        ).alias("file_name"),
+        (F.coalesce(F.length("text"), F.lit(0)) + F.lit(512))
+        .cast("long")
+        .alias("bytes"),
+    )
+    return compaction_plan(files, target_bytes=8192)
+
+
 def _mix_weights(spark, sf_dir):
     """Data-mixing weights: reshape the corpus's per-source token mass into
     a deterministic non-uniform target (src k gets (k+1)/210 of the mix)."""
@@ -2326,6 +2366,17 @@ def _bpe_merges(spark, sf_dir):
     return bpe_merges(_t_wide(spark, sf_dir, "documents"), n_merges=3)
 
 
+def _bpe_encode(spark, sf_dir):
+    """The APPLY half of the BPE tokenizer family: every document encoded
+    with the 3 merge rules trained from the corpus itself — per-doc word
+    and subword counts. The distinct-word vocabulary is encoded once and
+    joined back to the stream; the oracle replays training AND encoding
+    with recursive CTEs."""
+    from pdf_extractor_spark.operators.curation import bpe_encode
+
+    return bpe_encode(_t_wide(spark, sf_dir, "documents"), n_merges=3)
+
+
 def _line_dedup(spark, sf_dir):
     """CCNet-style duplicate-line removal over the documents table:
     3-token lines, corpus-wide occurrence > 2 -> boilerplate, dropped."""
@@ -2590,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": _token_entropy,
         "bpe_pair_counts": _bpe_pair_counts,
         "bpe_merges": _bpe_merges,
+        "bpe_encode": _bpe_encode,
         "pmi_cooccurrence": _pmi_cooccurrence,
         "line_dedup": _line_dedup,
         "substring_dedup": _substring_dedup,
@@ -2619,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
+        "kmeans_clusters": _kmeans_clusters,
         "embedding_neardup": _embedding_neardup,
         "semdedup": _semdedup,
         "avg_time_tiers": _avg_time_tiers,
@@ -2658,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_not_purchase_users": _click_not_purchase_users,
         "range_join_windows": _range_join_windows,
         "zorder_key": _zorder_key,
+        "compaction_plan": _compaction_plan,
         "cms_user_counts": _cms_user_counts,
         "embedding_quantize": _embedding_quantize,
         "bloom_decontaminate": _bloom_decontaminate,
@@ -3770,6 +3824,59 @@ ranked AS (
                             ORDER BY cosine DESC, id) AS rank
   FROM scored)
 SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+    # kmeans_clusters: the ivf quantizer unrolled to TWO Lloyd iterations
+    # (K=8) — assign-by-cosine / element-wise-mean / empty-clusters-keep-
+    # previous twice, then the final assignment aggregated to per-cluster
+    # occupancy + mean 4dp cosine-to-centroid.
+    sql["kmeans_clusters"] = f"""
+WITH params AS (SELECT greatest(1, count(*) // 8) AS stride FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings, params WHERE vec_id % stride = 0
+  ORDER BY vec_id LIMIT 8),
+comp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                unnest(CAST(embedding AS DOUBLE[])) AS x
+         FROM embeddings),
+assign0 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM embeddings e, seeds c),
+a0 AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+cells1 AS (
+  SELECT a0.cid, comp.d, avg(comp.x) AS m
+  FROM a0 JOIN comp USING (vec_id) GROUP BY 1, 2),
+ref1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM cells1 GROUP BY 1),
+cents1 AS (
+  SELECT s.cid, coalesce(r.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN ref1 r USING (cid)),
+assign1 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM embeddings e, cents1 c),
+a1 AS (SELECT vec_id, cid FROM assign1 WHERE rn = 1),
+cells2 AS (
+  SELECT a1.cid, comp.d, avg(comp.x) AS m
+  FROM a1 JOIN comp USING (vec_id) GROUP BY 1, 2),
+ref2 AS (SELECT cid, list(m ORDER BY d) AS cv FROM cells2 GROUP BY 1),
+cents2 AS (
+  SELECT c1.cid, coalesce(r.cv, c1.cv) AS cv
+  FROM cents1 c1 LEFT JOIN ref2 r USING (cid)),
+assign2 AS (
+  SELECT e.vec_id, c.cid,
+         {cos} AS sim_raw,
+         {_sql_cosine('e.embedding', 'c.cv')} AS cos4,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM embeddings e, cents2 c)
+SELECT CAST(cid AS INT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(cos4), 4) AS avg_cosine
+FROM assign2 WHERE rn = 1
+GROUP BY 1 ORDER BY 1
 """
     # semdedup: same deterministic quantizer as ivf_ann_topk but over the
     # seeded-near-dup augmented corpus; within-cluster pairwise cosine via
@@ -4908,6 +5015,50 @@ SELECT 2, lhs, rhs, CAST(cnt AS BIGINT) FROM t2
 UNION ALL
 SELECT 3, lhs, rhs, CAST(cnt AS BIGINT) FROM t3
 """
+    # bpe_encode: replay the SAME 3-rule training chain, then walk every
+    # DISTINCT word (all lengths — encoding has no len>=2 guard) through
+    # the three merges and roll the encoded vocabulary back onto each
+    # document's word stream. Docs with no tokens keep (0, 0) via the
+    # final left join.
+    sql["bpe_encode"] = f"""
+WITH RECURSIVE words AS (
+  SELECT unnest({_LTOKS}) AS w FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+wf AS (SELECT w, count(*) AS wf FROM words WHERE len(w) >= 2 GROUP BY 1),
+s0 AS (SELECT w, wf, list_transform(range(1, len(w) + 1),
+                                    i -> substring(w, i, 1)) AS syms
+       FROM wf),
+pc1 AS ({_bpe_pc.format(src="s0")}),
+t1 AS ({_bpe_top.format(pc="pc1")}),
+walk1 AS ({_bpe_walk.format(src="s0", walk="walk1", top="t1")}),
+s1 AS (SELECT w, wf, out AS syms FROM walk1 WHERE i > len(syms)),
+pc2 AS ({_bpe_pc.format(src="s1")}),
+t2 AS ({_bpe_top.format(pc="pc2")}),
+walk2 AS ({_bpe_walk.format(src="s1", walk="walk2", top="t2")}),
+s2 AS (SELECT w, wf, out AS syms FROM walk2 WHERE i > len(syms)),
+pc3 AS ({_bpe_pc.format(src="s2")}),
+t3 AS ({_bpe_top.format(pc="pc3")}),
+v0 AS (SELECT DISTINCT w FROM words),
+e0 AS (SELECT w, CAST(1 AS BIGINT) AS wf,
+              list_transform(range(1, len(w) + 1),
+                             i -> substring(w, i, 1)) AS syms
+       FROM v0),
+ewalk1 AS ({_bpe_walk.format(src="e0", walk="ewalk1", top="t1")}),
+e1 AS (SELECT w, wf, out AS syms FROM ewalk1 WHERE i > len(syms)),
+ewalk2 AS ({_bpe_walk.format(src="e1", walk="ewalk2", top="t2")}),
+e2 AS (SELECT w, wf, out AS syms FROM ewalk2 WHERE i > len(syms)),
+ewalk3 AS ({_bpe_walk.format(src="e2", walk="ewalk3", top="t3")}),
+encn AS (SELECT w, len(out) AS n_sub FROM ewalk3 WHERE i > len(syms)),
+agg AS (
+  SELECT s.doc_id, count(*) AS n_words, sum(e.n_sub) AS n_subwords
+  FROM (SELECT doc_id, unnest({_LTOKS}) AS w FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '') s
+  JOIN encn e USING (w) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
     # pmi_cooccurrence: directed pairs (toks[i], toks[i+d]) for d in 1..2,
     # PMI vs the unigram distribution, pairs seen >= 5 times. DuckDB lists
     # are 1-based; range(1, len+1) x range(1, 3) with i + d <= len mirrors
@@ -5169,6 +5320,26 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(n_chars), 4) AS avg_chars
 FROM norm JOIN documents USING (doc_id)
 GROUP BY 1 ORDER BY 1
+"""
+    # compaction_plan: the synthetic file inventory (one "file" per doc:
+    # partition = source, deterministic zero-padded name, bytes =
+    # text length + 512 header overhead) binpacked at 8 KiB.
+    sql["compaction_plan"] = """
+WITH files AS (
+  SELECT source AS part,
+         'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS file_name,
+         coalesce(length(text), 0) + 512 AS bytes
+  FROM documents),
+b AS (
+  SELECT part, bytes,
+         CAST(floor((sum(bytes) OVER (PARTITION BY part ORDER BY file_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+               / 8192.0) AS BIGINT) AS bin
+  FROM files)
+SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       count(*) > 1 AS needs_rewrite
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

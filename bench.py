@@ -73,6 +73,7 @@ HEADLINE = [
     "token_entropy",
     "bpe_pair_counts",
     "bpe_merges",
+    "bpe_encode",
     "pmi_cooccurrence",
     "decontaminate",
     "decontaminate_near",
@@ -111,6 +112,7 @@ HEADLINE = [
     "salted_join",
     "range_join_windows",
     "zorder_key",
+    "compaction_plan",
     "cms_user_counts",
     "embedding_quantize",
     "bloom_decontaminate",
@@ -130,6 +132,7 @@ HEADLINE = [
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "kmeans_clusters",
     "classify_rules",
     "auto_repair",
     "table_match",

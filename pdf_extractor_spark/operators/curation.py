@@ -1333,3 +1333,60 @@ def bpe_merges(
         # zero-row LocalRelation (no Python scan to pay for)
         return spark.createDataFrame([], schema)
     return values_df(spark, rules, schema)
+
+
+def bpe_encode(
+    df: DataFrame,
+    rules: "list[tuple[str, str]] | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """(doc_id, n_words, n_subwords) — the APPLY half of the BPE tokenizer
+    family: encode every document with a trained merge-rule table
+    (`bpe_merges` is the TRAIN half). rules=None trains the first
+    `n_merges` rules from the corpus itself — the self-contained shape the
+    oracle replays; production passes the persisted rule list (tokenizer
+    rules are write-once index state, like IVF centroids).
+
+    Scale shape: the token stream collapses to the DISTINCT-WORD
+    vocabulary (one word-key shuffle with map-side combine), each
+    vocabulary word is encoded ONCE (chars -> one greedy left-to-right
+    fold per rule, narrow and vocabulary-sized), and the per-doc rollup
+    joins the word stream back against the encoded vocabulary (AQE
+    broadcasts the vocab side when small; at 10^12 docs both sides
+    hash-partition on the word key). Merge rules are O(n_merges) driver
+    rows riding as column literals — the broadcast-dim analogue. Total
+    cost: O(corpus) stream scan + O(vocab x n_merges) folds, never
+    O(corpus x n_merges).
+
+    No reference counterpart (SURVEY §2.8): tokenizer support for the
+    LLM-pipeline family."""
+    if rules is None:
+        learned = bpe_merges(df, text_col, id_col, n_merges).collect()
+        rules = [
+            (r["lhs"], r["rhs"])
+            for r in sorted(learned, key=lambda r: r["step"])
+        ]
+    stream = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("w"),
+    )
+    vocab = stream.where(F.col("w").isNotNull()).select("w").distinct()
+    enc = vocab.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    )
+    for lhs, rhs in rules:
+        enc = enc.withColumn("syms", _bpe_apply_merge(F.col("syms"), lhs, rhs))
+    enc = enc.select("w", F.size("syms").cast("long").alias("n_sub"))
+    return (
+        stream.join(enc, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("w").cast("long").alias("n_words"),
+            F.coalesce(F.sum("n_sub"), F.lit(0))
+            .cast("long")
+            .alias("n_subwords"),
+        )
+    )

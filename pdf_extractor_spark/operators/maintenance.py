@@ -1,0 +1,65 @@
+"""Table-maintenance operators — the Iceberg upkeep jobs a 10^12-row
+corpus table needs between pipeline runs, expressed as plain DataFrame
+ops over the table's file/manifest metadata:
+
+  * compaction_plan — the planning half of Iceberg's rewrite_data_files
+    binpack action: group small data files into ~target-size rewrite
+    bins, per partition, so the rewrite executor gets an explicit,
+    deterministic work list (and skips already-right-sized files).
+
+At production scale the input is the metadata table
+(`table.files`: partition, file_path, file_size_in_bytes) — millions of
+rows for a 10^12-row corpus, i.e. itself a DataFrame problem, never a
+driver loop. Planning is one window per partition; no global sort.
+
+No reference counterpart (SURVEY §2.8): the reference is a desktop app;
+table maintenance belongs to the Spark/Iceberg re-expression of its
+batch layer (north_rule: "Iceberg tables ... partitioning handled
+explicitly").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_col: str = "part",
+    file_col: str = "file_name",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """(part, bin, n_files, bin_bytes, needs_rewrite) — greedy in-order
+    bin packing of data files into ~`target_bytes` rewrite groups within
+    each partition (Iceberg rewrite_data_files / binpack semantics):
+    files are taken in deterministic name order and cut at the running
+    byte total, bin = floor(bytes-before-me / target) — the same
+    first-fit-in-order rule as pack_sequences, applied to file metadata.
+    A file >= target lands alone in its bin; a bin with a single file
+    needs no rewrite (needs_rewrite = false) — that is exactly the file
+    the compactor must NOT churn.
+
+    Scale shape: ONE hash shuffle on the partition key, then a window
+    per partition over file-count-sized data (the files metadata table,
+    not the data). Partition skew equals metadata skew (file counts),
+    which compaction itself is busy fixing."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(size_col).over(w) - F.col(size_col)
+    binned = files.withColumn(
+        "bin", F.floor(cum_before / F.lit(target_bytes)).cast("long")
+    )
+    return (
+        binned.groupBy(F.col(part_col).alias("part"), "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(size_col).cast("long").alias("bin_bytes"),
+            (F.count("*") > 1).alias("needs_rewrite"),
+        )
+        .orderBy("part", "bin")
+    )

@@ -449,3 +449,54 @@ def sq8_quantize(
         ).alias("qvec"),
         F.round(F.max("err"), 4).alias("max_err"),
     )
+
+
+def kmeans_cluster_stats(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    refine_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """(cluster, n_vecs, avg_cosine) — the clustering surface of the
+    embedding family: every vector assigned to its nearest centroid after
+    `refine_iters` full Lloyd iterations (deterministic stride seeding +
+    distributed mean updates, `ivf_centroids`), reported as per-cluster
+    occupancy and mean cosine-to-centroid. This is the corpus-organization
+    step behind cluster-balanced sampling, SemDeDup-style pruning, and
+    IVF index builds — exposed directly so cluster quality is observable.
+
+    Scale shape: centroids are index state (pass `centroids` to amortize,
+    the ivf_topk pattern); assignment is one matmul pandas UDF per Arrow
+    batch over a single corpus pass; the stats aggregate is one K-row
+    shuffle with map-side combine. The K x dim centroid table broadcasts.
+    Driver state is O(K x dim), never O(corpus)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            corpus, n_clusters, vec_col, id_col, refine_iters=refine_iters
+        )
+    )
+    assign1 = _assign_udf(cents, 1)
+    assigned = _valid_vectors(corpus, vec_col).select(
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
+        F.col(vec_col).alias("vec"),
+    )
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cluster int, cv array<double>",
+    )
+    scored = assigned.join(F.broadcast(cdf), "cluster").select(
+        "cluster", _safe_cosine(F.col("vec"), F.col("cv")).alias("cos")
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("cos"), 4).alias("avg_cosine"),
+        )
+        .orderBy("cluster")
+    )

@@ -728,3 +728,78 @@ def test_bpe_merges_exhausted_corpus(spark):
     # an error (the loop breaks on the empty argmax)
     docs = _docs(spark, [(1, "a b c", 5), (2, "", 0), (3, None, 0)])
     assert bpe_merges(docs, n_merges=3).count() == 0
+
+
+def _bpe_encode_ref(texts, n_merges):
+    """Pure-Python encode with _bpe_ref's trained rules: every word (all
+    lengths) walked through each rule greedily left-to-right."""
+    rules = [(lhs, rhs) for _, lhs, rhs, _ in _bpe_ref(texts, n_merges)]
+    out = []
+    for i, t in enumerate(texts):
+        words = (t or "").lower().split()
+        n_sub = 0
+        for w in words:
+            syms = list(w)
+            for lhs, rhs in rules:
+                ns, j = [], 0
+                while j < len(syms):
+                    if (
+                        j < len(syms) - 1
+                        and syms[j] == lhs
+                        and syms[j + 1] == rhs
+                    ):
+                        ns.append(lhs + rhs)
+                        j += 2
+                    else:
+                        ns.append(syms[j])
+                        j += 1
+                syms = ns
+            n_sub += len(syms)
+        out.append((i, len(words), n_sub))
+    return out
+
+
+def test_bpe_encode_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import bpe_encode
+
+    # rules learned (test_bpe_merges_hand_computed): (a,a), (a,b), (aa,ab).
+    # encode: "aaab" -> [aa,a,b] -> [aa,ab] -> [aaab] = 1 subword;
+    # "aa" -> [aa] = 1; single-char "a" (never trained on) -> [a] = 1.
+    docs = _docs(spark, [(1, "aaab aaab aa", 12), (2, "aaab aa a", 9)])
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_encode(docs, n_merges=3).collect()
+    }
+    assert got == {1: (3, 3), 2: (3, 3)}
+
+
+def test_bpe_encode_empty_doc_zero(spark):
+    from pdf_extractor_spark.operators.curation import bpe_encode
+
+    docs = _docs(spark, [(1, "ab ab", 5), (2, None, 0), (3, "   ", 3)])
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_encode(docs, n_merges=1).collect()
+    }
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    assert got[1] == (2, 2)  # (a,b) merges both words to one symbol
+
+
+def test_bpe_encode_reference_parity(spark):
+    from pdf_extractor_spark.operators.curation import bpe_encode
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quicker the better said the brown bear",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "the theme there is thorough the thick thicket",
+        "a i o single letter words stay single",
+    ]
+    docs = _docs(spark, [(i, t, len(t)) for i, t in enumerate(texts)])
+    got = sorted(
+        (r["doc_id"], r["n_words"], r["n_subwords"])
+        for r in bpe_encode(docs, n_merges=4).collect()
+    )
+    assert got == _bpe_encode_ref(texts, 4)

@@ -42,3 +42,67 @@ def test_ivf_self_match_rank1(spark, emb):
     top = ivf_topk(emb, q, k=1, n_centroids=16, n_probe=8)
     for r in top.collect():
         assert r.id == r.query_id and r.rank == 1  # a vector's NN is itself
+
+
+def _kmeans_ref(vecs, k, iters):
+    """Pure-numpy replay of ivf_centroids + kmeans_cluster_stats:
+    stride seeding, assign by cosine (ties to lowest cid), element-wise
+    mean updates with empty clusters keeping their previous centroid."""
+    import numpy as np
+
+    v = np.asarray(vecs, dtype=np.float64)
+    n = len(v)
+    stride = max(1, n // k)
+    cents = v[[i for i in range(n) if i % stride == 0][:k]].copy()
+
+    def assign(c):
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        vn = v / np.clip(np.linalg.norm(v, axis=1, keepdims=True), 1e-300, None)
+        sims = vn @ cn.T
+        return np.argmax(sims, axis=1)  # argmax ties -> lowest index
+
+    for _ in range(iters):
+        a = assign(cents)
+        new = cents.copy()
+        for c in range(k):
+            members = v[a == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        cents = new
+    a = assign(cents)
+    stats = {}
+    for c in range(k):
+        members = v[a == c]
+        if not len(members):
+            continue
+        cn = cents[c] / np.linalg.norm(cents[c])
+        coss = [
+            round(float(m @ cn / np.linalg.norm(m)), 4) for m in members
+        ]
+        stats[c] = (len(members), round(sum(coss) / len(coss), 4))
+    return stats
+
+
+def test_kmeans_cluster_stats_matches_numpy(spark, emb):
+    from pdf_extractor_spark.operators.similarity import kmeans_cluster_stats
+
+    rows = emb.orderBy("vec_id").collect()
+    vecs = [r.embedding for r in rows]
+    want = _kmeans_ref(vecs, k=4, iters=2)
+    got = {
+        r.cluster: (r.n_vecs, r.avg_cosine)
+        for r in kmeans_cluster_stats(emb, n_clusters=4, refine_iters=2).collect()
+    }
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c][0] == want[c][0], (c, got[c], want[c])
+        assert abs(got[c][1] - want[c][1]) <= 1e-3, (c, got[c], want[c])
+
+
+def test_kmeans_occupancy_covers_corpus(spark, emb):
+    from pdf_extractor_spark.operators.similarity import kmeans_cluster_stats
+
+    total = emb.count()
+    stats = kmeans_cluster_stats(emb, n_clusters=8, refine_iters=2).collect()
+    assert sum(r.n_vecs for r in stats) == total
+    assert all(r.avg_cosine is not None for r in stats)

@@ -1,0 +1,45 @@
+"""compaction_plan: Iceberg binpack planning semantics."""
+
+from pdf_extractor_spark.operators.maintenance import compaction_plan
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "part string, file_name string, bytes long")
+
+
+def test_compaction_plan_hand_computed(spark):
+    # p0 in name order: a=100, b=100, c=250, d=100 at target 200:
+    # cum-before 0,100,200,450 -> bins 0,0,1,2
+    rows = [
+        ("p0", "a", 100),
+        ("p0", "b", 100),
+        ("p0", "c", 250),
+        ("p0", "d", 100),
+        ("p1", "a", 500),
+    ]
+    got = {
+        (r.part, r.bin): (r.n_files, r.bin_bytes, r.needs_rewrite)
+        for r in compaction_plan(_files(spark, rows), 200).collect()
+    }
+    assert got == {
+        ("p0", 0): (2, 200, True),
+        ("p0", 1): (1, 250, False),
+        ("p0", 2): (1, 100, False),
+        ("p1", 0): (1, 500, False),
+    }
+
+
+def test_compaction_plan_preserves_total_bytes(spark):
+    rows = [(f"p{i % 3}", f"f{i:03d}", 10 * (i % 7) + 1) for i in range(100)]
+    plan = compaction_plan(_files(spark, rows), 64).collect()
+    assert sum(r.bin_bytes for r in plan) == sum(b for _, _, b in rows)
+    assert sum(r.n_files for r in plan) == len(rows)
+
+
+def test_compaction_plan_single_shuffle(spark):
+    rows = [("p0", "a", 1), ("p1", "b", 2)]
+    plan = compaction_plan(_files(spark, rows), 10)
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    # window + final agg reuse the part hash partitioning; orderBy adds a
+    # range exchange for output ordering only
+    assert phys.lower().count("exchange hashpartitioning") <= 2

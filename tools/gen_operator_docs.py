@@ -30,7 +30,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Text statistics & quality", [
         "token_count", "bpe_token_count", "quality_score", "lang_id",
         "fingerprint", "repetition_stats", "tfidf_top_terms",
-        "token_entropy", "bpe_pair_counts", "bpe_merges", "pmi_cooccurrence",
+        "token_entropy", "bpe_pair_counts", "bpe_merges", "bpe_encode",
+        "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
         "gopher_filter", "hash_lr", "vocab_coverage",
     ]),
@@ -50,7 +51,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "lsh_ann_topk", "ivf_ann_topk",
-        "embedding_quantize",
+        "kmeans_clusters", "embedding_quantize",
     ]),
     ("Web: HTML, URLs, link graph", [
         "html_main_content", "html_blocks", "html_links",
@@ -64,11 +65,14 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Events: sessions, as-of, rollups, sketches", [
         "sessionize", "asof_last_purchase", "events_rollup",
-        "events_pivot", "range_join_windows", "zorder_key", "cms_user_counts",
+        "events_pivot", "range_join_windows", "cms_user_counts",
         "click_not_purchase_users",
         "moving_avg_daily", "value_quantiles", "approx_value_quantiles",
         "approx_distinct_users", "hll_mergeable_users", "sample_quantile_sketch", "funnel_conversion", "retention_cohorts",
         "key_skew_stats", "salted_join", "scd2_user_status",
+    ]),
+    ("Table layout & maintenance (Iceberg upkeep)", [
+        "zorder_key", "compaction_plan",
     ]),
 ]
 

@@ -617,6 +617,43 @@ def _kmeans_clusters(spark, sf_dir):
     return kmeans_cluster_stats(emb, n_clusters=8, centroids=cents)
 
 
+def _dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling weights: log p_target(x) - log p_raw(x)
+    under 256-bucket hashed unigram models with add-1 smoothing; target =
+    docs with doc_id % 97 == 0 (the decontaminate convention). The oracle
+    rebuilds the identical md5-bucketed models and log-ratios."""
+    from pdf_extractor_spark.operators.curation import dsir_weights
+
+    return dsir_weights(_t_wide(spark, sf_dir, "documents"))
+
+
+def _snapshot_diff(spark, sf_dir):
+    """Changelog between two corpus snapshots (Iceberg
+    create_changelog_view semantics) keyed by md5(text) digest: snapshot B
+    is derived deterministically from the documents table — doc_id % 11
+    removed, % 13 rewritten (text + ' v2'), % 17 spawns an added doc at
+    id + 1,000,000 — so every status value occurs."""
+    from pdf_extractor_spark.merge import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    old = d.select("doc_id", F.md5(txt).alias("digest"))
+    changed = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(txt, F.lit(" v2"))
+    ).otherwise(txt)
+    new = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select("doc_id", F.md5(changed).alias("digest"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.md5(F.concat(txt, F.lit(" new"))).alias("digest"),
+            )
+        )
+    )
+    return snapshot_diff(old, new)
+
+
 def _compaction_plan(spark, sf_dir):
     """Iceberg rewrite_data_files binpack planning over a synthetic file
     inventory (one file per document: partition = source, bytes = text
@@ -2712,6 +2749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": _range_join_windows,
         "zorder_key": _zorder_key,
         "compaction_plan": _compaction_plan,
+        "snapshot_diff": _snapshot_diff,
+        "dsir_weights": _dsir_weights,
         "cms_user_counts": _cms_user_counts,
         "embedding_quantize": _embedding_quantize,
         "bloom_decontaminate": _bloom_decontaminate,
@@ -5340,6 +5379,48 @@ SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
        CAST(sum(bytes) AS BIGINT) AS bin_bytes,
        count(*) > 1 AS needs_rewrite
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # dsir_weights: identical md5-bucketed unigram models, add-1 smoothed
+    # log-ratio per bucket, per-doc sum rounded to 6 dp (ln precedent:
+    # pmi_cooccurrence / lm_perplexity).
+    sql["dsir_weights"] = f"""
+WITH tok AS (
+  SELECT doc_id, doc_id % 97 = 0 AS is_t, unnest({_LTOKS}) AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+tb AS (SELECT doc_id, is_t,
+              CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 256 AS bk
+       FROM tok),
+bc AS (SELECT bk, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+              sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+       FROM tb GROUP BY 1),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc),
+lr AS (SELECT bk, ln((ct + 1.0) / (tt + 256.0))
+               - ln((cr + 1.0) / (tr + 256.0)) AS r
+       FROM bc, tot),
+agg AS (SELECT tb.doc_id, count(*) AS nf, sum(lr.r) AS w
+        FROM tb JOIN lr USING (bk) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(a.nf, 0) AS BIGINT) AS n_feats,
+       round(coalesce(a.w, 0.0), 6) AS log_w
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+    # snapshot_diff: snapshot B derived in SQL exactly as the Spark query
+    # derives it; the diff is one full-outer join on doc_id over digests.
+    sql["snapshot_diff"] = """
+WITH old AS (SELECT doc_id, md5(coalesce(text, '')) AS od FROM documents),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN coalesce(text, '') || ' v2'
+                  ELSE coalesce(text, '') END) AS nd
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(coalesce(text, '') || ' new')
+  FROM documents WHERE doc_id % 17 = 0)
+SELECT doc_id,
+       CASE WHEN od IS NULL THEN 'added'
+            WHEN nd IS NULL THEN 'removed'
+            WHEN od = nd THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new USING (doc_id)
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -113,6 +113,8 @@ HEADLINE = [
     "range_join_windows",
     "zorder_key",
     "compaction_plan",
+    "snapshot_diff",
+    "dsir_weights",
     "cms_user_counts",
     "embedding_quantize",
     "bloom_decontaminate",

@@ -147,3 +147,43 @@ def scd2_versions(
         )
         out = closed.unionByName(out)
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """(doc_id, status) with status in added / removed / changed /
+    unchanged — the changelog between two corpus snapshots keyed by a
+    content digest (Iceberg's create_changelog_view / CDC read, computed
+    relationally when the table format's snapshot metadata isn't at
+    hand). This is what incremental consumers key resume/invalidation
+    off: re-embed `changed`, ingest `added`, tombstone `removed`.
+
+    Both inputs need (id_col, digest_col); build the digest with
+    md5(text) upstream so the compare never moves document bodies —
+    the full-outer join shuffles 16-byte digests, not payloads (the
+    exact_dedup digest-first discipline).
+
+    Scale shape: ONE sort-merge full-outer join on the id key (both
+    sides corpus-sized — not broadcastable by definition), narrow
+    status projection after. With both snapshots bucket-partitioned by
+    the pipeline's xxhash64(doc_id) layout the exchange is avoidable
+    entirely (storage-partitioned join); on flat inputs AQE handles
+    skew. Driver state: none."""
+    o = old.select(
+        F.col(id_col).alias("id"), F.col(digest_col).alias("od")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.col(digest_col).alias("nd")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("od").isNull(), F.lit("added"))
+        .when(F.col("nd").isNull(), F.lit("removed"))
+        .when(F.col("od") == F.col("nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("id").alias(id_col), status.alias("status"))

@@ -1390,3 +1390,62 @@ def bpe_encode(
             .alias("n_subwords"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    target_mod: int = 97,
+) -> DataFrame:
+    """(doc_id, n_feats, log_w) — Data Selection via Importance Resampling
+    weights (the DSIR recipe from the public data-selection literature):
+    each document scored by log p_target(x) - log p_raw(x) under hashed
+    bag-of-words models with add-1 smoothing. The target distribution is
+    fit on the small in-domain sample (here doc_id % target_mod == 0 —
+    the same held-out convention as decontaminate); raw is everything
+    else. Downstream selection keeps the Gumbel-perturbed top weights;
+    the weights are the distributed computation, so that is the surface.
+
+    Scale shape: ONE token-bucket shuffle builds the two hashed unigram
+    models as a `buckets`-row table (map-side combine; the model is
+    vocabulary-independent by construction — that is the point of the
+    hashing trick), the per-bucket log-ratio dim broadcasts, and scoring
+    is a second narrow pass over the token stream + a doc-key aggregate.
+    Token hash = the cross-engine md5 recipe (simhash_token_hash), so
+    the DuckDB oracle rebuilds the identical models and ratios.
+
+    No reference counterpart (SURVEY §2.8): data-selection support for
+    the LLM-pipeline family."""
+    stream = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(id_col) % target_mod == 0).alias("is_t"),
+            F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("t"),
+        )
+        .withColumn(
+            "bk", (simhash_token_hash(F.col("t")) % buckets).cast("int")
+        )
+    )
+    toks = stream.where(F.col("t").isNotNull())
+    bc = toks.groupBy("bk").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + F.lit(float(buckets))))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(float(buckets))))
+        ).alias("r"),
+    )
+    scored = stream.join(F.broadcast(lr), "bk", "left")
+    return scored.groupBy("doc_id").agg(
+        F.count("t").cast("long").alias("n_feats"),
+        F.round(F.coalesce(F.sum("r"), F.lit(0.0)), 6).alias("log_w"),
+    )

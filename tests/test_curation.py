@@ -803,3 +803,71 @@ def test_bpe_encode_reference_parity(spark):
         for r in bpe_encode(docs, n_merges=4).collect()
     )
     assert got == _bpe_encode_ref(texts, 4)
+
+
+def _dsir_ref(rows, buckets=256, target_mod=97):
+    """Pure-Python replay of dsir_weights (md5 token hash, add-1)."""
+    import hashlib
+    import math
+
+    def bk(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % buckets
+
+    ct, cr = {}, {}
+    toks = {}
+    for doc_id, text, _ in rows:
+        ws = (text or "").lower().split()
+        toks[doc_id] = ws
+        tgt = doc_id % target_mod == 0
+        for w in ws:
+            b = bk(w)
+            (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    out = {}
+    for doc_id, ws in toks.items():
+        w_sum = 0.0
+        for w in ws:
+            b = bk(w)
+            w_sum += math.log((ct.get(b, 0) + 1.0) / (tt + buckets)) - math.log(
+                (cr.get(b, 0) + 1.0) / (tr + buckets)
+            )
+        out[doc_id] = (len(ws), round(w_sum, 6))
+    return out
+
+
+def test_dsir_weights_reference_parity(spark):
+    from pdf_extractor_spark.operators.curation import dsir_weights
+
+    rows = [
+        (0, "alpha beta common words here", 1),     # target (0 % 97 == 0)
+        (97, "alpha gamma target only words", 1),   # target
+        (1, "common words raw side text", 1),
+        (2, "more raw text common words", 1),
+        (3, "", 1),
+        (4, None, 1),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        r.doc_id: (r.n_feats, r.log_w)
+        for r in dsir_weights(docs).collect()
+    }
+    want = _dsir_ref(rows)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) <= 2e-6, (k, got[k], want[k])
+
+
+def test_dsir_target_vocab_scores_higher(spark):
+    from pdf_extractor_spark.operators.curation import dsir_weights
+
+    # doc 0 (target) and doc 1 share NO vocabulary; a raw doc written in
+    # the target's vocabulary must outscore a raw doc in raw vocabulary
+    rows = [
+        (0, "quantum flux entangle qubit", 1),
+        (1, "buy cheap pills now deal", 1),
+        (2, "quantum qubit flux", 1),        # raw, target-like
+        (3, "cheap deal pills", 1),          # raw, raw-like
+    ]
+    got = {r.doc_id: r.log_w for r in dsir_weights(_docs(spark, rows)).collect()}
+    assert got[2] > got[3]

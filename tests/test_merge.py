@@ -126,3 +126,16 @@ def test_merge_into_missing_bucket_dir(spark, tmp_path):
         "a": ("orig", 1),
         newkey: ("fresh", 1),
     }
+
+
+def test_snapshot_diff_statuses(spark):
+    from pdf_extractor_spark.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, digest string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, digest string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

@@ -47,7 +47,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "global_shuffle", "hash_sample", "host_quota_sample",
         "curation_funnel", "chunk_documents", "pack_sequences",
         "bloom_decontaminate",
-        "stratified_sample", "corpus_rollup",
+        "stratified_sample", "corpus_rollup", "dsir_weights",
     ]),
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "lsh_ann_topk", "ivf_ann_topk",
@@ -72,7 +72,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "key_skew_stats", "salted_join", "scd2_user_status",
     ]),
     ("Table layout & maintenance (Iceberg upkeep)", [
-        "zorder_key", "compaction_plan",
+        "zorder_key", "compaction_plan", "snapshot_diff",
     ]),
 ]
 

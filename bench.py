@@ -131,6 +131,7 @@ HEADLINE = [
     "simhash_neardup",
     "embedding_neardup",
     "semdedup",
+    "fuzzy_name_match",
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",

@@ -237,3 +237,60 @@ def test_incremental_minhash_precomputed_index_equivalent(spark):
         ).collect()
     }
     assert live == pre and live  # identical and non-empty
+
+
+def test_fuzzy_key_pairs_hand_computed(spark):
+    from pdf_extractor_spark.operators.dedup import fuzzy_key_pairs
+
+    left = spark.createDataFrame(
+        [(1, "spark"), (2, "flint"), (3, "x")], "id long, key string"
+    )
+    right = spark.createDataFrame(
+        [(10, "spak"), (11, "flint"), (12, "zzz"), (13, "")],
+        "id long, key string",
+    )
+    got = {
+        (r.id1, r.id2): r.edit_dist
+        for r in fuzzy_key_pairs(left, right).collect()
+    }
+    # spark~spak: deletion, dist 1; flint==flint: dist 0; x~"": dist 1
+    assert got == {(1, 10): 1, (2, 11): 0, (3, 13): 1}
+
+
+def test_fuzzy_key_pairs_exact_recall_dist1(spark):
+    from pdf_extractor_spark.operators.dedup import fuzzy_key_pairs
+
+    keys = [
+        "alpha", "alpa", "alphax", "blpha", "beta", "betta", "gamma",
+        "gamm", "delta", "dalta", "delt", "deltaa", "epsilon",
+    ]
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    want = {
+        (i, j): lev(a, b)
+        for i, a in enumerate(keys)
+        for j, b in enumerate(keys)
+        if lev(a, b) <= 1
+    }
+    df = spark.createDataFrame(list(enumerate(keys)), "id long, key string")
+    got = {
+        (r.id1, r.id2): r.edit_dist
+        for r in fuzzy_key_pairs(df, df).collect()
+    }
+    assert got == want  # exact recall AND no false positives at dist <= 1

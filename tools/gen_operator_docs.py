@@ -40,7 +40,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "winnow_fingerprints", "winnow_pairs", "minhash_lsh",
         "simhash_neardup", "neardup_clusters", "dedup_survivors",
         "dedup_apply", "dup_ngram_stats", "incremental_dedup", "incremental_lsh_dedup", "embedding_neardup",
-        "semdedup",
+        "semdedup", "fuzzy_name_match",
     ]),
     ("Decontamination & corpus curation", [
         "decontaminate", "decontaminate_near", "pii_scrub", "mix_weights",

@@ -638,6 +638,17 @@ def _fuzzy_name_match(spark, sf_dir):
     return fuzzy_key_pairs(left, right)
 
 
+def _rendezvous_shards(spark, sf_dir):
+    """HRW (rendezvous) shard assignment at 16 shards plus the 17-shard
+    reassignment in one pass: `moved` marks the minimal-movement set —
+    every moved doc provably lands on the new shard (id 16); expected
+    moved fraction 1/17. The oracle reproduces every md5 weight."""
+    from pdf_extractor_spark.operators.maintenance import rendezvous_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return rendezvous_shards(d, num_shards=16, new_shards=17)
+
+
 def _dsir_weights(spark, sf_dir):
     """DSIR importance-resampling weights: log p_target(x) - log p_raw(x)
     under 256-bucket hashed unigram models with add-1 smoothing; target =
@@ -2788,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _snapshot_diff,
         "dsir_weights": _dsir_weights,
         "fuzzy_name_match": _fuzzy_name_match,
+        "rendezvous_shards": _rendezvous_shards,
         "cms_user_counts": _cms_user_counts,
         "embedding_quantize": _embedding_quantize,
         "bloom_decontaminate": _bloom_decontaminate,
@@ -5458,6 +5470,28 @@ SELECT doc_id,
             WHEN od = nd THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old FULL OUTER JOIN new USING (doc_id)
+"""
+    # rendezvous_shards: identical md5 weights, argmax via (w DESC, s
+    # DESC) row_number — the exact mirror of Spark's struct array_max.
+    _hrw = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' || "
+        "CAST(s AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    sql["rendezvous_shards"] = f"""
+WITH w16 AS (
+  SELECT doc_id, s, {_hrw} AS w,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY {_hrw} DESC, s DESC) AS rn
+  FROM documents, range(16) t(s)),
+w17 AS (
+  SELECT doc_id, s, {_hrw} AS w,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY {_hrw} DESC, s DESC) AS rn
+  FROM documents, range(17) t(s)),
+a AS (SELECT doc_id, CAST(s AS INT) AS shard FROM w16 WHERE rn = 1),
+b AS (SELECT doc_id, CAST(s AS INT) AS shard_new FROM w17 WHERE rn = 1)
+SELECT a.doc_id, a.shard, b.shard_new, a.shard <> b.shard_new AS moved
+FROM a JOIN b USING (doc_id)
 """
     # fuzzy_name_match: the identical deletion-neighborhood construction
     # in SQL — keys + 1-deletion variants, variant equi-join, exact

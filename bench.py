@@ -115,6 +115,7 @@ HEADLINE = [
     "compaction_plan",
     "snapshot_diff",
     "dsir_weights",
+    "rendezvous_shards",
     "cms_user_counts",
     "embedding_quantize",
     "bloom_decontaminate",

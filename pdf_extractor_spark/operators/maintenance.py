@@ -63,3 +63,55 @@ def compaction_plan(
         )
         .orderBy("part", "bin")
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    new_shards: "int | None" = None,
+) -> DataFrame:
+    """(doc_id, shard[, shard_new, moved]) — highest-random-weight
+    (rendezvous / HRW) shard assignment: a document's shard is the one
+    whose md5-derived weight w(doc, s) is highest. The property that
+    matters for a living 10^12-doc corpus: growing the shard count from
+    S to S' moves ONLY the documents whose argmax becomes one of the new
+    shards — an expected (S'-S)/S' fraction — while modulo sharding
+    reshuffles almost everything. Pass `new_shards` to emit the
+    before/after assignment and the `moved` flag in one pass (every
+    moved doc provably lands on a NEW shard id >= num_shards).
+
+    Scale shape: zero shuffle — the per-doc argmax is a bounded
+    S-element array expression evaluated map-side (S is shard count,
+    never corpus-sized). Weights reuse the cross-engine md5 recipe
+    (dedup.simhash_token_hash), so the DuckDB oracle reproduces every
+    assignment exactly."""
+    from .dedup import simhash_token_hash
+
+    def weight(s: int):
+        return simhash_token_hash(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit("_"), F.lit(str(s))
+            )
+        )
+
+    def argmax_shard(n: int):
+        # struct max = lexicographic (w, s): highest weight, ties (md5
+        # collisions, practically impossible) to the highest shard id
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(weight(s).alias("w"), F.lit(s).alias("s"))
+                    for s in range(n)
+                ]
+            )
+        )["s"].alias("shard")
+
+    out = df.select(F.col(id_col).alias("doc_id"), argmax_shard(num_shards))
+    if new_shards is None:
+        return out
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        argmax_shard(num_shards),
+        argmax_shard(new_shards).alias("shard_new"),
+    ).withColumn("moved", F.col("shard") != F.col("shard_new"))

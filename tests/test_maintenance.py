@@ -43,3 +43,33 @@ def test_compaction_plan_single_shuffle(spark):
     # window + final agg reuse the part hash partitioning; orderBy adds a
     # range exchange for output ordering only
     assert phys.lower().count("exchange hashpartitioning") <= 2
+
+
+def test_rendezvous_minimal_movement(spark):
+    from pdf_extractor_spark.operators.maintenance import rendezvous_shards
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = rendezvous_shards(df, num_shards=16, new_shards=17).collect()
+    moved = [r for r in out if r.moved]
+    # HRW law: a doc moves ONLY if the new shard wins its argmax
+    assert all(r.shard_new == 16 for r in moved)
+    # expected moved fraction 1/17 ~ 5.9%; generous band for 2000 docs
+    frac = len(moved) / len(out)
+    assert 0.02 < frac < 0.12, frac
+    # unmoved docs keep their exact assignment
+    assert all(r.shard == r.shard_new for r in out if not r.moved)
+
+
+def test_rendezvous_balance(spark):
+    from pdf_extractor_spark.operators.maintenance import rendezvous_shards
+
+    df = spark.createDataFrame([(i,) for i in range(3200)], "doc_id long")
+    counts = {}
+    for r in rendezvous_shards(df, num_shards=16).collect():
+        counts[r.shard] = counts.get(r.shard, 0) + 1
+    assert len(counts) == 16
+    # uniform-ish: each shard within 2x of the mean (md5 weights)
+    assert max(counts.values()) < 2 * (3200 / 16)
+    assert min(counts.values()) > (3200 / 16) / 2

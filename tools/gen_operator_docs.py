@@ -72,7 +72,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "key_skew_stats", "salted_join", "scd2_user_status",
     ]),
     ("Table layout & maintenance (Iceberg upkeep)", [
-        "zorder_key", "compaction_plan", "snapshot_diff",
+        "zorder_key", "compaction_plan", "snapshot_diff", "rendezvous_shards",
     ]),
 ]
 

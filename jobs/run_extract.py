@@ -64,6 +64,17 @@ def main() -> None:
         resume=not args.no_resume,
     )
     print(summary)
+    # run-level extraction metrics (north_star: classifier label counts,
+    # pages parsed, spans emitted) — one aggregate over the lineage table
+    from pdf_extractor_spark.pipeline import run_metrics_summary
+
+    for r in run_metrics_summary(
+        spark, summary["metrics_path"], args.run_id
+    ).collect():
+        print(
+            f"[labels] {r.doc_type}: docs={r.n_docs} success={r.n_success} "
+            f"pages={r.pages_parsed} spans={r.spans_emitted}"
+        )
     spark.stop()
 
 

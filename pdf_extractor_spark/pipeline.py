@@ -239,3 +239,31 @@ def run_pipeline(
         "data_path": data_path,
         "metrics_path": metrics_path,
     }
+
+
+def run_metrics_summary(
+    spark: SparkSession, metrics_path: str, run_id: str
+) -> DataFrame:
+    """(doc_type, n_docs, n_success, pages_parsed, spans_emitted) — the
+    run-level extraction-metrics rollup over the lineage table: classifier
+    label counts plus total pages parsed / spans emitted per label (the
+    north_star's named metrics). One scan of the metrics table, one
+    hash aggregate over the handful of labels; doc_type NULL (unclassified
+    or failed rows) groups as its own line so totals reconcile with the
+    corpus count."""
+    return (
+        spark.read.parquet(metrics_path)
+        .filter(F.col("run_id") == run_id)
+        .groupBy("doc_type")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("success").cast("long")).alias("n_success"),
+            F.coalesce(F.sum("pages_parsed"), F.lit(0))
+            .cast("long")
+            .alias("pages_parsed"),
+            F.coalesce(F.sum("spans_emitted"), F.lit(0))
+            .cast("long")
+            .alias("spans_emitted"),
+        )
+        .orderBy("doc_type")
+    )

@@ -84,3 +84,25 @@ def test_rerun_after_success_is_noop(spark, outputs):
     summary = run_pipeline(spark, docs, crash_dir, run_id="r1",
                            num_buckets=BUCKETS, waves=WAVES, resume=True)
     assert summary["waves_run"] == 0  # all buckets in lineage -> nothing to do
+
+
+def test_run_metrics_summary_reconciles(spark, outputs):
+    from pdf_extractor_spark.pipeline import run_metrics_summary
+
+    _docs, clean_dir, _crash_dir = outputs
+    summ = run_metrics_summary(
+        spark, os.path.join(clean_dir, "metrics"), "clean"
+    ).collect()
+    # label counts reconcile with the corpus: every doc in exactly one line
+    assert sum(r.n_docs for r in summ) == N_DOCS
+    assert all(r.n_success <= r.n_docs for r in summ)
+    # spans/pages totals match the per-doc lineage sums
+    m = spark.read.parquet(os.path.join(clean_dir, "metrics")).filter(
+        F.col("run_id") == "clean"
+    )
+    assert sum(r.spans_emitted for r in summ) == (
+        m.agg(F.sum("spans_emitted")).collect()[0][0]
+    )
+    assert sum(r.pages_parsed for r in summ) == (
+        m.agg(F.sum("pages_parsed")).collect()[0][0]
+    )

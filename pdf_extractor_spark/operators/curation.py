@@ -1408,13 +1408,17 @@ def dsir_weights(
     else. Downstream selection keeps the Gumbel-perturbed top weights;
     the weights are the distributed computation, so that is the surface.
 
-    Scale shape: ONE token-bucket shuffle builds the two hashed unigram
-    models as a `buckets`-row table (map-side combine; the model is
-    vocabulary-independent by construction — that is the point of the
-    hashing trick), the per-bucket log-ratio dim broadcasts, and scoring
-    is a second narrow pass over the token stream + a doc-key aggregate.
-    Token hash = the cross-engine md5 recipe (simhash_token_hash), so
-    the DuckDB oracle rebuilds the identical models and ratios.
+    Scale shape: the token stream is exploded ONCE and immediately folded
+    to the (doc, bucket) histogram — at most `buckets` rows per document,
+    map-side combined — and everything downstream runs over the
+    histogram: the two hashed unigram models are a `buckets`-row
+    re-aggregation of it (vocabulary-independent by construction — the
+    point of the hashing trick), the per-bucket log-ratio dim broadcasts,
+    and per-doc scoring is sum(count x ratio) over histogram rows. One
+    corpus-scale shuffle total; the token stream is never shuffled or
+    scanned twice. Token hash = the cross-engine md5 recipe
+    (simhash_token_hash), so the DuckDB oracle rebuilds the identical
+    models and ratios.
 
     No reference counterpart (SURVEY §2.8): data-selection support for
     the LLM-pipeline family."""
@@ -1425,14 +1429,23 @@ def dsir_weights(
             (F.col(id_col) % target_mod == 0).alias("is_t"),
             F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("t"),
         )
+        # null-token rows (empty/null-text docs) stay in the histogram
+        # under bk NULL so every doc reaches the output without a corpus
+        # re-join; they're excluded from the models below
         .withColumn(
             "bk", (simhash_token_hash(F.col("t")) % buckets).cast("int")
         )
     )
-    toks = stream.where(F.col("t").isNotNull())
-    bc = toks.groupBy("bk").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
+    hist = stream.groupBy("doc_id", "is_t", "bk").agg(
+        F.count("t").cast("long").alias("c")
+    )
+    bc = (
+        hist.where(F.col("bk").isNotNull())
+        .groupBy("bk")
+        .agg(
+            F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("c"))).alias("cr"),
+        )
     )
     tot = bc.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
@@ -1444,8 +1457,13 @@ def dsir_weights(
             - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(float(buckets))))
         ).alias("r"),
     )
-    scored = stream.join(F.broadcast(lr), "bk", "left")
-    return scored.groupBy("doc_id").agg(
-        F.count("t").cast("long").alias("n_feats"),
-        F.round(F.coalesce(F.sum("r"), F.lit(0.0)), 6).alias("log_w"),
+    return (
+        hist.join(F.broadcast(lr), "bk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(
+                F.coalesce(F.sum(F.col("c") * F.col("r")), F.lit(0.0)), 6
+            ).alias("log_w"),
+        )
     )

@@ -370,3 +370,46 @@ def test_incremental_lsh_sound_and_exact(spark, texts):
     assert set(got) <= set(truth)
     for k, v in got.items():
         assert abs(v - truth[k]) < 1e-9
+
+
+# -- fuzzy_key_pairs: FastSS exact-recall law on adversarial short keys ------
+
+_keys = st.lists(
+    st.text(alphabet="abcx", min_size=0, max_size=6),
+    min_size=2,
+    max_size=12,
+    unique=True,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(keys=_keys)
+@settings(**_SETTINGS)
+def test_fuzzy_key_pairs_fuzz_exact_recall(spark, keys):
+    from pdf_extractor_spark.operators.dedup import fuzzy_key_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(keys)), "id long, key string"
+    )
+    got = {
+        (r.id1, r.id2): r.edit_dist
+        for r in fuzzy_key_pairs(df, df).collect()
+    }
+    want = {
+        (i, j): _lev(a, b)
+        for i, a in enumerate(keys)
+        for j, b in enumerate(keys)
+        if _lev(a, b) <= 1
+    }
+    assert got == want

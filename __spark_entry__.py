@@ -638,6 +638,30 @@ def _fuzzy_name_match(spark, sf_dir):
     return fuzzy_key_pairs(left, right)
 
 
+def _heavy_hitters(spark, sf_dir):
+    """CMS-prefiltered two-pass heavy hitters over events.user_id
+    (threshold 75): the bounded 4x256 sketch rides the plan as an array
+    literal, rows are filtered map-side by their sketch estimate, and
+    only the survivors are exact-counted. CMS never underestimates, so
+    the output equals plain GROUP BY HAVING — the oracle — and a broken
+    prefilter shows up loudly as missing keys."""
+    from pdf_extractor_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", threshold=75
+    )
+
+
+def _event_dedup(spark, sf_dir):
+    """Debounce duplicate events: same (user, type) within 1h of the
+    previous firing -> is_dup (lag semantics, microsecond-exact)."""
+    from pdf_extractor_spark.operators.events import event_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    out = event_dedup(ev, gap_seconds=3600)
+    return out.select("event_id", "user_id", "event_type", "ts", "is_dup")
+
+
 def _rendezvous_shards(spark, sf_dir):
     """HRW (rendezvous) shard assignment at 16 shards plus the 17-shard
     reassignment in one pass: `moved` marks the minimal-movement set —
@@ -2800,6 +2824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _dsir_weights,
         "fuzzy_name_match": _fuzzy_name_match,
         "rendezvous_shards": _rendezvous_shards,
+        "heavy_hitters": _heavy_hitters,
+        "event_dedup": _event_dedup,
         "cms_user_counts": _cms_user_counts,
         "embedding_quantize": _embedding_quantize,
         "bloom_decontaminate": _bloom_decontaminate,
@@ -5471,6 +5497,20 @@ SELECT doc_id,
             WHEN od = nd THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old FULL OUTER JOIN new USING (doc_id)
+"""
+    # heavy_hitters: the CMS prefilter must be output-invisible (no false
+    # negatives), so the oracle is the PLAIN exact aggregate.
+    sql["heavy_hitters"] = """
+SELECT user_id AS key, CAST(count(*) AS BIGINT) AS exact_n
+FROM events GROUP BY 1 HAVING count(*) >= 75
+"""
+    # event_dedup: identical lag-debounce at microsecond precision.
+    sql["event_dedup"] = """
+SELECT event_id, user_id, event_type, ts,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         <= CAST(3600000000 AS BIGINT), false) AS is_dup
+FROM events
 """
     # rendezvous_shards: identical md5 weights, argmax via (w DESC, s
     # DESC) row_number — the exact mirror of Spark's struct array_max.

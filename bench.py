@@ -117,6 +117,8 @@ HEADLINE = [
     "dsir_weights",
     "rendezvous_shards",
     "cms_user_counts",
+    "heavy_hitters",
+    "event_dedup",
     "embedding_quantize",
     "bloom_decontaminate",
     "scd2_user_status",

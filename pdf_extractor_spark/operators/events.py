@@ -347,3 +347,35 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return salted_facts.join(salted_dim, [key, "_salt"], how).drop("_salt")
+
+
+def event_dedup(
+    events: DataFrame,
+    gap_seconds: int = 3600,
+    key_cols: "tuple[str, ...]" = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """events + is_dup — debounce duplicate events: a row is a duplicate
+    if the SAME key (user, type) fired within `gap_seconds` of the
+    PREVIOUS firing (lag semantics — the standard double-fire / retry
+    hygiene filter for instrumentation logs; chained rapid fires are all
+    duplicates of their predecessor, which is what retry storms look
+    like). Deterministic order inside a key: (ts, event_id). Timestamps
+    compare at microsecond precision (unix_micros — exact integers in
+    both engines, no sub-second truncation).
+
+    Scale shape: ONE hash shuffle on the dedup key, a lag window inside
+    each key partition. Per-key partitions are per-user-per-type slices —
+    the same skew class the sessionizer handles; no global sort."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    # the events table carries TIMESTAMP_NTZ; the cast (session tz is
+    # pinned UTC) shifts both lag sides identically, so gaps are exact
+    mic = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(mic).over(w)
+    return events.withColumn(
+        "is_dup",
+        F.coalesce(
+            mic - prev <= F.lit(gap_seconds * 1_000_000), F.lit(False)
+        ),
+    )

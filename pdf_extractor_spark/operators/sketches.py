@@ -281,3 +281,50 @@ def sketch_quantile(sk: "F.Column", q: float) -> "F.Column":
             + F.lit(1)
         ).cast("int"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(key, exact_n) for every key occurring >= threshold times — the
+    CMS-prefiltered two-pass heavy-hitters pattern. Pass 1 folds the
+    stream into the depth x width Count-Min cell table (bounded size at
+    ANY key cardinality) and ships it back into the plan as an array
+    literal (the hash_lr "model rides the plan" trick — bounded driver
+    state, no broadcast join). Pass 2 filters rows MAP-SIDE to those
+    whose sketch estimate clears the threshold, then exact-counts only
+    the survivors. CMS overestimates, never underestimates, so the
+    prefilter has NO false negatives: the output is exactly GROUP BY
+    HAVING count >= threshold — which is what the oracle checks, making
+    a broken prefilter loudly visible as missing keys.
+
+    Scale shape: at a 10^9-distinct-key space a direct groupBy shuffles
+    the whole stream by key; here the only full-stream aggregate is the
+    1024-cell sketch (map-side combined into almost nothing), and the
+    exact groupBy runs over just the heavy-candidate rows — the rare
+    keys the query is about plus sketch-collision stragglers (bounded by
+    eps = e/width of stream mass per row)."""
+    sketch = cms_table(df, key_col, depth, width)
+    cells = sketch.collect()  # bounded: depth x width rows
+    grid = [[0] * width for _ in range(depth)]
+    for r in cells:
+        grid[r["d"]][int(r["bucket"])] = r["cnt"]
+    est = F.least(
+        *[
+            F.element_at(
+                F.array(*[F.lit(c) for c in grid[d]]),
+                _cms_bucket(F.col(key_col), d, width).cast("int") + 1,
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.filter(est >= F.lit(threshold))
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .filter(F.col("exact_n") >= F.lit(threshold))
+    )

@@ -295,3 +295,28 @@ def test_salted_join_equals_plain_join_and_salts_the_key(spark):
     assert plain.exceptAll(salted).count() == 0
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan  # the shuffle key really is (key, salt)
+
+
+def test_event_dedup_lag_semantics(spark):
+    from datetime import datetime
+
+    from pdf_extractor_spark.operators.events import event_dedup
+
+    rows = [
+        # user 1 click: three rapid fires -> 2nd and 3rd are dups (lag
+        # semantics: each within 1h of its predecessor)
+        (1, 1, "click", datetime(2024, 1, 1, 0, 0, 0)),
+        (2, 1, "click", datetime(2024, 1, 1, 0, 30, 0)),
+        (3, 1, "click", datetime(2024, 1, 1, 1, 15, 0)),
+        # >1h after the previous click -> kept
+        (4, 1, "click", datetime(2024, 1, 1, 3, 0, 0)),
+        # other type within the window -> unaffected
+        (5, 1, "view", datetime(2024, 1, 1, 0, 10, 0)),
+        # other user -> unaffected
+        (6, 2, "click", datetime(2024, 1, 1, 0, 5, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {r.event_id: r.is_dup for r in event_dedup(df).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: False, 5: False, 6: False}

@@ -157,3 +157,34 @@ def test_sample_sketch_prefilter_matches_unfiltered(spark):
         full.select("g", F.col("sk").alias("sk_f")), "g"
     )
     assert cmp.where(F.col("sk") != F.col("sk_f")).count() == 0
+
+
+def test_heavy_hitters_equals_plain_groupby(spark):
+    from pdf_extractor_spark.operators.sketches import heavy_hitters
+
+    rows = [(i % 7,) for i in range(400)] + [(99,)] * 3
+    df = spark.createDataFrame(rows, "user_id long")
+    got = {
+        r.key: r.exact_n for r in heavy_hitters(df, "user_id", 50).collect()
+    }
+    # keys 0..6 have 57-58 rows; key 99 has 3 -> prefilter must not lose
+    # any >=50 key and the final exact filter must drop 99
+    want = {}
+    for (k,) in rows:
+        want[k] = want.get(k, 0) + 1
+    want = {k: v for k, v in want.items() if v >= 50}
+    assert got == want and 99 not in got
+
+
+def test_heavy_hitters_narrow_width_collisions_still_exact(spark):
+    from pdf_extractor_spark.operators.sketches import heavy_hitters
+
+    # width=4 forces massive sketch collisions: estimates inflate, more
+    # candidates survive the prefilter, but the output is still exact
+    rows = [(i % 23,) for i in range(230)]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = {
+        r.key: r.exact_n
+        for r in heavy_hitters(df, "user_id", 10, depth=2, width=4).collect()
+    }
+    assert got == {k: 10 for k in range(23)}

@@ -307,7 +307,11 @@ def heavy_hitters(
     1024-cell sketch (map-side combined into almost nothing), and the
     exact groupBy runs over just the heavy-candidate rows — the rare
     keys the query is about plus sketch-collision stragglers (bounded by
-    eps = e/width of stream mass per row)."""
+    eps = e/width of stream mass per row).
+
+    NULL keys are excluded (a null hashes to a null bucket — it is not a
+    countable identity; a degenerate corpus WILL contain them)."""
+    df = df.filter(F.col(key_col).isNotNull())
     sketch = cms_table(df, key_col, depth, width)
     cells = sketch.collect()  # bounded: depth x width rows
     grid = [[0] * width for _ in range(depth)]

@@ -638,6 +638,16 @@ def _fuzzy_name_match(spark, sf_dir):
     return fuzzy_key_pairs(left, right)
 
 
+def _props_variant_stats(spark, sf_dir):
+    """Typed aggregation over the semi-structured props column via Spark 4
+    VARIANT (try_parse_json once, variant_get typed path probes): per
+    event type, count/min/max/avg of $.k. Malformed or missing props
+    aggregate as NULL, never as errors."""
+    from pdf_extractor_spark.operators.analytics import props_variant_stats
+
+    return props_variant_stats(_t(spark, sf_dir, "events"))
+
+
 def _heavy_hitters(spark, sf_dir):
     """CMS-prefiltered two-pass heavy hitters over events.user_id
     (threshold 75): the bounded 4x256 sketch rides the plan as an array
@@ -2826,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": _rendezvous_shards,
         "heavy_hitters": _heavy_hitters,
         "event_dedup": _event_dedup,
+        "props_variant_stats": _props_variant_stats,
         "cms_user_counts": _cms_user_counts,
         "embedding_quantize": _embedding_quantize,
         "bloom_decontaminate": _bloom_decontaminate,
@@ -5497,6 +5508,17 @@ SELECT doc_id,
             WHEN od = nd THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old FULL OUTER JOIN new USING (doc_id)
+"""
+    # props_variant_stats: DuckDB's native JSON extraction is the
+    # independent mirror of the VARIANT path probes.
+    sql["props_variant_stats"] = """
+SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+       round(avg(k), 6) AS avg_k
+FROM (SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1 ORDER BY 1
 """
     # heavy_hitters: the CMS prefilter must be output-invisible (no false
     # negatives), so the oracle is the PLAIN exact aggregate.

@@ -119,6 +119,7 @@ HEADLINE = [
     "cms_user_counts",
     "heavy_hitters",
     "event_dedup",
+    "props_variant_stats",
     "embedding_quantize",
     "bloom_decontaminate",
     "scd2_user_status",

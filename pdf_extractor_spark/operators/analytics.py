@@ -234,3 +234,30 @@ def most_recent(
     TakeOrderedAndProject, never a global sort."""
     order = [F.desc(ts_col)] + ([F.desc(tiebreak)] if tiebreak else [])
     return df.orderBy(*order).limit(n)
+
+
+def props_variant_stats(events: DataFrame) -> DataFrame:
+    """(event_type, n, min_k, max_k, avg_k) — typed aggregation over the
+    semi-structured props column via Spark 4 VARIANT: parse_json once at
+    the scan, then variant_get path extraction. At 10^12 rows this is the
+    right shape for JSON-bearing columns — the binary variant encoding is
+    parsed once and every downstream path probe is a cheap typed access,
+    where per-path get_json_object re-parses the string each time (the
+    public Spark 4 semi-structured data story). Missing/null/MALFORMED
+    props drop out of the typed aggregate as NULLs, never as errors
+    (try_parse_json — a crawl-scale log always contains junk rows)."""
+    v = events.select(
+        "event_type", F.try_parse_json(F.col("props")).alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -44,3 +44,29 @@ def test_details_flattening(spark, tmp_path):
     assert rows["c.pdf"].success is False and rows["c.pdf"].error
     types = sorted(r.doc_type for r in rows.values() if r.doc_type)
     assert types == ["contract", "invoice", "invoice", "receipt"]
+
+
+def test_props_variant_stats_handles_junk(spark):
+    import datetime as dt
+
+    from pdf_extractor_spark.operators.analytics import props_variant_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "click", 1.0, '{"k": 10}'),
+        (1, base, 1, "click", 1.0, '{"k": 20}'),
+        (2, base, 2, "click", 1.0, "not json"),   # malformed -> NULL
+        (3, base, 2, "click", 1.0, None),         # missing -> NULL
+        (4, base, 2, "view", 1.0, "{}"),          # no $.k -> NULL
+        (5, base, 3, "view", 1.0, '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r.event_type: (r.n, r.min_k, r.max_k, r.avg_k)
+        for r in props_variant_stats(df).collect()
+    }
+    assert got == {"click": (2, 10, 20, 15.0), "view": (1, 7, 7, 7.0)}

@@ -205,3 +205,38 @@ def table_producer(
             yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
 
     return docs.mapInPandas(run, PRODUCED_SPANS_SCHEMA)
+
+
+def scan_pdf_dir(
+    spark,
+    root: str,
+    glob: str = "*.pdf",
+    recursive: bool = True,
+) -> DataFrame:
+    """(doc_id, payload, length, mtime) — the reference's find_pdfs
+    directory walk (batch_processor.py:26-32: rglob '**/*.pdf') as
+    Spark's binaryFile source. pathGlobFilter and recursiveFileLookup
+    run inside the distributed file index — no driver-side glob, no
+    Python listdir — and partition planning splits the listing across
+    executors exactly like any other scan. Content stays an opaque
+    binary column until a producer (dispatch_extract) parses it; the
+    path is the natural doc_id for filesystem-born corpora.
+
+    Scale note: binaryFile refuses files > 2 GiB (a Spark row limit) —
+    at corpus scale giant PDFs are the skew tail the pipeline's salting
+    exists for, and a >2 GiB single document is upstream-chunked
+    territory anyway."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(root)
+        .select(
+            F.col("path").alias("doc_id"),
+            F.col("content").alias("payload"),
+            F.col("length").cast("long").alias("length"),
+            F.col("modificationTime").alias("mtime"),
+        )
+    )

@@ -85,3 +85,50 @@ def test_dispatch_routes_by_method(spark):
     assert all(s.kind == "text" for s in out["n1"])
     # text path content is payload-derived, not OCR hex words
     assert "plain text" in out["t1"][0].text
+
+
+def test_scan_pdf_dir_globs_like_find_pdfs(spark, tmp_path):
+    from pdf_extractor_spark.sources.producers import scan_pdf_dir
+
+    (tmp_path / "a.pdf").write_bytes(b"%PDF-1.4 fake a")
+    (tmp_path / "skip.txt").write_bytes(b"not a pdf")
+    nested = tmp_path / "sub" / "deeper"
+    nested.mkdir(parents=True)
+    (nested / "b.pdf").write_bytes(b"%PDF-1.4 fake b longer payload")
+
+    got = {
+        r.doc_id.rsplit("/", 1)[-1]: (bytes(r.payload), r.length)
+        for r in scan_pdf_dir(spark, str(tmp_path)).collect()
+    }
+    # recursive glob matches exactly the reference's '**/*.pdf' set and
+    # byte payloads round-trip untouched
+    assert set(got) == {"a.pdf", "b.pdf"}
+    assert got["a.pdf"] == (b"%PDF-1.4 fake a", 15)
+    assert got["b.pdf"][0] == b"%PDF-1.4 fake b longer payload"
+
+    flat = {
+        r.doc_id.rsplit("/", 1)[-1]
+        for r in scan_pdf_dir(spark, str(tmp_path), recursive=False).collect()
+    }
+    assert flat == {"a.pdf"}
+
+
+def test_scan_pdf_dir_composes_with_dispatch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.sources.producers import (
+        dispatch_extract,
+        scan_pdf_dir,
+    )
+
+    for i in range(3):
+        (tmp_path / f"d{i}.pdf").write_bytes(b"%PDF " + bytes([65 + i]) * 40)
+    scanned = scan_pdf_dir(spark, str(tmp_path)).withColumn(
+        "extraction_method", F.lit("text")
+    )
+    spans = dispatch_extract(scanned).collect()
+    # bytes -> producer -> spans end-to-end: one row per file, non-empty
+    # span arrays, page offsets starting at 0
+    assert len(spans) == 3
+    assert all(len(r.spans) >= 1 for r in spans)
+    assert all(r.spans[0].offset == 0 for r in spans)

@@ -1482,6 +1482,35 @@ def _moving_avg_daily(spark, sf_dir):
     )
 
 
+def _daily_anomaly(spark, sf_dir):
+    """Ingest-volume anomaly detection on the daily grain: each day's
+    event count z-scored against the PRIOR 7 days (frame -7..-1, so the
+    day under test never contaminates its own baseline); |z| > 3 with a
+    positive baseline spread flags the day. The pipeline-monitoring
+    analytic every scheduled corpus build runs before trusting a day's
+    partition. Daily grain = bounded single-partition window, O(days)
+    rows at any corpus size."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    z = F.round((F.col("n") - mu) / sd, 6)
+    return daily.select(
+        F.col("d").cast("string").alias("date"),
+        F.col("n").alias("count"),
+        F.when(sd > 0, z).alias("zscore"),
+        F.coalesce(
+            (sd > 0) & (F.abs(F.when(sd > 0, z)) > 3.0), F.lit(False)
+        ).alias("anomaly"),
+    )
+
+
 def _approx_distinct_users(spark, sf_dir):
     """Sketch coverage: HyperLogLog distinct-user estimate. Each engine
     runs its OWN HLL (Spark HLL++ rsd=0.02, DuckDB's HLL), so the compared
@@ -2821,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "hash_sample": _hash_sample,
         "moving_avg_daily": _moving_avg_daily,
+        "daily_anomaly": _daily_anomaly,
         "approx_distinct_users": _approx_distinct_users,
         "events_rollup": _events_rollup,
         "events_pivot": _events_pivot,
@@ -4616,6 +4646,24 @@ SELECT CAST(d AS VARCHAR) AS date, CAST(n AS BIGINT) AS count,
        round(avg(n) OVER (ORDER BY d
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
 FROM daily"""
+    # daily_anomaly: identical prior-7-day frame; z rounded to 6 dp BEFORE
+    # the |z| > 3 comparison so the flag can't flip on last-ulp stddev
+    # differences between engines.
+    sql["daily_anomaly"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1),
+zs AS (
+  SELECT d, n,
+         avg(n) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           AS mu,
+         stddev_samp(n) OVER (ORDER BY d
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd
+  FROM daily)
+SELECT CAST(d AS VARCHAR) AS date, CAST(n AS BIGINT) AS count,
+       CASE WHEN sd > 0 THEN round((n - mu) / sd, 6) END AS zscore,
+       coalesce(sd > 0 AND abs(CASE WHEN sd > 0
+                THEN round((n - mu) / sd, 6) END) > 3.0, false) AS anomaly
+FROM zs"""
     sql["approx_distinct_users"] = (
         "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
         "abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) "

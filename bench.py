@@ -120,6 +120,7 @@ HEADLINE = [
     "heavy_hitters",
     "event_dedup",
     "props_variant_stats",
+    "daily_anomaly",
     "embedding_quantize",
     "bloom_decontaminate",
     "scd2_user_status",

@@ -320,3 +320,28 @@ def test_event_dedup_lag_semantics(spark):
     )
     got = {r.event_id: r.is_dup for r in event_dedup(df).collect()}
     assert got == {1: False, 2: True, 3: True, 4: False, 5: False, 6: False}
+
+
+def test_daily_anomaly_flags_spike(spark, monkeypatch, tmp_path):
+    import datetime as dt
+    import os
+
+    # 10 mildly-varying days then a 10x spike day: only the spike is
+    # anomalous (a CONSTANT baseline has zero spread -> never flagged)
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for day in range(11):
+        n = (95 + (day * 7) % 11) if day < 10 else 1000
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=day, seconds=eid % 86400), 1, "click", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    import __spark_entry__ as entry
+
+    got = {r.date: r.anomaly for r in entry.queries()["daily_anomaly"](spark, str(tmp_path)).collect()}
+    assert got["2024-01-11"] is True
+    assert sum(got.values()) == 1  # steady days (incl. zero-spread) stay quiet

@@ -67,7 +67,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "sessionize", "asof_last_purchase", "events_rollup",
         "events_pivot", "range_join_windows", "cms_user_counts",
         "click_not_purchase_users",
-        "moving_avg_daily", "value_quantiles", "approx_value_quantiles",
+        "moving_avg_daily", "daily_anomaly", "value_quantiles", "approx_value_quantiles",
         "approx_distinct_users", "hll_mergeable_users", "sample_quantile_sketch", "heavy_hitters", "event_dedup", "props_variant_stats", "funnel_conversion", "retention_cohorts",
         "key_skew_stats", "salted_join", "scd2_user_status",
     ]),

@@ -5524,16 +5524,15 @@ WITH tok AS (
 tb AS (SELECT doc_id, is_t,
               CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 256 AS bk
        FROM tok),
-hist AS (SELECT doc_id, is_t, bk, count(*) AS c FROM tb GROUP BY 1, 2, 3),
-bc AS (SELECT bk, sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct,
-              sum(CASE WHEN is_t THEN 0 ELSE c END) AS cr
-       FROM hist GROUP BY 1),
+bc AS (SELECT bk, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+              sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+       FROM tb GROUP BY 1),
 tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc),
 lr AS (SELECT bk, ln((ct + 1.0) / (tt + 256.0))
                - ln((cr + 1.0) / (tr + 256.0)) AS r
        FROM bc, tot),
-agg AS (SELECT hist.doc_id, sum(hist.c) AS nf, sum(hist.c * lr.r) AS w
-        FROM hist JOIN lr USING (bk) GROUP BY 1)
+agg AS (SELECT tb.doc_id, count(*) AS nf, sum(lr.r) AS w
+        FROM tb JOIN lr USING (bk) GROUP BY 1)
 SELECT d.doc_id, CAST(coalesce(a.nf, 0) AS BIGINT) AS n_feats,
        round(coalesce(a.w, 0.0), 6) AS log_w
 FROM documents d LEFT JOIN agg a USING (doc_id)

@@ -1408,62 +1408,76 @@ def dsir_weights(
     else. Downstream selection keeps the Gumbel-perturbed top weights;
     the weights are the distributed computation, so that is the surface.
 
-    Scale shape: the token stream is exploded ONCE and immediately folded
-    to the (doc, bucket) histogram — at most `buckets` rows per document,
-    map-side combined — and everything downstream runs over the
-    histogram: the two hashed unigram models are a `buckets`-row
-    re-aggregation of it (vocabulary-independent by construction — the
-    point of the hashing trick), the per-bucket log-ratio dim broadcasts,
-    and per-doc scoring is sum(count x ratio) over histogram rows. One
-    corpus-scale shuffle total; the token stream is never shuffled or
-    scanned twice. Token hash = the cross-engine md5 recipe
-    (simhash_token_hash), so the DuckDB oracle rebuilds the identical
-    models and ratios.
+    Scale shape — train once, score once (the DSIR deployment reality):
+    the MODEL pass folds the token stream into the two hashed unigram
+    models — a `buckets`-row aggregate with map-side combine (the model
+    is vocabulary-independent by construction; that is the point of the
+    hashing trick) — and collects them as bounded driver state
+    (`buckets` cells, the ivf-centroid / heavy_hitters pattern). The
+    log-ratios then ride the SCORING pass as a foldable array literal:
+    one explode, per-token element_at, one doc-key aggregate — no join,
+    no broadcast, nothing corpus-sized ever cached. Exactly two corpus
+    scans, which is the minimum for train-then-apply without persisting
+    a corpus-scale intermediate. Token hash = the cross-engine md5
+    recipe (simhash_token_hash), so the DuckDB oracle rebuilds the
+    identical models and ratios.
 
     No reference counterpart (SURVEY §2.8): data-selection support for
     the LLM-pipeline family."""
-    stream = (
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            (F.col(id_col) % target_mod == 0).alias("is_t"),
-            F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("t"),
+    import math
+
+    def stream_of(frame):
+        return (
+            fan_out(frame)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                (F.col(id_col) % target_mod == 0).alias("is_t"),
+                F.explode_outer(
+                    tokens_col(F.lower(F.col(text_col)))
+                ).alias("t"),
+            )
+            .withColumn(
+                "bk", (simhash_token_hash(F.col("t")) % buckets).cast("int")
+            )
         )
-        # null-token rows (empty/null-text docs) stay in the histogram
-        # under bk NULL so every doc reaches the output without a corpus
-        # re-join; they're excluded from the models below
-        .withColumn(
-            "bk", (simhash_token_hash(F.col("t")) % buckets).cast("int")
-        )
-    )
-    hist = stream.groupBy("doc_id", "is_t", "bk").agg(
-        F.count("t").cast("long").alias("c")
-    )
-    bc = (
-        hist.where(F.col("bk").isNotNull())
+
+    # model pass: bounded (buckets-row) collect — train-once driver state
+    cells = (
+        stream_of(df)
+        .where(F.col("t").isNotNull())
         .groupBy("bk")
         .agg(
-            F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("ct"),
-            F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("c"))).alias("cr"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
         )
+        .collect()
     )
-    tot = bc.agg(
-        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-    )
-    lr = bc.crossJoin(F.broadcast(tot)).select(
-        "bk",
-        (
-            F.log((F.col("ct") + 1.0) / (F.col("tt") + F.lit(float(buckets))))
-            - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(float(buckets))))
-        ).alias("r"),
-    )
+    ct = [0] * buckets
+    cr = [0] * buckets
+    for row in cells:
+        ct[row["bk"]] = row["ct"]
+        cr[row["bk"]] = row["cr"]
+    tt, tr = sum(ct), sum(cr)
+    ratios = [
+        math.log((ct[b] + 1.0) / (tt + buckets))
+        - math.log((cr[b] + 1.0) / (tr + buckets))
+        for b in range(buckets)
+    ]
+    arr = F.array(*[F.lit(r) for r in ratios])
+
+    # scoring pass: per-token literal lookup, one doc-key aggregate.
+    # null-token rows (empty/null-text docs) carry bk NULL -> element_at
+    # NULL -> they score (0, 0) without a corpus re-join.
     return (
-        hist.join(F.broadcast(lr), "bk", "left")
+        stream_of(df)
+        .select(
+            "doc_id",
+            F.col("t").isNotNull().cast("long").alias("one"),
+            F.element_at(arr, F.col("bk") + 1).alias("r"),
+        )
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("long").alias("n_feats"),
-            F.round(
-                F.coalesce(F.sum(F.col("c") * F.col("r")), F.lit(0.0)), 6
-            ).alias("log_w"),
+            F.sum("one").cast("long").alias("n_feats"),
+            F.round(F.coalesce(F.sum("r"), F.lit(0.0)), 6).alias("log_w"),
         )
     )

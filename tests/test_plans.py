@@ -339,3 +339,51 @@ def test_bpe_merges_argmax_is_take_ordered(spark):
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2  # map-side combine on pairs
+
+
+def test_rendezvous_shards_zero_shuffle(spark):
+    plan = _plan(spark, "rendezvous_shards")
+    # HRW assignment is a map-side argmax: no exchange of any kind
+    assert "Exchange" not in plan
+
+
+def test_heavy_hitters_single_shuffle_no_join(spark):
+    plan = _plan(spark, "heavy_hitters")
+    # the sketch rides the plan as a literal: the only exchange is the
+    # candidate groupBy; no broadcast/shuffle JOIN anywhere
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_bpe_encode_vocab_side_broadcasts(spark):
+    plan = _plan(spark, "bpe_encode")
+    # encoded-vocabulary join onto the word stream stays a broadcast
+    # (vocabulary-sized build side), never a corpus sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_scoring_pass_is_joinless_single_explode(spark):
+    plan = _plan(spark, "dsir_weights")
+    # the model is bounded driver state riding as an array literal: the
+    # scoring plan is ONE tokenize/explode + one doc-key aggregate, with
+    # no join of any kind (the model pass runs once at build time)
+    assert plan.count("Generate explode") == 1
+    assert "Join" not in plan
+
+
+def test_compaction_plan_partition_local_window(spark):
+    plan = _plan(spark, "compaction_plan")
+    # window + rollup reuse the partition-key hash exchange; the only
+    # other exchange is the output ordering's range partition
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_snapshot_diff_is_one_full_outer_smj(spark):
+    plan = _plan(spark, "snapshot_diff")
+    # two corpus-sized sides: must be exactly one sort-merge FULL OUTER,
+    # never a broadcast (OOM at scale) and never more than one join
+    assert plan.count("SortMergeJoin") == 1
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan

@@ -2524,6 +2524,26 @@ def _bpe_encode(spark, sf_dir):
     return bpe_encode(docs, rules=rules)
 
 
+def _bpe_vocab(spark, sf_dir):
+    """The persisted tokenizer vocabulary: every distinct word encoded
+    with the 3 trained merge rules (cached index state, bpe_encode's
+    kernel), final symbols weighted by word frequency. Oracle replays
+    training + the weighted encode walk with recursive CTEs."""
+    from pdf_extractor_spark.operators.curation import bpe_merges, bpe_vocab
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    key = (os.path.abspath(sf_dir), 3)
+    rules = _BPE_RULE_CACHE.get(key)
+    if rules is None:
+        learned = bpe_merges(docs, n_merges=3).collect()
+        rules = [
+            (r["lhs"], r["rhs"])
+            for r in sorted(learned, key=lambda r: r["step"])
+        ]
+        _BPE_RULE_CACHE[key] = rules
+    return bpe_vocab(docs, rules=rules)
+
+
 def _line_dedup(spark, sf_dir):
     """CCNet-style duplicate-line removal over the documents table:
     3-token lines, corpus-wide occurrence > 2 -> boilerplate, dropped."""
@@ -2789,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _bpe_pair_counts,
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
+        "bpe_vocab": _bpe_vocab,
         "pmi_cooccurrence": _pmi_cooccurrence,
         "line_dedup": _line_dedup,
         "substring_dedup": _substring_dedup,
@@ -5513,6 +5534,41 @@ SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
        CAST(sum(bytes) AS BIGINT) AS bin_bytes,
        count(*) > 1 AS needs_rewrite
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # bpe_vocab: training chain as in bpe_merges, then the weighted encode
+    # walk over ALL distinct words (e0 carries true word frequencies) and
+    # a symbol rollup of the final sequences.
+    sql["bpe_vocab"] = f"""
+WITH RECURSIVE words AS (
+  SELECT unnest({_LTOKS}) AS w FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+wf AS (SELECT w, count(*) AS wf FROM words WHERE len(w) >= 2 GROUP BY 1),
+s0 AS (SELECT w, wf, list_transform(range(1, len(w) + 1),
+                                    i -> substring(w, i, 1)) AS syms
+       FROM wf),
+pc1 AS ({_bpe_pc.format(src="s0")}),
+t1 AS ({_bpe_top.format(pc="pc1")}),
+walk1 AS ({_bpe_walk.format(src="s0", walk="walk1", top="t1")}),
+s1 AS (SELECT w, wf, out AS syms FROM walk1 WHERE i > len(syms)),
+pc2 AS ({_bpe_pc.format(src="s1")}),
+t2 AS ({_bpe_top.format(pc="pc2")}),
+walk2 AS ({_bpe_walk.format(src="s1", walk="walk2", top="t2")}),
+s2 AS (SELECT w, wf, out AS syms FROM walk2 WHERE i > len(syms)),
+pc3 AS ({_bpe_pc.format(src="s2")}),
+t3 AS ({_bpe_top.format(pc="pc3")}),
+wfall AS (SELECT w, count(*) AS wf FROM words GROUP BY 1),
+e0 AS (SELECT w, wf, list_transform(range(1, len(w) + 1),
+                                    i -> substring(w, i, 1)) AS syms
+       FROM wfall),
+ewalk1 AS ({_bpe_walk.format(src="e0", walk="ewalk1", top="t1")}),
+e1 AS (SELECT w, wf, out AS syms FROM ewalk1 WHERE i > len(syms)),
+ewalk2 AS ({_bpe_walk.format(src="e1", walk="ewalk2", top="t2")}),
+e2 AS (SELECT w, wf, out AS syms FROM ewalk2 WHERE i > len(syms)),
+ewalk3 AS ({_bpe_walk.format(src="e2", walk="ewalk3", top="t3")}),
+e3 AS (SELECT w, wf, out AS syms FROM ewalk3 WHERE i > len(syms))
+SELECT symbol, CAST(sum(wf) AS BIGINT) AS freq
+FROM (SELECT wf, unnest(syms) AS symbol FROM e3)
+GROUP BY 1
 """
     # dsir_weights: identical md5-bucketed unigram models, add-1 smoothed
     # log-ratio per bucket, per-doc sum rounded to 6 dp (ln precedent:

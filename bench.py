@@ -74,6 +74,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "bpe_merges",
     "bpe_encode",
+    "bpe_vocab",
     "pmi_cooccurrence",
     "decontaminate",
     "decontaminate_near",

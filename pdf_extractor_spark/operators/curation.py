@@ -1481,3 +1481,53 @@ def dsir_weights(
             F.round(F.coalesce(F.sum("r"), F.lit(0.0)), 6).alias("log_w"),
         )
     )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    rules: "list[tuple[str, str]] | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """(symbol, freq) — the subword vocabulary induced by the trained
+    merge rules over the corpus: every distinct word encoded once
+    (chars -> one greedy fold per rule, `bpe_encode`'s kernel), its final
+    symbols weighted by the word's corpus frequency. This is the third
+    artifact of the tokenizer family — pair stats (`bpe_pair_counts`),
+    merge rules (`bpe_merges`), encoded stream (`bpe_encode`), and now
+    the persisted vocabulary+frequency table a tokenizer ships (and the
+    table coverage/OOV analyses read).
+
+    Scale shape: identical to bpe_encode's — ONE word-key shuffle
+    collapses the corpus to the frequency-weighted vocabulary, folds are
+    narrow and vocabulary-sized, and the symbol rollup aggregates
+    vocabulary-sized data. Rules are O(n_merges) driver rows.
+
+    No reference counterpart (SURVEY §2.8): tokenizer support for the
+    LLM-pipeline family."""
+    if rules is None:
+        learned = bpe_merges(df, text_col, id_col, n_merges).collect()
+        rules = [
+            (r["lhs"], r["rhs"])
+            for r in sorted(learned, key=lambda r: r["step"])
+        ]
+    words = (
+        fan_out(df)
+        .select(
+            F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("w")
+        )
+        .where(F.col("w").isNotNull())
+    )
+    wf = words.groupBy("w").agg(F.count("*").cast("long").alias("wf"))
+    enc = wf.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    )
+    for lhs, rhs in rules:
+        enc = enc.withColumn("syms", _bpe_apply_merge(F.col("syms"), lhs, rhs))
+    return (
+        enc.select(F.explode("syms").alias("symbol"), "wf")
+        .groupBy("symbol")
+        .agg(F.sum("wf").cast("long").alias("freq"))
+    )

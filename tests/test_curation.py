@@ -871,3 +871,35 @@ def test_dsir_target_vocab_scores_higher(spark):
     ]
     got = {r.doc_id: r.log_w for r in dsir_weights(_docs(spark, rows)).collect()}
     assert got[2] > got[3]
+
+
+def test_bpe_vocab_hand_computed(spark):
+    from pdf_extractor_spark.operators.curation import bpe_vocab
+
+    # rules (test_bpe_merges_hand_computed): (a,a), (a,b), (aa,ab).
+    # words: aaab x3 -> [aaab]; aa x2 -> [aa]; a x1 -> [a]
+    docs = _docs(spark, [(1, "aaab aaab aa", 12), (2, "aaab aa a", 9)])
+    got = {
+        r.symbol: r.freq for r in bpe_vocab(docs, n_merges=3).collect()
+    }
+    assert got == {"aaab": 3, "aa": 2, "a": 1}
+
+
+def test_bpe_vocab_mass_conservation(spark):
+    from pdf_extractor_spark.operators.curation import bpe_encode, bpe_vocab
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quicker the better said the brown bear",
+        "pack my box with five dozen liquor jugs",
+    ]
+    docs = _docs(spark, [(i, t, len(t)) for i, t in enumerate(texts)])
+    vocab_mass = sum(
+        r.freq for r in bpe_vocab(docs, n_merges=4).collect()
+    )
+    stream_mass = sum(
+        r.n_subwords for r in bpe_encode(docs, n_merges=4).collect()
+    )
+    # the vocabulary's frequency-weighted symbol mass IS the encoded
+    # stream's subword mass — the two surfaces must reconcile exactly
+    assert vocab_mass == stream_mass

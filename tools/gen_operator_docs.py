@@ -30,7 +30,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Text statistics & quality", [
         "token_count", "bpe_token_count", "quality_score", "lang_id",
         "fingerprint", "repetition_stats", "tfidf_top_terms",
-        "token_entropy", "bpe_pair_counts", "bpe_merges", "bpe_encode",
+        "token_entropy", "bpe_pair_counts", "bpe_merges", "bpe_encode", "bpe_vocab",
         "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
         "gopher_filter", "hash_lr", "vocab_coverage",

@@ -1,0 +1,128 @@
+"""spark-submit entry point for the INDEX-BUILD job: every write-time
+index artifact the engine's operators consume, persisted in one pass —
+the operational form of the "index state is built once, at write time"
+discipline that recurs across the operator docstrings (IVF centroids,
+trained BPE rules, banded LSH signatures, eval Bloom filter).
+
+    spark-submit --py-files dist/pdf_extractor_spark.zip \\
+        jobs/run_index.py \\
+        --documents /path/documents.parquet \\
+        --embeddings /path/embeddings.parquet \\
+        --output /path/index [--n-centroids 16] [--n-merges 3]
+
+Writes under --output (each independently loadable):
+    minhash_buckets/  (band, bucket, doc_id)   — incremental_minhash_pairs
+                      / streaming LSH probe read this as index_buckets
+    digest_index/     (digest, doc_id)         — incremental_dedup's
+                      ingested-source digest index
+    ivf_centroids/    (cid, cv array<double>)  — ivf_topk / semdedup /
+                      kmeans_cluster_stats take these as `centroids`
+    bpe_rules/        (step, lhs, rhs, pair_count) — bpe_encode/bpe_vocab
+                      take [(lhs, rhs)] in step order
+    bpe_vocab/        (symbol, freq)           — coverage / OOV analyses
+    manifest.json     row counts + parameters for resume/audit
+
+Every artifact is deterministic for a fixed corpus (seeded hashes,
+stride-seeded centroids, lexicographic merge tie-breaks), so rebuilding
+is idempotent: rerunning overwrites byte-identical content.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--embeddings", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-centroids", type=int, default=16)
+    ap.add_argument("--n-merges", type=int, default=3)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--num-hashes", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.curation import bpe_merges, bpe_vocab
+    from pdf_extractor_spark.operators.dedup import (
+        _banded_buckets,
+        minhash_signatures,
+    )
+    from pdf_extractor_spark.session import build_session
+
+    spark = build_session("index-build")
+    docs = spark.read.parquet(args.documents)
+    out = args.output
+    manifest: dict = {
+        "bands": args.bands,
+        "num_hashes": args.num_hashes,
+        "n_merges": args.n_merges,
+    }
+
+    # 1. exact-dedup digest index (incremental_dedup's probe side)
+    digests = docs.select(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest"),
+        "doc_id",
+    )
+    digests.write.mode("overwrite").parquet(f"{out}/digest_index")
+    manifest["digest_index_rows"] = spark.read.parquet(
+        f"{out}/digest_index"
+    ).count()
+
+    # 2. banded MinHash signature index (LSH probe side)
+    sigs = minhash_signatures(
+        docs, num_hashes=args.num_hashes
+    ).filter(F.col("sig").isNotNull())
+    _banded_buckets(
+        sigs, bands=args.bands, rows_per_band=args.num_hashes // args.bands
+    ).select("band", "bucket", F.col("id").alias("doc_id")).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/minhash_buckets")
+    manifest["minhash_bucket_rows"] = spark.read.parquet(
+        f"{out}/minhash_buckets"
+    ).count()
+
+    # 3. trained BPE rules + the induced vocabulary
+    rules_df = bpe_merges(docs, n_merges=args.n_merges)
+    rules_df.write.mode("overwrite").parquet(f"{out}/bpe_rules")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in sorted(rules_df.collect(), key=lambda r: r["step"])
+    ]
+    bpe_vocab(docs, rules=rules).write.mode("overwrite").parquet(
+        f"{out}/bpe_vocab"
+    )
+    manifest["bpe_rules"] = len(rules)
+    manifest["bpe_vocab_rows"] = spark.read.parquet(
+        f"{out}/bpe_vocab"
+    ).count()
+
+    # 4. IVF coarse centroids over the embedding corpus
+    if args.embeddings:
+        import numpy as np  # noqa: F401 (ivf_centroids returns ndarray)
+
+        from pdf_extractor_spark.operators.similarity import ivf_centroids
+
+        emb = spark.read.parquet(args.embeddings)
+        cents = ivf_centroids(emb, args.n_centroids)
+        spark.createDataFrame(
+            [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+            "cid int, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{out}/ivf_centroids")
+        manifest["ivf_centroids"] = int(len(cents))
+
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    print(json.dumps(manifest, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

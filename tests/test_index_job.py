@@ -1,0 +1,82 @@
+"""jobs/run_index.py end-to-end: every persisted index artifact loads and
+actually serves its consumer operator."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def test_run_index_job_artifacts_serve_consumers(spark, tmp_path):
+    out = str(tmp_path / "index")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "run_index.py"),
+            "--documents", os.path.join(SF, "documents.parquet"),
+            "--embeddings", os.path.join(SF, "embeddings.parquet"),
+            "--output", out,
+        ],
+        capture_output=True, text=True, env=env, timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    manifest = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert manifest["bpe_rules"] == 3
+    assert manifest["ivf_centroids"] == 16
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+    # digest index serves incremental exact dedup: probing the corpus
+    # against its own index marks EVERY doc as already ingested
+    idx = spark.read.parquet(os.path.join(out, "digest_index"))
+    batch = docs.select(
+        F.md5(F.coalesce("text", F.lit(""))).alias("digest"), "doc_id"
+    )
+    fresh = batch.join(idx.select("digest"), "digest", "left_anti")
+    assert fresh.count() == 0
+
+    # minhash bucket index serves the incremental LSH probe
+    from pdf_extractor_spark.operators.dedup import incremental_minhash_pairs
+
+    buckets = spark.read.parquet(os.path.join(out, "minhash_buckets"))
+    assert manifest["minhash_bucket_rows"] == buckets.count() > 0
+    pairs = incremental_minhash_pairs(
+        docs, docs, index_buckets=buckets, threshold=0.7
+    )
+    assert pairs.count() >= 0  # runs end-to-end against the artifact
+
+    # BPE rules reproduce bpe_encode exactly (vs inline training)
+    from pdf_extractor_spark.operators.curation import bpe_encode
+
+    rules_rows = sorted(
+        spark.read.parquet(os.path.join(out, "bpe_rules")).collect(),
+        key=lambda r: r["step"],
+    )
+    rules = [(r["lhs"], r["rhs"]) for r in rules_rows]
+    a = {r.doc_id: r.n_subwords for r in bpe_encode(docs, rules=rules).collect()}
+    b = {r.doc_id: r.n_subwords for r in bpe_encode(docs, n_merges=3).collect()}
+    assert a == b
+
+    # IVF centroids serve ivf_topk with self-match at rank 1
+    from pdf_extractor_spark.operators.similarity import ivf_topk
+
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(out, "ivf_centroids")).collect(),
+        key=lambda r: r["cid"],
+    )
+    cents = np.asarray([r.cv for r in cent_rows], dtype=np.float64)
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    top = ivf_topk(emb, q, k=5, n_probe=8, centroids=cents)
+    self_hits = top.filter(
+        (F.col("query_id") == F.col("id")) & (F.col("rank") == 1)
+    )
+    assert self_hits.count() == 3

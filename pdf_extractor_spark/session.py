@@ -146,3 +146,28 @@ def read_input(spark: SparkSession, path: str, fmt: "str | None" = None):
     if "." in path and "/" not in path and not path.endswith(".parquet"):
         return spark.read.table(path)
     return spark.read.parquet(path)
+
+
+CORPUS_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every corpus parquet table under `sf_dir` as a temp view
+    and return the registered names — the SQL front door: after this,
+    `spark.sql("SELECT ... FROM documents JOIN events ...")` works
+    directly, with the identical Catalyst plans the DataFrame operators
+    produce (both APIs compile to the same logical plan; pushdown,
+    pruning, and AQE apply equally). Missing files are skipped, so the
+    helper works on partial corpora."""
+    import os
+
+    registered = []
+    for name in CORPUS_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered

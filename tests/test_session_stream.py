@@ -97,3 +97,33 @@ def test_out_of_order_event_extends_session_start(spark, tmp_path):
     ).write.mode("append").parquet(inp)
     got = _run(spark, inp, out, ckpt)
     assert (5, _ts(11, 55), _ts(12, 0), 2) in got
+
+
+def test_register_views_sql_front_door(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.session import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert {"documents", "events", "lineitem"} <= set(names)
+    # the SQL surface compiles to the same Catalyst result as the
+    # DataFrame op (tpch_q6 shape)
+    sql = spark.sql(
+        "SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue "
+        "FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 "
+        "AND l_quantity < 24"
+    ).collect()[0][0]
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = (
+        li.filter(
+            (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .collect()[0][0]
+    )
+    assert sql == df

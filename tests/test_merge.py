@@ -139,3 +139,36 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_bucketed_join_runs_without_exchange(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.merge import write_bucketed_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    write_bucketed_table(docs.select("doc_id", "text"), "bkt_a", buckets=8)
+    write_bucketed_table(
+        docs.select("doc_id", "lang", "source"), "bkt_b", buckets=8
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the big-x-big plan shape (at corpus scale neither side
+        # broadcasts); the bucketed layout must then join with NO exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("bkt_a")
+        b = spark.table("bkt_b")
+        joined = a.join(b, "doc_id").groupBy("lang").agg(
+            F.count("*").alias("n")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the whole point of the declared bucket layout: the co-located
+        # join needs no shuffle of either scan
+        assert "Exchange hashpartitioning(doc_id" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

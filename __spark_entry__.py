@@ -2501,27 +2501,34 @@ def _bpe_merges(spark, sf_dir):
 _BPE_RULE_CACHE: dict = {}
 
 
-def _bpe_encode(spark, sf_dir):
-    """The APPLY half of the BPE tokenizer family: every document encoded
-    with the 3 merge rules trained from the corpus itself — per-doc word
-    and subword counts. The distinct-word vocabulary is encoded once and
-    joined back to the stream; the oracle replays training AND encoding
-    with recursive CTEs. Trained rules are index state (the IVF-centroid
-    pattern): deterministic per corpus, cached so re-invocations pay only
-    the encode pass — exactly how a production tokenizer ships."""
-    from pdf_extractor_spark.operators.curation import bpe_encode, bpe_merges
+def _bpe_rules(docs, sf_dir, n_merges=3):
+    """Train-once BPE merge rules as cached index state (the IVF-centroid
+    pattern): deterministic per (corpus, n_merges), so re-invocations pay
+    only the apply pass — exactly how a production tokenizer ships."""
+    from pdf_extractor_spark.operators.curation import bpe_merges
 
-    docs = _t_wide(spark, sf_dir, "documents")
-    key = (os.path.abspath(sf_dir), 3)
+    key = (os.path.abspath(sf_dir), n_merges)
     rules = _BPE_RULE_CACHE.get(key)
     if rules is None:
-        learned = bpe_merges(docs, n_merges=3).collect()
+        learned = bpe_merges(docs, n_merges=n_merges).collect()
         rules = [
             (r["lhs"], r["rhs"])
             for r in sorted(learned, key=lambda r: r["step"])
         ]
         _BPE_RULE_CACHE[key] = rules
-    return bpe_encode(docs, rules=rules)
+    return rules
+
+
+def _bpe_encode(spark, sf_dir):
+    """The APPLY half of the BPE tokenizer family: every document encoded
+    with the 3 merge rules trained from the corpus itself — per-doc word
+    and subword counts. The distinct-word vocabulary is encoded once and
+    joined back to the stream; the oracle replays training AND encoding
+    with recursive CTEs. Trained rules are cached index state (_bpe_rules)."""
+    from pdf_extractor_spark.operators.curation import bpe_encode
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return bpe_encode(docs, rules=_bpe_rules(docs, sf_dir))
 
 
 def _bpe_vocab(spark, sf_dir):
@@ -2529,19 +2536,10 @@ def _bpe_vocab(spark, sf_dir):
     with the 3 trained merge rules (cached index state, bpe_encode's
     kernel), final symbols weighted by word frequency. Oracle replays
     training + the weighted encode walk with recursive CTEs."""
-    from pdf_extractor_spark.operators.curation import bpe_merges, bpe_vocab
+    from pdf_extractor_spark.operators.curation import bpe_vocab
 
     docs = _t_wide(spark, sf_dir, "documents")
-    key = (os.path.abspath(sf_dir), 3)
-    rules = _BPE_RULE_CACHE.get(key)
-    if rules is None:
-        learned = bpe_merges(docs, n_merges=3).collect()
-        rules = [
-            (r["lhs"], r["rhs"])
-            for r in sorted(learned, key=lambda r: r["step"])
-        ]
-        _BPE_RULE_CACHE[key] = rules
-    return bpe_vocab(docs, rules=rules)
+    return bpe_vocab(docs, rules=_bpe_rules(docs, sf_dir))
 
 
 def _line_dedup(spark, sf_dir):
@@ -4006,20 +4004,23 @@ SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 10
     # previous twice, then the final assignment aggregated to per-cluster
     # occupancy + mean 4dp cosine-to-centroid.
     sql["kmeans_clusters"] = f"""
-WITH params AS (SELECT greatest(1, count(*) // 8) AS stride FROM embeddings),
+WITH vembeddings AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+params AS (SELECT greatest(1, count(*) // 8) AS stride FROM vembeddings),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings, params WHERE vec_id % stride = 0
+  FROM vembeddings, params WHERE vec_id % stride = 0
   ORDER BY vec_id LIMIT 8),
 comp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
                 unnest(CAST(embedding AS DOUBLE[])) AS x
-         FROM embeddings),
+         FROM vembeddings),
 assign0 AS (
   SELECT e.vec_id, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {cos} DESC, c.cid) AS rn
-  FROM embeddings e, seeds c),
+  FROM vembeddings e, seeds c),
 a0 AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
 cells1 AS (
   SELECT a0.cid, comp.d, avg(comp.x) AS m
@@ -4032,7 +4033,7 @@ assign1 AS (
   SELECT e.vec_id, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {cos} DESC, c.cid) AS rn
-  FROM embeddings e, cents1 c),
+  FROM vembeddings e, cents1 c),
 a1 AS (SELECT vec_id, cid FROM assign1 WHERE rn = 1),
 cells2 AS (
   SELECT a1.cid, comp.d, avg(comp.x) AS m
@@ -4047,7 +4048,7 @@ assign2 AS (
          {_sql_cosine('e.embedding', 'c.cv')} AS cos4,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {cos} DESC, c.cid) AS rn
-  FROM embeddings e, cents2 c)
+  FROM vembeddings e, cents2 c)
 SELECT CAST(cid AS INT) AS cluster,
        CAST(count(*) AS BIGINT) AS n_vecs,
        round(avg(cos4), 4) AS avg_cosine
@@ -5526,9 +5527,16 @@ WITH files AS (
   FROM documents),
 b AS (
   SELECT part, bytes,
-         CAST(floor((sum(bytes) OVER (PARTITION BY part ORDER BY file_name
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
-               / 8192.0) AS BIGINT) AS bin
+         CASE WHEN bytes < 8192 THEN CAST(floor(
+           (sum(CASE WHEN bytes < 8192 THEN bytes ELSE 0 END)
+              OVER (PARTITION BY part ORDER BY file_name
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - bytes) / 8192.0) AS BIGINT)
+         ELSE -CAST(sum(CASE WHEN bytes < 8192 THEN 0 ELSE 1 END)
+              OVER (PARTITION BY part ORDER BY file_name
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT)
+         END AS bin
   FROM files)
 SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
        CAST(sum(bytes) AS BIGINT) AS bin_bytes,
@@ -5627,7 +5635,8 @@ GROUP BY 1 ORDER BY 1
     # negatives), so the oracle is the PLAIN exact aggregate.
     sql["heavy_hitters"] = """
 SELECT user_id AS key, CAST(count(*) AS BIGINT) AS exact_n
-FROM events GROUP BY 1 HAVING count(*) >= 75
+FROM events WHERE user_id IS NOT NULL
+GROUP BY 1 HAVING count(*) >= 75
 """
     # event_dedup: identical lag-debounce at microsecond precision.
     sql["event_dedup"] = """

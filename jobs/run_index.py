@@ -47,6 +47,14 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--num-hashes", type=int, default=64)
     args = ap.parse_args()
+    if args.num_hashes % args.bands != 0:
+        # mirror the consumer's (incremental_minhash_pairs) invariant at
+        # build time: a silently truncated signature would persist an
+        # artifact the recorded (bands, num_hashes) can never reproduce.
+        ap.error(
+            f"--bands must divide --num-hashes "
+            f"({args.num_hashes} % {args.bands} != 0)"
+        )
 
     from pyspark.sql import functions as F
 

@@ -245,11 +245,12 @@ def props_variant_stats(events: DataFrame) -> DataFrame:
     where per-path get_json_object re-parses the string each time (the
     public Spark 4 semi-structured data story). Missing/null/MALFORMED
     props drop out of the typed aggregate as NULLs, never as errors
-    (try_parse_json — a crawl-scale log always contains junk rows)."""
+    (try_parse_json for malformed JSON, try_variant_get for wrong-typed
+    values — a crawl-scale log always contains junk rows)."""
     v = events.select(
         "event_type", F.try_parse_json(F.col("props")).alias("v")
     )
-    k = F.expr("variant_get(v, '$.k', 'long')")
+    k = F.expr("try_variant_get(v, '$.k', 'long')")
     return (
         v.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -1335,6 +1335,32 @@ def bpe_merges(
     return values_df(spark, rules, schema)
 
 
+
+def _bpe_trained_rules(df, text_col, id_col, n_merges, rules):
+    """Resolve merge rules for the apply-side ops: train via bpe_merges
+    when not supplied, ordered by training step (shared by bpe_encode and
+    bpe_vocab so the cache-key / ordering protocol lives in one place)."""
+    if rules is not None:
+        return rules
+    learned = bpe_merges(df, text_col, id_col, n_merges).collect()
+    return [
+        (r["lhs"], r["rhs"])
+        for r in sorted(learned, key=lambda r: r["step"])
+    ]
+
+
+def _bpe_char_fold(words: DataFrame, rules) -> DataFrame:
+    """The shared encode kernel: split each word `w` to characters, then
+    one greedy left-to-right merge fold per trained rule (narrow,
+    vocabulary-sized work — never corpus-sized)."""
+    enc = words.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    )
+    for lhs, rhs in rules:
+        enc = enc.withColumn("syms", _bpe_apply_merge(F.col("syms"), lhs, rhs))
+    return enc
+
 def bpe_encode(
     df: DataFrame,
     rules: "list[tuple[str, str]] | None" = None,
@@ -1362,23 +1388,13 @@ def bpe_encode(
 
     No reference counterpart (SURVEY §2.8): tokenizer support for the
     LLM-pipeline family."""
-    if rules is None:
-        learned = bpe_merges(df, text_col, id_col, n_merges).collect()
-        rules = [
-            (r["lhs"], r["rhs"])
-            for r in sorted(learned, key=lambda r: r["step"])
-        ]
+    rules = _bpe_trained_rules(df, text_col, id_col, n_merges, rules)
     stream = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("w"),
     )
     vocab = stream.where(F.col("w").isNotNull()).select("w").distinct()
-    enc = vocab.withColumn(
-        "syms",
-        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-    )
-    for lhs, rhs in rules:
-        enc = enc.withColumn("syms", _bpe_apply_merge(F.col("syms"), lhs, rhs))
+    enc = _bpe_char_fold(vocab, rules)
     enc = enc.select("w", F.size("syms").cast("long").alias("n_sub"))
     return (
         stream.join(enc, "w", "left")
@@ -1506,12 +1522,7 @@ def bpe_vocab(
 
     No reference counterpart (SURVEY §2.8): tokenizer support for the
     LLM-pipeline family."""
-    if rules is None:
-        learned = bpe_merges(df, text_col, id_col, n_merges).collect()
-        rules = [
-            (r["lhs"], r["rhs"])
-            for r in sorted(learned, key=lambda r: r["step"])
-        ]
+    rules = _bpe_trained_rules(df, text_col, id_col, n_merges, rules)
     words = (
         fan_out(df)
         .select(
@@ -1520,12 +1531,7 @@ def bpe_vocab(
         .where(F.col("w").isNotNull())
     )
     wf = words.groupBy("w").agg(F.count("*").cast("long").alias("wf"))
-    enc = wf.withColumn(
-        "syms",
-        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-    )
-    for lhs, rhs in rules:
-        enc = enc.withColumn("syms", _bpe_apply_merge(F.col("syms"), lhs, rhs))
+    enc = _bpe_char_fold(wf, rules)
     return (
         enc.select(F.explode("syms").alias("symbol"), "wf")
         .groupBy("symbol")

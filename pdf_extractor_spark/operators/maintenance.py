@@ -35,11 +35,15 @@ def compaction_plan(
     bin packing of data files into ~`target_bytes` rewrite groups within
     each partition (Iceberg rewrite_data_files / binpack semantics):
     files are taken in deterministic name order and cut at the running
-    byte total, bin = floor(bytes-before-me / target) — the same
+    byte total, bin = floor(small-bytes-before-me / target) — the same
     first-fit-in-order rule as pack_sequences, applied to file metadata.
-    A file >= target lands alone in its bin; a bin with a single file
-    needs no rewrite (needs_rewrite = false) — that is exactly the file
-    the compactor must NOT churn.
+    A file >= target is already compact: it gets a singleton bin of its
+    own (negative bin ids, in name order) and does NOT advance the
+    running total, so it never drags neighbouring small files into its
+    group — Iceberg binpack likewise excludes right-sized files from
+    rewrite groups. A bin with a single file needs no rewrite
+    (needs_rewrite = false) — that is exactly the file the compactor
+    must NOT churn.
 
     Scale shape: ONE hash shuffle on the partition key, then a window
     per partition over file-count-sized data (the files metadata table,
@@ -50,9 +54,15 @@ def compaction_plan(
         .orderBy(file_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_before = F.sum(size_col).over(w) - F.col(size_col)
+    is_small = F.col(size_col) < F.lit(target_bytes)
+    small_bytes = F.when(is_small, F.col(size_col)).otherwise(F.lit(0))
+    cum_small_before = F.sum(small_bytes).over(w) - small_bytes
+    big_ordinal = F.sum(F.when(is_small, 0).otherwise(1)).over(w)
     binned = files.withColumn(
-        "bin", F.floor(cum_before / F.lit(target_bytes)).cast("long")
+        "bin",
+        F.when(is_small, F.floor(cum_small_before / F.lit(target_bytes)))
+        .otherwise(-big_ordinal)
+        .cast("long"),
     )
     return (
         binned.groupBy(F.col(part_col).alias("part"), "bin")

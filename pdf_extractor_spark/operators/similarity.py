@@ -149,7 +149,8 @@ def lsh_buckets(
 def _assign_udf(centroids: "np.ndarray", top_p: int):
     """vec -> array of the top_p nearest centroid ids by cosine; one numpy
     matmul per Arrow batch (centroids are L2-normalized once, driver-side)."""
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    _cnrm = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = centroids / np.where(_cnrm == 0.0, 1.0, _cnrm)
     mat = cn.T.copy()  # (dim, K)
 
     @pandas_udf(T.ArrayType(T.IntegerType()))

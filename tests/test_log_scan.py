@@ -59,6 +59,8 @@ def test_props_variant_stats_handles_junk(spark):
         (3, base, 2, "click", 1.0, None),         # missing -> NULL
         (4, base, 2, "view", 1.0, "{}"),          # no $.k -> NULL
         (5, base, 3, "view", 1.0, '{"k": 7}'),
+        (6, base, 3, "view", 1.0, '{"k": "abc"}'),  # wrong-typed -> NULL
+        (7, base, 3, "view", 1.0, '{"k": [1]}'),    # wrong-typed -> NULL
     ]
     df = spark.createDataFrame(
         rows,

@@ -8,8 +8,10 @@ def _files(spark, rows):
 
 
 def test_compaction_plan_hand_computed(spark):
-    # p0 in name order: a=100, b=100, c=250, d=100 at target 200:
-    # cum-before 0,100,200,450 -> bins 0,0,1,2
+    # p0 in name order at target 200: a=100, b=100 pack into bin 0
+    # (small cum-before 0, 100); c=250 >= target -> singleton bin -1,
+    # does NOT advance the small running total; d=100 has small
+    # cum-before 200 -> bin 1. p1's lone 500-byte file -> bin -1.
     rows = [
         ("p0", "a", 100),
         ("p0", "b", 100),
@@ -22,10 +24,26 @@ def test_compaction_plan_hand_computed(spark):
         for r in compaction_plan(_files(spark, rows), 200).collect()
     }
     assert got == {
+        ("p0", -1): (1, 250, False),
         ("p0", 0): (2, 200, True),
-        ("p0", 1): (1, 250, False),
-        ("p0", 2): (1, 100, False),
-        ("p1", 0): (1, 500, False),
+        ("p0", 1): (1, 100, False),
+        ("p1", -1): (1, 500, False),
+    }
+
+
+def test_compaction_plan_oversized_never_binned_with_small(spark):
+    # Regression: a right-sized file mid-stream must not be dragged into
+    # a rewrite group with its small neighbours (Iceberg binpack excludes
+    # oversized files from rewrite groups), and the small files on either
+    # side of it still pack together.
+    rows = [("p0", "a", 100), ("p0", "b", 20000), ("p0", "c", 100)]
+    got = {
+        (r.part, r.bin): (r.n_files, r.bin_bytes, r.needs_rewrite)
+        for r in compaction_plan(_files(spark, rows), 8192).collect()
+    }
+    assert got == {
+        ("p0", -1): (1, 20000, False),
+        ("p0", 0): (2, 200, True),
     }
 
 

@@ -765,6 +765,21 @@ def _gopher_filter(spark, sf_dir):
     return gopher_filter(_t_wide(spark, sf_dir, "documents"))
 
 
+def _c4_filter(spark, sf_dir):
+    """C4 cleaning filter (the T5 corpus recipe): line-level terminal-
+    punctuation + min-words retention, page-level lorem-ipsum / brace /
+    blocklist-word and min-sentence rules — over a deterministically
+    synthesized newline-structured page per document (the synthesize_html
+    pattern; the driver corpus is a flat token bag). All rules doc-local,
+    zero shuffle; the oracle rebuilds page synthesis AND filter in SQL."""
+    from pdf_extractor_spark.operators.curation import (
+        c4_filter,
+        synthesize_pages,
+    )
+
+    return c4_filter(synthesize_pages(_t_wide(spark, sf_dir, "documents")))
+
+
 def _hash_lr(spark, sf_dir):
     """Hashed bag-of-words linear classifier (fastText-style quality filter)
     applied as a zero-shuffle columnar projection; md5-derived deterministic
@@ -2860,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _pagerank_hosts,
         "crawl_frontier": _crawl_frontier,
         "gopher_filter": _gopher_filter,
+        "c4_filter": _c4_filter,
         "hash_lr": _hash_lr,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
@@ -4157,6 +4173,73 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
             THEN round({tgt} / (n_tokens / t), 6)
             ELSE 0.0 END AS weight
 FROM per, tot
+"""
+    # c4_filter: page synthesis (6-token lines, (doc_id+i)%5 decoration,
+    # three deterministic page poisons) AND the C4 line/page rules both
+    # rebuilt in SQL; every count is an exact integer, so agreement is
+    # bit-for-bit.
+    sql["c4_filter"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(str_split(coalesce(text, ''), ' '), t -> t <> '')
+           AS toks
+  FROM documents),
+ls AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, CAST(ceil(len(toks) / 6.0) AS BIGINT) + 1),
+           i -> CASE ((doc_id + i) % 5)
+             WHEN 0 THEN
+               array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+6), ' ')
+             WHEN 1 THEN
+               array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+3), ' ')
+                 || '.'
+             ELSE
+               array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+6), ' ')
+                 || '.'
+           END) AS lines
+  FROM base),
+pg AS (
+  SELECT doc_id,
+         array_to_string(lines, chr(10))
+         || CASE WHEN doc_id % 17 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet today.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN chr(10) || 'var f = function() { return 1; }.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 23 = 0
+                 THEN chr(10) || 'casino jackpot bonus spins here now.'
+                 ELSE '' END AS page
+  FROM ls),
+k AS (
+  SELECT doc_id, page, str_split(page, chr(10)) AS plines,
+         list_filter(str_split(page, chr(10)),
+           x -> list_contains(['.', '!', '?', '"'], right(x, 1))
+                AND len(str_split(x, ' ')) >= 5) AS kept
+  FROM pg),
+m AS (
+  SELECT doc_id, page,
+         CAST(len(plines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept,
+         -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         contains(page, '{') AS has_brace,
+         contains(lower(page), 'lorem ipsum') AS has_lorem,
+         regexp_matches(lower(page), '\\b(casino|jackpot)\\b')
+           AS has_badword
+  FROM k)
+SELECT doc_id, n_lines, n_kept,
+       CAST(length(clean_text)
+            - length(regexp_replace(clean_text, '[.!?]', '', 'g'))
+            AS BIGINT) AS n_sentences,
+       has_brace, has_lorem, has_badword,
+       (NOT has_brace AND NOT has_lorem AND NOT has_badword
+        AND length(clean_text)
+            - length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3)
+         AS accept,
+       clean_text
+FROM m
 """
     # gopher_filter: the six rules re-stated over the same token/bigram
     # lists; every comparison is on an exact integer ratio, so no rounding

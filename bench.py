@@ -89,6 +89,7 @@ HEADLINE = [
     "global_shuffle",
     "lm_perplexity",
     "gopher_filter",
+    "c4_filter",
     "hash_lr",
     "curation_funnel",
     "pack_sequences",

@@ -1537,3 +1537,142 @@ def bpe_vocab(
         .groupBy("symbol")
         .agg(F.sum("wf").cast("long").alias("freq"))
     )
+
+
+def synthesize_pages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 6,
+) -> DataFrame:
+    """(doc_id, page) — deterministic newline-structured page per document,
+    built columnar from the flat token text (the `synthesize_html` pattern:
+    the driver corpus carries a single-space token bag, so line structure
+    for the C4 family is synthesized, and the construction is pure
+    split/slice/concat so the DuckDB oracle rebuilds the identical page).
+
+    Per document: tokens are chunked into `line_tokens`-word lines; line i
+    is decorated by (doc_id + i) % 5 — 0: no terminal punctuation (fails
+    C4's terminal-punct rule), 1: truncated to 3 words + '.' (fails the
+    min-words rule), else the full line + '.'. Three deterministic page
+    poisons exercise the page-level rules: doc_id % 17 == 0 appends a
+    'lorem ipsum' line, % 19 a '{'-bearing code line, % 23 a
+    blocklist-word line."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    out = docs.withColumn("_toks", toks).withColumn(
+        "_nl", F.ceil(F.size("_toks") / F.lit(line_tokens)).cast("int")
+    )
+
+    def _line(i):
+        start = ((i - 1) * line_tokens + 1).cast("int")
+        chunk = F.slice(F.col("_toks"), start, line_tokens)
+        body = F.array_join(chunk, " ")
+        m = (F.col(id_col) + i) % 5
+        return (
+            F.when(m == 0, body)
+            .when(
+                m == 1,
+                F.concat(F.array_join(F.slice(chunk, 1, 3), " "), F.lit(".")),
+            )
+            .otherwise(F.concat(body, F.lit(".")))
+        )
+
+    lines = F.when(
+        F.col("_nl") > 0,
+        F.transform(F.sequence(F.lit(1), F.col("_nl")), _line),
+    ).otherwise(F.array().cast("array<string>"))
+    page = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(
+            F.col(id_col) % 17 == 0,
+            F.lit("\nlorem ipsum dolor sit amet today."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col(id_col) % 19 == 0,
+            F.lit("\nvar f = function() { return 1; }."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col(id_col) % 23 == 0,
+            F.lit("\ncasino jackpot bonus spins here now."),
+        ).otherwise(F.lit("")),
+    )
+    return out.select(F.col(id_col), page.alias("page"))
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "page",
+    id_col: str = "doc_id",
+    badwords: "tuple[str, ...]" = ("casino", "jackpot"),
+    min_sentences: int = 3,
+    min_words: int = 5,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, n_sentences, has_brace, has_lorem,
+    has_badword, accept, clean_text) — the C4 cleaning filter from the
+    public LM data-curation literature (the T5 corpus recipe), applied to
+    newline-structured page text:
+
+      * line rule   — keep only lines that end in terminal punctuation
+                      ('.', '!', '?', '"') AND have >= `min_words` words;
+                      `clean_text` is the surviving lines in order.
+      * page rules  — reject pages containing '{' (code), the phrase
+                      'lorem ipsum' (placeholder text), or any blocklist
+                      word (word-boundary match); require >=
+                      `min_sentences` sentences in the cleaned text
+                      (sentence = terminal-punctuation occurrence).
+      * accept      — AND of the page rules.
+
+    Every rule is doc-local and exact (integer counts, no float
+    boundary), so the DuckDB oracle matches bit-for-bit. Regexes stay in
+    the Java ∩ RE2 dialect subset (the pii_scrub convention).
+
+    Scale: zero shuffle, zero Python — a narrow codegen projection that
+    filters at scan speed, same shape as gopher_filter. The line array
+    sits behind a projection boundary (withColumn) so Catalyst cannot
+    re-inline the split into each rule."""
+    page = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.withColumn("_page", page).withColumn(
+        "_lines", F.split(F.col("_page"), "\n")
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x: F.substring(x, -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(x, " ")) >= min_words),
+    )
+    out = out.withColumn("_kept", kept).withColumn(
+        "_clean", F.array_join(F.col("_kept"), "\n")
+    )
+    low = F.lower(F.col("_page"))
+    bad_re = r"\b(" + "|".join(badwords) + r")\b"
+    n_sent = (
+        F.length("_clean")
+        - F.length(F.regexp_replace(F.col("_clean"), r"[.!?]", ""))
+    ).cast("long")
+    out = (
+        out.withColumn("n_lines", F.size("_lines").cast("long"))
+        .withColumn("n_kept", F.size("_kept").cast("long"))
+        .withColumn("n_sentences", n_sent)
+        .withColumn("has_brace", F.instr("_page", "{") > 0)
+        .withColumn("has_lorem", F.instr(low, "lorem ipsum") > 0)
+        .withColumn("has_badword", low.rlike(bad_re))
+    )
+    accept = (
+        ~F.col("has_brace")
+        & ~F.col("has_lorem")
+        & ~F.col("has_badword")
+        & (F.col("n_sentences") >= min_sentences)
+    )
+    return out.select(
+        F.col(id_col),
+        "n_lines",
+        "n_kept",
+        "n_sentences",
+        "has_brace",
+        "has_lorem",
+        "has_badword",
+        accept.alias("accept"),
+        F.col("_clean").alias("clean_text"),
+    )

@@ -2732,6 +2732,41 @@ def _url_normalize(spark, sf_dir):
     return url_normalize(_synth_urls(spark, sf_dir))
 
 
+def _synth_recrawl_urls(spark, sf_dir):
+    """Recrawl-scenario URL synthesis: unlike _synth_urls there is no
+    unique id param, so distinct fetches of the SAME page differ only in
+    mess that normalization removes (scheme case, the https default
+    port, utm_* params, fragments). Canonical key = (source, doc_id %
+    50): doc_ids congruent mod 100 share source (doc_id % 20) AND path
+    -> deterministic duplicate groups for url_dedup to collapse."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    port = F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    frag = F.when(did % 5 == 0, F.lit("#top")).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url",
+        F.concat(
+            scheme, F.lit("://WWW."), F.col("source"),
+            F.lit(".Example.COM"), port,
+            F.lit("/Page/"), (did % 50).cast("string"),
+            F.lit("?utm_source=feed&utm_campaign="),
+            (did % 7).cast("string"),
+            frag,
+        ),
+    )
+
+
+def _url_dedup(spark, sf_dir):
+    """URL-keyed exact dedup over recrawl-synthesized URLs: every
+    normalization rule is load-bearing (scheme case, default port, utm_*
+    drop, fragment strip), and doc_ids congruent mod 100 collapse to one
+    canonical fetch."""
+    from pdf_extractor_spark.operators.urls import url_dedup
+
+    return url_dedup(_synth_recrawl_urls(spark, sf_dir))
+
+
 def _host_stats(spark, sf_dir):
     from pdf_extractor_spark.operators.urls import host_stats
 
@@ -2865,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _salted_join,
         "pii_scrub": _pii_scrub,
         "url_normalize": _url_normalize,
+        "url_dedup": _url_dedup,
         "host_stats": _host_stats,
         "mix_weights": _mix_weights,
         "global_shuffle": _global_shuffle,
@@ -5619,6 +5655,24 @@ FROM aug
 WITH aug AS (SELECT doc_id, {_url_synth} AS url FROM documents),
 parts AS (SELECT doc_id, {_url_parts} FROM aug)
 SELECT doc_id, {_url_rebuild} FROM parts
+"""
+    # url_dedup: the recrawl synthesis (no unique id param) + the same
+    # normalization fragments, grouped on the canonical URL.
+    _url_recrawl_synth = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || "
+        "'://WWW.' || source || '.Example.COM' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || "
+        "'/Page/' || CAST(doc_id % 50 AS VARCHAR) || "
+        "'?utm_source=feed&utm_campaign=' || CAST(doc_id % 7 AS VARCHAR) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END)"
+    )
+    sql["url_dedup"] = f"""
+WITH aug AS (SELECT doc_id, {_url_recrawl_synth} AS url FROM documents),
+parts AS (SELECT doc_id, {_url_parts} FROM aug),
+norm AS (SELECT doc_id, {_url_rebuild} FROM parts)
+SELECT norm_url, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_fetches
+FROM norm GROUP BY 1
 """
     sql["host_stats"] = f"""
 WITH aug AS (SELECT doc_id, {_url_synth} AS url FROM documents),

@@ -84,6 +84,7 @@ HEADLINE = [
     "corpus_rollup",
     "pii_scrub",
     "url_normalize",
+    "url_dedup",
     "host_stats",
     "mix_weights",
     "global_shuffle",

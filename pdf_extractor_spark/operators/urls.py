@@ -90,3 +90,29 @@ def host_stats(
         )
         .orderBy("host")
     )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(norm_url, canonical_id, n_fetches) — URL-keyed exact dedup: one
+    row per canonical URL with the smallest doc_id as the survivor and
+    the fetch count. This is the recrawl-collapse step a crawl pipeline
+    runs BEFORE any content dedup — the same page fetched under
+    scheme-case / default-port / tracking-param / fragment variations
+    must fold to one document, and URL equality is orders of magnitude
+    cheaper than content comparison.
+
+    Scale shape: exact_dedup's — normalization is a narrow codegen map,
+    then ONE hash shuffle on the canonical URL key with map-side partial
+    min/count (a heavily recrawled URL ships one row per mapper, not one
+    per fetch)."""
+    _, norm = _norm_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col), norm.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").cast("long").alias("n_fetches"),
+        )
+    )

@@ -56,3 +56,30 @@ def test_host_stats_hand_computed(spark):
         for r in host_stats(docs).collect()
     }
     assert got == {"a.com": (3, 2, 20.0), "b.com": (1, 1, 40.0)}
+
+
+def test_url_dedup_hand_computed(spark):
+    from pdf_extractor_spark.operators.urls import url_dedup
+
+    docs = _u(
+        spark,
+        [
+            # four spellings of ONE canonical URL
+            (5, "HTTPS://A.com:443/p?utm_x=1", 0),
+            (2, "https://a.COM/p", 0),
+            (9, "https://a.com/p#frag", 0),
+            (4, "https://a.com/p?utm_source=x&utm_id=2", 0),
+            # a kept (non-utm) param is part of the key
+            (1, "https://a.com/p?id=1", 0),
+            (3, "https://b.com/p", 0),
+        ],
+    )
+    got = {
+        r["norm_url"]: (r["canonical_id"], r["n_fetches"])
+        for r in url_dedup(docs).collect()
+    }
+    assert got == {
+        "https://a.com/p": (2, 4),
+        "https://a.com/p?id=1": (1, 1),
+        "https://b.com/p": (3, 1),
+    }

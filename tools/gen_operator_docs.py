@@ -55,7 +55,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Web: HTML, URLs, link graph", [
         "html_main_content", "html_blocks", "html_links",
-        "anchor_text_index", "url_normalize", "host_stats",
+        "anchor_text_index", "url_normalize", "url_dedup", "host_stats",
         "pagerank_hosts", "crawl_frontier",
     ]),
     ("Layout (reading order)", ["layout_order", "layout_text"]),
@@ -116,6 +116,7 @@ FALLBACK = {
     "bpe_merges": "BPE tokenizer TRAINING (first 3 merge rules): argmax pair -> greedy left-to-right merge -> recount, all over the vocabulary-sized symbol table; oracle replays the loop with recursive CTEs.",
     "pmi_cooccurrence": "Windowed token co-occurrence counts with PMI vs the unigram distribution.",
     "url_normalize": "URL canonicalization: scheme/host case, ports, utm_*, fragments.",
+    "url_dedup": "Recrawl collapse: one canonical fetch per normalized URL (min id + count).",
     "host_stats": "Per-host rollups over normalized URLs (partial-agg heavy hitters).",
     "cosine_topk": "Exact brute-force cosine top-k (the ANN recall baseline).",
     "lsh_ann_topk": "Random-hyperplane LSH bucketed ANN top-k.",

@@ -830,22 +830,33 @@ def _incremental_lsh_dedup(spark, sf_dir):
     src_no = F.col("source").substr(4, 10).try_cast("int")
     index = docs.filter(src_no < 5)
     batch = docs.filter(src_no >= 5)
-    key = os.path.abspath(sf_dir)
+    # ONE copy of the banding parameters: the persisted buckets and the
+    # batch-side probe must agree or the equi-join silently goes empty.
+    num_hashes, bands = 64, 16
+    key = (os.path.abspath(sf_dir), num_hashes, bands)
     path = _LSH_INDEX_CACHE.get(key)
     if path is None:
+        import atexit
+        import shutil
         import tempfile
 
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="lsh_index_"), "minhash_buckets"
+        tmp = tempfile.mkdtemp(prefix="lsh_index_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = os.path.join(tmp, "minhash_buckets")
+        si = minhash_signatures(index, num_hashes=num_hashes).filter(
+            F.col("sig").isNotNull()
         )
-        si = minhash_signatures(index).filter(F.col("sig").isNotNull())
-        _banded_buckets(si, bands=16, rows_per_band=4).select(
-            "band", "bucket", F.col("id").alias("doc_id")
-        ).write.mode("overwrite").parquet(path)
+        _banded_buckets(
+            si, bands=bands, rows_per_band=num_hashes // bands
+        ).select("band", "bucket", F.col("id").alias("doc_id")).write.mode(
+            "overwrite"
+        ).parquet(path)
         _LSH_INDEX_CACHE[key] = path
     return incremental_minhash_pairs(
         batch,
         index,
+        num_hashes=num_hashes,
+        bands=bands,
         threshold=0.7,
         index_buckets=spark.read.parquet(path),
     )
@@ -2551,16 +2562,12 @@ def _bpe_rules(docs, sf_dir, n_merges=3):
     """Train-once BPE merge rules as cached index state (the IVF-centroid
     pattern): deterministic per (corpus, n_merges), so re-invocations pay
     only the apply pass — exactly how a production tokenizer ships."""
-    from pdf_extractor_spark.operators.curation import bpe_merges
+    from pdf_extractor_spark.operators.curation import _bpe_trained_rules
 
     key = (os.path.abspath(sf_dir), n_merges)
     rules = _BPE_RULE_CACHE.get(key)
     if rules is None:
-        learned = bpe_merges(docs, n_merges=n_merges).collect()
-        rules = [
-            (r["lhs"], r["rhs"])
-            for r in sorted(learned, key=lambda r: r["step"])
-        ]
+        rules = _bpe_trained_rules(docs, "text", "doc_id", n_merges, None)
         _BPE_RULE_CACHE[key] = rules
     return rules
 
@@ -4034,23 +4041,26 @@ FROM b
     # match the numpy float64 path.
     cos = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)"
     sql["ivf_ann_topk"] = f"""
-WITH params AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+WITH vembeddings AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+params AS (SELECT greatest(1, count(*) // 16) AS stride FROM vembeddings),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings, params WHERE vec_id % stride = 0
+  FROM vembeddings, params WHERE vec_id % stride = 0
   ORDER BY vec_id LIMIT 16),
 assign0 AS (
   SELECT e.vec_id, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {cos} DESC, c.cid) AS rn
-  FROM embeddings e, seeds c),
+  FROM vembeddings e, seeds c),
 a0 AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
 cells AS (
   SELECT a0.cid, comp.d, avg(comp.x) AS m
   FROM a0 JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
                        unnest(CAST(embedding AS DOUBLE[])) AS x
-                FROM embeddings) comp USING (vec_id)
+                FROM vembeddings) comp USING (vec_id)
   GROUP BY 1, 2),
 refined AS (SELECT cid, list(m ORDER BY d) AS cv FROM cells GROUP BY 1),
 cents AS (
@@ -4060,21 +4070,21 @@ corpus_assign AS (
   SELECT e.vec_id, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {cos} DESC, c.cid) AS rn
-  FROM embeddings e, cents c),
+  FROM vembeddings e, cents c),
 ca AS (SELECT vec_id, cid FROM corpus_assign WHERE rn = 1),
 qa AS (
   SELECT vec_id AS query_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos} DESC, c.cid) AS rn
-    FROM embeddings e, cents c WHERE e.vec_id < 5)
+    FROM vembeddings e, cents c WHERE e.vec_id < 5)
   WHERE rn <= 8),
 cand AS (SELECT qa.query_id, ca.vec_id AS id FROM qa JOIN ca USING (cid)),
 scored AS (
   SELECT cand.query_id, cand.id,
          {_sql_cosine('e.embedding', 'qe.embedding')} AS cosine
-  FROM cand JOIN embeddings e ON e.vec_id = cand.id
-            JOIN embeddings qe ON qe.vec_id = cand.query_id),
+  FROM cand JOIN vembeddings e ON e.vec_id = cand.id
+            JOIN vembeddings qe ON qe.vec_id = cand.query_id),
 ranked AS (
   SELECT query_id, id, cosine,
          row_number() OVER (PARTITION BY query_id
@@ -4237,7 +4247,8 @@ ls AS (
   FROM base),
 pg AS (
   SELECT doc_id,
-         array_to_string(lines, chr(10))
+         -- array_to_string([]) is NULL and would NULL the whole page
+         coalesce(array_to_string(lines, chr(10)), '')
          || CASE WHEN doc_id % 17 = 0
                  THEN chr(10) || 'lorem ipsum dolor sit amet today.'
                  ELSE '' END

@@ -2992,6 +2992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _LTOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+# original-case twin: ops that REBUILD text tokenize unfolded and only
+# fold for the duplicate-detection key (line_dedup / substring_dedup)
+_OTOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _EN_STOP = (
     "['the','a','an','and','or','of','to','in','is','are','for','with',"
     "'that','this','it','on','as','by','be']"
@@ -5446,7 +5449,7 @@ CROSS JOIN tot CROSS JOIN tp
     # text rebuilt from surviving lines in position order.
     sql["line_dedup"] = f"""
 WITH tok AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = ''
-                  THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END AS toks
+                  THEN CAST([] AS VARCHAR[]) ELSE {_OTOKS} END AS toks
              FROM documents),
 ln AS (SELECT doc_id,
               unnest(range(0, CAST(ceil(len(toks)/3.0) AS INT))) AS pos,
@@ -5455,10 +5458,11 @@ ln AS (SELECT doc_id,
 l2 AS (SELECT doc_id, pos,
               array_to_string(list_slice(toks, pos*3+1, pos*3+3), ' ') AS line
        FROM ln),
-freq AS (SELECT line, count(*) AS occ FROM l2 GROUP BY 1),
+lk AS (SELECT doc_id, pos, line, lower(line) AS lkey FROM l2),
+freq AS (SELECT lkey, count(*) AS occ FROM lk GROUP BY 1),
 kept AS (SELECT doc_id, count(*) AS n_kept,
                 array_to_string(list(line ORDER BY pos), ' ') AS cleaned_text
-         FROM l2 JOIN freq USING (line) WHERE occ <= 2 GROUP BY 1),
+         FROM lk JOIN freq USING (lkey) WHERE occ <= 2 GROUP BY 1),
 nl AS (SELECT doc_id, CAST(ceil(len(toks)/3.0) AS BIGINT) AS n_lines FROM tok)
 SELECT d.doc_id, nl.n_lines,
        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
@@ -5573,11 +5577,12 @@ WHERE sample_rank <= quota
     # is exact. k=5, occurrence > 2 flags a gram's 5 positions.
     sql["substring_dedup"] = f"""
 WITH base AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = ''
-                   THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END AS toks
+                   THEN CAST([] AS VARCHAR[]) ELSE {_OTOKS} END AS toks
               FROM documents),
 g AS (SELECT doc_id, toks,
         CASE WHEN len(toks) >= 5 THEN
-          [CAST('0x' || substr(md5(array_to_string(toks[i : i+4], ' ')),
+          [CAST('0x' || substr(md5(lower(
+                array_to_string(toks[i : i+4], ' '))),
                 1, 15) AS BIGINT) for i in range(1, len(toks) - 3)]
         ELSE CAST([] AS BIGINT[]) END AS grams
       FROM base),

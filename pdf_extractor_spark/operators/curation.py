@@ -280,21 +280,29 @@ def line_dedup(
             ),
         )
     )
+    # tokenize ORIGINAL case: the CCNet rule keys duplicate detection on
+    # the normalized (lowercased) line but the surviving text must keep
+    # its case — rebuilding from folded tokens would rewrite every
+    # document it touches
     base = df.select(
-        F.col(id_col), tokens_col(F.lower(F.col(text_col))).alias("_toks")
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     ).select(F.col(id_col), lines.alias("_lines"))
     # posexplode_OUTER + isNotNull, not plain posexplode: the inferred
     # size(_lines)>0 filter would be pushed below the projection, inlining
     # the whole tokenize+line-build expression per conjunct (measured 21
     # split() copies in the optimized plan). Null rows (token-less docs)
     # are dropped on the generator OUTPUT attribute instead.
-    exploded = base.select(
-        F.col(id_col).alias("id"),
-        F.posexplode_outer("_lines").alias("pos", "line"),
-    ).where(F.col("line").isNotNull())
-    freq = exploded.groupBy("line").agg(F.count("*").alias("occ"))
+    exploded = (
+        base.select(
+            F.col(id_col).alias("id"),
+            F.posexplode_outer("_lines").alias("pos", "line"),
+        )
+        .where(F.col("line").isNotNull())
+        .withColumn("lkey", F.lower("line"))
+    )
+    freq = exploded.groupBy("lkey").agg(F.count("*").alias("occ"))
     kept = (
-        exploded.join(freq, "line")
+        exploded.join(freq, "lkey")
         .filter(F.col("occ") <= max_occ)
         .groupBy("id")
         .agg(
@@ -322,7 +330,10 @@ def line_dedup(
 # PII patterns restricted to the Java ∩ RE2 regex subset (character
 # classes, bounded repetition, \b word boundary) so Spark and the DuckDB
 # oracle execute the IDENTICAL pattern strings.
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# mixed-case classes (not a case-insensitive flag): the Java ∩ RE2 dialect
+# subset keeps the DuckDB oracle running the identical string, and real
+# corpora write John.Doe@Example.COM
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
@@ -390,7 +401,15 @@ def mix_weights(
     )
     return (
         per.join(F.broadcast(tot))
-        .withColumn("corpus_frac", F.round(F.col("n_tokens") / F.col("_tot"), 6))
+        # _tot = 0 (all-empty corpus) must yield frac 0.0, not an ANSI
+        # DIVIDE_BY_ZERO (the weight branch is safe: n_tokens > 0 ⇒ _tot > 0)
+        .withColumn(
+            "corpus_frac",
+            F.when(
+                F.col("_tot") > 0,
+                F.round(F.col("n_tokens") / F.col("_tot"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
         .withColumn("target_frac", F.round(target, 6))
         .withColumn(
             "weight",
@@ -422,7 +441,16 @@ def global_shuffle(
     never the corpus. One shuffle on the shard key, as any global sort
     would need; unlike a sort, the heavy side never compares keys across
     shards."""
-    key = F.md5(F.concat(F.lit(seed + "_"), F.col(id_col).cast("string")))
+    # coalesce before the concat: md5(concat(seed, NULL)) is NULL, which
+    # would land NULL-id docs in a NULL shard that is COUNTED into the
+    # offsets but dropped by the equi-join — every position would shift
+    # and the NULL-id rows would vanish
+    key = F.md5(
+        F.concat(
+            F.lit(seed + "_"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+    )
     base = df.select(
         F.col(id_col),
         key.alias("_key"),
@@ -670,7 +698,14 @@ def incremental_dedup(
     by the increment, not the corpus."""
     d = batch.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
     firsts = d.groupBy("digest").agg(F.min(id_col).alias(id_col))
-    return firsts.join(seen_digests.select("digest"), "digest", "left_anti")
+    # null-safe anti-join: md5(NULL text) is a NULL digest, which groups
+    # as one batch-internal class above but would NEVER match the seen
+    # index on a plain equi-join — a NULL-text doc ingested once would
+    # re-emit as "new" in every later batch
+    seen = seen_digests.select(F.col("digest").alias("_seen"))
+    return firsts.join(
+        seen, F.col("digest").eqNullSafe(F.col("_seen")), "left_anti"
+    )
 
 
 def host_quota_sample(
@@ -758,7 +793,10 @@ def quality_tiers(
             ).alias("cuts")
         )
         bucketed = joined.join(
-            F.broadcast(cuts), F.col(lang_col) == F.col("_cl")
+            # null-safe: a NULL language is a tier group of its own in the
+            # exact path's window — the approx path must not drop it
+            F.broadcast(cuts),
+            F.col(lang_col).eqNullSafe(F.col("_cl")),
         ).withColumn(
             "tier",
             F.aggregate(
@@ -884,7 +922,10 @@ def substring_dedup(
     positions. The rebuild is per-doc array work bounded by doc length
     (membership scans cost O(n_tokens * n_removed) per doc — acceptable
     because both factors are document-local, never corpus-scale)."""
-    toks = tokens_col(F.lower(F.col(text_col)))
+    # tokens keep ORIGINAL case (they rebuild the document); the gram
+    # hash folds case so duplicate detection stays case-insensitive —
+    # lower(join(tokens)) == join(lower(tokens)) for whitespace tokens
+    toks = tokens_col(F.col(text_col))
     base = (
         df.select(F.col(id_col), F.col(text_col))
         .withColumn("_toks", toks)
@@ -895,7 +936,7 @@ def substring_dedup(
         F.transform(
             F.sequence(F.lit(0), F.size("_toks") - k),
             lambda i: simhash_token_hash(
-                F.array_join(F.slice("_toks", i + 1, k), " ")
+                F.lower(F.array_join(F.slice("_toks", i + 1, k), " "))
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
@@ -976,7 +1017,13 @@ def stratified_sample(
     and the DuckDB oracle computes the UNFILTERED exact answer, so any
     shortfall fails correctness loudly instead of silently skewing."""
     h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        F.substring(
+            F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
+            1,
+            15,
+        ),
+        16,
+        10,
     ).cast("long")
     counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count("*").alias("c")
@@ -1016,7 +1063,14 @@ def stratified_sample(
             F.col(stratum_col).alias("stratum"),
             h.alias("h"),
         )
-        .join(F.broadcast(quotas), "stratum")
+        # null-safe: a NULL stratum is a real stratum (counted into the
+        # quota allocation above) — a plain equi-join would drop its rows
+        # and return fewer than `total` documents
+        .join(
+            F.broadcast(quotas.withColumnRenamed("stratum", "_qs")),
+            F.col("stratum").eqNullSafe(F.col("_qs")),
+        )
+        .drop("_qs")
         .where(F.col("h") < F.col("_cut"))
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= F.col("quota"))
@@ -1027,7 +1081,7 @@ def stratified_sample(
 def corpus_rollup(
     df: DataFrame,
     dims: tuple[str, str] = ("lang", "source"),
-    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """(lang, source, gid, n_docs, total_chars, avg_chars) — the corpus
     accounting panel as one ROLLUP: per (lang, source), per lang subtotal,
@@ -1047,7 +1101,7 @@ def corpus_rollup(
             # grouping_id() is only legal inside the rollup's agg list
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
         )
         .select(
             F.col(d1),
@@ -1160,17 +1214,28 @@ def pmi_cooccurrence(
         .select(F.explode_outer("prs").alias("p"))
         .where(F.col("p.b").isNotNull())
     )
-    pc = (
+    # ONE corpus tokenize per stream: the pair totals and the unigram
+    # totals are sums over the (vocabulary-sized, checkpointed) aggregates,
+    # not separate corpus re-scans — without the checkpoints Catalyst
+    # re-derives the tokenize/explode pipeline for each consumer (the
+    # mix_weights / lm_perplexity pattern; measured 5 split() copies in
+    # the optimized plan before, 2 after)
+    pc_full = (
         pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").cast("long").alias("pair_n"))
-        .where(F.col("pair_n") >= F.lit(min_pairs))
+        .localCheckpoint(eager=False)
     )
+    pc = pc_full.where(F.col("pair_n") >= F.lit(min_pairs))
     uni = toks.select(F.explode_outer("toks").alias("t")).where(
         F.col("t").isNotNull()
     )
-    uc = uni.groupBy("t").agg(F.count("*").cast("long").alias("c"))
-    nt = uni.agg(F.count("*").cast("long").alias("nt"))
-    np_ = pairs.agg(F.count("*").cast("long").alias("np"))
+    uc = (
+        uni.groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    nt = uc.agg(F.sum("c").cast("long").alias("nt"))
+    np_ = pc_full.agg(F.sum("pair_n").cast("long").alias("np"))
     ca = uc.select(F.col("t").alias("a"), F.col("c").alias("ca"))
     cb = uc.select(F.col("t").alias("b"), F.col("c").alias("cb"))
     return (
@@ -1645,8 +1710,16 @@ def c4_filter(
     out = out.withColumn("_kept", kept).withColumn(
         "_clean", F.array_join(F.col("_kept"), "\n")
     )
+    import re as _re
+
     low = F.lower(F.col("_page"))
-    bad_re = r"\b(" + "|".join(badwords) + r")\b"
+    # escape entries (a metachar would corrupt the alternation) and make
+    # the empty blocklist a constant false — '\b()\b' matches everything
+    bad_re = (
+        r"\b(" + "|".join(_re.escape(w) for w in badwords) + r")\b"
+        if badwords
+        else None
+    )
     n_sent = (
         F.length("_clean")
         - F.length(F.regexp_replace(F.col("_clean"), r"[.!?]", ""))
@@ -1657,7 +1730,10 @@ def c4_filter(
         .withColumn("n_sentences", n_sent)
         .withColumn("has_brace", F.instr("_page", "{") > 0)
         .withColumn("has_lorem", F.instr(low, "lorem ipsum") > 0)
-        .withColumn("has_badword", low.rlike(bad_re))
+        .withColumn(
+            "has_badword",
+            low.rlike(bad_re) if bad_re is not None else F.lit(False),
+        )
     )
     accept = (
         ~F.col("has_brace")

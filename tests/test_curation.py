@@ -903,3 +903,134 @@ def test_bpe_vocab_mass_conservation(spark):
     # the vocabulary's frequency-weighted symbol mass IS the encoded
     # stream's subword mass — the two surfaces must reconcile exactly
     assert vocab_mass == stream_mass
+
+
+def test_mix_weights_all_empty_corpus(spark):
+    from pdf_extractor_spark.operators.curation import mix_weights
+
+    df = spark.createDataFrame(
+        [(1, "", "a"), (2, None, "b")], "doc_id long, text string, source string"
+    )
+    rows = {r.source: r for r in mix_weights(df, {"a": 1.0}).collect()}
+    # zero total tokens must yield frac/weight 0.0, not ANSI DIVIDE_BY_ZERO
+    assert rows["a"].corpus_frac == 0.0 and rows["a"].weight == 0.0
+
+
+def test_stratified_sample_null_stratum_kept(spark):
+    from pdf_extractor_spark.operators.curation import stratified_sample
+
+    rows = [(i, None if i < 3 else "en") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, total=10, stratum_col="lang")
+    # the NULL stratum is a real stratum: all 10 docs come back
+    assert got.count() == 10
+    assert got.filter("stratum IS NULL").count() == 3
+
+
+def test_quality_tiers_approx_keeps_null_lang(spark):
+    from pdf_extractor_spark.operators.curation import quality_tiers
+
+    rows = [
+        (1, "alpha beta gamma delta", None),
+        (2, "alpha beta alpha beta", None),
+        (3, "one two three four five six", "en"),
+        (4, "one two one two one two", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = quality_tiers(df, n_tiers=2)
+    approx = quality_tiers(df, n_tiers=2, approx=True)
+    assert exact.agg({"n_docs": "sum"}).collect()[0][0] == 4
+    # the approx path must cover the same docs, NULL language included
+    assert approx.agg({"n_docs": "sum"}).collect()[0][0] == 4
+
+
+def test_global_shuffle_null_id(spark):
+    from pdf_extractor_spark.operators.curation import global_shuffle
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id long"
+    )
+    got = global_shuffle(df).collect()
+    assert len(got) == 3
+    assert sorted(r.shuffle_pos for r in got) == [1, 2, 3]
+
+
+def test_incremental_dedup_null_text_not_reemitted(spark):
+    from pdf_extractor_spark.operators.curation import incremental_dedup
+    from pyspark.sql import functions as F
+
+    day1 = spark.createDataFrame(
+        [(1, None), (2, "x y z")], "doc_id long, text string"
+    )
+    seen = day1.select(F.md5("text").alias("digest"))
+    day2 = spark.createDataFrame(
+        [(3, None), (4, "fresh text")], "doc_id long, text string"
+    )
+    out = incremental_dedup(day2, seen).collect()
+    # the NULL-text doc was already ingested on day 1 — it must NOT
+    # re-emit as new; only the genuinely fresh doc survives
+    assert [(r.digest is None, r.doc_id) for r in out] == [(False, 4)]
+
+
+def test_pii_scrub_mixed_case_email(spark):
+    from pdf_extractor_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "Contact John.Doe@Example.COM today")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r.n_emails == 1
+    assert "Example.COM" not in r.scrubbed and "<EMAIL>" in r.scrubbed
+
+
+def test_line_dedup_preserves_case(spark):
+    from pdf_extractor_spark.operators.curation import line_dedup
+
+    # the boilerplate line appears 3x in different CASE spellings — all
+    # three must be detected as one duplicate class and dropped, while
+    # the surviving text keeps its original capitalization
+    rows = [
+        (1, "Click Here Now The Paris Treaty Was Signed"),
+        (2, "CLICK HERE NOW unique middle text here too"),
+        (3, "click here now More Unique Trailing Words Here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(df, chunk=3, max_occ=2).collect()}
+    assert got[1].cleaned_text == "The Paris Treaty Was Signed"
+    assert got[2].cleaned_text == "unique middle text here too"
+    assert got[1].n_kept == 2 and got[1].n_lines == 3
+
+
+def test_substring_dedup_preserves_case(spark):
+    from pdf_extractor_spark.operators.curation import substring_dedup
+
+    boiler = "all rights reserved to the original owner"
+    rows = [
+        (1, ("Unique Opening Words Here Now Today Friends " + boiler.upper())),
+        (2, ("Different Unique Seven Words Appear Right Here " + boiler)),
+        (3, ("Thirdly Some Other Distinct Words Stand Proud " + boiler.title())),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in substring_dedup(df, k=5, max_occ=2).collect()}
+    # the case-varied boilerplate run is removed everywhere; survivors
+    # keep their original case
+    assert got[1].cleaned_text.startswith("Unique Opening Words")
+    for r in got.values():
+        assert "rights" not in r.cleaned_text.lower()
+        assert r.n_removed > 0
+
+
+def test_c4_filter_badword_edge_cases(spark):
+    from pdf_extractor_spark.operators.curation import c4_filter
+
+    df = spark.createDataFrame(
+        [(1, "perfectly fine text with five words.")],
+        "doc_id long, page string",
+    )
+    # empty blocklist: constant false, never \b()\b-matches-everything
+    r = c4_filter(df, badwords=()).collect()[0]
+    assert not r.has_badword
+    # regex metachars in a blocklist entry are literal
+    r2 = c4_filter(df, badwords=("c++",)).collect()[0]
+    assert not r2.has_badword

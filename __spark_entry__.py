@@ -2477,6 +2477,46 @@ def _dup_ngram_stats(spark, sf_dir):
     return dup_ngram_stats(_t_wide(spark, sf_dir, "documents"), n=3)
 
 
+def _containment_pairs(spark, sf_dir):
+    """Broder max-containment screen: pairs where the smaller 5-gram
+    shingle set is >=50% inside the larger (quotation / partial-inclusion
+    detection that Jaccard misses)."""
+    from pdf_extractor_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t_wide(spark, sf_dir, "documents"), n=5, threshold=0.5
+    )
+
+
+def _source_similarity(spark, sf_dir):
+    """Cross-source content-overlap matrix: distinct 3-gram shingle
+    Jaccard per unordered source pair."""
+    from pdf_extractor_spark.operators.curation import source_similarity
+
+    return source_similarity(_t_wide(spark, sf_dir, "documents"), n=3)
+
+
+def _lang_alpha_weights(spark, sf_dir):
+    """Exponentiated-smoothing multilingual sampling weights (alpha=0.3)."""
+    from pdf_extractor_spark.operators.curation import lang_alpha_weights
+
+    return lang_alpha_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
+def _corpus_digest(spark, sf_dir):
+    """Order-independent mergeable per-bucket corpus content digest."""
+    from pdf_extractor_spark.operators.curation import corpus_digest
+
+    return corpus_digest(_t(spark, sf_dir, "documents"), n_buckets=16)
+
+
+def _readability(spark, sf_dir):
+    """Flesch-Kincaid grade per document (vowel-run syllable heuristic)."""
+    from pdf_extractor_spark.operators.textstats import readability
+
+    return readability(_t_wide(spark, sf_dir, "documents"))
+
+
 def _decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 97 == 0 play the
     held-out eval set; every remaining corpus doc is scored by how many of
@@ -2889,6 +2929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _simhash,
         # corpus curation
         "dup_ngram_stats": _dup_ngram_stats,
+        "containment_pairs": _containment_pairs,
+        "source_similarity": _source_similarity,
+        "lang_alpha_weights": _lang_alpha_weights,
+        "corpus_digest": _corpus_digest,
+        "readability": _readability,
         "decontaminate": _decontaminate,
         "decontaminate_near": _decontaminate_near,
         "token_entropy": _token_entropy,
@@ -2992,6 +3037,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _LTOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+# null/blank-safe twin: empty array for NULL or whitespace-only text,
+# mirroring tokens_col's guard (regexp_split_to_array('') is [''], not [])
+_LTOKS_SAFE = (
+    "CASE WHEN text IS NULL OR trim(text) = '' "
+    f"THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END"
+)
 # original-case twin: ops that REBUILD text tokenize unfolded and only
 # fold for the duplicate-detection key (line_dedup / substring_dedup)
 _OTOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -5228,6 +5279,100 @@ SELECT d.doc_id, CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
        round(CASE WHEN coalesce(n_shingles, 0) > 0
              THEN n_dup * 1.0 / n_shingles ELSE 0 END, 6) AS dup_ngram_frac
 FROM documents d LEFT JOIN per USING (doc_id)
+"""
+    # containment_pairs: 5-gram shingles, max-containment >= 0.5; counts
+    # from the CAPPED index on both engines (internally-consistent cap).
+    sql["containment_pairs"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+     toks[i+3] || ' ' || toks[i+4]
+     for i in range(1, len(toks) - 3)])) AS s
+  FROM tok WHERE len(toks) >= 5),
+hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+sh2 AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id1, id2,
+       round(inter * 1.0 / least(ca.n, cb.n), 6) AS containment,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+FROM inter JOIN cnt ca ON id1 = ca.doc_id JOIN cnt cb ON id2 = cb.doc_id
+WHERE inter * 1.0 / least(ca.n, cb.n) >= 0.5
+"""
+    # source_similarity: distinct (source, 3-gram shingle) sets; Jaccard
+    # per unordered source pair (NULL sources have no set: collect_set
+    # drops them on the Spark side, the WHERE mirrors it here).
+    sql["source_similarity"] = f"""
+WITH tok AS (SELECT source, {_LTOKS} AS toks FROM documents
+             WHERE source IS NOT NULL),
+sh AS (
+  SELECT DISTINCT source, unnest(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)]) AS s
+  FROM tok WHERE len(toks) >= 3),
+tot AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+pr AS (
+  SELECT a.source AS src1, b.source AS src2, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2)
+SELECT src1, src2, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared * 1.0 / (ta.n + tb.n - n_shared), 6) AS jaccard
+FROM pr JOIN tot ta ON src1 = ta.source JOIN tot tb ON src2 = tb.source
+"""
+    # lang_alpha_weights: alpha=0.3 exponentiated smoothing; weight from
+    # the UNROUNDED p/q like the Spark select.
+    sql["lang_alpha_weights"] = f"""
+WITH per AS (
+  SELECT lang, CAST(sum(len({_LTOKS_SAFE})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+ext AS (SELECT lang, n_tokens, pow(n_tokens, 0.3) AS pa FROM per),
+tot AS (SELECT sum(n_tokens) AS t, sum(pa) AS ta FROM ext),
+frac AS (
+  SELECT lang, n_tokens,
+         CASE WHEN t > 0 THEN n_tokens * 1.0 / t ELSE 0.0 END AS p,
+         CASE WHEN ta > 0 THEN pa / ta ELSE 0.0 END AS q
+  FROM ext CROSS JOIN tot)
+SELECT lang, n_tokens, round(p, 6) AS p, round(q, 6) AS q,
+       round(CASE WHEN p > 0 THEN q / p ELSE 0.0 END, 6) AS weight
+FROM frac
+"""
+    # corpus_digest: same md5-derived 60-bit word + 2-hex-char bucket and
+    # XOR aggregate; 15 hex chars keep the word inside BIGINT.
+    sql["corpus_digest"] = """
+WITH k AS (
+  SELECT md5(coalesce(CAST(doc_id AS VARCHAR), '') || '|' ||
+             coalesce(text, '')) AS h
+  FROM documents)
+SELECT CAST('0x' || substr(h, 16, 2) AS BIGINT) % 16 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       bit_xor(CAST('0x' || substr(h, 1, 15) AS BIGINT)) AS digest
+FROM k GROUP BY 1
+"""
+    # readability: Flesch-Kincaid; per-token vowel-run syllables floored
+    # at 1, sentences = terminal-punct runs floored at 1.
+    sql["readability"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS_SAFE} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+per AS (
+  SELECT doc_id, count(*) AS n_words,
+         sum(greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))) AS n_syl
+  FROM w GROUP BY 1),
+sent AS (
+  SELECT doc_id, greatest(1,
+           len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))) AS n_sent
+  FROM documents)
+SELECT d.doc_id, CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       CAST(coalesce(n_syl, 0) AS BIGINT) AS n_syllables,
+       CASE WHEN coalesce(n_words, 0) > 0
+            THEN floor((3900.0 * n_words * n_words
+                        + 118000.0 * n_syl * n_sent
+                        - 155900.0 * n_sent * n_words)
+                       / (n_sent * n_words) + 0.5) / 10000.0
+            ELSE 0.0 END AS fk_grade
+FROM documents d JOIN sent USING (doc_id) LEFT JOIN per USING (doc_id)
 """
     # decontaminate: eval = doc_id % 97 == 0; corpus docs scored by
     # distinct-shingle overlap with the eval shingle set.

@@ -70,6 +70,11 @@ HEADLINE = [
     "media_captions",
     "multimodal_pack",
     "dup_ngram_stats",
+    "containment_pairs",
+    "source_similarity",
+    "lang_alpha_weights",
+    "corpus_digest",
+    "readability",
     "token_entropy",
     "bpe_pair_counts",
     "bpe_merges",

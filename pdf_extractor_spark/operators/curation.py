@@ -88,6 +88,80 @@ def dup_ngram_stats(
     )
 
 
+def source_similarity(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    max_sf: int | None = None,
+) -> DataFrame:
+    """(src1, src2, n_shared, jaccard) — the cross-source content-overlap
+    matrix: for every unordered pair of sources, how many DISTINCT n-gram
+    shingles they share and the Jaccard of their shingle sets. This is the
+    corpus-accounting view that tells a curation run which feeds are
+    re-crawling each other (syndication, mirrors, CommonCrawl-snapshot
+    overlap) BEFORE any pairwise doc dedup runs — the source pair with
+    jaccard 0.9 is one dedup pass, not two ingest pipelines.
+
+    Physical shape: distinct (source, shingle) pairs -> per-shingle sorted
+    source set (bounded by the SOURCE dimension's cardinality — crawls /
+    feeds / snapshots are tens-to-thousands, never corpus-scale) ->
+    combination pairs generated array-side -> count per (src1, src2). One
+    shuffle on the shingle key with map-side distinct, one on the bounded
+    pair key; per-source totals are a 2nd tiny aggregate broadcast back.
+    max_sf optionally drops shingles present in more than max_sf sources
+    (stop-shingles contribute ~uniformly to every pair and only flatten
+    the matrix; dropping them is the same guard shingle_index applies at
+    the doc level)."""
+    idx = shingle_index(df, text_col, source_col, n, max_df=None).distinct()
+    per_shingle = idx.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("id")).alias("srcs")
+    )
+    if max_sf is not None:
+        per_shingle = per_shingle.filter(F.size("srcs") <= max_sf)
+    pairs = (
+        per_shingle.select(
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        F.col("srcs"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("srcs"),
+                                i + 2,
+                                F.size("srcs") - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("s1"), y.alias("s2")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .where(F.col("p").isNotNull())
+        .groupBy(F.col("p.s1").alias("src1"), F.col("p.s2").alias("src2"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    totals = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
+    ta = totals.select(F.col("id").alias("src1"), F.col("n_sh").alias("_n1"))
+    tb = totals.select(F.col("id").alias("src2"), F.col("n_sh").alias("_n2"))
+    return (
+        pairs.join(F.broadcast(ta), "src1")
+        .join(F.broadcast(tb), "src2")
+        .select(
+            "src1",
+            "src2",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_n1") + F.col("_n2") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,
@@ -420,6 +494,102 @@ def mix_weights(
         )
         .select(
             "source", "n_docs", "n_tokens", "corpus_frac", "target_frac", "weight"
+        )
+    )
+
+
+def lang_alpha_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, n_tokens, p, q, weight) — exponentiated-smoothing language
+    sampling (the multilingual-LM recipe: sample language l with
+    probability q_l ∝ p_l^alpha where p_l is its corpus token share).
+    alpha < 1 upsamples tail languages and downsamples the head, bounding
+    head dominance without dropping data; weight = q_l / p_l is the
+    per-language repetition factor a sampler applies. alpha=1 is the
+    natural distribution, alpha=0 uniform.
+
+    Scale: same shape as mix_weights — one per-language aggregate with
+    map-side combine, result bounded by the language dimension (hundreds),
+    totals broadcast back as 1-row frames. A NULL language is a real group
+    (groupBy keeps it) so unidentified docs stay accounted."""
+    per = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    # two consumers (totals and the result) — checkpoint the langs-sized agg
+    per = per.localCheckpoint(eager=False)
+    per = per.withColumn("_pa", F.pow(F.col("n_tokens").cast("double"), alpha))
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"), F.sum("_pa").alias("_tot_a")
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .withColumn(
+            "p",
+            F.when(
+                F.col("_tot") > 0, F.col("n_tokens") / F.col("_tot")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q",
+            F.when(
+                F.col("_tot_a") > 0, F.col("_pa") / F.col("_tot_a")
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            F.round("p", 6).alias("p"),
+            F.round("q", 6).alias("q"),
+            F.round(
+                F.when(F.col("p") > 0, F.col("q") / F.col("p")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+def corpus_digest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """(bucket, n_docs, digest) — an order-independent, mergeable content
+    digest of the corpus, bucketed for incremental verification: digest is
+    the XOR of a 60-bit md5-derived word per (doc_id, text) row. Two runs
+    (or two replicas) produced the same corpus iff every bucket row
+    matches — the data-versioning primitive that catches silent row loss,
+    duplication, or mutation after a migration/compaction without sorting
+    or moving the data. XOR is commutative/associative, so per-bucket
+    digests combine across shards and partial digests of disjoint
+    increments merge exactly (same family as the bottom-k sample sketch:
+    pair any scale prefilter with an unfiltered oracle).
+
+    One map-side-combined aggregate on a bounded bucket key; no joins.
+    60-bit words (15 md5 hex chars) keep the arithmetic inside BIGINT on
+    both engines — DuckDB overflows building 1<<63 literals."""
+    key = F.concat(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        F.lit("|"),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    word = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(key), 16, 2), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    return (
+        df.select(bucket.alias("bucket"), word.alias("_w"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.bit_xor("_w").alias("digest"),
         )
     )
 

@@ -165,6 +165,72 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """(id1, id2, containment, jaccard) — max-containment near-dup
+    detection: containment = |S1 ∩ S2| / min(|S1|, |S2|), the asymmetric
+    overlap measure that catches QUOTATION and partial inclusion, which
+    resemblance (Jaccard) structurally misses: a 50-shingle document fully
+    embedded in a 5000-shingle page has Jaccard ~0.01 but containment 1.0.
+    This is the second measure of Broder's resemblance/containment pair —
+    the standard screen for "this doc is a subset of that one" (quote
+    farms, boilerplate wrappers around syndicated articles). Jaccard is
+    emitted alongside so survivors can distinguish true near-dups
+    (both high) from embeddings (containment high, Jaccard low).
+
+    Physical shape: identical to ngram_jaccard_pairs — one shingle
+    inverted-index self-join sharing its exchange via AQE ReusedExchange,
+    per-doc distinct-shingle counts broadcast back. The hot-shingle cap
+    (max_df) bounds the join fan-out exactly as there; the containment
+    denominator uses the CAPPED index's counts on both sides, so the
+    measure stays internally consistent under the cap."""
+    idx = shingle_index(df, text_col, id_col, n, max_df)
+    counts = idx.groupBy("id").agg(F.count("*").alias("n_shingles"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("id1") == F.col("ca.id"))
+        .join(cb, F.col("id2") == F.col("cb.id"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("inter")
+                / F.least(F.col("ca.n_shingles"), F.col("cb.n_shingles")),
+                6,
+            ).alias("containment"),
+            F.round(
+                F.col("inter")
+                / (
+                    F.col("ca.n_shingles")
+                    + F.col("cb.n_shingles")
+                    - F.col("inter")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:

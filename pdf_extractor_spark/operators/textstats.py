@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..session import fan_out
+
 # languages scored by the columnar lang-ID; marker words chosen to be
 # mutually exclusive so scoring is unambiguous and SQL-portable
 LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
@@ -359,6 +361,93 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         F.round(
             F.when(F.size(bg) > 0, top_count / F.size(bg)).otherwise(0.0), 6
         ).alias("top_bigram_share"),
+    )
+
+
+def readability(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_words, n_sentences, n_syllables, fk_grade) —
+    Flesch–Kincaid grade level, the classic readability score used as a
+    cheap text-quality / audience-level signal in curation pipelines:
+
+        fk = 0.39 * words/sentences + 11.8 * syllables/words - 15.59
+
+    Syllables are the standard vowel-group heuristic — each maximal
+    [aeiouy]+ run counts one, floored at 1 per word — and sentences are
+    terminal-punctuation runs ([.!?]+), floored at 1 for any non-empty
+    document. Empty/token-less docs score 0.0 across the board.
+
+    Physical shape: explode tokens once -> per-doc hash aggregate with
+    map-side combine (count = words, sum of per-token vowel-run counts =
+    syllables). The per-word floor forces token granularity, and explode +
+    hash-agg beats a higher-order-function fold (HOFs are CodegenFallback);
+    sentences come from a doc-level regexp count on the un-exploded side.
+    One shuffle on the doc key; the join back is on the same key."""
+    from pyspark.sql import functions as F
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("t"),
+    ).where(F.col("t").isNotNull())
+    per = toks.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(
+            F.greatest(
+                F.lit(1),
+                F.size(F.split(F.col("t"), "[aeiouy]+")) - 1,
+            )
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    sent = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "[.!?]+")
+            )
+            - 1,
+        )
+        .cast("long")
+        .alias("n_sentences"),
+    )
+    return (
+        sent.join(per, F.col(id_col) == per.id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.col("n_sentences"),
+            F.coalesce("n_syllables", F.lit(0))
+            .cast("long")
+            .alias("n_syllables"),
+            # round-half-up at 4dp via floor(x*1e4 + 0.5): the formula's
+            # exact values are rationals over s*w and land EXACTLY on
+            # .xxxx5 ties (w=64 -> 25.22625), where engine round()
+            # disagrees on the double below the tie. floor(+0.5) over the
+            # identically-sequenced IEEE expression is deterministic and
+            # equal across Spark and the DuckDB oracle.
+            F.when(
+                F.coalesce(F.col("n_words"), F.lit(0)) > 0,
+                F.floor(
+                    (
+                        F.lit(3900.0)
+                        * F.col("n_words")
+                        * F.col("n_words")
+                        + F.lit(118000.0)
+                        * F.col("n_syllables")
+                        * F.col("n_sentences")
+                        - F.lit(155900.0)
+                        * F.col("n_sentences")
+                        * F.col("n_words")
+                    )
+                    / (F.col("n_sentences") * F.col("n_words"))
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fk_grade"),
+        )
     )
 
 

@@ -1034,3 +1034,70 @@ def test_c4_filter_badword_edge_cases(spark):
     # regex metachars in a blocklist entry are literal
     r2 = c4_filter(df, badwords=("c++",)).collect()[0]
     assert not r2.has_badword
+
+
+def test_source_similarity_exact_jaccard(spark):
+    from pdf_extractor_spark.operators.curation import source_similarity
+
+    # srcA shingles: {a b c, b c d}; srcB: {b c d, c d e}; share 1 of 3
+    rows = [
+        (1, "a b c d", "A"),
+        (2, "b c d e", "B"),
+        (3, "a b c", None),  # NULL source: excluded from the matrix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = source_similarity(df, n=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.src1, r.src2, r.n_shared) == ("A", "B", 1)
+    assert r.jaccard == round(1 / 3, 6)
+
+
+def test_lang_alpha_weights_upsamples_tail(spark):
+    from pdf_extractor_spark.operators.curation import lang_alpha_weights
+
+    rows = [(i, "w " * 99, "en") for i in range(9)] + [(99, "w " * 99, "pt")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in lang_alpha_weights(df, alpha=0.3).collect()}
+    assert got["en"].weight < 1.0 < got["pt"].weight
+    assert abs(got["en"].q + got["pt"].q - 1.0) < 1e-5
+    # alpha=1 is the natural distribution: every weight exactly 1
+    nat = {r.lang: r for r in lang_alpha_weights(df, alpha=1.0).collect()}
+    assert nat["en"].weight == 1.0 and nat["pt"].weight == 1.0
+
+
+def test_corpus_digest_order_invariant_and_sensitive(spark):
+    from pdf_extractor_spark.operators.curation import corpus_digest
+
+    rows = [(i, f"doc number {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r.bucket: (r.n_docs, r.digest) for r in corpus_digest(df).collect()}
+    # order/partitioning invariance: same rows reversed, re-partitioned
+    df2 = spark.createDataFrame(rows[::-1], "doc_id long, text string").repartition(7)
+    assert {
+        r.bucket: (r.n_docs, r.digest) for r in corpus_digest(df2).collect()
+    } == base
+    # a single mutated row flips its bucket's digest but no count
+    rows3 = [(i, ("doc number X" if i == 17 else f"doc number {i}")) for i in range(50)]
+    df3 = spark.createDataFrame(rows3, "doc_id long, text string")
+    got3 = {r.bucket: (r.n_docs, r.digest) for r in corpus_digest(df3).collect()}
+    assert got3 != base
+    assert sum(v[0] for v in got3.values()) == sum(v[0] for v in base.values())
+
+
+def test_corpus_digest_merges_across_disjoint_shards(spark):
+    from pdf_extractor_spark.operators.curation import corpus_digest
+
+    rows = [(i, f"text {i * 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    half1 = spark.createDataFrame(rows[:20], "doc_id long, text string")
+    half2 = spark.createDataFrame(rows[20:], "doc_id long, text string")
+    full = {r.bucket: (r.n_docs, r.digest) for r in corpus_digest(df).collect()}
+    d1 = {r.bucket: (r.n_docs, r.digest) for r in corpus_digest(half1).collect()}
+    d2 = {r.bucket: (r.n_docs, r.digest) for r in corpus_digest(half2).collect()}
+    merged = {}
+    for d in (d1, d2):
+        for b, (n, x) in d.items():
+            pn, px = merged.get(b, (0, 0))
+            merged[b] = (pn + n, px ^ x)
+    assert merged == full

@@ -294,3 +294,31 @@ def test_fuzzy_key_pairs_exact_recall_dist1(spark):
         for r in fuzzy_key_pairs(df, df).collect()
     }
     assert got == want  # exact recall AND no false positives at dist <= 1
+
+
+def test_containment_catches_quotation_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment 1.0 even
+    though Jaccard is far below any near-dup threshold."""
+    from pdf_extractor_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler.upper()),
+        (3, "totally disjoint words live here now today ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id1, r.id2): r for r in containment_pairs(df, n=5, threshold=0.5).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)].containment == 1.0
+    assert got[(1, 2)].jaccard < 0.05
+
+
+def test_containment_symmetric_on_equal_sets(spark):
+    from pdf_extractor_spark.operators.dedup import containment_pairs
+
+    t = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    r = containment_pairs(df, n=5, threshold=0.5).collect()[0]
+    assert (r.id1, r.id2, r.containment, r.jaccard) == (1, 2, 1.0, 1.0)

@@ -234,3 +234,29 @@ def test_vocab_coverage_broadcasts_vocab(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_readability_known_counts(spark):
+    from pdf_extractor_spark.operators.textstats import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),  # 6 words, 2 sentences, 6 syllables
+        (2, ""),  # empty: all zeros
+        (3, "shhh shhh"),  # vowel-less words floor at 1 syllable each
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability(df).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    # 0.39*6/2 + 11.8*6/6 - 15.59 = 1.17 + 11.8 - 15.59 = -2.62
+    assert r1.fk_grade == -2.62
+    assert (got[2].n_words, got[2].fk_grade) == (0, 0.0)
+    assert got[3].n_syllables == 2
+
+
+def test_readability_syllables_are_vowel_runs(spark):
+    from pdf_extractor_spark.operators.textstats import readability
+
+    # "readability" -> ea|a|i|i|y = 5 vowel runs
+    df = spark.createDataFrame([(1, "readability")], "doc_id long, text string")
+    assert readability(df).collect()[0].n_syllables == 5

@@ -34,13 +34,14 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
         "gopher_filter", "c4_filter", "hash_lr", "vocab_coverage",
+        "readability",
     ]),
     ("Deduplication", [
         "exact_dedup", "line_dedup", "substring_dedup", "ngram_jaccard",
         "winnow_fingerprints", "winnow_pairs", "minhash_lsh",
         "simhash_neardup", "neardup_clusters", "dedup_survivors",
         "dedup_apply", "dup_ngram_stats", "incremental_dedup", "incremental_lsh_dedup", "embedding_neardup",
-        "semdedup", "fuzzy_name_match",
+        "semdedup", "fuzzy_name_match", "containment_pairs",
     ]),
     ("Decontamination & corpus curation", [
         "decontaminate", "decontaminate_near", "pii_scrub", "mix_weights",
@@ -48,6 +49,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "curation_funnel", "chunk_documents", "pack_sequences",
         "bloom_decontaminate",
         "stratified_sample", "corpus_rollup", "dsir_weights",
+        "source_similarity", "lang_alpha_weights", "corpus_digest",
     ]),
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "lsh_ann_topk", "ivf_ann_topk",

@@ -2477,6 +2477,63 @@ def _dup_ngram_stats(spark, sf_dir):
     return dup_ngram_stats(_t_wide(spark, sf_dir, "documents"), n=3)
 
 
+def _url_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist over the synthesized messy URLs: two
+    blocked registrable domains, matched as PARENT suffixes of the
+    www.-prefixed crawl hosts."""
+    from pdf_extractor_spark.operators.urls import url_blocklist
+
+    return url_blocklist(
+        _synth_urls(spark, sf_dir),
+        blocklist=("src3.example.com", "src7.example.com"),
+    )
+
+
+def _intra_doc_dedup(spark, sf_dir):
+    """Within-document repeated-line removal (chunk=2 so the flat token
+    corpus has actual intra-doc repeats to drop)."""
+    from pdf_extractor_spark.operators.curation import intra_doc_dedup
+
+    return intra_doc_dedup(_t_wide(spark, sf_dir, "documents"), chunk=2)
+
+
+def _host_boilerplate(spark, sf_dir):
+    """Templated-page detection over deterministically synthesized site
+    chrome: docs with doc_id % 4 != 0 get a per-source boilerplate prefix
+    ('welcome to <source> portal ...'), which the operator must flag."""
+    from pdf_extractor_spark.operators.curation import host_boilerplate
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    synth = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(
+                F.lit("welcome to "),
+                F.col("source"),
+                F.lit(" portal "),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return host_boilerplate(synth, k=3, min_docs=5, share=0.5)
+
+
+def _tokenizer_fertility(spark, sf_dir):
+    """Per-language subwords-per-word over the synthesized punctuated
+    pages (the flat token corpus is punctuation-free, where fertility is
+    identically 1.0 — the page synthesis restores the code/punct mass
+    the metric exists to measure)."""
+    from pdf_extractor_spark.operators.curation import (
+        synthesize_pages,
+        tokenizer_fertility,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pages = synthesize_pages(docs, keep_cols=("lang",))
+    return tokenizer_fertility(pages, text_col="page")
+
+
 def _containment_pairs(spark, sf_dir):
     """Broder max-containment screen: pairs where the smaller 5-gram
     shingle set is >=50% inside the larger (quotation / partial-inclusion
@@ -2930,6 +2987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation
         "dup_ngram_stats": _dup_ngram_stats,
         "containment_pairs": _containment_pairs,
+        "intra_doc_dedup": _intra_doc_dedup,
+        "url_blocklist": _url_blocklist,
+        "host_boilerplate": _host_boilerplate,
+        "tokenizer_fertility": _tokenizer_fertility,
         "source_similarity": _source_similarity,
         "lang_alpha_weights": _lang_alpha_weights,
         "corpus_digest": _corpus_digest,
@@ -4278,8 +4339,9 @@ FROM per, tot
     # three deterministic page poisons) AND the C4 line/page rules both
     # rebuilt in SQL; every count is an exact integer, so agreement is
     # bit-for-bit.
-    sql["c4_filter"] = """
-WITH base AS (
+    # page-synthesis CTE block (mirrors curation.synthesize_pages) —
+    # shared by the c4_filter and tokenizer_fertility oracles
+    _page_cte = """base AS (
   SELECT doc_id,
          list_filter(str_split(coalesce(text, ''), ' '), t -> t <> '')
            AS toks
@@ -4312,7 +4374,9 @@ pg AS (
          || CASE WHEN doc_id % 23 = 0
                  THEN chr(10) || 'casino jackpot bonus spins here now.'
                  ELSE '' END AS page
-  FROM ls),
+  FROM ls)"""
+    sql["c4_filter"] = f"""
+WITH {_page_cte},
 k AS (
   SELECT doc_id, page, str_split(page, chr(10)) AS plines,
          list_filter(str_split(page, chr(10)),
@@ -4325,7 +4389,7 @@ m AS (
          CAST(len(kept) AS BIGINT) AS n_kept,
          -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
          coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
-         contains(page, '{') AS has_brace,
+         contains(page, '{{') AS has_brace,
          contains(lower(page), 'lorem ipsum') AS has_lorem,
          regexp_matches(lower(page), '\\b(casino|jackpot)\\b')
            AS has_badword
@@ -4341,6 +4405,78 @@ SELECT doc_id, n_lines, n_kept,
          AS accept,
        clean_text
 FROM m
+"""
+    # tokenizer_fertility: subwords-per-word per language over the SAME
+    # synthesized pages (the flat corpus is punctuation-free -> 1.0
+    # everywhere; the pages carry the punct/code mass the metric measures)
+    sql["tokenizer_fertility"] = f"""
+WITH {_page_cte},
+f AS (
+  SELECT d.lang,
+         CASE WHEN pg.page IS NULL OR trim(pg.page) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(pg.page), '\\s+')) END
+           AS w,
+         CASE WHEN pg.page IS NULL THEN 0
+              ELSE len(list_filter(
+                     regexp_extract_all(pg.page, '{bpe_re_sql}', 1),
+                     t -> NOT regexp_matches(t, '^\\s+$'))) END AS s
+  FROM pg JOIN documents d USING (doc_id))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(s) AS BIGINT) AS n_subwords,
+       round(CASE WHEN sum(w) > 0 THEN sum(s) * 1.0 / sum(w)
+             ELSE 0.0 END, 6) AS fertility
+FROM f GROUP BY 1
+"""
+    # intra_doc_dedup: chunk=2 lines, first occurrence per case-folded
+    # line kept, original case preserved in the rebuild.
+    sql["intra_doc_dedup"] = f"""
+WITH tok AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = ''
+                  THEN CAST([] AS VARCHAR[]) ELSE {_OTOKS} END AS toks
+             FROM documents),
+l AS (SELECT doc_id,
+        CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+          [array_to_string(list_slice(toks, i*2+1, i*2+2), ' ')
+           for i in range(0, CAST(ceil(len(toks)/2.0) AS INT))]
+        END AS lines
+      FROM tok),
+kk AS (SELECT doc_id, lines,
+              list_transform(lines, y -> lower(y)) AS lk FROM l),
+kept AS (SELECT doc_id, lines,
+                list_filter(lines,
+                  (x, i) -> list_position(lk, lower(x)) = i) AS kept
+         FROM kk)
+SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+FROM kept
+"""
+    # host_boilerplate: synthesized site chrome (doc_id % 4 != 0 docs get
+    # a per-source prefix); k=3 prefix share per site, min_docs=5.
+    sql["host_boilerplate"] = """
+WITH s AS (
+  SELECT doc_id, source AS site,
+         CASE WHEN doc_id % 4 <> 0
+              THEN 'welcome to ' || source || ' portal ' ||
+                   coalesce(text, '')
+              ELSE text END AS text
+  FROM documents),
+p AS (
+  SELECT doc_id, site,
+         coalesce(lower(array_to_string(list_slice(
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+') END,
+           1, 3), ' ')), '') AS pfx
+  FROM s),
+pc AS (SELECT site, pfx, count(*) AS pc FROM p GROUP BY 1, 2),
+sc AS (SELECT site, count(*) AS sc FROM p GROUP BY 1)
+SELECT p.doc_id, p.site AS site,
+       round(pc * 1.0 / sc, 6) AS prefix_share,
+       (pc * 1.0 / sc >= 0.5 AND sc >= 5) AS templated
+FROM p
+JOIN pc ON p.site IS NOT DISTINCT FROM pc.site AND p.pfx = pc.pfx
+JOIN sc ON p.site IS NOT DISTINCT FROM sc.site
 """
     # gopher_filter: the six rules re-stated over the same token/bigram
     # lists; every comparison is on an exact integer ratio, so no rounding
@@ -5844,6 +5980,28 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(n_chars), 4) AS avg_chars
 FROM norm JOIN documents USING (doc_id)
 GROUP BY 1 ORDER BY 1
+"""
+    # url_blocklist: label-suffix domain match against the 2-entry list;
+    # matched_suffix is the longest (first, suffixes run longest->shortest)
+    sql["url_blocklist"] = f"""
+WITH aug AS (SELECT doc_id, {_url_synth} AS url FROM documents),
+h AS (SELECT doc_id,
+        lower(regexp_replace(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', ''))
+          AS host
+      FROM aug),
+sfx AS (SELECT doc_id, host, str_split(host, '.') AS labels FROM h),
+m AS (SELECT doc_id, host,
+        list_filter(
+          [array_to_string(list_slice(labels, i, len(labels)), '.')
+           for i in range(1, len(labels) + 1)],
+          s -> list_contains(
+            ['src3.example.com', 'src7.example.com'], s)) AS mt
+      FROM sfx)
+SELECT doc_id, host,
+       CASE WHEN len(mt) > 0 THEN mt[1] ELSE '' END AS matched_suffix,
+       len(mt) > 0 AS blocked
+FROM m
 """
     # compaction_plan: the synthetic file inventory (one "file" per doc:
     # partition = source, deterministic zero-padded name, bytes =

@@ -71,6 +71,9 @@ HEADLINE = [
     "multimodal_pack",
     "dup_ngram_stats",
     "containment_pairs",
+    "intra_doc_dedup",
+    "host_boilerplate",
+    "tokenizer_fertility",
     "source_similarity",
     "lang_alpha_weights",
     "corpus_digest",
@@ -90,6 +93,7 @@ HEADLINE = [
     "pii_scrub",
     "url_normalize",
     "url_dedup",
+    "url_blocklist",
     "host_stats",
     "mix_weights",
     "global_shuffle",

@@ -412,6 +412,156 @@ PII_PHONE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
+def intra_doc_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 8,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, cleaned_text) — WITHIN-document repeated-
+    line removal (the intra-document half of the RefinedWeb/MassiveText
+    line-dedup recipe, complementing the corpus-level line_dedup): split
+    the document into consecutive `chunk`-token lines, keep only the FIRST
+    occurrence of each distinct line (case-folded comparison, original
+    case preserved), and rebuild the text in order. Catches nav menus /
+    footers repeated inside one page without any cross-document state.
+
+    Scale: pure per-row array work — ZERO shuffle, embarrassingly
+    parallel, the cheapest dedup in the family. The first-occurrence scan
+    is O(lines^2) per document via array_position, bounded by document
+    length, never corpus size."""
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    n_lines = F.ceil(F.size("_toks") / F.lit(chunk)).cast("int")
+    lines = F.when(
+        F.size("_toks") <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("_toks"), i * chunk + 1, chunk), " "
+            ),
+        )
+    )
+    # both arrays bound as columns: a raw `lines` expression referenced
+    # from the filter lambda would re-build every line per comparison
+    base = base.withColumn("_lines", lines).withColumn(
+        "_lkeys", F.transform(F.col("_lines"), F.lower)
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: F.array_position(F.col("_lkeys"), F.lower(x)) == i + 1,
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
+def host_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    site_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_docs: int = 5,
+    share: float = 0.5,
+) -> DataFrame:
+    """(doc_id, site, prefix_share, templated) — templated-page detection:
+    group a site's documents by their first-k-token (case-folded) prefix;
+    a document is `templated` when its prefix is shared by >= `share` of
+    the site's docs AND the site has >= min_docs docs (small sites can't
+    establish a template). The standard pre-filter for site-chrome pages
+    (search results, tag indexes, login walls) that per-document quality
+    scores rate as fine text.
+
+    Physical shape: one aggregate on the (site, prefix) key, one tiny
+    per-site total (site is a bounded dimension -> broadcast back), and
+    the doc-side join back on the SAME (site, prefix) partitioning, so
+    AQE reuses the exchange rather than shuffling twice. Prefix keys are
+    k tokens — bounded width, no skew surface beyond genuinely templated
+    sites, which is the signal itself."""
+    prefix = F.lower(
+        F.array_join(F.slice(tokens_col(F.col(text_col)), 1, k), " ")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(site_col).alias("site"),
+        F.coalesce(prefix, F.lit("")).alias("_prefix"),
+    )
+    per_prefix = base.groupBy("site", "_prefix").agg(
+        F.count("*").alias("_pc")
+    )
+    per_site = base.groupBy("site").agg(F.count("*").alias("_sc"))
+    pp = per_prefix.select(
+        F.col("site").alias("_ps"),
+        F.col("_prefix").alias("_pp"),
+        "_pc",
+    )
+    ps = per_site.select(F.col("site").alias("_ss"), "_sc")
+    return (
+        base.join(
+            pp,
+            F.col("site").eqNullSafe(F.col("_ps"))
+            & (F.col("_prefix") == F.col("_pp")),
+        )
+        .join(F.broadcast(ps), F.col("site").eqNullSafe(F.col("_ss")))
+        .select(
+            F.col(id_col),
+            F.col("site"),
+            F.round(F.col("_pc") / F.col("_sc"), 6).alias("prefix_share"),
+            (
+                (F.col("_pc") / F.col("_sc") >= F.lit(share))
+                & (F.col("_sc") >= F.lit(min_docs))
+            ).alias("templated"),
+        )
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(lang, n_docs, n_words, n_subwords, fertility) — tokenizer
+    fertility per language: subword tokens emitted per whitespace word
+    (the standard multilingual-tokenizer health metric — a language whose
+    fertility is 2-3x the corpus median is being over-fragmented and pays
+    that multiple in sequence length and training cost). Uses the same
+    BPE-pretokenizer counter the token-budget path uses, so the numbers
+    reconcile with pack_sequences / bpe_token_count exactly.
+
+    One per-language aggregate with map-side combine — language is a
+    bounded dimension; no joins, no second pass."""
+    from .textstats import bpe_token_count
+
+    return (
+        df.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("n_words"),
+            F.sum(bpe_token_count(F.col(text_col)))
+            .cast("long")
+            .alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.col("n_subwords") / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
 def pii_scrub(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1779,6 +1929,7 @@ def synthesize_pages(
     id_col: str = "doc_id",
     text_col: str = "text",
     line_tokens: int = 6,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, page) — deterministic newline-structured page per document,
     built columnar from the flat token text (the `synthesize_html` pattern:
@@ -1834,7 +1985,9 @@ def synthesize_pages(
             F.lit("\ncasino jackpot bonus spins here now."),
         ).otherwise(F.lit("")),
     )
-    return out.select(F.col(id_col), page.alias("page"))
+    return out.select(
+        F.col(id_col), page.alias("page"), *[F.col(c) for c in keep_cols]
+    )
 
 
 def c4_filter(

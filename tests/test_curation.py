@@ -1101,3 +1101,62 @@ def test_corpus_digest_merges_across_disjoint_shards(spark):
             pn, px = merged.get(b, (0, 0))
             merged[b] = (pn + n, px ^ x)
     assert merged == full
+
+
+def test_intra_doc_dedup_keeps_first_preserves_case(spark):
+    from pdf_extractor_spark.operators.curation import intra_doc_dedup
+
+    # nav chunk "Home News" repeats (case-varied) inside doc 1; doc 2
+    # shares the same line corpus-wide but has no INTERNAL repeat — it
+    # must be untouched (no cross-document state)
+    rows = [
+        (1, "Home News alpha beta home news gamma delta HOME NEWS"),
+        (2, "home news omega psi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in intra_doc_dedup(df, chunk=2).collect()}
+    assert got[1].cleaned_text == "Home News alpha beta gamma delta"
+    assert (got[1].n_lines, got[1].n_kept) == (5, 3)
+    assert got[2].cleaned_text == "home news omega psi"
+    assert (got[2].n_lines, got[2].n_kept) == (2, 2)
+
+
+def test_host_boilerplate_flags_templated_sites(spark):
+    from pdf_extractor_spark.operators.curation import host_boilerplate
+
+    rows = (
+        # site A: 5 docs, 4 share the chrome prefix
+        [(i, "Welcome To Acme page %d words" % i, "A") for i in range(4)]
+        + [(4, "totally organic article text here", "A")]
+        # site B: 2 docs sharing a prefix — below min_docs, never flagged
+        + [(10, "welcome to acme foo", "B"), (11, "welcome to acme bar", "B")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in host_boilerplate(df, k=3, min_docs=5, share=0.5).collect()}
+    assert all(got[i].templated for i in range(4))
+    assert got[0].prefix_share == 0.8
+    assert not got[4].templated
+    assert not got[10].templated and not got[11].templated  # small site
+
+
+def test_tokenizer_fertility_counts_punct_mass(spark):
+    from pdf_extractor_spark.operators.curation import tokenizer_fertility
+    from pdf_extractor_spark.operators.textstats import bpe_token_count, token_count
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "hello world.", "en"),          # '.' is an extra subword
+        (2, "f(x) = { return 1; }", "en"),  # code: many punct subwords
+        (3, "plain words only here", "pt"), # fertility exactly 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in tokenizer_fertility(df).collect()}
+    assert got["en"].fertility > 1.0
+    assert got["pt"].fertility == 1.0
+    # reconciles exactly with the token-budget counters
+    agg = df.agg(
+        F.sum(token_count(F.col("text"))).alias("w"),
+        F.sum(bpe_token_count(F.col("text"))).alias("s"),
+    ).collect()[0]
+    assert agg.w == sum(r.n_words for r in got.values())
+    assert agg.s == sum(r.n_subwords for r in got.values())

@@ -83,3 +83,33 @@ def test_url_dedup_hand_computed(spark):
         "https://a.com/p?id=1": (1, 1),
         "https://b.com/p": (3, 1),
     }
+
+
+def test_url_blocklist_suffix_not_substring(spark):
+    from pdf_extractor_spark.operators.urls import url_blocklist
+
+    rows = [
+        (1, "https://a.bad.example.com/x"),   # parent-domain match
+        (2, "https://bad.example.com/x"),     # exact match
+        (3, "https://notbad.example.com/x"),  # substring must NOT match
+        (4, "https://clean.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in url_blocklist(df, ("bad.example.com",)).collect()}
+    assert got[1].blocked and got[1].matched_suffix == "bad.example.com"
+    assert got[2].blocked
+    assert not got[3].blocked and got[3].matched_suffix == ""
+    assert not got[4].blocked
+
+
+def test_url_blocklist_longest_match_and_empty_list(spark):
+    from pdf_extractor_spark.operators.urls import url_blocklist
+
+    df = spark.createDataFrame(
+        [(1, "https://x.sub.dom.net/")], "doc_id long, url string"
+    )
+    r = url_blocklist(df, ("dom.net", "sub.dom.net")).collect()[0]
+    # most specific entry wins the report (both block)
+    assert r.blocked and r.matched_suffix == "sub.dom.net"
+    r2 = url_blocklist(df, ()).collect()[0]
+    assert not r2.blocked and r2.matched_suffix == ""

@@ -34,7 +34,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
         "gopher_filter", "c4_filter", "hash_lr", "vocab_coverage",
-        "readability",
+        "readability", "tokenizer_fertility",
     ]),
     ("Deduplication", [
         "exact_dedup", "line_dedup", "substring_dedup", "ngram_jaccard",
@@ -42,6 +42,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "simhash_neardup", "neardup_clusters", "dedup_survivors",
         "dedup_apply", "dup_ngram_stats", "incremental_dedup", "incremental_lsh_dedup", "embedding_neardup",
         "semdedup", "fuzzy_name_match", "containment_pairs",
+        "intra_doc_dedup",
     ]),
     ("Decontamination & corpus curation", [
         "decontaminate", "decontaminate_near", "pii_scrub", "mix_weights",
@@ -50,6 +51,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "bloom_decontaminate",
         "stratified_sample", "corpus_rollup", "dsir_weights",
         "source_similarity", "lang_alpha_weights", "corpus_digest",
+        "host_boilerplate",
     ]),
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "lsh_ann_topk", "ivf_ann_topk",
@@ -58,6 +60,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Web: HTML, URLs, link graph", [
         "html_main_content", "html_blocks", "html_links",
         "anchor_text_index", "url_normalize", "url_dedup", "host_stats",
+        "url_blocklist",
         "pagerank_hosts", "crawl_frontier",
     ]),
     ("Layout (reading order)", ["layout_order", "layout_text"]),

@@ -2553,6 +2553,15 @@ def _source_similarity(spark, sf_dir):
     return source_similarity(_t_wide(spark, sf_dir, "documents"), n=3)
 
 
+def _source_similarity_kmv(spark, sf_dir):
+    """KMV bottom-k sketch estimate of the cross-source Jaccard matrix
+    (k=64) — the scale-path twin of source_similarity; the oracle ranks
+    the UNFILTERED hash space so the prefilter is loudly verified."""
+    from pdf_extractor_spark.operators.curation import source_similarity_kmv
+
+    return source_similarity_kmv(_t_wide(spark, sf_dir, "documents"), n=3, k=64)
+
+
 def _lang_alpha_weights(spark, sf_dir):
     """Exponentiated-smoothing multilingual sampling weights (alpha=0.3)."""
     from pdf_extractor_spark.operators.curation import lang_alpha_weights
@@ -2992,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": _host_boilerplate,
         "tokenizer_fertility": _tokenizer_fertility,
         "source_similarity": _source_similarity,
+        "source_similarity_kmv": _source_similarity_kmv,
         "lang_alpha_weights": _lang_alpha_weights,
         "corpus_digest": _corpus_digest,
         "readability": _readability,
@@ -5456,6 +5466,35 @@ pr AS (
 SELECT src1, src2, CAST(n_shared AS BIGINT) AS n_shared,
        round(n_shared * 1.0 / (ta.n + tb.n - n_shared), 6) AS jaccard
 FROM pr JOIN tot ta ON src1 = ta.source JOIN tot tb ON src2 = tb.source
+"""
+    # source_similarity_kmv: UNFILTERED bottom-k rank per source (the
+    # mergeable-summary oracle rule) + the same KMV pair estimator.
+    sql["source_similarity_kmv"] = f"""
+WITH tok AS (SELECT source, {_LTOKS} AS toks FROM documents
+             WHERE source IS NOT NULL),
+shs AS (
+  SELECT DISTINCT source,
+    CAST('0x' || substr(md5(unnest(
+      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       for i in range(1, len(toks) - 1)])), 1, 15) AS BIGINT) AS h
+  FROM tok WHERE len(toks) >= 3),
+rk AS (SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       FROM shs),
+sk AS (SELECT source, list(h ORDER BY h) AS sk
+       FROM rk WHERE rn <= 64 GROUP BY 1),
+pairs AS (
+  SELECT a.source AS src1, b.source AS src2, a.sk AS ska, b.sk AS skb,
+         list_slice(list_sort(list_distinct(a.sk || b.sk)), 1, 64) AS u
+  FROM sk a JOIN sk b ON a.source < b.source),
+m AS (
+  SELECT src1, src2, u,
+         len(list_filter(u, x -> list_contains(ska, x)
+                              AND list_contains(skb, x))) AS nc
+  FROM pairs)
+SELECT src1, src2, CAST(nc AS BIGINT) AS n_common,
+       round(nc * 1.0 / len(u), 6) AS est_jaccard
+FROM m
 """
     # lang_alpha_weights: alpha=0.3 exponentiated smoothing; weight from
     # the UNROUNDED p/q like the Spark select.

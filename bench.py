@@ -75,6 +75,7 @@ HEADLINE = [
     "host_boilerplate",
     "tokenizer_fertility",
     "source_similarity",
+    "source_similarity_kmv",
     "lang_alpha_weights",
     "corpus_digest",
     "readability",

@@ -162,6 +162,96 @@ def source_similarity(
     )
 
 
+def source_similarity_kmv(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    k: int = 64,
+    prefilter_factor: int = 8,
+) -> DataFrame:
+    """(src1, src2, n_common, est_jaccard) — KMV (k-minimum-values)
+    bottom-k sketch estimate of the cross-source shingle Jaccard: the
+    SCALE-path twin of source_similarity. The exact matrix touches every
+    distinct (source, shingle) pair — fine until the shingle space is
+    10^11; the sketch reduces each source to its k smallest 60-bit md5
+    shingle hashes and estimates J(X,Y) = |X∩Y∩bottomk(X∪Y)| /
+    |bottomk(X∪Y)| (the classic KMV Jaccard estimator; std err
+    ~ sqrt(J(1-J)/k)). Bottom-k under a global hash ranking is a
+    semilattice, so per-shard sketches merge exactly — the per-snapshot
+    summary that answers "which crawls overlap" without re-scanning.
+
+    Scale shape mirrors sample_sketch: distinct (source, hash) ->
+    per-source counts -> broadcast hash-space cut keeping ~factor*k rows
+    per source -> rank window over the tiny survivor set -> the pair
+    matrix runs on sources^2 k-length arrays, never on the corpus. The
+    DuckDB oracle ranks UNFILTERED, so a prefilter shortfall fails
+    correctness loudly (the mergeable-summary family rule). Deterministic
+    md5 hashing makes the ESTIMATE itself reproducible cross-engine."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.where(F.col(source_col).isNotNull()).select(
+        F.col(source_col).alias("g"), toks.alias("_toks")
+    )
+    sh = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: simhash_token_hash(
+                F.array_join(F.slice(F.col("_toks"), i + 1, n), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    idx = (
+        base.withColumn("_sh", sh)
+        .select("g", F.explode_outer("_sh").alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    counts = idx.groupBy("g").agg(F.count("*").cast("long").alias("_n"))
+    max_h = float(1 << 60)
+    cut = counts.withColumn(
+        "_cut",
+        F.when(
+            F.col("_n") <= F.lit(prefilter_factor * k), F.lit(max_h)
+        ).otherwise(
+            F.lit(max_h) * F.lit(float(prefilter_factor * k)) / F.col("_n")
+        ),
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("h"))
+    sk = (
+        idx.join(F.broadcast(cut), "g")
+        .where(F.col("h") <= F.col("_cut"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    a = sk.select(F.col("g").alias("src1"), F.col("sk").alias("_ska"))
+    b = sk.select(F.col("g").alias("src2"), F.col("sk").alias("_skb"))
+    pairs = a.join(F.broadcast(b), F.col("src1") < F.col("src2"))
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_ska", "_skb"))), 1, k
+    )
+    pairs = pairs.withColumn("_u", u).withColumn(
+        "_nc",
+        F.size(
+            F.filter(
+                F.col("_u"),
+                lambda x: F.array_contains(F.col("_ska"), x)
+                & F.array_contains(F.col("_skb"), x),
+            )
+        ),
+    )
+    return pairs.select(
+        "src1",
+        "src2",
+        F.col("_nc").cast("long").alias("n_common"),
+        F.round(F.col("_nc") / F.size("_u"), 6).alias("est_jaccard"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,

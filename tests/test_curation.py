@@ -1160,3 +1160,23 @@ def test_tokenizer_fertility_counts_punct_mass(spark):
     ).collect()[0]
     assert agg.w == sum(r.n_words for r in got.values())
     assert agg.s == sum(r.n_subwords for r in got.values())
+
+
+def test_source_similarity_kmv_tracks_exact(spark):
+    """Two sources engineered to share ~half their shingle space: the
+    KMV estimate must land near the exact Jaccard (k=64 -> std err
+    ~0.06 at J=1/3), and per-source sketches stay capped at k."""
+    from pdf_extractor_spark.operators.curation import (
+        source_similarity,
+        source_similarity_kmv,
+    )
+
+    shared = " ".join(f"s{i} t{i} u{i}" for i in range(70))
+    only_a = " ".join(f"a{i} b{i} c{i}" for i in range(70))
+    only_b = " ".join(f"d{i} e{i} f{i}" for i in range(70))
+    rows = [(1, shared + " " + only_a, "A"), (2, shared + " " + only_b, "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    exact = source_similarity(df, n=3).collect()[0].jaccard
+    est = source_similarity_kmv(df, n=3, k=64).collect()[0]
+    assert abs(est.est_jaccard - exact) < 0.15
+    assert est.n_common <= 64

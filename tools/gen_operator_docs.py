@@ -50,7 +50,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "curation_funnel", "chunk_documents", "pack_sequences",
         "bloom_decontaminate",
         "stratified_sample", "corpus_rollup", "dsir_weights",
-        "source_similarity", "lang_alpha_weights", "corpus_digest",
+        "source_similarity", "source_similarity_kmv",
+        "lang_alpha_weights", "corpus_digest",
         "host_boilerplate",
     ]),
     ("Similarity search (ANN)", [

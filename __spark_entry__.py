@@ -524,6 +524,38 @@ def _cosine_topk(spark, sf_dir):
     return cosine_topk(emb, q, k=10)
 
 
+def _hard_negatives(spark, sf_dir):
+    """Contrastive-training hard negatives: per query (vec_id < 5), the
+    10 most-similar vectors with a DIFFERENT (non-null) label."""
+    from pdf_extractor_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return hard_negatives(emb, q, k=10)
+
+
+def _ocr_garble(spark, sf_dir):
+    """OCR damage scoring over deterministically poisoned text: doc_id %
+    13 == 0 gets a consonant-noise run, % 17 == 3 a symbol burst."""
+    from pdf_extractor_spark.operators.textstats import ocr_garble_score
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    synth = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" tkqzxwfgbcdp noise")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 3,
+                F.lit(" @@##$$%%^^&&**scan**&&^^%%$$##@@"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return ocr_garble_score(synth)
+
+
 def _lsh_ann(spark, sf_dir):
     from pdf_extractor_spark.operators.similarity import lsh_topk
 
@@ -3041,6 +3073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_lsh_dedup": _incremental_lsh_dedup,
         # similarity search
         "cosine_topk": _cosine_topk,
+        "hard_negatives": _hard_negatives,
+        "ocr_garble_score": _ocr_garble,
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
         "kmeans_clusters": _kmeans_clusters,
@@ -3642,6 +3676,55 @@ FROM inter JOIN cnt ca ON id1 = ca.doc_id JOIN cnt cb ON id2 = cb.doc_id
 WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
 """
     cos_eq = _sql_cosine("e.embedding", "q.qv")
+    # hard_negatives: same top-k shape, label-exclusion predicate on the
+    # corpus side (NULL labels excluded — unknowns aren't negatives).
+    sql["hard_negatives"] = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         {cos_eq} AS cosine,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           {cos_eq} DESC, e.vec_id) AS rank
+  FROM embeddings e, q
+  WHERE e.label IS NOT NULL AND e.label IS DISTINCT FROM q.qlabel)
+SELECT query_id, id, cosine, rank FROM scored WHERE rank <= 10
+"""
+    # ocr_garble_score: poisoned-text synthesis + integer damage counts
+    # (no float columns at all); DuckDB regexp_replace needs the 'g' flag
+    # to match Spark's replace-all.
+    sql["ocr_garble_score"] = """
+WITH synth AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 13 = 0 THEN ' tkqzxwfgbcdp noise'
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 3
+                 THEN ' @@##$$%%^^&&**scan**&&^^%%$$##@@'
+                 ELSE '' END AS text
+  FROM documents),
+m AS (
+  SELECT doc_id, lower(text) AS low FROM synth),
+c AS (
+  SELECT doc_id,
+         CAST(length(low) AS BIGINT) AS n_chars,
+         CAST(length(low) - length(regexp_replace(low, '[a-z]', '', 'g'))
+              AS BIGINT) AS n_letters,
+         CAST(length(low) - length(regexp_replace(low, '[aeiouy]', '', 'g'))
+              AS BIGINT) AS n_vowels,
+         CAST(length(regexp_replace(low, '[a-z0-9\\s.,;:''-]', '', 'g'))
+              AS BIGINT) AS n_sym,
+         CAST(coalesce(list_max(list_transform(
+                regexp_split_to_array(low, '[^bcdfghjklmnpqrstvwxz]+'),
+                x -> length(x))), 0) AS BIGINT) AS max_consonant_run
+  FROM m)
+SELECT doc_id, n_chars, n_letters, n_vowels, n_sym, max_consonant_run,
+       ((n_chars > 0 AND n_sym * 10 > n_chars * 3)
+        OR max_consonant_run >= 8
+        OR (n_letters >= 20 AND n_vowels * 100 < n_letters * 15))
+         AS garbled
+FROM c
+"""
     sql["cosine_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < 5),

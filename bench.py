@@ -151,6 +151,8 @@ HEADLINE = [
     "semdedup",
     "fuzzy_name_match",
     "cosine_topk",
+    "hard_negatives",
+    "ocr_garble_score",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "kmeans_clusters",

@@ -93,6 +93,66 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, id, cosine, rank) — hard-negative mining for contrastive
+    training: for each query, the k MOST-similar corpus vectors whose
+    label differs from the query's. Random negatives are trivially
+    separable and contribute ~zero gradient; the near-boundary negatives
+    this emits are what embedding-training pipelines actually batch.
+    Corpus rows with a NULL label are excluded — an unlabeled row is an
+    unknown, not a trusted negative.
+
+    Same scale shape as cosine_topk: broadcast the (small by construction)
+    query set, ONE narrow corpus pass, per-query top-k window; the label
+    predicate rides the join so excluded rows never reach the window."""
+    c = (
+        _valid_vectors(corpus, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("clabel"),
+            F.col(vec_col).alias("cvec"),
+            _norm(F.col(vec_col)).alias("cnrm"),
+        )
+        .filter((F.col("cnrm") > 0) & F.col("clabel").isNotNull())
+    )
+    q = (
+        _valid_vectors(queries, vec_col)
+        .select(
+            F.col(qid_col).alias("query_id"),
+            F.col(label_col).alias("qlabel"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("qnrm"),
+        )
+        .filter(F.col("qnrm") > 0)
+    )
+    scored = c.join(
+        F.broadcast(q),
+        ~F.col("clabel").eqNullSafe(F.col("qlabel")),
+    ).select(
+        "query_id",
+        "id",
+        F.round(
+            _dot(F.col("cvec"), F.col("qvec"))
+            / (F.col("cnrm") * F.col("qnrm")),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42):
     """Rademacher (+/-1) hyperplanes — sign-random projections preserve the
     random-hyperplane LSH guarantees (Achlioptas-style database-friendly

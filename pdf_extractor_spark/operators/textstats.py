@@ -451,6 +451,53 @@ def readability(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def ocr_garble_score(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_chars, n_letters, n_vowels, n_sym, max_consonant_run,
+    garbled) — OCR/mojibake damage signals for scanned-document corpora
+    (the pdf-extraction domain's own quality filter: OCR noise scores
+    fine on length/stopword quality but is unlearnable):
+
+      * n_sym              — chars outside [a-z0-9 whitespace . , ; : ' -]
+      * max_consonant_run  — longest consonant run ('tkqzxwfg' is OCR
+                             line noise; English maxes ~4-5, 'ngths')
+      * vowel starvation   — letters with almost no vowels
+
+    garbled = sym-share > 0.3 OR consonant run >= 8 OR (>= 20 letters AND
+    vowel share < 0.15). All counts are INTEGER columns (the derived
+    ratios are left to the consumer) so the cross-engine hash has no
+    float-rounding surface at all. Fully columnar, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_chars = F.length(low)
+    n_letters = n_chars - F.length(F.regexp_replace(low, r"[a-z]", ""))
+    n_vowels = n_chars - F.length(F.regexp_replace(low, r"[aeiouy]", ""))
+    n_sym = F.length(F.regexp_replace(low, r"[a-z0-9\s.,;:'-]", ""))
+    runs = F.array_max(
+        F.transform(
+            F.split(low, r"[^bcdfghjklmnpqrstvwxz]+"), F.length
+        )
+    )
+    out = (
+        df.select(
+            F.col(id_col),
+            n_chars.cast("long").alias("n_chars"),
+            n_letters.cast("long").alias("n_letters"),
+            n_vowels.cast("long").alias("n_vowels"),
+            n_sym.cast("long").alias("n_sym"),
+            F.coalesce(runs, F.lit(0)).cast("long").alias("max_consonant_run"),
+        )
+    )
+    garbled = (
+        (F.col("n_chars") > 0)
+        & (F.col("n_sym") * 10 > F.col("n_chars") * 3)
+    ) | (F.col("max_consonant_run") >= 8) | (
+        (F.col("n_letters") >= 20)
+        & (F.col("n_vowels") * 100 < F.col("n_letters") * 15)
+    )
+    return out.withColumn("garbled", garbled)
+
+
 def tfidf_top_terms(
     df, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ):

@@ -106,3 +106,29 @@ def test_kmeans_occupancy_covers_corpus(spark, emb):
     stats = kmeans_cluster_stats(emb, n_clusters=8, refine_iters=2).collect()
     assert sum(r.n_vecs for r in stats) == total
     assert all(r.avg_cosine is not None for r in stats)
+
+
+def test_hard_negatives_excludes_same_and_null_labels(spark):
+    from pdf_extractor_spark.operators.similarity import hard_negatives
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+    rows = [
+        (0, v(1, 0), 0),      # the query
+        (1, v(1, 0.01), 0),   # same label: excluded even though nearest
+        (2, v(0.9, 0.1), 1),  # hard negative (closest other-label)
+        (3, v(0, 1), 1),      # easy negative
+        (4, v(1, 0), None),   # null label: excluded
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    q = emb.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    got = hard_negatives(emb, q, k=10).orderBy("rank").collect()
+    assert [r.id for r in got] == [2, 3]
+    assert got[0].rank == 1 and got[0].cosine > got[1].cosine

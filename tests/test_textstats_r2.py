@@ -260,3 +260,22 @@ def test_readability_syllables_are_vowel_runs(spark):
     # "readability" -> ea|a|i|i|y = 5 vowel runs
     df = spark.createDataFrame([(1, "readability")], "doc_id long, text string")
     assert readability(df).collect()[0].n_syllables == 5
+
+
+def test_ocr_garble_score_hand_computed(spark):
+    from pdf_extractor_spark.operators.textstats import ocr_garble_score
+
+    rows = [
+        (1, "a clean readable sentence with vowels."),
+        (2, "tkqzxwfgbcdp"),            # 12-consonant run
+        (3, "@@##$$%%^^&&**"),          # all symbols
+        (4, None),                       # null text
+        (5, "bcdfghjklmnpqrst " * 3),    # vowel starvation, 48 letters
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ocr_garble_score(df).collect()}
+    assert not got[1].garbled
+    assert got[2].garbled and got[2].max_consonant_run == 12
+    assert got[3].garbled and got[3].n_sym == 14 and got[3].n_letters == 0
+    assert not got[4].garbled and got[4].n_chars == 0
+    assert got[5].garbled and got[5].n_vowels == 0

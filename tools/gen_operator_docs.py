@@ -34,7 +34,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
         "gopher_filter", "c4_filter", "hash_lr", "vocab_coverage",
-        "readability", "tokenizer_fertility",
+        "readability", "tokenizer_fertility", "ocr_garble_score",
     ]),
     ("Deduplication", [
         "exact_dedup", "line_dedup", "substring_dedup", "ngram_jaccard",
@@ -56,7 +56,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "lsh_ann_topk", "ivf_ann_topk",
-        "kmeans_clusters", "embedding_quantize",
+        "kmeans_clusters", "embedding_quantize", "hard_negatives",
     ]),
     ("Web: HTML, URLs, link graph", [
         "html_main_content", "html_blocks", "html_links",

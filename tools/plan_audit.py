@@ -63,6 +63,8 @@ SCALAR_BROADCAST_OK = {
     "agg broadcasts",
     "cosine_topk": "bounded query-set broadcast x one corpus pass (the "
     "exact-ANN baseline shape: small side is the k query vectors)",
+    "hard_negatives": "bounded query-set broadcast x one corpus pass "
+    "(cosine_topk's shape with the label-exclusion predicate on the join)",
     "lsh_ann_topk": "bounded query-set broadcast onto hashed buckets",
     "avg_time_tiers": "single-row KPI scalings",
     "bm25_topk": "corpus stats (N, total_dl) as 1-row agg broadcast",

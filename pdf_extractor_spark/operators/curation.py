@@ -538,15 +538,23 @@ def intra_doc_dedup(
     base = base.withColumn("_lines", lines).withColumn(
         "_lkeys", F.transform(F.col("_lines"), F.lower)
     )
-    kept = F.filter(
-        F.col("_lines"),
-        lambda x, i: F.array_position(F.col("_lkeys"), F.lower(x)) == i + 1,
+    # _kept bound as a column: the O(lines^2) first-occurrence filter is
+    # referenced twice below (count + rebuild) and would otherwise be
+    # re-evaluated per consumer (multi-referenced non-cheap aliases are
+    # kept as projection boundaries, inline expressions are not)
+    base = base.withColumn(
+        "_kept",
+        F.filter(
+            F.col("_lines"),
+            lambda x, i: F.array_position(F.col("_lkeys"), F.lower(x))
+            == i + 1,
+        ),
     )
     return base.select(
         F.col(id_col),
         F.size("_lines").cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.array_join(kept, " ").alias("cleaned_text"),
+        F.size("_kept").cast("long").alias("n_kept"),
+        F.array_join("_kept", " ").alias("cleaned_text"),
     )
 
 

@@ -556,6 +556,27 @@ def _ocr_garble(spark, sf_dir):
     return ocr_garble_score(synth)
 
 
+def _script_mix(spark, sf_dir):
+    """Unicode script composition over deterministically mixed-script
+    text: doc_id % 5 picks which script sample is appended (0 = none)."""
+    from pdf_extractor_spark.operators.textstats import script_mix
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    synth = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(m == 1, F.lit(" 中文资料处理系统测试数据"))
+            .when(m == 2, F.lit(" русский текст для проверки"))
+            .when(m == 3, F.lit(" نص عربي للاختبار هنا"))
+            .when(m == 4, F.lit(" ελληνικό κείμενο δοκιμής"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return script_mix(synth)
+
+
 def _lsh_ann(spark, sf_dir):
     from pdf_extractor_spark.operators.similarity import lsh_topk
 
@@ -3075,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "hard_negatives": _hard_negatives,
         "ocr_garble_score": _ocr_garble,
+        "script_mix": _script_mix,
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
         "kmeans_clusters": _kmeans_clusters,
@@ -3723,6 +3745,51 @@ SELECT doc_id, n_chars, n_letters, n_vowels, n_sym, max_consonant_run,
         OR max_consonant_run >= 8
         OR (n_letters >= 20 AND n_vowels * 100 < n_letters * 15))
          AS garbled
+FROM c
+"""
+    # script_mix: same per-range char counts (RE2 \\x{{hhhh}} escapes ==
+    # Java's) over the mixed-script synthesis; dominant is the same
+    # fixed-order strictly-greater fold.
+    _scripts = [
+        ("latin", "[A-Za-z]"),
+        ("han", "[\\x{4e00}-\\x{9fff}]"),
+        ("cyrillic", "[\\x{0400}-\\x{04ff}]"),
+        ("arabic", "[\\x{0600}-\\x{06ff}]"),
+        ("greek", "[\\x{0370}-\\x{03ff}]"),
+        ("digit", "[0-9]"),
+    ]
+    _cnt_cols = ", ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '{pat}', '', 'g')) "
+        f"AS BIGINT) AS n_{name}"
+        for name, pat in _scripts
+    )
+    # unroll the fold: dominant = first class strictly greater than every
+    # earlier winner — same as nested CASE comparing to the running max
+    _dom_expr = "'none'"
+    _best_expr = "CAST(0 AS BIGINT)"
+    for name, _pat in _scripts:
+        _dom_expr = (
+            f"CASE WHEN n_{name} > {_best_expr} THEN '{name}' "
+            f"ELSE {_dom_expr} END"
+        )
+        _best_expr = (
+            f"CASE WHEN n_{name} > {_best_expr} THEN n_{name} "
+            f"ELSE {_best_expr} END"
+        )
+    sql["script_mix"] = f"""
+WITH synth AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE doc_id % 5
+              WHEN 1 THEN ' 中文资料处理系统测试数据'
+              WHEN 2 THEN ' русский текст для проверки'
+              WHEN 3 THEN ' نص عربي للاختبار هنا'
+              WHEN 4 THEN ' ελληνικό κείμενο δοκιμής'
+              ELSE '' END AS t
+  FROM documents),
+c AS (SELECT doc_id, {_cnt_cols} FROM synth)
+SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic, n_greek, n_digit,
+       {_dom_expr} AS dominant_script
 FROM c
 """
     sql["cosine_topk"] = f"""

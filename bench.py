@@ -153,6 +153,7 @@ HEADLINE = [
     "cosine_topk",
     "hard_negatives",
     "ocr_garble_score",
+    "script_mix",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "kmeans_clusters",

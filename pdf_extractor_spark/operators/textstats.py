@@ -498,6 +498,51 @@ def ocr_garble_score(df, text_col: str = "text", id_col: str = "doc_id"):
     return out.withColumn("garbled", garbled)
 
 
+# Unicode script ranges in the Java ∩ RE2 regex subset (\x{hhhh} char
+# escapes work in BOTH engines; \uXXXX is Java-only). Ranges cover upper
+# and lower case so no engine-specific lower() mapping is ever applied.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", r"[A-Za-z]"),
+    ("han", r"[\x{4e00}-\x{9fff}]"),
+    ("cyrillic", r"[\x{0400}-\x{04ff}]"),
+    ("arabic", r"[\x{0600}-\x{06ff}]"),
+    ("greek", r"[\x{0370}-\x{03ff}]"),
+    ("digit", r"[0-9]"),
+]
+
+
+def script_mix(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_latin, n_han, n_cyrillic, n_arabic, n_greek, n_digit,
+    dominant_script) — per-document Unicode script composition, the
+    router signal multilingual curation needs BEFORE language ID (an
+    n-gram language model is per-script; mixed-script spam and mojibake
+    show up as impossible mixes). Counts are characters in each script
+    range; dominant is a fixed-order strictly-greater fold (ties keep
+    the earlier class, 'none' for documents with no scripted character).
+
+    All-integer + string output (no float hash surface); fully columnar
+    char-class counting — one narrow projection, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.select(
+        F.col(id_col),
+        *[
+            (F.length(t) - F.length(F.regexp_replace(t, pat, "")))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat in SCRIPT_RANGES
+        ],
+    )
+    dominant = F.lit("none")
+    best = F.lit(0).cast("long")
+    for name, _ in SCRIPT_RANGES:
+        cnt = F.col(f"n_{name}")
+        dominant = F.when(cnt > best, F.lit(name)).otherwise(dominant)
+        best = F.when(cnt > best, cnt).otherwise(best)
+    return out.withColumn("dominant_script", dominant)
+
+
 def tfidf_top_terms(
     df, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ):

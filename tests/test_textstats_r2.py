@@ -279,3 +279,31 @@ def test_ocr_garble_score_hand_computed(spark):
     assert got[3].garbled and got[3].n_sym == 14 and got[3].n_letters == 0
     assert not got[4].garbled and got[4].n_chars == 0
     assert got[5].garbled and got[5].n_vowels == 0
+
+
+def test_script_mix_hand_computed(spark):
+    from pdf_extractor_spark.operators.textstats import script_mix
+
+    rows = [
+        (1, "hello world 42"),
+        (2, "данные 中文 data"),   # cyrillic 6, han 2, latin 4
+        (3, None),
+        (4, "123 456"),            # digits only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_mix(df).collect()}
+    assert got[1].dominant_script == "latin" and got[1].n_digit == 2
+    r2 = got[2]
+    assert (r2.n_cyrillic, r2.n_han, r2.n_latin) == (6, 2, 4)
+    assert r2.dominant_script == "cyrillic"
+    assert got[3].dominant_script == "none" and got[3].n_latin == 0
+    assert got[4].dominant_script == "digit"
+
+
+def test_script_mix_tie_keeps_earlier_class(spark):
+    from pdf_extractor_spark.operators.textstats import script_mix
+
+    # latin and cyrillic tie at 2 chars each: the fixed fold order keeps
+    # the earlier class (latin) — strictly-greater update only
+    df = spark.createDataFrame([(1, "ab вг")], "doc_id long, text string")
+    assert script_mix(df).collect()[0].dominant_script == "latin"

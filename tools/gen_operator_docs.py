@@ -35,6 +35,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "lm_perplexity", "ngram_lm", "quality_tiers",
         "gopher_filter", "c4_filter", "hash_lr", "vocab_coverage",
         "readability", "tokenizer_fertility", "ocr_garble_score",
+        "script_mix",
     ]),
     ("Deduplication", [
         "exact_dedup", "line_dedup", "substring_dedup", "ngram_jaccard",

@@ -2636,6 +2636,13 @@ def _readability(spark, sf_dir):
     return readability(_t_wide(spark, sf_dir, "documents"))
 
 
+def _ngram_novelty(spark, sf_dir):
+    """Forward-dedup novelty: shingles first seen at this doc_id."""
+    from pdf_extractor_spark.operators.curation import ngram_novelty
+
+    return ngram_novelty(_t_wide(spark, sf_dir, "documents"), n=3)
+
+
 def _decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 97 == 0 play the
     held-out eval set; every remaining corpus doc is scored by how many of
@@ -3048,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _simhash,
         # corpus curation
         "dup_ngram_stats": _dup_ngram_stats,
+        "ngram_novelty": _ngram_novelty,
         "containment_pairs": _containment_pairs,
         "intra_doc_dedup": _intra_doc_dedup,
         "url_blocklist": _url_blocklist,
@@ -5574,6 +5582,25 @@ per AS (
 SELECT d.doc_id, CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
        round(CASE WHEN coalesce(n_shingles, 0) > 0
              THEN n_dup * 1.0 / n_shingles ELSE 0 END, 6) AS dup_ngram_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+    # ngram_novelty: shingle -> min(doc_id) first-bearer credit.
+    sql["ngram_novelty"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+firsts AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY 1),
+per AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN firsts USING (s) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       coalesce(n_novel, 0) * 2 > coalesce(n_shingles, 0) AS novel
 FROM documents d LEFT JOIN per USING (doc_id)
 """
     # containment_pairs: 5-gram shingles, max-containment >= 0.5; counts

@@ -70,6 +70,7 @@ HEADLINE = [
     "media_captions",
     "multimodal_pack",
     "dup_ngram_stats",
+    "ngram_novelty",
     "containment_pairs",
     "intra_doc_dedup",
     "host_boilerplate",

@@ -369,6 +369,52 @@ def decontaminate_near(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novel) — temporal novelty: how many
+    of a document's distinct n-gram shingles appear in NO earlier document
+    (earlier = smaller id; ids are ingest-ordered). The forward-dedup /
+    freshness signal for continuously-crawled corpora: recrawls and
+    syndicated copies score near zero, genuinely new content near its
+    shingle count. `novel` flags docs with a majority of first-seen
+    shingles.
+
+    Physical shape: one shingle-key aggregate taking min(id) per shingle
+    (map-side combine — no window, no sort), joined back to the inverted
+    index on the SAME shingle partitioning (AQE reuses the exchange), then
+    a per-doc count. A doc is credited exactly the shingles it is the
+    corpus-wide first bearer of, so sum(n_novel) == distinct shingles."""
+    idx = shingle_index(df, text_col, id_col, n, max_df=None)
+    firsts = idx.groupBy("shingle").agg(F.min("id").alias("_first"))
+    per = (
+        idx.join(firsts, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("id") == F.col("_first"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per, F.col(id_col) == per.id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            (
+                F.coalesce("n_novel", F.lit(0)) * 2
+                > F.coalesce("n_shingles", F.lit(0))
+            ).alias("novel"),
+        )
+    )
+
+
 def token_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1180,3 +1180,26 @@ def test_source_similarity_kmv_tracks_exact(spark):
     est = source_similarity_kmv(df, n=3, k=64).collect()[0]
     assert abs(est.est_jaccard - exact) < 0.15
     assert est.n_common <= 64
+
+
+def test_ngram_novelty_credits_first_bearer(spark):
+    from pdf_extractor_spark.operators.curation import ngram_novelty
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c d"),          # shingles "a b c","b c d" — both novel
+        (2, "a b c d"),          # exact recrawl: zero novel
+        (3, "a b c x y z"),      # "a b c" seen; "b c x","c x y","x y z" new
+        (4, ""),                 # no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    assert (got[1].n_shingles, got[1].n_novel, got[1].novel) == (2, 2, True)
+    assert (got[2].n_novel, got[2].novel) == (0, False)
+    assert (got[3].n_shingles, got[3].n_novel) == (4, 3)
+    assert got[4].n_shingles == 0 and not got[4].novel
+    # conservation: every distinct shingle credited exactly once
+    out = ngram_novelty(df, n=3)
+    assert (
+        out.agg(F.sum("n_novel")).collect()[0][0] == 5
+    )  # {a b c, b c d, b c x, c x y, x y z}

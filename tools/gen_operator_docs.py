@@ -43,7 +43,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "simhash_neardup", "neardup_clusters", "dedup_survivors",
         "dedup_apply", "dup_ngram_stats", "incremental_dedup", "incremental_lsh_dedup", "embedding_neardup",
         "semdedup", "fuzzy_name_match", "containment_pairs",
-        "intra_doc_dedup",
+        "intra_doc_dedup", "ngram_novelty",
     ]),
     ("Decontamination & corpus curation", [
         "decontaminate", "decontaminate_near", "pii_scrub", "mix_weights",

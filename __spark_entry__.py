@@ -982,6 +982,29 @@ def _crawl_frontier(spark, sf_dir):
     return khop_reachable(edges, seeds, k=2)
 
 
+def _triangle_hosts(spark, sf_dir):
+    """Per-host triangle counts (degree-ordered wedge closure) over the
+    same synthetic host graph as pagerank_hosts — the link-farm /
+    tight-community density signal of crawl curation."""
+    from pdf_extractor_spark.operators.graph import triangle_count
+
+    docs = _t_wide(spark, sf_dir, "documents")
+
+    def tgt(a: int, b: int):
+        return F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * a + b) % 20).cast("string"),
+            F.lit(".example.com"),
+        )
+
+    edges = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+        F.explode(F.array(tgt(3, 1), tgt(7, 2), tgt(11, 5))).alias("dst"),
+    )
+    out = triangle_count(edges)
+    return out.select(F.col("node").alias("host"), "degree", "triangles")
+
+
 def _quality_tiers(spark, sf_dir):
     """CCNet-style per-language head/middle/tail bucketing by LM
     perplexity — the partition step downstream mixing policies consume."""
@@ -3094,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _vocab_coverage,
         "pagerank_hosts": _pagerank_hosts,
         "crawl_frontier": _crawl_frontier,
+        "triangle_hosts": _triangle_hosts,
         "gopher_filter": _gopher_filter,
         "c4_filter": _c4_filter,
         "hash_lr": _hash_lr,
@@ -4862,6 +4886,28 @@ f2 AS (
   WHERE e.dst NOT IN (SELECT node FROM h1))
 SELECT node, CAST(hops AS INT) AS hops FROM h1
 UNION ALL SELECT node, 2 FROM f2
+"""
+    )
+    # triangle_hosts: canonical a<b<c three-way closure over the same edge
+    # CTE — the degree orientation is a Spark-side efficiency device, the
+    # triangle SET is identical either way.
+    sql["triangle_hosts"] = (
+        _pr_edges
+        + """
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e),
+deg AS (SELECT node, count(*) AS degree FROM
+        (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY 1),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1 JOIN und e2 ON e1.v = e2.u
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+per AS (SELECT node, count(*) AS triangles FROM
+        (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY 1)
+SELECT deg.node AS host, CAST(degree AS BIGINT) AS degree,
+       CAST(coalesce(triangles, 0) AS BIGINT) AS triangles
+FROM deg LEFT JOIN per USING (node)
 """
     )
     # ngram_lm: same bigram construction as the lm_perplexity oracle, plus

@@ -116,6 +116,7 @@ HEADLINE = [
     "vocab_coverage",
     "pagerank_hosts",
     "crawl_frontier",
+    "triangle_hosts",
     "layout_text",
     "sessionize",
     "asof_last_purchase",

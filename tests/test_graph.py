@@ -106,3 +106,59 @@ def test_pagerank_invariants_on_random_graph(spark):
         assert r >= (1 - 0.85) / n - 1e-9
         assert r == pytest.approx(want[v], abs=1e-6)
     assert sum(got.values()) <= 1.0 + 1e-6
+
+
+def _triangles(spark, edges):
+    from pdf_extractor_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r.node: (r.degree, r.triangles) for r in triangle_count(df).collect()
+    }
+
+
+def test_triangle_count_k4_and_pendant(spark):
+    # K4: every node degree 3, in C(3,2)=3 triangles; pendant e has 0
+    k4 = [
+        (a, b)
+        for a in "abcd"
+        for b in "abcd"
+        if a < b
+    ]
+    got = _triangles(spark, k4 + [("d", "e")])
+    assert got["a"] == (3, 3) and got["b"] == (3, 3) and got["c"] == (3, 3)
+    assert got["d"] == (4, 3)
+    assert got["e"] == (1, 0)
+
+
+def test_triangle_count_dedups_direction_and_self_loops(spark):
+    # both directions + duplicates + a self loop = ONE undirected triangle
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+        ("a", "c"), ("a", "c"), ("a", "a"),
+    ]
+    got = _triangles(spark, edges)
+    assert got == {"a": (2, 1), "b": (2, 1), "c": (2, 1)}
+
+
+def test_triangle_count_matches_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(18)]
+    und = sorted(
+        {
+            tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+            for _ in range(70)
+        }
+    )
+    und = [(u, v) for u, v in und if u != v]
+    eset = set(und)
+    want_tri = {n: 0 for n in {x for e in und for x in e}}
+    for a, b, c in itertools.combinations(sorted(want_tri), 3):
+        if ((a, b) in eset) and ((b, c) in eset) and ((a, c) in eset):
+            for n in (a, b, c):
+                want_tri[n] += 1
+    got = _triangles(spark, und)
+    assert {n: t for n, (_, t) in got.items()} == want_tri

@@ -63,7 +63,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "html_main_content", "html_blocks", "html_links",
         "anchor_text_index", "url_normalize", "url_dedup", "host_stats",
         "url_blocklist",
-        "pagerank_hosts", "crawl_frontier",
+        "pagerank_hosts", "crawl_frontier", "triangle_hosts",
     ]),
     ("Layout (reading order)", ["layout_order", "layout_text"]),
     ("Multimodal (interleaved media)", [

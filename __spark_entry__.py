@@ -2969,6 +2969,15 @@ def _host_stats(spark, sf_dir):
     return host_stats(_synth_urls(spark, sf_dir))
 
 
+def _crawl_schedule(spark, sf_dir):
+    """Per-host politeness schedule over the messy-URL synthesis: slot k
+    of each host fetches at k * 2 s, slot order = seeded md5 of the
+    normalized URL (rerun-stable, fair across recrawls)."""
+    from pdf_extractor_spark.operators.urls import crawl_schedule
+
+    return crawl_schedule(_synth_urls(spark, sf_dir), delay_s=2)
+
+
 def _dedup_survivors(spark, sf_dir):
     """End of the dedup pipeline: minhash pairs -> connected components ->
     one canonical survivor per cluster (longest text, ties to smallest id)."""
@@ -3082,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _containment_pairs,
         "intra_doc_dedup": _intra_doc_dedup,
         "url_blocklist": _url_blocklist,
+        "crawl_schedule": _crawl_schedule,
         "host_boilerplate": _host_boilerplate,
         "tokenizer_fertility": _tokenizer_fertility,
         "source_similarity": _source_similarity,
@@ -6264,6 +6274,22 @@ SELECT doc_id, host,
        CASE WHEN len(mt) > 0 THEN mt[1] ELSE '' END AS matched_suffix,
        len(mt) > 0 AS blocked
 FROM m
+"""
+    # crawl_schedule: same synthesis + normalization fragments, then the
+    # per-host seeded-md5 slot window (ties to doc_id).
+    sql["crawl_schedule"] = f"""
+WITH aug AS (SELECT doc_id, {_url_synth} AS url FROM documents),
+parts AS (SELECT doc_id, {_url_parts} FROM aug),
+norm AS (SELECT doc_id, {_url_rebuild} FROM parts),
+ranked AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host
+           ORDER BY md5('politeness_' || norm_url || '_' ||
+                        CAST(doc_id AS VARCHAR)), doc_id) - 1 AS slot
+  FROM norm)
+SELECT doc_id, host, CAST(slot AS INT) AS slot,
+       CAST(slot * 2 AS BIGINT) AS fetch_at_s
+FROM ranked
 """
     # compaction_plan: the synthetic file inventory (one "file" per doc:
     # partition = source, deterministic zero-padded name, bytes =

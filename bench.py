@@ -117,6 +117,7 @@ HEADLINE = [
     "pagerank_hosts",
     "crawl_frontier",
     "triangle_hosts",
+    "crawl_schedule",
     "layout_text",
     "sessionize",
     "asof_last_purchase",

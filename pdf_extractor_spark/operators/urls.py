@@ -21,7 +21,7 @@ __spark_entry__.py executes the identical patterns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -115,6 +115,48 @@ def url_dedup(
             F.min(id_col).alias("canonical_id"),
             F.count("*").cast("long").alias("n_fetches"),
         )
+    )
+
+
+def crawl_schedule(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    delay_s: int = 2,
+    seed: str = "politeness",
+) -> DataFrame:
+    """(doc_id, host, slot, fetch_at_s) — per-host politeness schedule for
+    a fetch queue: each host's URLs are serialized into slots and slot k
+    fetches at k * delay_s seconds, the crawl-delay contract every polite
+    crawler owes a host. The slot order is a SEEDED md5 ranking of the
+    normalized URL (ties to doc_id), not ingest order: hash order is
+    rerun-stable, engine-mirrorable, and fair — low doc_ids don't
+    monopolize the early slots of every host on every recrawl.
+
+    Scale: ONE hash shuffle on host, then a per-host window. The per-host
+    sort is not an accident to engineer away — politeness IS per-host
+    serialization, so the window partition is exactly the crawler's real
+    queue; a mega-host's long queue is bounded upstream by
+    `host_quota_sample`, and distinct hosts schedule in parallel."""
+    host, norm = _norm_url(F.col(url_col))
+    base = df.select(
+        F.col(id_col), host.alias("host"), norm.alias("norm_url")
+    )
+    order = F.md5(
+        F.concat_ws(
+            "_",
+            F.lit(seed),
+            F.col("norm_url"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy(order, F.col(id_col))
+    return base.select(
+        F.col(id_col),
+        "host",
+        (F.row_number().over(w) - 1).alias("slot"),
+    ).withColumn(
+        "fetch_at_s", F.col("slot").cast("long") * F.lit(delay_s)
     )
 
 

@@ -113,3 +113,32 @@ def test_url_blocklist_longest_match_and_empty_list(spark):
     assert r.blocked and r.matched_suffix == "sub.dom.net"
     r2 = url_blocklist(df, ()).collect()[0]
     assert not r2.blocked and r2.matched_suffix == ""
+
+
+def test_crawl_schedule_per_host_slots(spark):
+    from pdf_extractor_spark.operators.urls import crawl_schedule
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x"),
+            (2, "https://a.com/y"),
+            (3, "https://a.com/z"),
+            (4, "https://b.com/only"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = crawl_schedule(df, delay_s=5).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append((r.slot, r.fetch_at_s, r.doc_id))
+    # slots are 0..n-1 per host, fetch_at = slot * delay
+    a = sorted(by_host["a.com"])
+    assert [s for s, _, _ in a] == [0, 1, 2]
+    assert [t for _, t, _ in a] == [0, 5, 10]
+    assert by_host["b.com"] == [(0, 0, 4)]
+    # hash order, not id order: the seeded ranking must be a permutation
+    # decided by md5, so assert determinism across two runs instead
+    again = {
+        (r.doc_id, r.slot) for r in crawl_schedule(df, delay_s=5).collect()
+    }
+    assert again == {(r.doc_id, r.slot) for r in rows}

@@ -802,6 +802,24 @@ def _mix_weights(spark, sf_dir):
     return mix_weights(_t(spark, sf_dir, "documents"), targets)
 
 
+def _epoch_plan(spark, sf_dir):
+    """Epoch-assembly read plan: the (k+1)/210 target mixture at a fixed
+    100k-token budget under a 4-epoch repeat cap — full passes,
+    partial-pass tail tokens, and the clipped shortfall per source, all
+    exact-integer (the budget sits between the smallest and largest
+    target/capacity crossovers at sf0.01, so BOTH branches of the clip
+    are exercised at the driver's gate scale)."""
+    from pdf_extractor_spark.operators.curation import epoch_plan
+
+    targets = {f"src{k}": (k + 1) / 210.0 for k in range(20)}
+    return epoch_plan(
+        _t(spark, sf_dir, "documents"),
+        targets,
+        budget_tokens=100_000,
+        max_epochs=4,
+    )
+
+
 def _global_shuffle(spark, sf_dir):
     """Deterministic global training order (seeded md5 ranking) with the
     sharded two-level position assignment — no corpus-wide window."""
@@ -3120,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _url_dedup,
         "host_stats": _host_stats,
         "mix_weights": _mix_weights,
+        "epoch_plan": _epoch_plan,
         "global_shuffle": _global_shuffle,
         "lm_perplexity": _lm_perplexity,
         "ngram_lm": _ngram_lm,
@@ -4536,6 +4555,35 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
             THEN round({tgt} / (n_tokens / t), 6)
             ELSE 0.0 END AS weight
 FROM per, tot
+"""
+    # epoch_plan: same per-source token mass, then exact-integer epoch
+    # arithmetic under the 4-epoch cap at the 100k-token budget literal.
+    sql["epoch_plan"] = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len({_TOKS}) END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+calc AS (
+  SELECT source, n_tokens,
+         CAST(floor(((CAST(substr(source, 4) AS INT) + 1) / 210.0)
+              * 100000 + 0.5) AS BIGINT) AS target_tokens,
+         CAST(4 AS BIGINT) * n_tokens AS capacity
+  FROM per),
+plan AS (
+  SELECT source, n_tokens, target_tokens,
+         least(target_tokens, capacity) AS planned_tokens,
+         target_tokens > capacity AS clipped,
+         CASE WHEN n_tokens > 0
+              THEN least(target_tokens, capacity) // n_tokens
+              ELSE CAST(0 AS BIGINT) END AS full_epochs
+  FROM calc)
+SELECT source, n_tokens, target_tokens, full_epochs,
+       planned_tokens - full_epochs * n_tokens AS tail_tokens,
+       planned_tokens,
+       target_tokens - planned_tokens AS shortfall,
+       clipped
+FROM plan
 """
     # c4_filter: page synthesis (6-token lines, (doc_id+i)%5 decoration,
     # three deterministic page poisons) AND the C4 line/page rules both

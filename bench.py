@@ -98,6 +98,7 @@ HEADLINE = [
     "url_blocklist",
     "host_stats",
     "mix_weights",
+    "epoch_plan",
     "global_shuffle",
     "lm_perplexity",
     "gopher_filter",

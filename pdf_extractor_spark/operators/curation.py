@@ -792,6 +792,82 @@ def mix_weights(
     )
 
 
+def epoch_plan(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_tokens, target_tokens, full_epochs, tail_tokens,
+    planned_tokens, shortfall, clipped) — the epoch-assembly step that
+    turns `mix_weights`-style target fractions plus a total token budget
+    into a concrete per-source read plan: how many FULL passes over each
+    source, how many extra tokens of a final partial pass, and how much
+    of the target is unsatisfiable under the repeat cap (data-constrained
+    sources — the signal that the mixture, not the corpus, must change).
+
+    Everything after the one per-source token aggregate is exact integer
+    arithmetic (DIV / ×  / least), so the plan is bit-identical across
+    engines — ratios are left to the consumer (the round(x, k) cross-
+    engine hazard class). The repeat cap is the Muennighoff-style
+    data-constrained bound: tokens repeated beyond ~4 epochs stop adding
+    model quality, so the planner clips there and reports the shortfall
+    instead of silently over-repeating.
+
+    Scale: identical to mix_weights — one map-side-combined aggregate to
+    a sources-sized frame; the budget and cap ride as plan literals."""
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    target = F.coalesce(
+        *[
+            F.when(F.col("source") == k, F.lit(float(v)))
+            for k, v in sorted(targets.items())
+        ],
+        F.lit(0.0),
+    )
+    budget = F.lit(int(budget_tokens)).cast("long")
+    out = (
+        per.withColumn(
+            "target_tokens",
+            F.floor(target * budget + F.lit(0.5)).cast("long"),
+        )
+        .withColumn(
+            "_capacity", F.lit(int(max_epochs)).cast("long") * F.col("n_tokens")
+        )
+        .withColumn(
+            "planned_tokens", F.least("target_tokens", "_capacity")
+        )
+        .withColumn("clipped", F.col("target_tokens") > F.col("_capacity"))
+        .withColumn(
+            "full_epochs",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("planned_tokens DIV n_tokens"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "tail_tokens",
+            F.col("planned_tokens") - F.col("full_epochs") * F.col("n_tokens"),
+        )
+        .withColumn(
+            "shortfall", F.col("target_tokens") - F.col("planned_tokens")
+        )
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        "full_epochs",
+        "tail_tokens",
+        "planned_tokens",
+        "shortfall",
+        "clipped",
+    )
+
+
 def lang_alpha_weights(
     df: DataFrame,
     alpha: float = 0.3,

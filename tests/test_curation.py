@@ -1203,3 +1203,38 @@ def test_ngram_novelty_credits_first_bearer(spark):
     assert (
         out.agg(F.sum("n_novel")).collect()[0][0] == 5
     )  # {a b c, b c d, b c x, c x y, x y z}
+
+
+def test_epoch_plan_integer_invariants(spark):
+    from pdf_extractor_spark.operators.curation import epoch_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s0"),          # 5 tokens
+            (2, "a b c d e f g h i j", "s1"),  # 10 tokens
+            (3, None, "s2"),                  # empty source
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.source: r
+        for r in epoch_plan(
+            docs,
+            {"s0": 0.5, "s1": 0.25, "s2": 0.25},
+            budget_tokens=100,
+            max_epochs=4,
+        ).collect()
+    }
+    s0 = out["s0"]  # target 50, capacity 20 -> clipped, 4 full epochs
+    assert (s0.target_tokens, s0.planned_tokens, s0.full_epochs) == (50, 20, 4)
+    assert s0.tail_tokens == 0 and s0.shortfall == 30 and s0.clipped
+    s1 = out["s1"]  # target 25, capacity 40 -> 2 full epochs + 5 tail
+    assert (s1.full_epochs, s1.tail_tokens, s1.shortfall) == (2, 5, 0)
+    assert not s1.clipped
+    s2 = out["s2"]  # no tokens: everything is shortfall
+    assert (s2.n_tokens, s2.planned_tokens, s2.shortfall) == (0, 0, 25)
+    assert s2.clipped and s2.full_epochs == 0 and s2.tail_tokens == 0
+    # conservation: planned + shortfall == target, planned splits exactly
+    for r in out.values():
+        assert r.planned_tokens + r.shortfall == r.target_tokens
+        assert r.full_epochs * r.n_tokens + r.tail_tokens == r.planned_tokens

@@ -793,6 +793,25 @@ def _compaction_plan(spark, sf_dir):
     return compaction_plan(files, target_bytes=8192)
 
 
+def _phrase_search(spark, sf_dir):
+    """Exact phrase matching over a positional inverted index: each probe
+    phrase is tokens 3-4 of docs 0 / 7 / 42 (deterministically derived, so
+    every phrase occurs at least once and, with the synthetic vocabulary,
+    tens of times), matched wherever token p+i equals term i per offset."""
+    from pdf_extractor_spark.operators.textstats import (
+        phrase_search,
+        tokens_col,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    ph = docs.filter(F.col("doc_id").isin(0, 7, 42)).select(
+        F.col("doc_id").alias("phrase_id"),
+        F.array_join(F.slice(toks, 3, 2), " ").alias("phrase"),
+    )
+    return phrase_search(docs, ph)
+
+
 def _mix_weights(spark, sf_dir):
     """Data-mixing weights: reshape the corpus's per-source token mass into
     a deterministic non-uniform target (src k gets (k+1)/210 of the mix)."""
@@ -3093,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_topk": _bm25_topk,
+        "phrase_search": _phrase_search,
         # dedup
         "exact_dedup": _exact_dedup,
         "ngram_jaccard": _ngram_jaccard,
@@ -4555,6 +4575,35 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
             THEN round({tgt} / (n_tokens / t), 6)
             ELSE 0.0 END AS weight
 FROM per, tot
+"""
+    # phrase_search: positional postings + the anchor group, phrases =
+    # tokens 3-4 of docs 0/7/42 (0-based positions on both sides).
+    sql["phrase_search"] = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS_SAFE} AS toks FROM documents),
+ph AS (SELECT doc_id AS phrase_id,
+              array_to_string(toks[3:4], ' ') AS phrase,
+              len(toks[3:4]) AS phrase_len
+       FROM tok WHERE doc_id IN (0, 7, 42) AND len(toks[3:4]) > 0),
+ptl AS (SELECT phrase_id, string_split(phrase, ' ') AS pts FROM ph),
+pti AS (SELECT phrase_id, pts, unnest(range(1, len(pts) + 1)) AS i
+        FROM ptl),
+pterm AS (SELECT phrase_id, i - 1 AS off, pts[i] AS term FROM pti),
+posti AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+          FROM tok),
+post AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term FROM posti),
+anch AS (
+  SELECT phrase_id, doc_id, pos - off AS base_pos,
+         count(DISTINCT off) AS hits
+  FROM post JOIN pterm USING (term)
+  WHERE pos - off >= 0
+  GROUP BY 1, 2, 3),
+m AS (SELECT phrase_id, doc_id, base_pos
+      FROM anch JOIN ph USING (phrase_id) WHERE hits = phrase_len)
+SELECT phrase_id, ph.phrase, doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(base_pos) AS INT) AS first_pos
+FROM m JOIN ph USING (phrase_id)
+GROUP BY 1, 2, 3
 """
     # epoch_plan: same per-source token mass, then exact-integer epoch
     # arithmetic under the 4-epoch cap at the 100k-token budget literal.

@@ -63,6 +63,7 @@ HEADLINE = [
     "repetition_stats",
     "tfidf_top_terms",
     "bm25_topk",
+    "phrase_search",
     "chunk_documents",
     "winnow_fingerprints",
     "winnow_pairs",

@@ -982,3 +982,74 @@ def bm25_topk(
             "query_id", F.col("id").alias(id_col), "score", "rank"
         )
     )
+
+
+def phrase_search(
+    df,
+    phrases,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(phrase_id, phrase, doc_id, n_matches, first_pos) — exact phrase
+    matching over a positional inverted index: a phrase of terms
+    t0..t(L-1) matches at position p iff token p+i == ti for every offset
+    i. The positional-index probe every lexical retrieval / quote-mining /
+    attribution stage runs after BM25's bag-of-words pass.
+
+    Physical shape: the corpus is exploded ONCE into (doc, pos, term)
+    postings — at production scale this index is written at ingest and
+    the query is a pure probe; here the explode is the narrow stand-in.
+    The phrase-term table (a handful of rows) broadcasts onto the posting
+    stream, so only postings whose term occurs in SOME phrase survive the
+    probe; candidate anchors group on (phrase, doc, pos - offset) with
+    map-side partial aggregation, and an anchor is a match iff it covers
+    every offset — count(distinct offset) == phrase_len handles repeated
+    terms inside a phrase correctly. At 100 TB the only full pass is the
+    index scan; everything downstream is proportional to matching
+    postings. (The classic refinement for stopword-laden phrases —
+    intersect doc sets starting from the RAREST term before positional
+    verification — drops in between the probe and the anchor group-by
+    without changing this shape.)"""
+    pt = phrases.select(
+        "phrase_id",
+        F.posexplode_outer(tokens_col(F.lower(F.col("phrase")))).alias(
+            "off", "term"
+        ),
+    ).where(F.col("term").isNotNull())
+    ph = phrases.select(
+        "phrase_id",
+        "phrase",
+        F.size(tokens_col(F.lower(F.col("phrase")))).alias("phrase_len"),
+    ).where(F.col("phrase_len") > 0)
+    base = df.withColumn("_toks", tokens_col(F.lower(F.col(text_col))))
+    # explode_OUTER + isNotNull: the inferred size()>0 filter of a plain
+    # explode re-inlines the tokenizer below the projection (see bm25_topk)
+    post = base.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer("_toks").alias("pos", "term"),
+    ).where(F.col("term").isNotNull())
+    anchors = (
+        post.join(F.broadcast(pt), "term")
+        .select(
+            "phrase_id",
+            F.col("_id"),
+            (F.col("pos") - F.col("off")).alias("base_pos"),
+            "off",
+        )
+        .where(F.col("base_pos") >= 0)
+        .groupBy("phrase_id", "_id", "base_pos")
+        .agg(F.countDistinct("off").alias("_hits"))
+    )
+    matched = anchors.join(F.broadcast(ph), "phrase_id").where(
+        F.col("_hits") == F.col("phrase_len")
+    )
+    return matched.groupBy("phrase_id", "phrase", F.col("_id")).agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("base_pos").alias("first_pos"),
+    ).select(
+        "phrase_id",
+        "phrase",
+        F.col("_id").alias(id_col),
+        "n_matches",
+        "first_pos",
+    )

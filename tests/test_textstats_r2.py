@@ -307,3 +307,38 @@ def test_script_mix_tie_keeps_earlier_class(spark):
     # the earlier class (latin) — strictly-greater update only
     df = spark.createDataFrame([(1, "ab вг")], "doc_id long, text string")
     assert script_mix(df).collect()[0].dominant_script == "latin"
+
+
+def test_phrase_search_positions_and_repeated_terms(spark):
+    from pdf_extractor_spark.operators.textstats import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "cat the cat the cat"),
+            (3, "dog only here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [
+            (10, "the cat"),       # repeated-term-adjacent phrase
+            (11, "cat the cat"),   # phrase with an internal repeat
+            (12, "missing pair"),
+            (13, ""),              # empty phrase: silently dropped
+        ],
+        "phrase_id long, phrase string",
+    )
+    got = {
+        (r.phrase_id, r.doc_id): (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, phrases).collect()
+    }
+    # doc1: 'the cat' at 0 and 4; doc2: at 1 and 3
+    assert got[(10, 1)] == (2, 0)
+    assert got[(10, 2)] == (2, 1)
+    # 'cat the cat' overlaps itself in doc2: anchors at 0 and 2
+    assert got[(11, 2)] == (2, 0)
+    # no hits for the missing phrase, the empty phrase, or doc3/doc4
+    assert all(pid not in (12, 13) for pid, _ in got)
+    assert all(d != 3 and d != 4 for _, d in got)

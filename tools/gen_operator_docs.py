@@ -56,7 +56,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "host_boilerplate",
     ]),
     ("Similarity search (ANN)", [
-        "cosine_topk", "bm25_topk", "lsh_ann_topk", "ivf_ann_topk",
+        "cosine_topk", "bm25_topk", "phrase_search", "lsh_ann_topk", "ivf_ann_topk",
         "kmeans_clusters", "embedding_quantize", "hard_negatives",
     ]),
     ("Web: HTML, URLs, link graph", [

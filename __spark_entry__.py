@@ -524,6 +524,14 @@ def _cosine_topk(spark, sf_dir):
     return cosine_topk(emb, q, k=10)
 
 
+def _embedding_outliers(spark, sf_dir):
+    """Embedding ingest gate: per-vector norm z-score against the corpus
+    norm distribution + cosine to the 6dp-defined corpus centroid."""
+    from pdf_extractor_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
 def _hard_negatives(spark, sf_dir):
     """Contrastive-training hard negatives: per query (vec_id < 5), the
     10 most-similar vectors with a DIFFERENT (non-null) label."""
@@ -3176,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": _cosine_topk,
         "hard_negatives": _hard_negatives,
+        "embedding_outliers": _embedding_outliers,
         "ocr_garble_score": _ocr_garble,
         "script_mix": _script_mix,
         "lsh_ann_topk": _lsh_ann,
@@ -4575,6 +4584,30 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
             THEN round({tgt} / (n_tokens / t), 6)
             ELSE 0.0 END AS weight
 FROM per, tot
+"""
+    # embedding_outliers: identical expression sequencing — fold norms,
+    # sqrt(E[x^2]-E[x]^2) std, 6dp centroid, 4dp-rounded z and cosine.
+    sql["embedding_outliers"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+n AS (SELECT vec_id, embedding,
+             sqrt({_seq_dot('embedding', 'embedding')}) AS nrm FROM v),
+st AS (SELECT avg(nrm) AS mu,
+              sqrt(avg(nrm * nrm) - avg(nrm) * avg(nrm)) AS sd FROM n),
+ex AS (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS d
+       FROM v),
+dims AS (SELECT d, round(avg(embedding[d]), 6) AS cx FROM ex GROUP BY 1),
+cent AS (SELECT list(cx ORDER BY d) AS cvec FROM dims),
+cn AS (SELECT cvec, sqrt({_seq_dot('cvec', 'cvec')}) AS cnrm FROM cent)
+SELECT vec_id, round(nrm, 4) AS norm,
+       CASE WHEN sd > 0 THEN round((nrm - mu) / sd, 4) END AS z,
+       CASE WHEN nrm * cnrm > 0
+            THEN round({_seq_dot('embedding', 'cvec')} / (nrm * cnrm), 4)
+       END AS cos_centroid,
+       coalesce(abs(CASE WHEN sd > 0
+                    THEN round((nrm - mu) / sd, 4) END) > 2.0, false)
+         AS is_outlier
+FROM n, st, cn
 """
     # phrase_search: positional postings + the anchor group, phrases =
     # tokens 3-4 of docs 0/7/42 (0-based positions on both sides).

@@ -140,6 +140,7 @@ HEADLINE = [
     "props_variant_stats",
     "daily_anomaly",
     "embedding_quantize",
+    "embedding_outliers",
     "bloom_decontaminate",
     "scd2_user_status",
     "hll_mergeable_users",

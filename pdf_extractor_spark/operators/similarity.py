@@ -561,3 +561,70 @@ def kmeans_cluster_stats(
         )
         .orderBy("cluster")
     )
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: "int | None" = None,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """(vec_id, norm, z, cos_centroid, is_outlier) — embedding sanity
+    screening: each vector's L2 norm z-scored against the corpus norm
+    distribution, plus its cosine to the corpus centroid. Broken encoder
+    batches show up as norm outliers (zeroed, saturated, or wrong-scale
+    vectors) long before any downstream ANN metric moves — this is the
+    ingest gate an embedding pipeline runs on every new shard.
+
+    Determinism contract: std is computed as sqrt(E[x^2] - E[x]^2) with
+    the IDENTICAL expression on both engines (never the builtin stddev,
+    whose Welford vs two-pass variants differ in rounding), centroid
+    coordinates are defined at 6 dp, and the outlier flag compares the
+    ROUNDED z so the boolean cannot disagree with the reported value.
+
+    Scale: two 1-row/64-row aggregates broadcast back over one corpus
+    pass — the same scalar-broadcast shape as bm25's corpus stats; no
+    window, no self-join."""
+    v = _valid_vectors(corpus, vec_col, dim)
+    n = v.select(
+        F.col(id_col), F.col(vec_col).alias("vec"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    stats = n.agg(
+        F.avg("nrm").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("nrm") * F.col("nrm"))
+            - F.avg("nrm") * F.avg("nrm")
+        ).alias("sd"),
+    )
+    svec = F.transform(F.col("s"), lambda t: t["cx"])
+    cent = (
+        v.select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("s"))
+        .select(svec.alias("cvec"), _norm(svec).alias("cnrm"))
+    )
+    z = F.when(
+        F.col("sd") > 0,
+        F.round((F.col("nrm") - F.col("mu")) / F.col("sd"), 4),
+    )
+    cosc = F.when(
+        F.col("nrm") * F.col("cnrm") > 0,
+        F.round(
+            _dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")), 4
+        ),
+    )
+    return (
+        n.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            F.round("nrm", 4).alias("norm"),
+            z.alias("z"),
+            cosc.alias("cos_centroid"),
+            F.coalesce(F.abs(z) > F.lit(z_thresh), F.lit(False)).alias(
+                "is_outlier"
+            ),
+        )
+    )

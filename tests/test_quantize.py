@@ -82,3 +82,33 @@ def test_sq8_preserves_topk_recall(spark):
     approx = topk(deq, "vec")
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.9, (recall, exact, approx)
+
+
+def test_embedding_outliers_flags_and_guards(spark):
+    from pdf_extractor_spark.operators.similarity import embedding_outliers
+
+    rows = [(i, [1.0, 0.0, 0.0], 0) for i in range(8)]
+    rows.append((100, [30.0, 0.0, 0.0], 0))   # wild norm -> outlier
+    rows.append((101, None, 0))               # null vector: dropped
+    rows.append((102, [1.0, 0.0], 0))         # wrong dim: dropped
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.vec_id: r for r in embedding_outliers(df, dim=3).collect()}
+    assert set(got) == set(range(8)) | {100}
+    assert got[100].is_outlier and got[100].z > 2
+    assert all(not got[i].is_outlier for i in range(8))
+    # centroid is dominated by the first axis: inliers align with it
+    assert got[0].cos_centroid == 1.0
+
+
+def test_embedding_outliers_constant_norms_never_flag(spark):
+    from pdf_extractor_spark.operators.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, [0.0, 2.0], 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = embedding_outliers(df, dim=2).collect()
+    # sd == 0: z is NULL, the flag must be False (not NULL) on every row
+    assert all(r.z is None and r.is_outlier is False for r in out)

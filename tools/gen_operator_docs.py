@@ -58,6 +58,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "phrase_search", "lsh_ann_topk", "ivf_ann_topk",
         "kmeans_clusters", "embedding_quantize", "hard_negatives",
+        "embedding_outliers",
     ]),
     ("Web: HTML, URLs, link graph", [
         "html_main_content", "html_blocks", "html_links",

@@ -68,6 +68,7 @@ SCALAR_BROADCAST_OK = {
     "lsh_ann_topk": "bounded query-set broadcast onto hashed buckets",
     "avg_time_tiers": "single-row KPI scalings",
     "bm25_topk": "corpus stats (N, total_dl) as 1-row agg broadcast",
+    "embedding_outliers": "norm stats and centroid as 1-row agg broadcasts",
     "key_skew_stats": "n_keys as 1-row agg broadcast onto the tiny "
     "count-of-counts histogram",
     "stratified_sample": "corpus total N and spill-seat count R as "

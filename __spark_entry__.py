@@ -678,6 +678,24 @@ def _kmeans_clusters(spark, sf_dir):
     return kmeans_cluster_stats(emb, n_clusters=8, centroids=cents)
 
 
+def _cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced diversity sample: nearest-centroid assignment
+    (cached kmeans8x2 centroids, kmeans_clusters' index state) + quota-16
+    per-cluster pick under a seeded md5 order."""
+    from pdf_extractor_spark.operators.similarity import (
+        cluster_balanced_sample,
+        ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), "kmeans8x2")
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = ivf_centroids(emb, 8, refine_iters=2)
+        _IVF_CENTROID_CACHE[key] = cents
+    return cluster_balanced_sample(emb, cents, quota=16)
+
+
 def _fuzzy_name_match(spark, sf_dir):
     """Record linkage via deletion-neighborhood (FastSS) blocking: the
     customer names matched against a deterministically corrupted variant
@@ -3190,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
         "kmeans_clusters": _kmeans_clusters,
+        "cluster_balanced_sample": _cluster_balanced_sample,
         "embedding_neardup": _embedding_neardup,
         "semdedup": _semdedup,
         "avg_time_tiers": _avg_time_tiers,
@@ -4461,7 +4480,9 @@ SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 10
     # (K=8) — assign-by-cosine / element-wise-mean / empty-clusters-keep-
     # previous twice, then the final assignment aggregated to per-cluster
     # occupancy + mean 4dp cosine-to-centroid.
-    sql["kmeans_clusters"] = f"""
+    # shared kmeans CTE chain (stride seeds -> two Lloyd rounds -> cents2):
+    # consumed by kmeans_clusters and cluster_balanced_sample below
+    _km_prefix = f"""
 WITH vembeddings AS (
   SELECT vec_id, embedding FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) > 0),
@@ -4500,6 +4521,8 @@ ref2 AS (SELECT cid, list(m ORDER BY d) AS cv FROM cells2 GROUP BY 1),
 cents2 AS (
   SELECT c1.cid, coalesce(r.cv, c1.cv) AS cv
   FROM cents1 c1 LEFT JOIN ref2 r USING (cid)),
+"""
+    sql["kmeans_clusters"] = _km_prefix + f"""
 assign2 AS (
   SELECT e.vec_id, c.cid,
          {cos} AS sim_raw,
@@ -4512,6 +4535,25 @@ SELECT CAST(cid AS INT) AS cluster,
        round(avg(cos4), 4) AS avg_cosine
 FROM assign2 WHERE rn = 1
 GROUP BY 1 ORDER BY 1
+"""
+    # cluster_balanced_sample: final assignment + per-cluster seeded
+    # md5 pick order, quota 16.
+    sql["cluster_balanced_sample"] = _km_prefix + f"""
+assign2 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM vembeddings e, cents2 c),
+a2 AS (SELECT vec_id, cid FROM assign2 WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid
+           ORDER BY md5('cbs_' || CAST(vec_id AS VARCHAR)), vec_id)
+           AS pick_rank
+  FROM a2)
+SELECT vec_id, CAST(cid AS INT) AS cluster,
+       CAST(pick_rank AS INT) AS pick_rank, pick_rank <= 16 AS kept
+FROM ranked
 """
     # semdedup: same deterministic quantizer as ivf_ann_topk but over the
     # seeded-near-dup augmented corpus; within-cluster pairwise cosine via

@@ -163,6 +163,7 @@ HEADLINE = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "kmeans_clusters",
+    "cluster_balanced_sample",
     "classify_rules",
     "auto_repair",
     "table_match",

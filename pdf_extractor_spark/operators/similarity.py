@@ -628,3 +628,42 @@ def embedding_outliers(
             ),
         )
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    quota: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "cbs",
+) -> DataFrame:
+    """(vec_id, cluster, pick_rank, kept) — cluster-balanced sampling
+    (the DCLM / SemDeDup-adjacent diversity step): every vector is
+    assigned to its nearest centroid, then each cluster keeps its first
+    `quota` members under a SEEDED md5 pick order. Uniform random
+    sampling over-represents dense regions; per-cluster quotas keep the
+    sample's topical spread, and the hash order makes the pick
+    rerun-stable, engine-mirrorable, and independent of ingest order
+    (the hash_sample convention applied per cluster).
+
+    Scale: centroids are precomputed index state (ivf_centroids — the
+    K x dim table broadcasts inside the Arrow-batch assign UDF); one
+    corpus pass assigns, then ONE hash shuffle on cluster for the quota
+    window. Cluster occupancy is corpus/K on average — for quota windows
+    over mega-clusters the same trick as global_shuffle applies (rank
+    only the per-shard top-quota candidates) without changing results."""
+    assign1 = _assign_udf(centroids, 1)
+    assigned = _valid_vectors(corpus, vec_col).select(
+        F.col(id_col),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
+    )
+    order = F.md5(
+        F.concat_ws("_", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("cluster").orderBy(order, F.col(id_col))
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .withColumn("kept", F.col("pick_rank") <= F.lit(int(quota)))
+        .select(id_col, "cluster", "pick_rank", "kept")
+    )

@@ -112,3 +112,32 @@ def test_embedding_outliers_constant_norms_never_flag(spark):
     out = embedding_outliers(df, dim=2).collect()
     # sd == 0: z is NULL, the flag must be False (not NULL) on every row
     assert all(r.z is None and r.is_outlier is False for r in out)
+
+
+def test_cluster_balanced_sample_quota_law(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    # two well-separated clusters on the axes, sizes 6 and 3
+    rows = [(i, [1.0, 0.0], 0) for i in range(6)]
+    rows += [(10 + i, [0.0, 1.0], 0) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = cluster_balanced_sample(df, cents, quota=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert {r.vec_id for r in by_cluster[0]} == set(range(6))
+    assert {r.vec_id for r in by_cluster[1]} == {10, 11, 12}
+    for c, rows_ in by_cluster.items():
+        ranks = sorted(r.pick_rank for r in rows_)
+        assert ranks == list(range(1, len(rows_) + 1))
+        assert sum(r.kept for r in rows_) == min(2, len(rows_))
+    # determinism: same picks on rerun
+    again = {(r.vec_id, r.kept) for r in cluster_balanced_sample(df, cents, quota=2).collect()}
+    assert again == {(r.vec_id, r.kept) for r in out}

@@ -57,7 +57,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "phrase_search", "lsh_ann_topk", "ivf_ann_topk",
-        "kmeans_clusters", "embedding_quantize", "hard_negatives",
+        "kmeans_clusters", "cluster_balanced_sample",
+        "embedding_quantize", "hard_negatives",
         "embedding_outliers",
     ]),
     ("Web: HTML, URLs, link graph", [

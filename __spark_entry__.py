@@ -1219,6 +1219,19 @@ def _media_features(spark, sf_dir):
     )
 
 
+def _audio_segments(spark, sf_dir):
+    """VAD-style voiced-segment islands over the audio tracks: whitespace
+    = silence under the fake-decode convention, 16-sample frames, >= 13
+    non-silence samples = voiced, consecutive voiced frames coalesce."""
+    from pdf_extractor_spark.operators.multimodal import (
+        audio_segments,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return audio_segments(media, window=16, min_voiced=13)
+
+
 def _media_resize(spark, sf_dir):
     """Image-resize stage plumbing: metadata transform to the target
     dimensions (payload passes through untouched until a real pixel kernel
@@ -3225,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pack": _multimodal_pack,
         "media_resize": _media_resize,
         "media_features": _media_features,
+        "audio_segments": _audio_segments,
         "frame_sample": _frame_sample,
         # full pipeline (pandas-UDF stages; rows-only check)
         "html_main_content": _html_main_content,
@@ -4212,6 +4226,41 @@ h AS (SELECT media_id, CAST({_phash_bits} AS BIGINT) AS phash FROM m)
 SELECT phash, CAST(count(*) AS BIGINT) AS n_items,
        min(media_id) AS first_media_id
 FROM h GROUP BY 1
+"""
+    # audio_segments: whitespace-=-silence fake decode, 16-char frames,
+    # voiced if >= 13 non-space chars, gaps-and-islands coalescing
+    # (grp = frame_idx - rank among voiced frames of the track).
+    sql["audio_segments"] = """
+WITH a AS (
+  SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id, text AS wave
+  FROM documents
+  WHERE doc_id % 3 = 1 AND text IS NOT NULL AND length(text) > 0),
+fr AS (
+  SELECT media_id, wave,
+         unnest(range(0, CAST(ceil(length(wave) / 16.0) AS BIGINT))) AS w
+  FROM a),
+v AS (
+  SELECT media_id, w,
+         length(translate(substr(wave, CAST(w * 16 + 1 AS INT), 16),
+                          ' ' || chr(10) || chr(9), '')) AS nonspace
+  FROM fr),
+voiced AS (SELECT * FROM v WHERE nonspace >= 13),
+g AS (
+  SELECT media_id, w, nonspace,
+         w - row_number() OVER (PARTITION BY media_id ORDER BY w) AS grp
+  FROM voiced),
+seg AS (
+  SELECT media_id, grp, min(w) AS start_win, max(w) AS end_win,
+         count(*) AS n_windows, sum(nonspace) AS voiced_chars
+  FROM g GROUP BY media_id, grp)
+SELECT media_id,
+       CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_win)
+            AS INT) AS seg_idx,
+       CAST(start_win AS INT) AS start_win,
+       CAST(end_win AS INT) AS end_win,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(voiced_chars AS BIGINT) AS voiced_chars
+FROM seg
 """
     # vocab_coverage: same tokenization, fully tie-broken top-100 cut.
     sql["vocab_coverage"] = f"""

@@ -171,6 +171,7 @@ HEADLINE = [
     "page_filter",
     "media_features",
     "frame_sample",
+    "audio_segments",
 ]
 
 

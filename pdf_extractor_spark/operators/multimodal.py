@@ -311,3 +311,75 @@ def multimodal_pack_cost(spans: "Column", image_budget: int = 64) -> "Column":
         step,
         lambda a: a["tok"] + a["media"] * F.lit(image_budget),
     )
+
+
+def audio_segments(
+    media: DataFrame,
+    window: int = 16,
+    min_voiced: int = 13,
+) -> DataFrame:
+    """(media_id, seg_idx, start_win, end_win, n_windows, voiced_chars) —
+    VAD-style voiced-segment detection over the interleaved corpus's audio
+    tracks. The deterministic fake-decode convention treats each utf-8
+    character of the payload as one waveform sample with whitespace =
+    silence: the wave is cut into fixed `window`-sample frames, a frame is
+    "voiced" when it has >= `min_voiced` non-silence samples, and runs of
+    consecutive voiced frames coalesce into segments (the classic
+    gaps-and-islands fold: group key = frame_idx - rank among voiced
+    frames). A real energy/VAD kernel slots in at the frame-energy
+    expression without changing the islands machinery.
+
+    Scale: frame fan-out is explode of a cheap sequence (no Python); the
+    ONE hash shuffle on media_id feeds both the rank window and the island
+    group-by (HashPartitioning(media_id) satisfies the (media_id, grp)
+    clustered distribution — no second exchange). Segments stream out
+    proportional to voiced runs, never to corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    wav = (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", F.decode("payload", "UTF-8").alias("wave"))
+        .where(F.col("wave").isNotNull() & (F.length("wave") > 0))
+    )
+    n_win = F.ceil(F.length("wave") / F.lit(float(window))).cast("int")
+    frames = wav.select(
+        "media_id",
+        "wave",
+        F.explode_outer(F.sequence(F.lit(0), n_win - 1)).alias("w"),
+    ).where(F.col("w").isNotNull())
+    voiced = frames.select(
+        "media_id",
+        "w",
+        F.length(
+            F.translate(
+                F.expr(f"substr(wave, w * {int(window)} + 1, {int(window)})"),
+                " \n\t",
+                "",
+            )
+        ).alias("nonspace"),
+    ).where(F.col("nonspace") >= F.lit(int(min_voiced)))
+    grp = (
+        F.col("w") - F.row_number().over(W.partitionBy("media_id").orderBy("w"))
+    ).alias("grp")
+    segs = (
+        voiced.select("media_id", "w", "nonspace", grp)
+        .groupBy("media_id", "grp")
+        .agg(
+            F.min("w").cast("int").alias("start_win"),
+            F.max("w").cast("int").alias("end_win"),
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("nonspace").cast("long").alias("voiced_chars"),
+        )
+    )
+    seg_idx = F.row_number().over(
+        W.partitionBy("media_id").orderBy("start_win")
+    )
+    return segs.select(
+        "media_id",
+        seg_idx.cast("int").alias("seg_idx"),
+        "start_win",
+        "end_win",
+        "n_windows",
+        "voiced_chars",
+    )

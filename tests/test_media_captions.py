@@ -187,3 +187,55 @@ def test_multimodal_pack_cost_hand_computed(spark):
     # doc 1: 3 text tokens + '' -> 0 tokens + 2 media * 64;  doc 2: 1 media;
     # doc 3: null text span -> 0 tokens, 0 media
     assert got == {1: 3 + 128, 2: 64, 3: 0}
+
+
+# ---- audio_segments: gaps-and-islands VAD over the fake-decode wave ----
+
+def test_audio_segments_hand_computed(spark):
+    from pdf_extractor_spark.operators.multimodal import audio_segments
+
+    # window=4, min_voiced=3. Wave "aaaa bbb aaaa....": frames of 4 chars.
+    #   "abcd" voiced(4) | "ef h" voiced(3) | "  ij" silent(2) | "klmn"
+    #   voiced(4) -> segments [0..1] and [3..3]
+    wave = "abcdef h  ijklmn"
+    df = spark.createDataFrame(
+        [("m1", "audio", bytearray(wave, "utf-8")),
+         ("m2", "image", bytearray(wave, "utf-8")),   # non-audio: dropped
+         ("m3", "audio", None),                        # null payload: dropped
+         ("m4", "audio", bytearray(b""))],             # empty: dropped
+        "media_id string, kind string, payload binary",
+    )
+    out = audio_segments(df, window=4, min_voiced=3).collect()
+    got = {(r.media_id, r.seg_idx): (r.start_win, r.end_win, r.n_windows,
+                                     r.voiced_chars) for r in out}
+    assert got == {
+        ("m1", 1): (0, 1, 2, 7),
+        ("m1", 2): (3, 3, 1, 4),
+    }
+
+
+def test_audio_segments_all_silence_empty(spark):
+    from pdf_extractor_spark.operators.multimodal import audio_segments
+
+    df = spark.createDataFrame(
+        [("m1", "audio", bytearray(b"    \t\t\n\n    "))],
+        "media_id string, kind string, payload binary",
+    )
+    assert audio_segments(df, window=4, min_voiced=3).count() == 0
+
+
+def test_audio_segments_single_exchange(spark):
+    """The rank window and the island group-by share the media_id hash
+    partitioning: exactly ONE Exchange in the physical plan."""
+    from pdf_extractor_spark.operators.multimodal import audio_segments
+
+    df = spark.createDataFrame(
+        [("m1", "audio", bytearray(b"abcdefgh"))],
+        "media_id string, kind string, payload binary",
+    )
+    plan = (
+        audio_segments(df, window=4, min_voiced=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan

@@ -70,6 +70,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Layout (reading order)", ["layout_order", "layout_text"]),
     ("Multimodal (interleaved media)", [
         "media_meta", "media_features", "media_resize", "frame_sample",
+        "audio_segments",
         "media_captions", "multimodal_pack", "media_dedup", "media_phash",
     ]),
     ("Events: sessions, as-of, rollups, sketches", [

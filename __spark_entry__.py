@@ -3004,6 +3004,51 @@ def _url_normalize(spark, sf_dir):
     return url_normalize(_synth_urls(spark, sf_dir))
 
 
+def _robots_rules(spark, sf_dir):
+    """Robots.txt longest-match crawl permission over the synthesized
+    crawl: per host (one per source) the rule set is disallow-/ <
+    allow-/Page < disallow-/Page/k for k ≡ r (mod 5) where r =
+    length(source) % 5, with an equal-length allow-/Page/k for
+    k ≡ r (mod 10) — exercising default-deny override, longest-match
+    and the allow-wins-equal-length tie. Net: /Page/k blocked iff
+    k ≡ r+5 (mod 10)."""
+    from pdf_extractor_spark.operators.urls import robots_filter
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    pages = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("/Page/"), (F.col("doc_id") % 50).cast("string")).alias(
+            "path"
+        ),
+    )
+    # the rule table IS index state (one fetched robots.txt per host —
+    # bounded by host count, not corpus size), so build it driver-side:
+    # the bounded-collect convention used for centroids/BPE rules.
+    srcs = [
+        r.source
+        for r in docs.select("source").distinct().collect()
+        if r.source is not None
+    ]
+    rule_rows = []
+    for s in sorted(srcs):
+        h, r = f"www.{s}.example.com", len(s) % 5
+        rule_rows.append((h, "disallow", "/"))
+        rule_rows.append((h, "allow", "/Page"))
+        for k in range(50):
+            if k % 5 == r:
+                rule_rows.append((h, "disallow", f"/Page/{k}"))
+            if k % 10 == r:
+                rule_rows.append((h, "allow", f"/Page/{k}"))
+    from pdf_extractor_spark.session import values_df
+
+    rules = values_df(
+        spark, rule_rows, "host string, directive string, prefix string"
+    )
+    return robots_filter(pages, rules)
+
+
 def _synth_recrawl_urls(spark, sf_dir):
     """Recrawl-scenario URL synthesis: unlike _synth_urls there is no
     unique id param, so distinct fetches of the SAME page differ only in
@@ -3194,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _salted_join,
         "pii_scrub": _pii_scrub,
         "url_normalize": _url_normalize,
+        "robots_rules": _robots_rules,
         "url_dedup": _url_dedup,
         "host_stats": _host_stats,
         "mix_weights": _mix_weights,
@@ -6445,6 +6491,52 @@ FROM aug
 WITH aug AS (SELECT doc_id, {_url_synth} AS url FROM documents),
 parts AS (SELECT doc_id, {_url_parts} FROM aug)
 SELECT doc_id, {_url_rebuild} FROM parts
+"""
+    # robots_rules: same rule synthesis as the Spark wrapper (per-host
+    # disallow-/ < allow-/Page < congruence-keyed /Page/k lines with an
+    # equal-length allow tie), REP longest-match resolution as a
+    # row_number argmax (l DESC, allow DESC, prefix DESC).
+    sql["robots_rules"] = """
+WITH hosts AS (
+  SELECT 'www.' || source || '.example.com' AS host,
+         length(source) % 5 AS r
+  FROM (SELECT DISTINCT source FROM documents)),
+ks AS (SELECT host, r, unnest(range(0, 50)) AS k FROM hosts),
+rules AS (
+  SELECT host, 'disallow' AS directive, '/' AS prefix FROM hosts
+  UNION ALL SELECT host, 'allow', '/Page' FROM hosts
+  UNION ALL SELECT host, 'disallow', '/Page/' || CAST(k AS VARCHAR)
+    FROM ks WHERE k % 5 = r
+  UNION ALL SELECT host, 'allow', '/Page/' || CAST(k AS VARCHAR)
+    FROM ks WHERE k % 10 = r),
+pages AS (
+  SELECT doc_id, 'www.' || source || '.example.com' AS host,
+         '/Page/' || CAST(doc_id % 50 AS VARCHAR) AS path
+  FROM documents),
+cand AS (
+  SELECT doc_id, host, path,
+         unnest(list_prepend('/',
+           list_transform(range(2, len(string_split(path, '/')) + 1),
+             i -> array_to_string(string_split(path, '/')[1:i], '/'))))
+           AS prefix
+  FROM pages),
+m AS (
+  SELECT c.doc_id, c.host, c.path, r.prefix AS mp, r.directive
+  FROM cand c LEFT JOIN rules r
+    ON r.host = c.host AND r.prefix = c.prefix),
+w AS (
+  SELECT doc_id, host, path,
+         CASE WHEN directive IS NULL THEN -1 ELSE length(mp) END AS l,
+         CASE WHEN coalesce(directive, '') = 'allow' THEN 1 ELSE 0 END AS a,
+         coalesce(mp, '') AS p, coalesce(directive, 'allow') AS d
+  FROM m),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY l DESC, a DESC, p DESC, d DESC) AS rn
+  FROM w)
+SELECT doc_id, host, path, nullif(p, '') AS matched_prefix,
+       d = 'allow' AS fetchable
+FROM r2 WHERE rn = 1
 """
     # url_dedup: the recrawl synthesis (no unique id param) + the same
     # normalization fragments, grouped on the canonical URL.

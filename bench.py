@@ -164,6 +164,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "kmeans_clusters",
     "cluster_balanced_sample",
+    "robots_rules",
     "classify_rules",
     "auto_repair",
     "table_match",

@@ -207,3 +207,64 @@ def url_blocklist(
         .alias("matched_suffix"),
         (F.size("_m") > 0).alias("blocked"),
     )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, host, path, matched_prefix, fetchable) — robots.txt
+    longest-match crawl permission. `pages` is (doc_id, host, path);
+    `rules` is (host, directive in {'allow','disallow'}, prefix), one row
+    per robots line, prefixes ending at '/' path-segment boundaries (the
+    common robots shape; '*'-wildcard lines would explode to segment
+    prefixes at parse time in the same way). Standard REP resolution:
+    the LONGEST matching prefix wins, an allow beats a disallow of equal
+    length, and a path with no matching rule is fetchable.
+
+    Scale: the rules side is robots.txt lines — tiny per host — so it
+    BROADCASTS; the page side explodes each path into its ~depth segment
+    prefixes (cheap, bounded fan-out) and LEFT-joins (host, prefix)
+    against the broadcast with zero shuffle — every page keeps at least
+    its '/' candidate row, so rule-less pages flow through to the
+    default-allow verdict with no join-back. The winner per page is a
+    struct-max partial aggregate (match-length, is_allow, prefix DESC;
+    non-matches sink with length -1) over ONE hash shuffle on doc_id.
+    """
+    segs = F.split(F.col("path"), "/")
+    prefixes = F.concat(
+        F.array(F.lit("/")),
+        F.transform(
+            F.sequence(F.lit(2), F.size(segs)),
+            lambda i: F.array_join(F.slice(segs, 1, i), "/"),
+        ),
+    )
+    # explode_outer: a null/degenerate path keeps its row (null prefix
+    # matches no rule -> default allow) instead of vanishing
+    cand = pages.select(
+        F.col(id_col), "host", "path", F.explode_outer(prefixes).alias("prefix")
+    )
+    hit = F.col("directive").isNotNull()
+    win = F.max(
+        F.struct(
+            F.when(hit, F.length("prefix")).otherwise(F.lit(-1)).alias("l"),
+            (F.coalesce(F.col("directive"), F.lit("")) == "allow")
+            .cast("int")
+            .alias("a"),
+            F.when(hit, F.col("prefix")).otherwise(F.lit("")).alias("p"),
+            F.coalesce(F.col("directive"), F.lit("allow")).alias("d"),
+        )
+    ).alias("win")
+    return (
+        cand.join(F.broadcast(rules), ["host", "prefix"], "left")
+        .groupBy(id_col, "host", "path")
+        .agg(win)
+        .select(
+            id_col,
+            "host",
+            "path",
+            F.nullif(F.col("win.p"), F.lit("")).alias("matched_prefix"),
+            (F.col("win.d") == "allow").alias("fetchable"),
+        )
+    )

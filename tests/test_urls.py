@@ -142,3 +142,74 @@ def test_crawl_schedule_per_host_slots(spark):
         (r.doc_id, r.slot) for r in crawl_schedule(df, delay_s=5).collect()
     }
     assert again == {(r.doc_id, r.slot) for r in rows}
+
+
+# ---- robots_filter: REP longest-match resolution ----
+
+def _robots(spark, pages, rules):
+    from pdf_extractor_spark.operators.urls import robots_filter
+
+    p = spark.createDataFrame(pages, "doc_id long, host string, path string")
+    r = spark.createDataFrame(
+        rules, "host string, directive string, prefix string"
+    )
+    return {
+        row.doc_id: (row.matched_prefix, row.fetchable)
+        for row in robots_filter(p, r).collect()
+    }
+
+
+def test_robots_longest_match_wins(spark):
+    rules = [
+        ("h", "disallow", "/"),
+        ("h", "allow", "/a"),
+        ("h", "disallow", "/a/b"),
+    ]
+    got = _robots(
+        spark,
+        [(1, "h", "/a/b/c"), (2, "h", "/a/x"), (3, "h", "/z")],
+        rules,
+    )
+    assert got[1] == ("/a/b", False)   # deepest rule wins
+    assert got[2] == ("/a", True)      # allow overrides root disallow
+    assert got[3] == ("/", False)      # only the root rule matches
+
+
+def test_robots_allow_beats_disallow_on_equal_length(spark):
+    rules = [("h", "disallow", "/a"), ("h", "allow", "/b")]
+    # same-length allow+disallow on the SAME prefix
+    rules += [("h", "disallow", "/c"), ("h", "allow", "/c")]
+    got = _robots(spark, [(1, "h", "/c/x")], rules)
+    assert got[1] == ("/c", True)
+
+
+def test_robots_no_match_defaults_allow(spark):
+    got = _robots(
+        spark,
+        [(1, "h", "/a"), (2, "other", "/a")],
+        [("h", "disallow", "/b")],
+    )
+    assert got[1] == (None, True)
+    assert got[2] == (None, True)
+
+
+def test_robots_null_path_survives_as_allow(spark):
+    got = _robots(spark, [(1, "h", None)], [("h", "disallow", "/")])
+    assert got[1] == (None, True)
+
+
+def test_robots_plan_broadcast_single_exchange(spark):
+    """Rules broadcast; the only Exchange is the doc-key aggregate."""
+    from pdf_extractor_spark.operators.urls import robots_filter
+
+    p = spark.createDataFrame(
+        [(1, "h", "/a/b")], "doc_id long, host string, path string"
+    )
+    r = spark.createDataFrame(
+        [("h", "disallow", "/")], "host string, directive string, prefix string"
+    )
+    plan = (
+        robots_filter(p, r)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

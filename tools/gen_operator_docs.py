@@ -64,7 +64,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Web: HTML, URLs, link graph", [
         "html_main_content", "html_blocks", "html_links",
         "anchor_text_index", "url_normalize", "url_dedup", "host_stats",
-        "url_blocklist", "crawl_schedule",
+        "url_blocklist", "robots_rules", "crawl_schedule",
         "pagerank_hosts", "crawl_frontier", "triangle_hosts",
     ]),
     ("Layout (reading order)", ["layout_order", "layout_text"]),

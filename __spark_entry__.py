@@ -524,6 +524,18 @@ def _cosine_topk(spark, sf_dir):
     return cosine_topk(emb, q, k=10)
 
 
+def _bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining between the label-parity halves of the
+    embedding corpus (even labels = source "language", odd = target):
+    ratio margin over top-4 neighborhoods, all-integer scoring."""
+    from pdf_extractor_spark.operators.similarity import bitext_margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter((F.col("label") % 2 == 0) & F.col("label").isNotNull())
+    tgt = emb.filter((F.col("label") % 2 == 1) & F.col("label").isNotNull())
+    return bitext_margin_pairs(src, tgt, k=4, margin_threshold_e4=11500)
+
+
 def _embedding_outliers(spark, sf_dir):
     """Embedding ingest gate: per-vector norm z-score against the corpus
     norm distribution + cosine to the 6dp-defined corpus centroid."""
@@ -3261,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": _cosine_topk,
         "hard_negatives": _hard_negatives,
+        "bitext_mine": _bitext_mine,
         "embedding_outliers": _embedding_outliers,
         "ocr_garble_score": _ocr_garble,
         "script_mix": _script_mix,
@@ -3880,6 +3893,49 @@ scored AS (
   FROM embeddings e, q
   WHERE e.label IS NOT NULL AND e.label IS DISTINCT FROM q.qlabel)
 SELECT query_id, id, cosine, rank FROM scored WHERE rank <= 10
+"""
+    # bitext_mine: margin-based mining between label-parity halves —
+    # cosines scaled to e4 ints, top-4 means kept as (sum,count), the
+    # CCMatrix ratio margin as ONE integer division (// floors, Spark's
+    # div truncates: the sign guard pins both to the non-negative branch
+    # where they agree).
+    sql["bitext_mine"] = """
+WITH v AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0
+             AND label IS NOT NULL),
+s AS (SELECT vec_id, embedding FROM v WHERE label % 2 = 0
+      AND sqrt(list_dot_product(embedding, embedding)) > 0),
+t AS (SELECT vec_id, embedding FROM v WHERE label % 2 = 1
+      AND sqrt(list_dot_product(embedding, embedding)) > 0),
+sc AS (
+  SELECT s.vec_id AS src, t.vec_id AS tgt,
+         CAST(round(10000 * list_dot_product(s.embedding, t.embedding) /
+           (sqrt(list_dot_product(s.embedding, s.embedding)) *
+            sqrt(list_dot_product(t.embedding, t.embedding)))) AS INT) AS c
+  FROM s, t),
+ra AS (SELECT src, tgt, c,
+              row_number() OVER (PARTITION BY src ORDER BY c DESC, tgt) AS r
+       FROM sc),
+ka AS (SELECT src, sum(c) AS axsum, count(*) AS na,
+              max(struct_pack(is1 := CAST(r = 1 AS INT), c := c,
+                              tgt := tgt)) AS best
+       FROM ra WHERE r <= 4 GROUP BY 1),
+rb AS (SELECT src, tgt, c,
+              row_number() OVER (PARTITION BY tgt ORDER BY c DESC, src) AS r
+       FROM sc),
+kb AS (SELECT tgt, sum(c) AS aysum, count(*) AS nb
+       FROM rb WHERE r <= 4 GROUP BY 1),
+m AS (
+  SELECT ka.src AS src_id, ka.best.tgt AS tgt_id,
+         CAST(ka.best.c AS INT) AS cos_e4,
+         CASE WHEN (axsum * nb + aysum * na) > 0 AND ka.best.c >= 0
+              THEN (2 * CAST(ka.best.c AS BIGINT) * na * nb * 10000)
+                   // (axsum * nb + aysum * na)
+         END AS margin_e4
+  FROM ka JOIN kb ON kb.tgt = ka.best.tgt)
+SELECT src_id, tgt_id, cos_e4, CAST(margin_e4 AS BIGINT) AS margin_e4,
+       coalesce(margin_e4 >= 11500, false) AS accepted
+FROM m
 """
     # ocr_garble_score: poisoned-text synthesis + integer damage counts
     # (no float columns at all); DuckDB regexp_replace needs the 'g' flag

@@ -158,6 +158,7 @@ HEADLINE = [
     "fuzzy_name_match",
     "cosine_topk",
     "hard_negatives",
+    "bitext_mine",
     "ocr_garble_score",
     "script_mix",
     "lsh_ann_topk",

@@ -667,3 +667,111 @@ def cluster_balanced_sample(
         .withColumn("kept", F.col("pick_rank") <= F.lit(int(quota)))
         .select(id_col, "cluster", "pick_rank", "kept")
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold_e4: int = 11500,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(src_id, tgt_id, cos_e4, margin_e4, accepted) — margin-based bitext
+    mining (the CCMatrix/NLLB parallel-corpus step): for every source-side
+    vector, its best target-side neighbor is scored by the RATIO margin
+    cos(x,y) / mean(avg-top-k(x->T), avg-top-k(y->S)) — the normalization
+    that separates true translations from hubness artifacts where raw
+    cosine cannot.
+
+    All arithmetic after the per-pair cosine is INTEGER: cosines land as
+    round(1e4*cos) ints, top-k means stay as (sum, count) pairs, and the
+    margin is one integer division margin_e4 = 2e4*c*na*nb div
+    (axsum*nb + aysum*na) — zero float hash surface, bit-identical on any
+    engine and any row order. margin/accepted are NULL/False when the
+    denominator or numerator is degenerate (negative best cosine).
+
+    Scale: this exact form cross-scores S x T (the verifiable baseline,
+    same stance as cosine_topk); at 10^12 docs the identical margin
+    arithmetic runs over IVF/LSH candidate lists instead of the full
+    cross product — swap the `scored` relation, keep everything below.
+    Both rank windows read ONE shared cross-score relation, so Spark
+    reuses the exchange rather than recomputing the join."""
+    s = (
+        _valid_vectors(src, vec_col)
+        .select(
+            F.col(id_col).alias("src"),
+            F.col(vec_col).alias("svec"),
+            _norm(F.col(vec_col)).alias("snrm"),
+        )
+        .filter(F.col("snrm") > 0)
+    )
+    t = (
+        _valid_vectors(tgt, vec_col)
+        .select(
+            F.col(id_col).alias("tgt"),
+            F.col(vec_col).alias("tvec"),
+            _norm(F.col(vec_col)).alias("tnrm"),
+        )
+        .filter(F.col("tnrm") > 0)
+    )
+    scored = s.join(F.broadcast(t)).select(
+        "src",
+        "tgt",
+        F.round(
+            F.lit(10000.0)
+            * _dot(F.col("svec"), F.col("tvec"))
+            / (F.col("snrm") * F.col("tnrm"))
+        )
+        .cast("int")
+        .alias("c"),
+    )
+    wa = Window.partitionBy("src").orderBy(F.desc("c"), "tgt")
+    ka = (
+        scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= k)
+        .groupBy("src")
+        .agg(
+            F.sum("c").cast("long").alias("axsum"),
+            F.count("*").cast("long").alias("na"),
+            F.max(
+                F.struct(
+                    (F.col("r") == 1).cast("int").alias("is1"),
+                    F.col("c").alias("c"),
+                    F.col("tgt").alias("tgt"),
+                )
+            ).alias("best"),
+        )
+    )
+    wb = Window.partitionBy("tgt").orderBy(F.desc("c"), "src")
+    kb = (
+        scored.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= k)
+        .groupBy("tgt")
+        .agg(
+            F.sum("c").cast("long").alias("aysum"),
+            F.count("*").cast("long").alias("nb"),
+        )
+    )
+    joined = ka.join(kb, ka["best.tgt"] == kb["tgt"])
+    numer = (
+        F.lit(2) * F.col("best.c").cast("long") * F.col("na") * F.col("nb")
+        * F.lit(10000)
+    )
+    denom = F.col("axsum") * F.col("nb") + F.col("aysum") * F.col("na")
+    margin = F.when(
+        (denom > 0) & (numer >= 0), F.expr("_numer div _denom")
+    )
+    return (
+        joined.withColumn("_numer", numer)
+        .withColumn("_denom", denom)
+        .select(
+            F.col("src").alias("src_id"),
+            F.col("best.tgt").alias("tgt_id"),
+            F.col("best.c").alias("cos_e4"),
+            margin.alias("margin_e4"),
+            F.coalesce(
+                margin >= F.lit(int(margin_threshold_e4)), F.lit(False)
+            ).alias("accepted"),
+        )
+    )

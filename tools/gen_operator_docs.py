@@ -58,7 +58,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "phrase_search", "lsh_ann_topk", "ivf_ann_topk",
         "kmeans_clusters", "cluster_balanced_sample",
-        "embedding_quantize", "hard_negatives",
+        "embedding_quantize", "hard_negatives", "bitext_mine",
         "embedding_outliers",
     ]),
     ("Web: HTML, URLs, link graph", [

@@ -63,6 +63,8 @@ SCALAR_BROADCAST_OK = {
     "agg broadcasts",
     "cosine_topk": "bounded query-set broadcast x one corpus pass (the "
     "exact-ANN baseline shape: small side is the k query vectors)",
+    "bitext_mine": "exact cross-score baseline (broadcast target side); "
+    "the 10^12 path swaps in IVF/LSH candidate lists, same margin math",
     "hard_negatives": "bounded query-set broadcast x one corpus pass "
     "(cosine_topk's shape with the label-exclusion predicate on the join)",
     "lsh_ann_topk": "bounded query-set broadcast onto hashed buckets",

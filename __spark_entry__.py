@@ -1105,6 +1105,74 @@ def _ngram_lm(spark, sf_dir):
     return ngram_lm(_t_wide(spark, sf_dir, "documents"))
 
 
+def _span_regression(spark, sf_dir):
+    """The north-star invariant as an operator: span-sequence diff
+    between two extraction runs over the deterministic interleaved span
+    layout (page_filter's 5-page/2-media synthesis). Run B simulates a
+    regressed extractor: every 7th doc's page-1 text gains a trailing
+    '!' and every (doc_id % 11 == 3) doc loses its second media span."""
+    from pdf_extractor_spark.operators.spans import span_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+
+    def tspan(i: int, off: int, perturbed: bool):
+        txt = F.substring(t, 1 + i * 40, 40)
+        if perturbed and i == 1:
+            txt = F.when(
+                F.col("doc_id") % 7 == 0, F.concat(txt, F.lit("!"))
+            ).otherwise(txt)
+        return F.when(
+            F.length(t) > i * 40,
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    txt.alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(off).cast("int").alias("offset"),
+                )
+            ),
+        ).otherwise(empty)
+
+    def mspan(ref: str, off: int, min_len: int, dropped=None):
+        cond = F.length(t) > min_len
+        if dropped is not None:
+            cond = cond & ~dropped
+        return F.when(
+            cond,
+            F.array(
+                F.struct(
+                    F.lit("image").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(ref).alias("media_ref"),
+                    F.lit(off).cast("int").alias("offset"),
+                )
+            ),
+        ).otherwise(empty)
+
+    regressed = F.col("doc_id") % 11 == 3
+
+    def run(perturbed: bool):
+        spans = F.concat(
+            tspan(0, 0, perturbed),
+            mspan("m0", 1, 0),
+            tspan(1, 2, perturbed),
+            tspan(2, 3, perturbed),
+            mspan("m1", 4, 80, dropped=regressed if perturbed else None),
+            tspan(3, 5, perturbed),
+            tspan(4, 6, perturbed),
+        )
+        return docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            spans.alias("spans"),
+        )
+
+    return span_diff(run(False), run(True))
+
+
 def _page_filter(spark, sf_dir):
     """Page-range predicate (reference extractor.py:46-51 semantics) over a
     deterministic interleaved span layout derived from each document's
@@ -3290,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_match": _table_match,
         # multimodal plumbing
         "page_filter": _page_filter,
+        "span_regression": _span_regression,
         "media_meta": _media_meta,
         "media_dedup": _media_dedup,
         "media_phash": _media_phash,
@@ -4177,6 +4246,60 @@ FROM documents WHERE doc_id % 3 = 2
     # layout -> kept spans = (page0 text + its media) while text non-empty,
     # plus (page2 text + its media) while length > 80; kept_text is the
     # concatenation of the surviving 40-char text windows.
+    # span_regression: both runs' span arrays canonicalized to
+    # kind|text|media_ref strings (chr(1) null sentinel), elementwise
+    # IS DISTINCT FROM over the padded index range — mirrors span_diff's
+    # zip_with + eqNullSafe exactly (out-of-range subscript = NULL = the
+    # zip_with pad).
+    _sr_t1a = "'text|' || substr(text, 41, 40) || '|' || chr(1)"
+    _sr_t1b = (
+        "'text|' || substr(text, 41, 40) || "
+        "(CASE WHEN doc_id % 7 = 0 THEN '!' ELSE '' END) || '|' || chr(1)"
+    )
+
+    def _sr_list(t1: str, drop_m1: bool) -> str:
+        m1 = "length(text) > 80"
+        if drop_m1:
+            m1 += " AND NOT (doc_id % 11 = 3)"
+        return (
+            "CASE WHEN length(text) > 0 THEN "
+            "['text|' || substr(text, 1, 40) || '|' || chr(1)] "
+            "ELSE [] END "
+            "|| CASE WHEN length(text) > 0 THEN "
+            "['image|' || chr(1) || '|m0'] ELSE [] END "
+            f"|| CASE WHEN length(text) > 40 THEN [{t1}] ELSE [] END "
+            "|| CASE WHEN length(text) > 80 THEN "
+            "['text|' || substr(text, 81, 40) || '|' || chr(1)] "
+            "ELSE [] END "
+            f"|| CASE WHEN {m1} THEN ['image|' || chr(1) || '|m1'] "
+            "ELSE [] END "
+            "|| CASE WHEN length(text) > 120 THEN "
+            "['text|' || substr(text, 121, 40) || '|' || chr(1)] "
+            "ELSE [] END "
+            "|| CASE WHEN length(text) > 160 THEN "
+            "['text|' || substr(text, 161, 40) || '|' || chr(1)] "
+            "ELSE [] END"
+        )
+
+    sql["span_regression"] = f"""
+WITH runs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         {_sr_list(_sr_t1a, False)} AS la,
+         {_sr_list(_sr_t1b, True)} AS lb
+  FROM documents),
+d AS (
+  SELECT doc_id, la, lb,
+         coalesce(list_position(
+           list_transform(
+             range(1, CAST(greatest(len(la), len(lb)) AS BIGINT) + 1),
+             i -> la[CAST(i AS INT)] IS DISTINCT FROM lb[CAST(i AS INT)]),
+           true), 0) AS fd
+  FROM runs)
+SELECT doc_id, true AS in_a, true AS in_b,
+       CAST(len(la) AS INT) AS n_a, CAST(len(lb) AS INT) AS n_b,
+       fd = 0 AS equal, CAST(nullif(fd, 0) AS INT) AS first_diff
+FROM d
+"""
     sql["page_filter"] = (
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
         "(CASE WHEN length(text) > 0 THEN 2 ELSE 0 END + "

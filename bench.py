@@ -171,6 +171,7 @@ HEADLINE = [
     "table_match",
     "span_validations",
     "page_filter",
+    "span_regression",
     "media_features",
     "frame_sample",
     "audio_segments",

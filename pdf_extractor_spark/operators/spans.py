@@ -330,3 +330,59 @@ def normalize_documents(df: DataFrame, lang_col: str | None = None) -> DataFrame
         ),
     )
     return out.drop("_spans_sorted", "_sample", "lang")
+
+
+def span_diff(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """(doc_id, in_a, in_b, n_a, n_b, equal, first_diff) — per-document
+    span-sequence equality between two extraction runs, the engine's core
+    output invariant ((kind, text, media_ref, order) must match) promoted
+    to a distributed regression-diff operator: run it between engine
+    versions / config changes and aggregate `equal` for the per-corpus
+    regression rate; `first_diff` (1-based span position, NULL when
+    equal) points a human at the first diverging span.
+
+    Each span is canonicalized to one string (kind|text|media_ref with a
+    U+0001 null-sentinel — order is the array position), so the diff is a
+    zip_with over two string arrays: null-safe, length-mismatch-aware
+    (the longer run's tail pairs against null and flags), zero Python.
+    One doc_id equi-join is the only shuffle; two runs written
+    doc_id-bucketed diff with ZERO exchanges (the hive-bucketed writer
+    precedent in jobs/build_index.py).
+    """
+    sent = chr(1)
+
+    def canon(col: Column) -> Column:
+        return F.transform(
+            col,
+            lambda s: F.concat_ws(
+                "|",
+                F.coalesce(s["kind"], F.lit(sent)),
+                F.coalesce(s["text"], F.lit(sent)),
+                F.coalesce(s["media_ref"], F.lit(sent)),
+            ),
+        )
+
+    empty = F.array().cast("array<string>")
+    pa = run_a.select(F.col(id_col), canon(F.col(spans_col)).alias("_pa"))
+    pb = run_b.select(F.col(id_col), canon(F.col(spans_col)).alias("_pb"))
+    j = pa.join(pb, [id_col], "full_outer")
+    in_a = F.col("_pa").isNotNull()
+    in_b = F.col("_pb").isNotNull()
+    ca = F.coalesce(F.col("_pa"), empty)
+    cb = F.coalesce(F.col("_pb"), empty)
+    flags = F.zip_with(ca, cb, lambda x, y: ~x.eqNullSafe(y))
+    fd = F.array_position(flags, True)
+    return j.select(
+        F.col(id_col),
+        in_a.alias("in_a"),
+        in_b.alias("in_b"),
+        F.size(ca).cast("int").alias("n_a"),
+        F.size(cb).cast("int").alias("n_b"),
+        (fd == 0).alias("equal"),
+        F.when(fd > 0, fd).cast("int").alias("first_diff"),
+    )

@@ -25,7 +25,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Extraction / classification / validation (reference parity)", [
         "extract_pipeline", "classify_rules", "preprocess_text",
         "lang_name", "span_validations", "auto_repair", "table_match",
-        "page_filter", "nfc_normalize",
+        "page_filter", "span_regression", "nfc_normalize",
     ]),
     ("Text statistics & quality", [
         "token_count", "bpe_token_count", "quality_score", "lang_id",

@@ -1105,6 +1105,38 @@ def _ngram_lm(spark, sf_dir):
     return ngram_lm(_t_wide(spark, sf_dir, "documents"))
 
 
+def _text_tables(spark, sf_dir):
+    """Text-mode table extraction over deterministically synthesized
+    pipe tables: every doc_id % 4 == 1 doc gains a 3-col table with
+    2 + doc_id % 3 data rows; every doc_id % 8 == 5 doc gains a second
+    2-col table behind a non-table separator line (multi-table index)."""
+    from pdf_extractor_spark.operators.layout import extract_text_tables
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def data_row(r: int):
+        line = F.concat(
+            F.lit(f"\nitem{r} | "),
+            ((did % 10) + r).cast("string"),
+            F.lit(" | "),
+            ((did * (r + 1)) % 97).cast("string"),
+        )
+        return F.when(F.lit(r) < (did % 3) + 2, line).otherwise(F.lit(""))
+
+    t1 = F.concat(
+        F.lit("\nname | qty | price"),
+        data_row(0), data_row(1), data_row(2), data_row(3),
+    )
+    t2 = F.lit("\n--\nx | y\n1 | 2")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 1, t1).otherwise(F.lit("")),
+        F.when(did % 8 == 5, t2).otherwise(F.lit("")),
+    )
+    return extract_text_tables(docs.select("doc_id", aug.alias("text")))
+
+
 def _span_regression(spark, sf_dir):
     """The north-star invariant as an operator: span-sequence diff
     between two extraction runs over the deterministic interleaved span
@@ -3359,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "page_filter": _page_filter,
         "span_regression": _span_regression,
+        "text_tables": _text_tables,
         "media_meta": _media_meta,
         "media_dedup": _media_dedup,
         "media_phash": _media_phash,
@@ -4246,6 +4279,57 @@ FROM documents WHERE doc_id % 3 = 2
     # layout -> kept spans = (page0 text + its media) while text non-empty,
     # plus (page2 text + its media) while length > 80; kept_text is the
     # concatenation of the surviving 40-char text windows.
+    # text_tables: same pipe-table synthesis, then islands over line
+    # numbers (contiguous ' | ' lines = one table), dense_rank for
+    # table_idx, per-island row_number for row_idx, second split for
+    # cells. generate_subscripts gives the 1-based line/cell positions.
+    sql["text_tables"] = """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 1 THEN
+              chr(10) || 'name | qty | price'
+              || chr(10) || 'item0 | ' || CAST(doc_id % 10 AS VARCHAR)
+                 || ' | ' || CAST(doc_id % 97 AS VARCHAR)
+              || chr(10) || 'item1 | ' || CAST(doc_id % 10 + 1 AS VARCHAR)
+                 || ' | ' || CAST((doc_id * 2) % 97 AS VARCHAR)
+              || CASE WHEN doc_id % 3 >= 1 THEN
+                   chr(10) || 'item2 | ' || CAST(doc_id % 10 + 2 AS VARCHAR)
+                   || ' | ' || CAST((doc_id * 3) % 97 AS VARCHAR)
+                 ELSE '' END
+              || CASE WHEN doc_id % 3 >= 2 THEN
+                   chr(10) || 'item3 | ' || CAST(doc_id % 10 + 3 AS VARCHAR)
+                   || ' | ' || CAST((doc_id * 4) % 97 AS VARCHAR)
+                 ELSE '' END
+            ELSE '' END
+         || CASE WHEN doc_id % 8 = 5 THEN
+              chr(10) || '--' || chr(10) || 'x | y' || chr(10) || '1 | 2'
+            ELSE '' END AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS line_no,
+         unnest(string_split(text, chr(10))) AS line
+  FROM aug),
+tl AS (
+  SELECT doc_id, line_no, line,
+         line_no - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY line_no) AS grp
+  FROM lines WHERE contains(line, ' | ')),
+rows_ AS (
+  SELECT doc_id,
+         CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY grp) - 1
+              AS INT) AS table_idx,
+         CAST(row_number() OVER (PARTITION BY doc_id, grp
+                                 ORDER BY line_no) - 1 AS INT) AS row_idx,
+         line
+  FROM tl)
+SELECT doc_id, table_idx, row_idx,
+       CAST(generate_subscripts(string_split(line, ' | '), 1) - 1
+            AS INT) AS col_idx,
+       trim(unnest(string_split(line, ' | '))) AS cell
+FROM rows_
+"""
     # span_regression: both runs' span arrays canonicalized to
     # kind|text|media_ref strings (chr(1) null sentinel), elementwise
     # IS DISTINCT FROM over the padded index range — mirrors span_diff's

@@ -172,6 +172,7 @@ HEADLINE = [
     "span_validations",
     "page_filter",
     "span_regression",
+    "text_tables",
     "media_features",
     "frame_sample",
     "audio_segments",

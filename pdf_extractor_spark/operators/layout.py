@@ -68,3 +68,57 @@ def assemble_text(ordered: DataFrame, doc_col: str = "doc_id") -> DataFrame:
             F.max("col_idx").cast("int").alias("n_extra_cols"),
         )
     )
+
+
+def extract_text_tables(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, table_idx, row_idx, col_idx, cell) — text-mode table
+    extraction: contiguous runs of ' | '-delimited lines are parsed into
+    a cell grid. This is the real (non-stubbed) counterpart of the
+    table_producer kernel seam (reference extractor.py:97-143 parses
+    lattice tables out of PDF pages; the text-layer analog is pipe/
+    markdown tables): table boundaries are gaps-and-islands over the
+    line number, rows are positions within an island, cells are a second
+    split. row_idx 0 is the table's first line (the header by markdown
+    convention); cells keep their trimmed text verbatim.
+
+    Scale: posexplode of split lines is a narrow generator; both windows
+    (island group + row rank) and nothing else share ONE hash shuffle on
+    doc_id — HashPartitioning(doc_id) satisfies every finer clustering
+    downstream. Non-table lines are filtered BEFORE the shuffle, so the
+    exchange moves only table content, not the corpus.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
+    ).where(F.col("line").contains(" | "))
+    w_doc = Window.partitionBy(id_col).orderBy("line_no")
+    grp = (F.col("line_no") - F.row_number().over(w_doc)).alias("grp")
+    grouped = lines.select(id_col, "line_no", "line", grp)
+    w_grp = Window.partitionBy(id_col, "grp").orderBy("line_no")
+    w_tbl = Window.partitionBy(id_col).orderBy("grp")
+    rows = grouped.select(
+        id_col,
+        (F.dense_rank().over(w_tbl) - 1).cast("int").alias("table_idx"),
+        (F.row_number().over(w_grp) - 1).cast("int").alias("row_idx"),
+        F.col("line"),
+    )
+    return rows.select(
+        id_col,
+        "table_idx",
+        "row_idx",
+        F.posexplode(F.split(F.col("line"), r" \| ")).alias(
+            "col_idx", "cell"
+        ),
+    ).select(
+        id_col,
+        "table_idx",
+        "row_idx",
+        F.col("col_idx").cast("int").alias("col_idx"),
+        F.trim(F.col("cell")).alias("cell"),
+    )

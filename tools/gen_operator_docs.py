@@ -67,7 +67,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "url_blocklist", "robots_rules", "crawl_schedule",
         "pagerank_hosts", "crawl_frontier", "triangle_hosts",
     ]),
-    ("Layout (reading order)", ["layout_order", "layout_text"]),
+    ("Layout (reading order)", ["layout_order", "layout_text", "text_tables"]),
     ("Multimodal (interleaved media)", [
         "media_meta", "media_features", "media_resize", "frame_sample",
         "audio_segments",

@@ -525,14 +525,16 @@ def _cosine_topk(spark, sf_dir):
 
 
 def _bitext_mine(spark, sf_dir):
-    """Margin-based bitext mining between the label-parity halves of the
-    embedding corpus (even labels = source "language", odd = target):
-    ratio margin over top-4 neighborhoods, all-integer scoring."""
+    """Margin-based bitext mining for ONE language pair (label 0 =
+    source "language", label 1 = target): ratio margin over top-4
+    neighborhoods, all-integer scoring. One pair, not all-vs-all — the
+    real pipeline mines per language pair, and the exact cross-score
+    baseline is quadratic in the pair's size by construction."""
     from pdf_extractor_spark.operators.similarity import bitext_margin_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    src = emb.filter((F.col("label") % 2 == 0) & F.col("label").isNotNull())
-    tgt = emb.filter((F.col("label") % 2 == 1) & F.col("label").isNotNull())
+    src = emb.filter(F.col("label") == 0)
+    tgt = emb.filter(F.col("label") == 1)
     return bitext_margin_pairs(src, tgt, k=4, margin_threshold_e4=11500)
 
 
@@ -3996,7 +3998,7 @@ scored AS (
   WHERE e.label IS NOT NULL AND e.label IS DISTINCT FROM q.qlabel)
 SELECT query_id, id, cosine, rank FROM scored WHERE rank <= 10
 """
-    # bitext_mine: margin-based mining between label-parity halves —
+    # bitext_mine: margin-based mining for the (label 0, label 1) pair —
     # cosines scaled to e4 ints, top-4 means kept as (sum,count), the
     # CCMatrix ratio margin as ONE integer division (// floors, Spark's
     # div truncates: the sign guard pins both to the non-negative branch
@@ -4005,9 +4007,9 @@ SELECT query_id, id, cosine, rank FROM scored WHERE rank <= 10
 WITH v AS (SELECT vec_id, embedding, label FROM embeddings
            WHERE embedding IS NOT NULL AND len(embedding) > 0
              AND label IS NOT NULL),
-s AS (SELECT vec_id, embedding FROM v WHERE label % 2 = 0
+s AS (SELECT vec_id, embedding FROM v WHERE label = 0
       AND sqrt(list_dot_product(embedding, embedding)) > 0),
-t AS (SELECT vec_id, embedding FROM v WHERE label % 2 = 1
+t AS (SELECT vec_id, embedding FROM v WHERE label = 1
       AND sqrt(list_dot_product(embedding, embedding)) > 0),
 sc AS (
   SELECT s.vec_id AS src, t.vec_id AS tgt,

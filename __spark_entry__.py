@@ -919,6 +919,22 @@ def _hash_lr(spark, sf_dir):
     return hash_lr_score(_t_wide(spark, sf_dir, "documents"))
 
 
+def _calibration_bins(spark, sf_dir):
+    """Reliability-diagram counts for the hash_lr quality filter against
+    a deterministic long-document gold (n_chars >= 400): 10 fixed bins
+    over the rounded score plus the NULL-score bin, integer counts."""
+    from pdf_extractor_spark.operators.textstats import (
+        calibration_bins,
+        hash_lr_score,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    scored = hash_lr_score(docs, as_columns=True).withColumn(
+        "gold", F.col("n_chars") >= 400
+    )
+    return calibration_bins(scored)
+
+
 def _incremental_dedup(spark, sf_dir):
     """Daily-increment exact dedup: the whole corpus arrives as a batch and
     is deduped against the digest index of the already-ingested sources
@@ -3369,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _gopher_filter,
         "c4_filter": _c4_filter,
         "hash_lr": _hash_lr,
+        "calibration_bins": _calibration_bins,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -5290,6 +5307,27 @@ SELECT doc_id,
        round(margin / nullif(n, 0), 6) AS score,
        (margin > 0) AS accept
 FROM m
+"""
+    # calibration_bins: the hash_lr oracle composed as a CTE (same
+    # round-6 score), fixed [-1,1] deciles + the NULL-score bin, pure
+    # integer counts.
+    sql["calibration_bins"] = f"""
+WITH h AS ({sql["hash_lr"]}),
+j AS (
+  SELECT h.score, h.accept, d.n_chars >= 400 AS gold
+  FROM h JOIN documents d USING (doc_id)),
+b AS (
+  SELECT CASE WHEN score IS NULL THEN -1
+              ELSE least(greatest(CAST(floor((score + 1.0) * 5.0) AS INT),
+                                  0), 9) END AS bin,
+         CAST(accept AS INT) AS a, CAST(gold AS INT) AS g
+  FROM j)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(a) AS BIGINT) AS n_accept,
+       CAST(sum(g) AS BIGINT) AS n_gold,
+       CAST(sum(a * g) AS BIGINT) AS n_both
+FROM b GROUP BY 1
 """
     # curation_funnel: the two filter oracles composed verbatim as CTEs
     # (their inner WITHs nest and shadow), joined back to documents for

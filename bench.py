@@ -105,6 +105,7 @@ HEADLINE = [
     "gopher_filter",
     "c4_filter",
     "hash_lr",
+    "calibration_bins",
     "curation_funnel",
     "pack_sequences",
     "html_main_content",

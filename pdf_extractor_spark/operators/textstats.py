@@ -1053,3 +1053,49 @@ def phrase_search(
         "n_matches",
         "first_pos",
     )
+
+
+def calibration_bins(
+    df,
+    score_col: str = "lr_score",
+    accept_col: str = "lr_accept",
+    gold_col: str = "gold",
+    n_bins: int = 10,
+):
+    """(bin, n_docs, n_accept, n_gold, n_both) — reliability-diagram
+    counts for a quality classifier: scores in [-1, 1] bucket into
+    `n_bins` fixed-width bins (NULL scores land in bin -1), and each bin
+    counts documents, model accepts, gold positives, and their overlap.
+    Per-bin precision/recall and the calibration curve are one division
+    away for the consumer — the operator emits INTEGER counts only (the
+    ocr_garble_score convention: no float hash surface, ratios are the
+    reader's).
+
+    This is the monitoring step a learned quality filter (hash_lr /
+    fastText-style) needs before its threshold is trusted at 100 TB:
+    the whole thing is one narrow projection + ONE hash shuffle with
+    map-side partial aggregation on a <= n_bins+1 key domain."""
+    from pyspark.sql import functions as F
+
+    s = F.col(score_col)
+    half = n_bins / 2.0
+    bin_ = F.when(s.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.greatest(F.floor((s + 1.0) * half).cast("int"), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+    )
+    return (
+        df.select(
+            bin_.alias("bin"),
+            F.col(accept_col).cast("int").alias("_a"),
+            F.col(gold_col).cast("int").alias("_g"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_a").cast("long").alias("n_accept"),
+            F.sum("_g").cast("long").alias("n_gold"),
+            F.sum(F.col("_a") * F.col("_g")).cast("long").alias("n_both"),
+        )
+    )

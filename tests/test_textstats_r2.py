@@ -342,3 +342,46 @@ def test_phrase_search_positions_and_repeated_terms(spark):
     # no hits for the missing phrase, the empty phrase, or doc3/doc4
     assert all(pid not in (12, 13) for pid, _ in got)
     assert all(d != 3 and d != 4 for _, d in got)
+
+
+# ---- calibration_bins: reliability counts over a scored frame ----
+
+def test_calibration_bins_hand_computed(spark):
+    from pdf_extractor_spark.operators.textstats import calibration_bins
+
+    rows = [
+        # (score, accept, gold)
+        (-1.0, False, False),   # floor((0)*5)=0 -> bin 0
+        (-0.05, False, True),   # floor(0.95*5)=4 -> bin 4
+        (0.05, True, True),     # floor(1.05*5)=5 -> bin 5
+        (0.99, True, False),    # floor(1.99*5)=9 -> bin 9
+        (1.0, True, True),      # floor(10)=10 -> clamp 9
+        (None, False, False),   # NULL -> bin -1
+    ]
+    df = spark.createDataFrame(
+        rows, "lr_score double, lr_accept boolean, gold boolean"
+    )
+    out = {
+        r.bin: (r.n_docs, r.n_accept, r.n_gold, r.n_both)
+        for r in calibration_bins(df).collect()
+    }
+    assert out == {
+        -1: (1, 0, 0, 0),
+        0: (1, 0, 0, 0),
+        4: (1, 0, 1, 0),
+        5: (1, 1, 1, 1),
+        9: (2, 2, 1, 1),
+    }
+
+
+def test_calibration_bins_single_small_shuffle(spark):
+    from pdf_extractor_spark.operators.textstats import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.1, True, True)], "lr_score double, lr_accept boolean, gold boolean"
+    )
+    plan = (
+        calibration_bins(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan, plan

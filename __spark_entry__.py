@@ -1322,6 +1322,26 @@ def _media_phash(spark, sf_dir):
     )
 
 
+def _media_phash_neardup(spark, sf_dir):
+    """Hamming-1 perceptual near-duplicate pair volume between phash
+    clusters (bit-flip probe of the signature table, FastSS-in-bit-space);
+    same seeded-duplicate media corpus as media_phash."""
+    from pdf_extractor_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+        media_phash_neardup,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    dups = media_from_documents(
+        docs.filter(F.col("doc_id") % 5 == 0)
+    ).withColumn("media_id", F.concat(F.lit("copy-"), F.col("media_id")))
+    return media_phash_neardup(
+        extract_media_features(media.unionByName(dups), dim=8), bits=8
+    )
+
+
 def _media_meta(spark, sf_dir):
     from pdf_extractor_spark.operators.multimodal import media_from_documents
 
@@ -3414,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _media_meta,
         "media_dedup": _media_dedup,
         "media_phash": _media_phash,
+        "media_phash_neardup": _media_phash_neardup,
         "media_captions": _media_captions,
         "multimodal_pack": _multimodal_pack,
         "media_resize": _media_resize,
@@ -4554,6 +4575,21 @@ h AS (SELECT media_id, CAST({_phash_bits} AS BIGINT) AS phash FROM m)
 SELECT phash, CAST(count(*) AS BIGINT) AS n_items,
        min(media_id) AS first_media_id
 FROM h GROUP BY 1
+"""
+    # media_phash_neardup: the media_phash oracle as a CTE, probed by its
+    # own 8 one-bit-flip variants (xor + 1<<k), pair volume = n_a * n_b;
+    # phash_a < phash_b keeps each unordered pair once.
+    _flip_list = ", ".join(f"xor(phash, {1 << k})" for k in range(8))
+    sql["media_phash_neardup"] = f"""
+WITH c AS ({sql["media_phash"]}),
+f AS (
+  SELECT phash AS phash_a, n_items AS n_a,
+         unnest([{_flip_list}]) AS probe
+  FROM c)
+SELECT f.phash_a, c2.phash AS phash_b,
+       CAST(f.n_a * c2.n_items AS BIGINT) AS n_pairs
+FROM f JOIN c c2 ON c2.phash = f.probe
+WHERE f.phash_a < c2.phash
 """
     # audio_segments: whitespace-=-silence fake decode, 16-char frames,
     # voiced if >= 13 non-space chars, gaps-and-islands coalescing

@@ -116,6 +116,7 @@ HEADLINE = [
     "quality_tiers",
     "media_dedup",
     "media_phash",
+    "media_phash_neardup",
     "vocab_coverage",
     "pagerank_hosts",
     "crawl_frontier",

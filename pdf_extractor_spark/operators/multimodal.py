@@ -170,6 +170,18 @@ def media_dedup(media: DataFrame) -> DataFrame:
     )
 
 
+def _phash_sig(feature: "F.Column") -> "F.Column":
+    """aHash bit signature of a decoded feature vector: bit k set iff
+    feature_k >= 0.5, summed into one long via a sequential fold."""
+    bits = F.transform(
+        feature,
+        lambda x, i: F.when(
+            x >= 0.5, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def media_phash(features: DataFrame) -> DataFrame:
     """(phash, n_items, first_media_id) — perceptual-duplicate clusters:
     the decoded feature vector is thresholded into a bit signature
@@ -186,17 +198,8 @@ def media_phash(features: DataFrame) -> DataFrame:
     economics as exact_dedup (keys, never payloads). Near-miss matching
     (Hamming <= d) composes with the simhash pigeonhole blocking in
     operators/dedup.py; the exact-signature cluster is the base case."""
-    bits = F.transform(
-        F.col("feature"),
-        lambda x, i: F.when(
-            x >= 0.5, F.pow(F.lit(2.0), i).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    sig = F.aggregate(
-        bits, F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
     return (
-        features.withColumn("phash", sig)
+        features.withColumn("phash", _phash_sig(F.col("feature")))
         .groupBy("phash")
         .agg(
             F.count("*").cast("long").alias("n_items"),
@@ -382,4 +385,45 @@ def audio_segments(
         "end_win",
         "n_windows",
         "voiced_chars",
+    )
+
+
+def media_phash_neardup(features: DataFrame, bits: int = 8) -> DataFrame:
+    """(phash_a, phash_b, n_pairs) — perceptual NEAR-duplicate volume at
+    Hamming distance exactly 1, the near-miss tier above media_phash's
+    exact-signature clusters. The join runs at SIGNATURE level, never
+    item level: clusters first (media_phash), then each signature probes
+    its `bits` one-bit-flip variants against the cluster table (the
+    FastSS deletion-neighborhood trick from fuzzy_key_pairs, in bit
+    space), so shuffle volume is O(#distinct signatures x bits) and the
+    output is n_a x n_b pair COUNTS — bounded regardless of corpus size,
+    where an item-level pair list would be quadratic in cluster sizes.
+    Each unordered signature pair survives the phash_a < phash_b filter
+    exactly once (the two probe directions are mirror rows)."""
+    # both join sides read the cluster table; localCheckpoint stops the
+    # decode+agg pipeline from running twice (minhash_lsh_pairs precedent)
+    # — the table is #distinct-signatures-sized, tiny by construction
+    clusters = (
+        media_phash(features)
+        .where(F.col("phash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    flip = clusters.select(
+        F.col("phash").alias("phash_a"),
+        F.col("n_items").alias("n_a"),
+        F.explode(
+            F.array(*[F.expr(f"phash ^ {1 << k}") for k in range(bits)])
+        ).alias("probe"),
+    )
+    other = clusters.select(
+        F.col("phash").alias("phash_b"), F.col("n_items").alias("n_b")
+    )
+    return (
+        flip.join(other, flip["probe"] == other["phash_b"])
+        .where(F.col("phash_a") < F.col("phash_b"))
+        .select(
+            "phash_a",
+            "phash_b",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+        )
     )

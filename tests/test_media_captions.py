@@ -239,3 +239,36 @@ def test_audio_segments_single_exchange(spark):
     )
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+# ---- media_phash_neardup: hamming-1 cluster pair volume ----
+
+def test_phash_neardup_hand_computed(spark):
+    """Features chosen so the signatures are 0b001, 0b011 (x2 items) and
+    0b111: hamming-1 pairs are (1,3) with 1*2 items and (3,7) with 2*1;
+    (1,7) is hamming 2 and must NOT appear."""
+    from pdf_extractor_spark.operators.multimodal import media_phash_neardup
+
+    lo, hi = 0.0, 1.0
+    rows = [
+        ("a", [hi, lo, lo]),   # 0b001 = 1
+        ("b", [hi, hi, lo]),   # 0b011 = 3
+        ("c", [hi, hi, lo]),   # 0b011 = 3
+        ("d", [hi, hi, hi]),   # 0b111 = 7
+    ]
+    df = spark.createDataFrame(rows, "media_id string, feature array<float>")
+    out = {
+        (r.phash_a, r.phash_b): r.n_pairs
+        for r in media_phash_neardup(df, bits=3).collect()
+    }
+    assert out == {(1, 3): 2, (3, 7): 2}
+
+
+def test_phash_neardup_null_features_excluded(spark):
+    from pdf_extractor_spark.operators.multimodal import media_phash_neardup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", None)],
+        "media_id string, feature array<float>",
+    )
+    assert media_phash_neardup(df, bits=2).count() == 0

@@ -72,6 +72,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "media_meta", "media_features", "media_resize", "frame_sample",
         "audio_segments",
         "media_captions", "multimodal_pack", "media_dedup", "media_phash",
+        "media_phash_neardup",
     ]),
     ("Events: sessions, as-of, rollups, sketches", [
         "sessionize", "asof_last_purchase", "events_rollup",

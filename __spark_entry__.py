@@ -919,6 +919,34 @@ def _hash_lr(spark, sf_dir):
     return hash_lr_score(_t_wide(spark, sf_dir, "documents"))
 
 
+def _entity_mentions(spark, sf_dir):
+    """Entity-mention stats over a deterministically capitalized corpus:
+    tokens at positions ≡ 0,1 (mod 7) get their first letter uppercased,
+    creating 2-token Capitalized runs for the islands fold to recover."""
+    from pdf_extractor_spark.operators.textstats import (
+        entity_mentions,
+        tokens_col,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    cap = F.array_join(
+        F.transform(
+            tokens_col(F.col("text")),
+            lambda t, i: F.when(
+                i % 7 < 2,
+                F.concat(
+                    F.upper(t.substr(F.lit(1), F.lit(1))),
+                    t.substr(F.lit(2), F.length(t)),
+                ),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    return entity_mentions(
+        docs.select("doc_id", cap.alias("text")), min_count=2
+    )
+
+
 def _calibration_bins(spark, sf_dir):
     """Reliability-diagram counts for the hash_lr quality filter against
     a deterministic long-document gold (n_chars >= 400): 10 fixed bins
@@ -3406,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": _c4_filter,
         "hash_lr": _hash_lr,
         "calibration_bins": _calibration_bins,
+        "entity_mentions": _entity_mentions,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -5343,6 +5372,39 @@ SELECT doc_id,
        round(margin / nullif(n, 0), 6) AS score,
        (margin > 0) AS accept
 FROM m
+"""
+    # entity_mentions: same position-keyed capitalization synthesis
+    # (DuckDB list_transform's (x, i) index is 1-based, Spark's is
+    # 0-based: (i-1) % 7), islands + ORDER BY pos string_agg, corpus
+    # rollup with the min_count=2 hapax prune.
+    sql["entity_mentions"] = r"""
+WITH caps AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(
+                regexp_split_to_array(trim(text), '\s+'),
+                (t, i) -> CASE WHEN (i - 1) % 7 < 2
+                               THEN upper(substr(t, 1, 1)) || substr(t, 2)
+                               ELSE t END)
+         END AS tk
+  FROM documents),
+toks AS (
+  SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS tok
+  FROM caps),
+cap AS (SELECT * FROM toks WHERE regexp_matches(tok, '^[A-Z][a-z]+$')),
+g AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM cap),
+m AS (
+  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS mention,
+         CAST(count(*) AS INT) AS mention_len
+  FROM g GROUP BY 1, 2)
+SELECT mention, mention_len,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM m GROUP BY 1, 2 HAVING count(*) >= 2
 """
     # calibration_bins: the hash_lr oracle composed as a CTE (same
     # round-6 score), fixed [-1,1] deciles + the NULL-score bin, pure

@@ -106,6 +106,7 @@ HEADLINE = [
     "c4_filter",
     "hash_lr",
     "calibration_bins",
+    "entity_mentions",
     "curation_funnel",
     "pack_sequences",
     "html_main_content",

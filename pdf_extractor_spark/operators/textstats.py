@@ -1099,3 +1099,62 @@ def calibration_bins(
             F.sum(F.col("_a") * F.col("_g")).cast("long").alias("n_both"),
         )
     )
+
+
+def entity_mentions(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+):
+    """(mention, mention_len, n_mentions, n_docs) — NER-lite entity
+    mention statistics: maximal runs of consecutive Capitalized tokens
+    (^[A-Z][a-z]+$ after whitespace tokenization) are mention candidates,
+    aggregated corpus-wide into occurrence and document counts. The
+    downstream uses are curation-shaped: entity frequency priors,
+    over-represented-entity detection (spam/SEO pages repeat their
+    subject), and eval-set entity coverage.
+
+    Spans are recovered with the gaps-and-islands fold (position minus
+    rank among capitalized tokens); each mention string is rebuilt
+    ORDER-DETERMINISTICALLY via array_sort over (pos, token) structs —
+    never a bare collect_list. Two shuffles total: the doc_id window +
+    island group-by share one hash exchange (subset-partitioning), the
+    corpus rollup on the mention key is the second, partial-aggregated
+    map-side. min_count prunes the hapax tail so output stays
+    sub-corpus-sized."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    ).where(F.col("tok").rlike("^[A-Z][a-z]+$"))
+    grp = (
+        F.col("pos")
+        - F.row_number().over(W.partitionBy(id_col).orderBy("pos"))
+    ).alias("grp")
+    mentions = (
+        toks.select(id_col, "pos", "tok", grp)
+        .groupBy(id_col, "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("mention"),
+            F.count("*").cast("int").alias("mention_len"),
+        )
+    )
+    return (
+        mentions.groupBy("mention", "mention_len")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_mentions") >= F.lit(int(min_count)))
+    )

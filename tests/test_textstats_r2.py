@@ -385,3 +385,45 @@ def test_calibration_bins_single_small_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+# ---- entity_mentions: capitalized-run extraction + corpus rollup ----
+
+def test_entity_mentions_hand_computed(spark):
+    from pdf_extractor_spark.operators.textstats import entity_mentions
+
+    rows = [
+        ("d1", "the New York skyline and New York rents"),
+        ("d2", "visiting New York was Alice Smith idea"),
+        ("d3", "ALLCAPS and lowercase never match X9 or A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        (r.mention, r.mention_len): (r.n_mentions, r.n_docs)
+        for r in entity_mentions(df, min_count=1).collect()
+    }
+    assert out[("New York", 2)] == (3, 2)
+    assert out[("Alice Smith", 2)] == (1, 1)
+    # ALLCAPS / X9 / bare 'A' fail ^[A-Z][a-z]+$; no 1-token junk runs
+    assert all("Allcaps" not in m for m, _ in out)
+    assert ("X9", 1) not in out and ("A", 1) not in out
+
+
+def test_entity_mentions_min_count_prunes(spark):
+    from pdf_extractor_spark.operators.textstats import entity_mentions
+
+    df = spark.createDataFrame(
+        [("d1", "Alice met Bob and Alice left")],
+        "doc_id string, text string",
+    )
+    out = {r.mention for r in entity_mentions(df, min_count=2).collect()}
+    assert out == {"Alice"}
+
+
+def test_entity_mentions_null_text(spark):
+    from pdf_extractor_spark.operators.textstats import entity_mentions
+
+    df = spark.createDataFrame(
+        [("d1", None), ("d2", "   ")], "doc_id string, text string"
+    )
+    assert entity_mentions(df, min_count=1).count() == 0

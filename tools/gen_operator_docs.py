@@ -33,7 +33,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "token_entropy", "bpe_pair_counts", "bpe_merges", "bpe_encode", "bpe_vocab",
         "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
-        "gopher_filter", "c4_filter", "hash_lr", "calibration_bins", "vocab_coverage",
+        "gopher_filter", "c4_filter", "hash_lr", "calibration_bins",
+        "entity_mentions", "vocab_coverage",
         "readability", "tokenizer_fertility", "ocr_garble_score",
         "script_mix",
     ]),

@@ -919,6 +919,18 @@ def _hash_lr(spark, sf_dir):
     return hash_lr_score(_t_wide(spark, sf_dir, "documents"))
 
 
+def _k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (lang, source, length-centile) quasi-
+    identifier tuple, k=5: which demographic slices of the corpus are
+    small enough to re-identify."""
+    from pdf_extractor_spark.operators.curation import k_anonymity
+
+    docs = _t_wide(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("int")
+    )
+    return k_anonymity(docs, ["lang", "source", "len_bucket"], k=5)
+
+
 def _entity_mentions(spark, sf_dir):
     """Entity-mention stats over a deterministically capitalized corpus:
     tokens at positions ≡ 0,1 (mod 7) get their first letter uppercased,
@@ -3435,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_lr": _hash_lr,
         "calibration_bins": _calibration_bins,
         "entity_mentions": _entity_mentions,
+        "k_anonymity": _k_anonymity,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -5372,6 +5385,15 @@ SELECT doc_id,
        round(margin / nullif(n, 0), 6) AS score,
        (margin > 0) AS accept
 FROM m
+"""
+    # k_anonymity: equivalence-class occupancy over the quasi tuple;
+    # NULLs group together in both engines.
+    sql["k_anonymity"] = """
+SELECT lang, source,
+       CAST(floor(n_chars / 100) AS INT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS k_count,
+       count(*) < 5 AS at_risk
+FROM documents GROUP BY 1, 2, 3
 """
     # entity_mentions: same position-keyed capitalization synthesis
     # (DuckDB list_transform's (x, i) index is 1-based, Spark's is

@@ -107,6 +107,7 @@ HEADLINE = [
     "hash_lr",
     "calibration_bins",
     "entity_mentions",
+    "k_anonymity",
     "curation_funnel",
     "pack_sequences",
     "html_main_content",

@@ -2295,3 +2295,26 @@ def c4_filter(
         accept.alias("accept"),
         F.col("_clean").alias("clean_text"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    k: int = 5,
+) -> DataFrame:
+    """(quasi..., k_count, at_risk) — k-anonymity audit over a
+    quasi-identifier tuple: every distinct combination of the quasi
+    columns is an equivalence class, k_count is its occupancy, and a
+    class with fewer than `k` members is re-identification-risky (its
+    rows are nearly unique under linkage attacks). The privacy-side
+    companion to pii_scrub: scrubbing removes DIRECT identifiers, this
+    measures whether the remaining demographics still single people out.
+
+    NULL quasi values form their own class (both engines group NULLs
+    together). One hash shuffle on the tuple with map-side partial
+    aggregation; output is class-count-bounded, never row-bounded."""
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count("*").cast("long").alias("k_count"))
+        .withColumn("at_risk", F.col("k_count") < F.lit(int(k)))
+    )

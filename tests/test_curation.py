@@ -1238,3 +1238,25 @@ def test_epoch_plan_integer_invariants(spark):
     for r in out.values():
         assert r.planned_tokens + r.shortfall == r.target_tokens
         assert r.full_epochs * r.n_tokens + r.tail_tokens == r.planned_tokens
+
+
+# ---- k_anonymity: equivalence-class audit ----
+
+def test_k_anonymity_classes_and_nulls(spark):
+    from pdf_extractor_spark.operators.curation import k_anonymity
+
+    rows = [
+        ("en", "a"), ("en", "a"), ("en", "a"),
+        ("fr", "b"),
+        (None, "b"), (None, "b"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {
+        (r.lang, r.source): (r.k_count, r.at_risk)
+        for r in k_anonymity(df, ["lang", "source"], k=3).collect()
+    }
+    assert out == {
+        ("en", "a"): (3, False),
+        ("fr", "b"): (1, True),
+        (None, "b"): (2, True),   # NULLs form ONE class, not one per row
+    }

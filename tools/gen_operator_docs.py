@@ -47,7 +47,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "intra_doc_dedup", "ngram_novelty",
     ]),
     ("Decontamination & corpus curation", [
-        "decontaminate", "decontaminate_near", "pii_scrub", "mix_weights", "epoch_plan",
+        "decontaminate", "decontaminate_near", "pii_scrub", "k_anonymity", "mix_weights", "epoch_plan",
         "global_shuffle", "hash_sample", "host_quota_sample",
         "curation_funnel", "chunk_documents", "pack_sequences",
         "bloom_decontaminate",

@@ -919,6 +919,14 @@ def _hash_lr(spark, sf_dir):
     return hash_lr_score(_t_wide(spark, sf_dir, "documents"))
 
 
+def _wordpiece_encode(spark, sf_dir):
+    """Greedy longest-match WordPiece segmentation of the corpus's
+    distinct words under the literal WORDPIECE_VOCAB (index state)."""
+    from pdf_extractor_spark.operators.textstats import wordpiece_encode
+
+    return wordpiece_encode(_t_wide(spark, sf_dir, "documents"))
+
+
 def _k_anonymity(spark, sf_dir):
     """k-anonymity audit over the (lang, source, length-centile) quasi-
     identifier tuple, k=5: which demographic slices of the corpus are
@@ -3448,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": _calibration_bins,
         "entity_mentions": _entity_mentions,
         "k_anonymity": _k_anonymity,
+        "wordpiece_encode": _wordpiece_encode,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -5385,6 +5394,44 @@ SELECT doc_id,
        round(margin / nullif(n, 0), 6) AS score,
        (margin > 0) AS accept
 FROM m
+"""
+    # wordpiece_encode: identical greedy longest-match walk as a
+    # recursive CTE — one recursion step per emitted piece; the CASE
+    # chain checks piece lengths 8..1 (first match wins = longest), and
+    # substr past the word end truncates in both engines.
+    from pdf_extractor_spark.operators.textstats import WORDPIECE_VOCAB
+
+    _wp_v = "[" + ", ".join(
+        "'" + p + "'" for p in sorted(set(WORDPIECE_VOCAB))
+    ) + "]"
+    _wp_bl = "CASE " + " ".join(
+        f"WHEN list_contains({_wp_v}, substr(word, nxt, {l})) THEN {l}"
+        for l in range(8, 0, -1)
+    ) + " ELSE 0 END"
+    sql["wordpiece_encode"] = f"""
+WITH RECURSIVE words AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+  WHERE tok <> '' GROUP BY 1),
+walk AS (
+  SELECT word, n_occurrences, 1 AS nxt, '' AS pieces, 0 AS n FROM words
+  UNION ALL
+  SELECT word, n_occurrences,
+         nxt + greatest(bl, 1) AS nxt,
+         CASE WHEN pieces = '' THEN piece
+              ELSE pieces || ' ' || piece END AS pieces,
+         n + 1 AS n
+  FROM (
+    SELECT word, n_occurrences, nxt, pieces, n, bl,
+           CASE WHEN bl > 0 THEN substr(word, nxt, bl)
+                ELSE '[UNK]' END AS piece
+    FROM (SELECT *, {_wp_bl} AS bl FROM walk)
+  ) s
+  WHERE nxt <= length(word))
+SELECT word, n_occurrences, pieces, CAST(n AS INT) AS n_pieces
+FROM walk WHERE nxt > length(word)
 """
     # k_anonymity: equivalence-class occupancy over the quasi tuple;
     # NULLs group together in both engines.

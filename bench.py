@@ -85,6 +85,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "bpe_merges",
     "bpe_encode",
+    "wordpiece_encode",
     "bpe_vocab",
     "pmi_cooccurrence",
     "decontaminate",

@@ -1158,3 +1158,89 @@ def entity_mentions(
         )
         .where(F.col("n_mentions") >= F.lit(int(min_count)))
     )
+
+
+# WordPiece-style vocabulary: index state, same deployment story as
+# hash_lr's weights (trained artifact ships as a plan literal). Singles
+# guarantee every ASCII alnum consumes; anything else becomes [UNK].
+WORDPIECE_VOCAB = tuple(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)]
+    + [
+        "th", "the", "ta", "tab", "table", "da", "data", "jo", "join",
+        "in", "ing", "er", "or", "an", "at", "re", "row", "str", "eam",
+        "sort", "mer", "ge", "win", "dow", "fil", "ter", "ba", "tch",
+        "qu", "ery", "sp", "ark", "col", "umn", "ha", "sh", "gr", "oup",
+    ]
+)
+
+
+def wordpiece_encode(
+    df,
+    vocab: "tuple[str, ...] | None" = None,
+    max_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(word, n_occurrences, pieces, n_pieces) — WordPiece/SentencePiece
+    greedy LONGEST-MATCH-FIRST segmentation (vs bpe_encode's merge-rule
+    replay: same family, different algorithm): from each cursor position
+    the longest vocabulary piece wins; no match consumes one character
+    as [UNK]. The segmentation is a left fold over character positions
+    with a (cursor, pieces, count) struct accumulator — steps where the
+    cursor has already advanced past the position are no-ops, so the
+    data-dependent stride fits a fixed-length fold.
+
+    Engine shape: encoding runs ONCE PER DISTINCT WORD (the bpe_* ops'
+    vocabulary-table convention — corpus token instances only pay a
+    groupBy), and the vocabulary is a foldable array literal riding the
+    plan. The oracle replays the identical greedy walk as a recursive
+    CTE, one recursion step per emitted piece."""
+    from pyspark.sql import functions as F
+
+    pieces = sorted(set(vocab or WORDPIECE_VOCAB))
+    assert all(len(p) <= max_len for p in pieces), "piece longer than max_len"
+    vlit = F.array(*[F.lit(p) for p in pieces])
+
+    words = (
+        df.select(
+            F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("word")
+        )
+        .where(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+
+    w = F.col("word")
+
+    def step(acc, i):
+        best_l = F.lit(0)
+        for l in range(1, max_len + 1):  # build when-chain longest-first
+            best_l = F.when(
+                F.array_contains(vlit, w.substr(i, F.lit(l))), F.lit(l)
+            ).otherwise(best_l)
+        piece = F.when(best_l > 0, w.substr(i, best_l)).otherwise(
+            F.lit("[UNK]")
+        )
+        out = F.when(
+            acc["out"] == "", piece
+        ).otherwise(F.concat(acc["out"], F.lit(" "), piece))
+        return F.when(
+            i == acc["nxt"],
+            F.struct(
+                (acc["nxt"] + F.greatest(best_l, F.lit(1))).alias("nxt"),
+                out.alias("out"),
+                (acc["n"] + 1).alias("n"),
+            ),
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(1).alias("nxt"), F.lit("").alias("out"), F.lit(0).alias("n")
+    )
+    enc = F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)
+    return words.select(
+        "word",
+        "n_occurrences",
+        enc["out"].alias("pieces"),
+        enc["n"].cast("int").alias("n_pieces"),
+    )

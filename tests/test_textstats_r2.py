@@ -427,3 +427,30 @@ def test_entity_mentions_null_text(spark):
         [("d1", None), ("d2", "   ")], "doc_id string, text string"
     )
     assert entity_mentions(df, min_count=1).count() == 0
+
+
+# ---- wordpiece_encode: greedy longest-match segmentation ----
+
+def test_wordpiece_greedy_longest_match(spark):
+    from pdf_extractor_spark.operators.textstats import wordpiece_encode
+
+    df = spark.createDataFrame(
+        [("d1", "table Data join x9 re-merge streaming table")],
+        "doc_id string, text string",
+    )
+    out = {r.word: (r.pieces, r.n_pieces, r.n_occurrences)
+           for r in wordpiece_encode(df).collect()}
+    assert out["table"] == ("table", 1, 2)        # longest beats ta+ble
+    assert out["data"] == ("data", 1, 1)          # lowercased input
+    assert out["re-merge"] == ("re [UNK] mer ge", 4, 1)  # '-' -> UNK
+    assert out["streaming"] == ("str eam ing", 3, 1)
+    assert out["x9"] == ("x 9", 2, 1)             # singles fallback
+
+
+def test_wordpiece_custom_vocab_prefers_longest(spark):
+    from pdf_extractor_spark.operators.textstats import wordpiece_encode
+
+    df = spark.createDataFrame([("d1", "abab")], "doc_id string, text string")
+    out = wordpiece_encode(df, vocab=("a", "b", "ab", "aba")).collect()[0]
+    # greedy: 'aba' first (longest), then 'b' — NOT the 2-piece 'ab ab'
+    assert (out.pieces, out.n_pieces) == ("aba b", 2)

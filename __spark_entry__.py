@@ -1755,6 +1755,14 @@ def _layout_text(spark, sf_dir):
     return assemble_text(reading_order(_layout_boxes(spark, sf_dir)))
 
 
+def _resample_locf(spark, sf_dir):
+    """Hourly gap-filled resample of each user's event stream with LOCF
+    value carry (the hypertable time_bucket_gapfill + locf pattern)."""
+    from pdf_extractor_spark.operators.events import resample_locf
+
+    return resample_locf(_t(spark, sf_dir, "events"))
+
+
 def _sessionize(spark, sf_dir):
     """Gap sessionization of the event log (24h gap so the sparse
     synthetic log yields multi-event sessions); per-session rollup."""
@@ -3501,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_order": _layout_order,
         "layout_text": _layout_text,
         "sessionize": _sessionize,
+        "resample_locf": _resample_locf,
         "asof_last_purchase": _asof_last_purchase,
         "pack_sequences": _pack_sequences,
         "chunk_documents": _chunk_documents,
@@ -5906,6 +5915,31 @@ SELECT doc_id,
 FROM ranked GROUP BY doc_id"""
     )
     # sessionize: identical window logic in SQL (epoch-difference gap).
+    # resample_locf: per-user hourly grid (generate_series is inclusive,
+    # matching Spark's sequence), per-bucket argmax by (ts, event_id)
+    # DESC, LOCF via last_value IGNORE NULLS over the grid order.
+    sql["resample_locf"] = """
+WITH base AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, ts, event_id, value
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+hourly AS (
+  SELECT user_id, hour_ts, CAST(count(*) AS BIGINT) AS n_events,
+         max(struct_pack(t := ts, i := event_id, v := value)).v AS hour_v
+  FROM base GROUP BY 1, 2),
+bounds AS (
+  SELECT user_id, min(hour_ts) AS h0, max(hour_ts) AS h1
+  FROM base GROUP BY 1),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds)
+SELECT g.user_id, g.hour_ts,
+       coalesce(h.n_events, 0) AS n_events,
+       last_value(h.hour_v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM grid g LEFT JOIN hourly h USING (user_id, hour_ts)
+"""
     sql["sessionize"] = """
 WITH s AS (
   SELECT user_id, event_id, ts, event_type,

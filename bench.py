@@ -128,6 +128,7 @@ HEADLINE = [
     "layout_text",
     "sessionize",
     "asof_last_purchase",
+    "resample_locf",
     "events_rollup",
     "funnel_conversion",
     "retention_cohorts",

@@ -379,3 +379,69 @@ def event_dedup(
             mic - prev <= F.lit(gap_seconds * 1_000_000), F.lit(False)
         ),
     )
+
+
+def resample_locf(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(user_id, hour_ts, n_events, value_locf) — hypertable-style
+    resampling: each user's event stream becomes a dense hourly grid
+    between their first and last event, with the event count per bucket
+    (0 on gap hours) and the value carried forward from the most recent
+    observation (LOCF). The per-bucket representative is the LAST event
+    by (ts, event_id) — a struct-max argmax, deterministic under ties —
+    and the carry is last(ignoreNulls) over the grid, so a bucket whose
+    own representative has a NULL value still inherits the prior one.
+
+    Scale: events partial-aggregate to ONE row per (user, hour) before
+    any shuffle; the grid is explode-of-sequence (no Python) sized
+    users x active-hours, not events; bounds, bucket rows and the LOCF
+    window all hash on user_id — one co-partitioned exchange family.
+    Rows with NULL user/ts are dropped (no grid to place them on)."""
+    base = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+    )
+    hourly = base.groupBy("user_id", "hour_ts").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(
+            F.struct(
+                F.col("_ts").alias("t"),
+                F.col("_id").alias("i"),
+                F.col("_v").alias("v"),
+            )
+        )["v"].alias("_hour_v"),
+    )
+    bounds = base.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", F.col("_ts"))).alias("h0"),
+        F.max(F.date_trunc("hour", F.col("_ts"))).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+            "hour_ts"
+        ),
+    )
+    joined = grid.join(hourly, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+        F.last("_hour_v", ignorenulls=True).over(w).alias("value_locf"),
+    )

@@ -345,3 +345,38 @@ def test_daily_anomaly_flags_spike(spark, monkeypatch, tmp_path):
     got = {r.date: r.anomaly for r in entry.queries()["daily_anomaly"](spark, str(tmp_path)).collect()}
     assert got["2024-01-11"] is True
     assert sum(got.values()) == 1  # steady days (incl. zero-spread) stay quiet
+
+
+# ---- resample_locf: hourly gap-fill + carry-forward ----
+
+def test_resample_locf_hand_computed(spark):
+    from datetime import datetime
+
+    from pdf_extractor_spark.operators.events import resample_locf
+
+    rows = [
+        # user 1: events at 00:10 (v=1.0), 00:50 (v=2.0), 03:20 (v=None)
+        (1, 1, datetime(2024, 1, 1, 0, 10), 1.0),
+        (2, 1, datetime(2024, 1, 1, 0, 50), 2.0),
+        (3, 1, datetime(2024, 1, 1, 3, 20), None),
+        # user 2: single event -> single-bucket grid
+        (4, 2, datetime(2024, 1, 1, 5, 0), 7.0),
+        # null user and null ts rows are dropped
+        (5, None, datetime(2024, 1, 1, 0, 0), 9.0),
+        (6, 3, None, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    out = {
+        (r.user_id, r.hour_ts.hour): (r.n_events, r.value_locf)
+        for r in resample_locf(df).collect()
+    }
+    assert out == {
+        (1, 0): (2, 2.0),   # last event of the hour wins (00:50 over 00:10)
+        (1, 1): (0, 2.0),   # gap hour: zero events, value carried
+        (1, 2): (0, 2.0),
+        (1, 3): (1, 2.0),   # hour has an event but NULL value -> carry
+        (2, 5): (1, 7.0),
+    }
+    assert len(out) == 5

@@ -77,7 +77,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "media_phash_neardup",
     ]),
     ("Events: sessions, as-of, rollups, sketches", [
-        "sessionize", "asof_last_purchase", "events_rollup",
+        "sessionize", "asof_last_purchase", "resample_locf", "events_rollup",
         "events_pivot", "range_join_windows", "cms_user_counts",
         "click_not_purchase_users",
         "moving_avg_daily", "daily_anomaly", "value_quantiles", "approx_value_quantiles",

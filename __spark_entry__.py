@@ -939,6 +939,24 @@ def _k_anonymity(spark, sf_dir):
     return k_anonymity(docs, ["lang", "source", "len_bucket"], k=5)
 
 
+def _dataset_split(spark, sf_dir):
+    """Deterministic salted-md5 train/val/test split (100/100 per 10k
+    buckets) with per-(lang, split) doc/char accounting — reproducible
+    corpus freezes without RNG state."""
+    from pdf_extractor_spark.operators.curation import dataset_split
+
+    return dataset_split(_t_wide(spark, sf_dir, "documents"))
+
+
+def _pareto_frontier(spark, sf_dir):
+    """Per-language Pareto frontier over (length, tokens-per-char score):
+    linear window scan in Spark, checked against an independent O(n^2)
+    NOT EXISTS skyline in the oracle."""
+    from pdf_extractor_spark.operators.curation import pareto_frontier
+
+    return pareto_frontier(_t_wide(spark, sf_dir, "documents"))
+
+
 def _entity_mentions(spark, sf_dir):
     """Entity-mention stats over a deterministically capitalized corpus:
     tokens at positions ≡ 0,1 (mod 7) get their first letter uppercased,
@@ -3465,6 +3483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_mentions": _entity_mentions,
         "k_anonymity": _k_anonymity,
         "wordpiece_encode": _wordpiece_encode,
+        "dataset_split": _dataset_split,
+        "pareto_frontier": _pareto_frontier,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -7290,6 +7310,49 @@ cand AS (SELECT DISTINCT vl.id AS id1, vr.id AS id2,
 SELECT id1, id2, key1, key2,
        CAST(levenshtein(key1, key2) AS INT) AS edit_dist
 FROM cand WHERE levenshtein(key1, key2) <= 1
+"""
+    # dataset_split: the same salted-md5 bucket (simhash_token_hash's
+    # cross-engine recipe), threshold CASE, and stratified rollup with
+    # the window-sum frac.
+    _split_bucket = (
+        "CAST('0x' || substr(md5('split1_' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT) % 10000"
+    )
+    sql["dataset_split"] = f"""
+WITH per AS (
+  SELECT lang AS strata,
+         CASE WHEN {_split_bucket} < 100 THEN 'val'
+              WHEN {_split_bucket} < 200 THEN 'test'
+              ELSE 'train' END AS split,
+         length(coalesce(text, '')) AS nc
+  FROM documents),
+c AS (
+  SELECT strata, split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nc) AS BIGINT) AS n_chars
+  FROM per GROUP BY 1, 2)
+SELECT strata, split, n_docs, n_chars,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY strata), 6) AS frac
+FROM c
+"""
+    # pareto_frontier: INDEPENDENT skyline — brute-force NOT EXISTS
+    # dominance over the same raw-double score, no window trick shared
+    # with the Spark plan.
+    sql["pareto_frontier"] = r"""
+WITH base AS (
+  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(length(regexp_split_to_array(
+                trim(coalesce(text, '')), '\s+')) AS DOUBLE)
+           / (CAST(n_chars AS DOUBLE) + 1.0) AS score
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
+SELECT d.lang, d.doc_id, d.n_chars, d.score
+FROM base d
+WHERE NOT EXISTS (
+  SELECT 1 FROM base o
+  WHERE o.lang = d.lang
+    AND o.n_chars >= d.n_chars AND o.score >= d.score
+    AND (o.n_chars > d.n_chars OR o.score > d.score))
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

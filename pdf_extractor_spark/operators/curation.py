@@ -2318,3 +2318,129 @@ def k_anonymity(
         .agg(F.count("*").cast("long").alias("k_count"))
         .withColumn("at_risk", F.col("k_count") < F.lit(int(k)))
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    val_per_10k: int = 100,
+    test_per_10k: int = 100,
+    salt: str = "split1_",
+) -> DataFrame:
+    """(strata, split, n_docs, n_chars, frac) — deterministic
+    train/val/test assignment by salted md5 bucket (0..9999): the
+    reproducible alternative to RNG splits for corpus freezes. A doc's
+    split is a pure function of its id, so re-runs, incremental appends
+    and cross-team reproductions all agree; changing the salt re-rolls
+    the whole split. Reports per-(strata, split) accounting, so the
+    oracle checks both the bucketing arithmetic and the stratified
+    rollup (reference analytics/reporter.py:41-63 computes the same
+    style of per-dimension accounting after its filter stages).
+
+    Scale: the split column is a narrow per-row expression (no shuffle);
+    the rollup is one hash aggregation on (strata, split) with map-side
+    combine — output is strata x 3 rows regardless of corpus size."""
+    from pdf_extractor_spark.operators.dedup import simhash_token_hash
+
+    bucket = F.pmod(
+        simhash_token_hash(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ),
+        F.lit(10000),
+    )
+    split = (
+        F.when(bucket < F.lit(int(val_per_10k)), F.lit("val"))
+        .when(
+            bucket < F.lit(int(val_per_10k + test_per_10k)),
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    per = df.select(
+        F.col(strata_col).alias("strata"),
+        split.alias("split"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_nc"),
+    )
+    counts = per.groupBy("strata", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+    )
+    tot = Window.partitionBy("strata")
+    return counts.select(
+        "strata",
+        "split",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(tot), 6
+        ).alias("frac"),
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    x_col: str = "n_chars",
+    score_expr: "F.Column | None" = None,
+) -> DataFrame:
+    """(lang, doc_id, n_chars, score) — per-language Pareto frontier
+    (skyline) over (length, quality score): a document survives iff no
+    other same-language document strictly dominates it (>= on both axes,
+    > on at least one). The curation use: frontier docs are the
+    best-of-corpus exemplars per length band — candidates for few-shot
+    pools and eval seeds.
+
+    Scale: the naive skyline is an O(n^2) self-join (the oracle does
+    exactly that, independently, via NOT EXISTS). The Spark plan is one
+    sort-based window per language: scan docs in descending (x, score)
+    order and keep a row iff its score strictly exceeds the running max
+    score of every strictly-longer doc — linear after one shuffle, no
+    join. Tie groups share an x, so the running max is taken over the
+    PRECEDING x-RANGE (not rows), which makes equal-x rows compare only
+    against longer docs; duplicates inside a tie group then resolve by
+    the per-(lang,x) max score (>= on x, > on score dominates).
+    Deterministic: ids never tie; NULL-text docs score on the empty
+    string."""
+    score = (
+        score_expr
+        if score_expr is not None
+        else (
+            F.size(
+                F.split(
+                    F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+                )
+            ).cast("double")
+            / (F.col(x_col).cast("double") + F.lit(1.0))
+        )
+    )
+    base = df.select(
+        "lang",
+        F.col(id_col).alias("doc_id"),
+        F.col(x_col).cast("long").alias("n_chars"),
+        # RAW doubles throughout, including the output column: both
+        # engines derive score from the same integers with one IEEE
+        # division, so the doubles are bit-identical and rounding would
+        # only add a cross-engine half-even/half-up seam
+        score.alias("score"),
+    ).where(F.col("lang").isNotNull() & F.col(x_col).isNotNull())
+    # running max score over STRICTLY longer docs (range excludes ties)
+    w_longer = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    # max score among same-(lang, x) rows, to resolve intra-tie dominance
+    w_tie = Window.partitionBy("lang", "n_chars")
+    scored = base.select(
+        "*",
+        F.max("score").over(w_longer).alias("_mx_longer"),
+        F.max("score").over(w_tie).alias("_mx_tie"),
+    )
+    keep = (
+        F.col("_mx_longer").isNull()
+        | (F.col("score") > F.col("_mx_longer"))
+    ) & (F.col("score") >= F.col("_mx_tie"))
+    return scored.where(keep).select(
+        "lang", "doc_id", "n_chars", "score"
+    )

@@ -1260,3 +1260,107 @@ def test_k_anonymity_classes_and_nulls(spark):
         ("fr", "b"): (1, True),
         (None, "b"): (2, True),   # NULLs form ONE class, not one per row
     }
+
+
+# ---- dataset_split: deterministic salted-md5 bucketing ----
+
+def _split_of(doc_id, salt="split1_", val=100, test=100):
+    import hashlib
+
+    b = int(hashlib.md5((salt + str(doc_id)).encode()).hexdigest()[:15], 16) % 10000
+    return "val" if b < val else ("test" if b < val + test else "train")
+
+
+def test_dataset_split_matches_python_md5(spark):
+    from pdf_extractor_spark.operators.curation import dataset_split
+
+    rows = [(i, "w " * (i % 5), "en" if i % 3 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # raise the cut points so the 200-row sample hits every split
+    out = dataset_split(df, val_per_10k=3000, test_per_10k=3000).collect()
+
+    # independent python twin of the bucket arithmetic
+    expect = {}
+    for i, text, lang in rows:
+        key = (lang, _split_of(i, val=3000, test=3000))
+        n, c = expect.get(key, (0, 0))
+        expect[key] = (n + 1, c + len(text))
+    got = {(r.strata, r.split): (r.n_docs, r.n_chars) for r in out}
+    assert got == expect
+    # per-strata fracs sum to 1 and docs are conserved
+    by_strata = {}
+    for r in out:
+        by_strata.setdefault(r.strata, []).append(r.frac)
+    for fracs in by_strata.values():
+        assert abs(sum(fracs) - 1.0) < 1e-4
+    assert sum(r.n_docs for r in out) == 200
+
+
+def test_dataset_split_salt_rerolls(spark):
+    from pdf_extractor_spark.operators.curation import dataset_split
+
+    rows = [(i, "x", "en") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = {(r.split): r.n_docs for r in dataset_split(df, val_per_10k=2000,
+                                                    test_per_10k=2000).collect()}
+    b = {(r.split): r.n_docs for r in dataset_split(df, val_per_10k=2000,
+                                                    test_per_10k=2000,
+                                                    salt="other_").collect()}
+    # same totals, different partitioning (astronomically unlikely to tie
+    # exactly across an md5 re-roll of 500 ids)
+    assert sum(a.values()) == sum(b.values()) == 500
+    assert a != b
+
+
+# ---- pareto_frontier: skyline vs brute force ----
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    import re
+
+    from pdf_extractor_spark.operators.curation import pareto_frontier
+
+    rows = []
+    for i in range(60):
+        # engineered collisions: repeated lengths and repeated scores
+        n_words = 1 + (i * 7) % 9
+        pad = (i * 3) % 4
+        text = " ".join(["w"] * n_words)
+        rows.append((i, text, "en" if i % 2 else "de", len(text) + pad))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    got = {(r.lang, r.doc_id) for r in pareto_frontier(df).collect()}
+
+    # brute-force dominance with the same score definition
+    pts = []
+    for i, text, lang, nc in rows:
+        toks = len(re.split(r"\s+", text.strip()))  # split('') -> [''] = 1
+        pts.append((lang, i, nc, toks / (nc + 1.0)))
+    expect = set()
+    for lang, i, x, s in pts:
+        dominated = any(
+            ol == lang and ox >= x and os_ >= s and (ox > x or os_ > s)
+            for ol, oi, ox, os_ in pts
+            if oi != i
+        )
+        if not dominated:
+            expect.add((lang, i))
+    assert got == expect
+    assert got  # non-vacuous
+
+
+def test_pareto_frontier_tie_groups_both_survive(spark):
+    from pdf_extractor_spark.operators.curation import pareto_frontier
+
+    # two docs with identical (x, score): neither dominates -> both kept;
+    # a third, shorter-and-worse doc is dominated
+    rows = [
+        (1, "a b", "en", 3),
+        (2, "a b", "en", 3),
+        (3, "a", "en", 1),  # score 1/2 = 0.5 < 2/4; x smaller -> dominated
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    got = sorted(r.doc_id for r in pareto_frontier(df).collect())
+    assert got == [1, 2]

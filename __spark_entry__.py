@@ -957,6 +957,33 @@ def _pareto_frontier(spark, sf_dir):
     return pareto_frontier(_t_wide(spark, sf_dir, "documents"))
 
 
+def _zipf_fit(spark, sf_dir):
+    """Closed-form OLS fit of the term rank-frequency curve; the heavy
+    groupBy(term) reduces the corpus to the (much smaller) vocabulary
+    before the single-partition rank window."""
+    from pdf_extractor_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t_wide(spark, sf_dir, "documents"))
+
+
+def _heaps_law(spark, sf_dir):
+    """Vocabulary-growth checkpoints at 20 doc-id-range buckets plus the
+    Heaps' V=K*N^beta fit — bucketed so the only window runs over 20
+    rows, never per document."""
+    from pdf_extractor_spark.operators.textstats import heaps_law
+
+    return heaps_law(_t_wide(spark, sf_dir, "documents"))
+
+
+def _word_burstiness(spark, sf_dir):
+    """Church-Gale burstiness per term (df>=2 share among df>=1 docs),
+    min_df=5; two partial-aggregated groupBys, integer counts plus
+    6dp-rounded ratios."""
+    from pdf_extractor_spark.operators.textstats import word_burstiness
+
+    return word_burstiness(_t_wide(spark, sf_dir, "documents"))
+
+
 def _entity_mentions(spark, sf_dir):
     """Entity-mention stats over a deterministically capitalized corpus:
     tokens at positions ≡ 0,1 (mod 7) get their first letter uppercased,
@@ -3485,6 +3512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": _wordpiece_encode,
         "dataset_split": _dataset_split,
         "pareto_frontier": _pareto_frontier,
+        "zipf_fit": _zipf_fit,
+        "heaps_law": _heaps_law,
+        "word_burstiness": _word_burstiness,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -7353,6 +7383,102 @@ WHERE NOT EXISTS (
   WHERE o.lang = d.lang
     AND o.n_chars >= d.n_chars AND o.score >= d.score
     AND (o.n_chars > d.n_chars OR o.score > d.score))
+"""
+    # zipf_fit: same closed-form OLS over the rank-frequency table;
+    # rank ties break by term in both engines so the fit is
+    # bit-deterministic (ln sums agree to well past the 9-sig-fig hash,
+    # same precedent as lm_perplexity).
+    sql["zipf_fit"] = f"""
+WITH terms AS (
+  SELECT unnest({_LTOKS}) AS term FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM terms GROUP BY 1),
+ranked AS (
+  SELECT freq,
+         ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                 AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM freq),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(freq) AS BIGINT) AS n_tokens,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked)
+SELECT n_types, n_tokens,
+  round((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 6) + 0.0
+    AS zipf_slope,
+  round((sy - (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) * sx)
+        / n_types, 6) + 0.0 AS zipf_intercept
+FROM agg
+"""
+    # heaps_law: identical doc-id-range bucketing (same IEEE double
+    # division feeding floor, so bucket edges match bit-for-bit), then
+    # integer checkpoints + the same OLS on the 20 bucket rows.
+    sql["heaps_law"] = f"""
+WITH bounds AS (
+  SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS span
+  FROM documents),
+docs AS (
+  SELECT doc_id,
+         CAST(least(19, CAST(floor((doc_id - lo) * 20 / span) AS BIGINT))
+              AS INT) AS bucket,
+         text
+  FROM documents, bounds),
+per_bucket AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                       ELSE len({_TOKS}) END) AS BIGINT) AS toks
+  FROM docs GROUP BY 1),
+first_seen AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM (
+    SELECT term, min(bucket) AS bucket FROM (
+      SELECT bucket, unnest({_LTOKS}) AS term FROM docs
+      WHERE text IS NOT NULL AND trim(text) <> '') GROUP BY 1)
+  GROUP BY 1),
+cum AS (
+  SELECT p.bucket,
+         CAST(sum(p.toks) OVER w AS BIGINT) AS cum_tokens,
+         CAST(sum(coalesce(f.new_types, 0)) OVER w AS BIGINT) AS cum_vocab
+  FROM per_bucket p LEFT JOIN first_seen f USING (bucket)
+  WINDOW w AS (ORDER BY p.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+pts AS (
+  SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+         ln(CAST(cum_vocab AS DOUBLE)) AS y
+  FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts),
+consts AS (
+  SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+           AS heaps_beta,
+         round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                   / n), 6) + 0.0 AS heaps_k
+  FROM fit)
+SELECT cum.bucket, cum.cum_tokens, cum.cum_vocab,
+       consts.heaps_beta, consts.heaps_k
+FROM cum, consts
+"""
+    # word_burstiness: two-level aggregation mirrored exactly; BIGINT /
+    # BIGINT is double division in both engines.
+    sql["word_burstiness"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({_LTOKS}) AS term FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> '')
+  GROUP BY 1, 2),
+agg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY 1)
+SELECT term, df1, df2, total_tf,
+       round(df2 * 1.0 / df1, 6) + 0.0 AS burstiness,
+       round(total_tf * 1.0 / df1, 6) + 0.0 AS mean_tf
+FROM agg WHERE df1 >= 5
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

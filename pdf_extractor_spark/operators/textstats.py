@@ -1244,3 +1244,195 @@ def wordpiece_encode(
         enc["out"].alias("pieces"),
         enc["n"].cast("int").alias("n_pieces"),
     )
+
+
+def zipf_fit(df, text_col: str = "text", id_col: str = "doc_id"):
+    """One-row corpus summary: least-squares fit of Zipf's law,
+    ln(freq) = intercept + slope * ln(rank), over the full term
+    rank-frequency table (lowercased whitespace tokens). Re-creates the
+    reference's corpus-profiling angle (analytics KPIs over extraction
+    output, src/core/analytics.py) at the term level: a healthy natural
+    corpus fits slope ~ -1; template/spam-heavy crawls flatten the curve.
+
+    Scale shape: the corpus-size work is ONE map-side-combined
+    groupBy(term); everything after runs on the vocabulary, which is
+    orders of magnitude smaller than the corpus (Heaps: ~N^0.8 types for
+    N tokens). The rank window IS a single-partition sort — over vocab
+    rows only, never corpus rows — and the closed-form OLS needs just
+    five sums, so no iteration, no driver collect. Ties on frequency
+    break by term so the ranking (hence the fit) is bit-deterministic.
+    """
+    toks = df.select(
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").cast("long").alias("freq"))
+    from pyspark.sql import Window as W
+
+    ranked = freq.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), F.col("term")))
+        .alias("rank"),
+    ).select(
+        "freq",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+def heaps_law(
+    df,
+    n_buckets: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(bucket, cum_tokens, cum_vocab, heaps_beta, heaps_k) — vocabulary
+    growth checkpoints plus the Heaps'-law fit V = K * N^beta (OLS on
+    ln V ~ ln N over the checkpoints). Curation signal: beta far above a
+    language's norm means unconsolidated noise (OCR garble, random IDs);
+    far below means heavy duplication/templating — both corpus smells the
+    reference's dashboard-style KPIs would surface per batch.
+
+    Scale shape: a naive cumulative-vocabulary curve needs a global
+    per-document window — 10^12 rows through one sort at target scale.
+    Instead documents are ordered by id and cut into `n_buckets` ranges;
+    a term's FIRST bucket is bucket(min(doc_id)), so per-bucket new-type
+    counts come from one groupBy(term) + one groupBy(bucket), and the
+    only window (the cumulative sums) runs over n_buckets rows. The
+    checkpoints are exact integers — only the fitted constants are
+    floats, rounded to 6dp for cross-engine hashing.
+    """
+    from pyspark.sql import Window as W
+
+    bounds = df.agg(
+        F.min(id_col).alias("lo"),
+        (F.max(id_col) - F.min(id_col) + 1).alias("span"),
+    )
+    b = F.least(
+        F.lit(int(n_buckets) - 1),
+        F.floor(
+            (F.col(id_col) - F.col("lo"))
+            * int(n_buckets)
+            / F.col("span")
+        ),
+    ).cast("int").alias("bucket")
+    docs = df.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col), b, F.col(text_col)
+    )
+    per_bucket_tokens = docs.groupBy("bucket").agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("toks")
+    )
+    first_seen = (
+        docs.select(
+            "bucket",
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        per_bucket_tokens.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+    pts = cum.where(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    consts = fit.select(
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
+        ).alias("heaps_k"),
+    )
+    return cum.crossJoin(F.broadcast(consts))
+
+
+def word_burstiness(
+    df,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(term, df1, df2, total_tf, burstiness, mean_tf) — Church-Gale
+    burstiness per term: among documents that contain the term at all
+    (df1), the fraction that contain it AGAIN (df2/df1). Content words
+    burst (a doc about 'spark' says it many times); function words
+    spread Poisson-thin. Curation uses: keyword-spam detection (bursty
+    AND high-df), stopword induction (low burstiness, high df), and
+    feature selection for the rule classifier the reference drives with
+    keyword lists (src/core/classifier.py keyword/regex rules).
+
+    Scale shape: groupBy(doc, term) then groupBy(term) — both
+    partial-aggregated, no window, no skew surface beyond natural term
+    skew, which the two-level aggregation absorbs (first level keys on
+    (doc, term), so no single reducer sees a whole hot term's corpus
+    postings). min_df prunes the hapax tail so output stays
+    vocabulary-sized, not corpus-sized.
+    """
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df1"),
+            F.sum((F.col("tf") >= 2).cast("long")).cast("long").alias("df2"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .where(F.col("df1") >= F.lit(int(min_df)))
+        .select(
+            "term",
+            "df1",
+            "df2",
+            "total_tf",
+            F.round(F.col("df2") / F.col("df1"), 6).alias("burstiness"),
+            F.round(F.col("total_tf") / F.col("df1"), 6).alias("mean_tf"),
+        )
+    )

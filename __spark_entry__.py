@@ -984,6 +984,23 @@ def _word_burstiness(spark, sf_dir):
     return word_burstiness(_t_wide(spark, sf_dir, "documents"))
 
 
+def _ab_test(spark, sf_dir):
+    """Deterministic md5-parity A/B assignment over events with a pooled
+    two-proportion z-score; exposure = first click, conversion = a later
+    purchase."""
+    from pdf_extractor_spark.operators.events import ab_test
+
+    return ab_test(_t(spark, sf_dir, "events"))
+
+
+def _dow_seasonality(spark, sf_dir):
+    """Day-of-week traffic profile + chi-square vs the uniform-week null;
+    one 7-key aggregation, scalar broadcast back."""
+    from pdf_extractor_spark.operators.events import dow_seasonality
+
+    return dow_seasonality(_t(spark, sf_dir, "events"))
+
+
 def _entity_mentions(spark, sf_dir):
     """Entity-mention stats over a deterministically capitalized corpus:
     tokens at positions ≡ 0,1 (mod 7) get their first letter uppercased,
@@ -3515,6 +3532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _zipf_fit,
         "heaps_law": _heaps_law,
         "word_burstiness": _word_burstiness,
+        "ab_test": _ab_test,
+        "dow_seasonality": _dow_seasonality,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -7479,6 +7498,63 @@ SELECT term, df1, df2, total_tf,
        round(df2 * 1.0 / df1, 6) + 0.0 AS burstiness,
        round(total_tf * 1.0 / df1, 6) + 0.0 AS mean_tf
 FROM agg WHERE df1 >= 5
+"""
+    # ab_test: identical md5-parity arm assignment (engine-portable
+    # 60-bit hex word) and closed-form pooled z; conversion is a
+    # purchase strictly inside (first_click, first_click + 72h]. The
+    # z denominator is CASE-guarded so an all-convert arm pair yields
+    # z = 0, matching the Spark operator's F.when(var > 0, ...) guard.
+    sql["ab_test"] = """
+WITH exposed AS (
+  SELECT user_id, min(ts) AS first_exposure FROM events
+  WHERE event_type = 'click' GROUP BY 1),
+users AS (
+  SELECT CAST('0x' || substr(md5('ab1_' || CAST(e.user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm,
+         max(CASE WHEN p.ts > e.first_exposure
+                   AND p.ts <= e.first_exposure + INTERVAL 72 HOUR
+              THEN 1 ELSE 0 END) AS conv
+  FROM exposed e LEFT JOIN events p
+    ON p.user_id = e.user_id AND p.event_type = 'purchase'
+  GROUP BY e.user_id, e.first_exposure),
+agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM users)
+SELECT n_a, n_b, conv_a, conv_b,
+  round(conv_a / n_a, 6) + 0.0 AS rate_a,
+  round(conv_b / n_b, 6) + 0.0 AS rate_b,
+  CASE WHEN (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
+       THEN round((conv_a / n_a - conv_b / n_b)
+        / sqrt((conv_a + conv_b) * 1.0 / (n_a + n_b)
+               * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b)), 6)
+       ELSE 0.0 END + 0.0 AS z_score
+FROM agg
+"""
+    # dow_seasonality: DuckDB's dayofweek is 0=Sunday..6 — +1 aligns it
+    # with Spark's 1=Sunday..7 convention.
+    sql["dow_seasonality"] = """
+WITH counts AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_events) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS n_days
+  FROM counts),
+withc AS (
+  SELECT dow, n_events, total / n_days AS exp,
+         (n_events - total / n_days) * (n_events - total / n_days)
+           / (total / n_days) AS contrib
+  FROM counts, tot),
+chi AS (SELECT round(sum(contrib), 6) + 0.0 AS chi2 FROM withc)
+SELECT dow, n_events, round(exp, 6) + 0.0 AS expected, chi.chi2
+FROM withc, chi
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -445,3 +445,124 @@ def resample_locf(
         ),
         F.last("_hour_v", ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+def ab_test(
+    df: DataFrame,
+    seed: str = "ab1",
+    expose_event: str = "click",
+    convert_event: str = "purchase",
+    window_hours: int = 72,
+) -> DataFrame:
+    """One-row A/B readout: users are assigned to arms by the parity of a
+    60-bit md5 word over (seed, user_id) — the deterministic split every
+    experimentation pipeline needs so reruns and late-arriving events land
+    in the same arm without storing an assignment table. A user is EXPOSED
+    at their first `expose_event`; CONVERTED if any `convert_event` lands
+    strictly after exposure and within `window_hours` (the attribution
+    window — unbounded "ever converted" saturates to rate 1.0 on any
+    long-lived user base and the z-score degenerates). Output: per-arm
+    user/conversion counts and rates plus the pooled two-proportion
+    z-score, all closed-form.
+
+    Scale shape: one filtered groupBy(user_id) for exposures, one
+    equi-join of exposures to the purchase stream on user_id, a
+    map-side-combinable max() per user, then a single global conditional
+    aggregation — no window function, no skew surface beyond the user
+    key itself. The md5 arm hash is engine-portable, so the DuckDB
+    oracle reproduces the assignment bit-for-bit.
+    """
+    key = F.md5(
+        F.concat(F.lit(seed + "_"), F.col("user_id").cast("string"))
+    )
+    arm = (F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % 2).alias(
+        "arm"
+    )
+    exposed = (
+        df.where(F.col("event_type") == expose_event)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_exposure"))
+    )
+    purchases = df.where(F.col("event_type") == convert_event).select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    in_window = (
+        (F.col("p_ts") > F.col("first_exposure"))
+        & (
+            F.col("p_ts")
+            <= F.col("first_exposure")
+            + F.expr(f"INTERVAL {int(window_hours)} HOURS")
+        )
+    ).cast("long")
+    users = (
+        exposed.join(purchases, "user_id", "left")
+        .groupBy("user_id", "first_exposure")
+        .agg(F.coalesce(F.max(in_window), F.lit(0)).alias("conv"))
+        .select(arm, "conv")
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    var = pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    # pooled variance is 0 when EVERY user converts (or none does) —
+    # there is no sampling noise to normalize by, so z is defined 0
+    z = F.when(var > 0, (p_a - p_b) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+def dow_seasonality(df: DataFrame) -> DataFrame:
+    """(dow, n_events, expected, chi2) — day-of-week traffic profile with
+    the chi-square statistic against a uniform-week null, the standard
+    seasonality smell test before alerting on daily_anomaly-style
+    baselines (a high chi2 says "compare to the same weekday", not to
+    yesterday). dow follows Spark's dayofweek: 1=Sunday..7=Saturday.
+
+    Scale shape: one map-side-combined groupBy over 7 keys, then the
+    7-row result self-aggregates for the total — the second pass is a
+    broadcast of a scalar, never a second scan of the events table.
+    """
+    counts = (
+        df.groupBy(F.dayofweek("ts").alias("dow"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    totals = counts.agg(
+        F.sum("n_events").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_days"),
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    exp = F.col("total") / F.col("n_days")
+    contrib = (F.col("n_events") - exp) * (F.col("n_events") - exp) / exp
+    with_c = joined.select(
+        "dow", "n_events", exp.alias("exp"), contrib.alias("contrib")
+    )
+    chi2 = with_c.agg(F.round(F.sum("contrib"), 6).alias("chi2"))
+    return with_c.crossJoin(F.broadcast(chi2)).select(
+        "dow",
+        "n_events",
+        F.round("exp", 6).alias("expected"),
+        "chi2",
+    )

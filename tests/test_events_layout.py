@@ -380,3 +380,102 @@ def test_resample_locf_hand_computed(spark):
         (2, 5): (1, 7.0),
     }
     assert len(out) == 5
+
+
+# ---- ab_test: md5-parity arms + windowed conversion + pooled z ----
+
+def test_ab_test_hand_computed(spark):
+    import hashlib
+    import math
+    from datetime import datetime, timedelta
+
+    from pdf_extractor_spark.operators.events import ab_test
+
+    t0 = datetime(2024, 1, 10, 12, 0)
+    rows = [
+        # user 1: converts (purchase 1h after first click)
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(hours=1), 1, "purchase", 5.0, "{}"),
+        # user 2: purchase OUTSIDE the 72h window -> not converted
+        (3, t0, 2, "click", 1.0, "{}"),
+        (4, t0 + timedelta(hours=100), 2, "purchase", 5.0, "{}"),
+        # user 3: purchase BEFORE exposure -> not converted
+        (5, t0, 3, "click", 1.0, "{}"),
+        (6, t0 - timedelta(hours=1), 3, "purchase", 5.0, "{}"),
+        # user 4: exposed, never purchases
+        (7, t0, 4, "click", 1.0, "{}"),
+        # user 5: purchases but never clicks -> not in the experiment
+        (8, t0, 5, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = ab_test(df).collect()[0]
+
+    # arms derived from the operator's own contract, not hardcoded
+    arms = {
+        u: int(hashlib.md5(f"ab1_{u}".encode()).hexdigest()[:15], 16) % 2
+        for u in (1, 2, 3, 4)
+    }
+    conv = {1: 1, 2: 0, 3: 0, 4: 0}
+    n_a = sum(1 for u in arms if arms[u] == 0)
+    n_b = sum(1 for u in arms if arms[u] == 1)
+    c_a = sum(conv[u] for u in arms if arms[u] == 0)
+    c_b = sum(conv[u] for u in arms if arms[u] == 1)
+    assert (got.n_a, got.n_b, got.conv_a, got.conv_b) == (n_a, n_b, c_a, c_b)
+    assert got.rate_a == round(c_a / n_a, 6)
+    assert got.rate_b == round(c_b / n_b, 6)
+    pool = (c_a + c_b) / (n_a + n_b)
+    var = pool * (1 - pool) * (1 / n_a + 1 / n_b)
+    z = (c_a / n_a - c_b / n_b) / math.sqrt(var)
+    assert got.z_score == round(z, 6)
+
+
+def test_ab_test_degenerate_all_convert_z_is_zero(spark):
+    from datetime import datetime, timedelta
+
+    from pdf_extractor_spark.operators.events import ab_test
+
+    t0 = datetime(2024, 1, 10, 12, 0)
+    rows = []
+    eid = 0
+    for u in (1, 4):  # arms 0 and 1 per md5 parity; both convert
+        rows.append((eid, t0, u, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, t0 + timedelta(hours=2), u, "purchase", 5.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = ab_test(df).collect()[0]
+    assert (got.rate_a, got.rate_b) == (1.0, 1.0)
+    assert got.z_score == 0.0  # zero pooled variance -> z defined as 0
+
+
+# ---- dow_seasonality: chi-square vs uniform week ----
+
+def test_dow_seasonality_hand_computed(spark):
+    from datetime import datetime
+
+    from pdf_extractor_spark.operators.events import dow_seasonality
+
+    # 2024-01-01 is a Monday (Spark dayofweek=2), 2024-01-07 a Sunday (=1)
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 8, 11, 0), 1, "click", 1.0, "{}"),  # also Monday
+        (4, datetime(2024, 1, 7, 9, 0), 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.dow: r for r in dow_seasonality(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_events == 3 and out[1].n_events == 1
+    # expected = 4 events / 2 observed dows = 2; chi2 = (1 + 1) / 2 = 1
+    assert out[1].expected == 2.0 and out[2].expected == 2.0
+    assert out[1].chi2 == 1.0 and out[2].chi2 == 1.0

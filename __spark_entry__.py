@@ -1001,6 +1001,32 @@ def _dow_seasonality(spark, sf_dir):
     return dow_seasonality(_t(spark, sf_dir, "events"))
 
 
+def _event_transitions(spark, sf_dir):
+    """First-order Markov transition table over per-user event sequences:
+    lead() window keyed by user, then a tiny |types|² rollup with
+    row-normalized probabilities."""
+    from pdf_extractor_spark.operators.events import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def _attribution_credit(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value split equally
+    across the user's clicks in the preceding 72h, rolled up to the
+    click's calendar day."""
+    from pdf_extractor_spark.operators.events import attribution_credit
+
+    return attribution_credit(_t(spark, sf_dir, "events"))
+
+
+def _decayed_activity(spark, sf_dir):
+    """Half-life-decayed per-user activity score anchored at the newest
+    event in the snapshot (deterministic — no wall clock)."""
+    from pdf_extractor_spark.operators.events import decayed_activity
+
+    return decayed_activity(_t(spark, sf_dir, "events"))
+
+
 def _entity_mentions(spark, sf_dir):
     """Entity-mention stats over a deterministically capitalized corpus:
     tokens at positions ≡ 0,1 (mod 7) get their first letter uppercased,
@@ -3534,6 +3560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_burstiness": _word_burstiness,
         "ab_test": _ab_test,
         "dow_seasonality": _dow_seasonality,
+        "event_transitions": _event_transitions,
+        "attribution_credit": _attribution_credit,
+        "decayed_activity": _decayed_activity,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -7555,6 +7584,53 @@ withc AS (
 chi AS (SELECT round(sum(contrib), 6) + 0.0 AS chi2 FROM withc)
 SELECT dow, n_events, round(exp, 6) + 0.0 AS expected, chi.chi2
 FROM withc, chi
+"""
+    # event_transitions: lead() ≡ the next row per user in (ts, event_id)
+    # order; probabilities row-normalized per prev_type.
+    sql["event_transitions"] = """
+WITH pairs AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n_trans,
+       round(n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY prev_type),
+             6) + 0.0 AS prob
+FROM counts
+"""
+    # attribution_credit: purchases×clicks bounded-window join; each
+    # purchase's value splits evenly over its qualifying clicks and the
+    # credit lands on the click's calendar day.
+    sql["attribution_credit"] = """
+WITH purchases AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+touched AS (
+  SELECT p.p_id, p.p_value, c.c_ts
+  FROM purchases p JOIN clicks c USING (user_id)
+  WHERE c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 72 HOUR),
+credited AS (
+  SELECT CAST(CAST(c_ts AS DATE) AS VARCHAR) AS click_date,
+         p_value / count(*) OVER (PARTITION BY p_id) AS credit
+  FROM touched)
+SELECT click_date, CAST(count(*) AS BIGINT) AS n_credited_clicks,
+       round(sum(credit), 6) + 0.0 AS credited_value
+FROM credited GROUP BY 1
+"""
+    # decayed_activity: age measured back from the snapshot's max ts in
+    # exact fractional days; 7-day half-life.
+    sql["decayed_activity"] = """
+WITH anchor AS (SELECT max(ts) AS a FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(power(0.5,
+             (epoch_us(a) - epoch_us(ts)) / (86400.0 * 1e6) / 7.0)),
+             6) + 0.0 AS decayed_score
+FROM events, anchor GROUP BY user_id
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -145,6 +145,16 @@ HEADLINE = [
     "event_dedup",
     "props_variant_stats",
     "daily_anomaly",
+    "ab_test",
+    "dow_seasonality",
+    "event_transitions",
+    "attribution_credit",
+    "decayed_activity",
+    "dataset_split",
+    "pareto_frontier",
+    "zipf_fit",
+    "heaps_law",
+    "word_burstiness",
     "embedding_quantize",
     "embedding_outliers",
     "bloom_decontaminate",

@@ -566,3 +566,122 @@ def dow_seasonality(df: DataFrame) -> DataFrame:
         F.round("exp", 6).alias("expected"),
         "chi2",
     )
+
+
+def event_transitions(df: DataFrame) -> DataFrame:
+    """(prev_type, next_type, n_trans, prob) — the first-order Markov
+    transition table over each user's event sequence: how often does a
+    `click` lead to a `purchase` vs another `click`? The standard input
+    for behavioral next-event models and for spotting broken funnels
+    (a transition that should exist but never fires). Consecutive pairs
+    are formed per user in (ts, event_id) order — event_id breaks
+    timestamp ties so reruns are deterministic; each user's final event
+    has no successor and emits nothing. prob is row-normalized per
+    prev_type.
+
+    Scale shape: one hash shuffle on user_id for the lead() window
+    (O(1) state per row, spillable sort), then a map-side-combined
+    groupBy over at most |event_types|² keys — the second aggregation
+    is tiny no matter the log volume. The per-prev_type normalizer is
+    a window over that tiny result, not over the events.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = df.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.sum("n_trans").over(tot), 6).alias(
+            "prob"
+        ),
+    )
+
+
+def attribution_credit(
+    df: DataFrame,
+    expose_event: str = "click",
+    convert_event: str = "purchase",
+    window_hours: int = 72,
+) -> DataFrame:
+    """(click_date, n_credited_clicks, credited_value) — linear
+    multi-touch attribution: every purchase's value is split equally
+    across that user's clicks in the preceding `window_hours`, and the
+    credit is rolled up to the DAY THE CLICK HAPPENED — the report a
+    marketing pipeline actually wants ("what did Tuesday's traffic
+    earn?"), as opposed to purchase-day revenue. Purchases with no
+    qualifying click carry no credit (they'd be the 'direct' bucket).
+
+    Scale shape: one equi-join purchases×clicks on user_id with the
+    time-range predicate applied at join output (fan-out bounded by the
+    attribution window — a user contributes at most clicks-in-72h per
+    purchase), a count() window keyed by the purchase to compute the
+    per-click share, then a tiny per-date rollup. No driver loop, no
+    cross join; user_id skew is AQE territory like every other per-user
+    operator here.
+    """
+    purchases = df.where(F.col("event_type") == convert_event).select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = df.where(F.col("event_type") == expose_event).select(
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touched = purchases.join(clicks, "user_id").where(
+        (F.col("c_ts") < F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {int(window_hours)} HOURS")
+        )
+    )
+    per_purchase = Window.partitionBy("p_id")
+    credited = touched.select(
+        # string date (repo convention: engine-portable value hash)
+        F.to_date("c_ts").cast("string").alias("click_date"),
+        (F.col("p_value") / F.count("*").over(per_purchase)).alias("credit"),
+    )
+    return credited.groupBy("click_date").agg(
+        F.count("*").cast("long").alias("n_credited_clicks"),
+        F.round(F.sum("credit"), 6).alias("credited_value"),
+    )
+
+
+def decayed_activity(df: DataFrame, half_life_days: float = 7.0) -> DataFrame:
+    """(user_id, n_events, decayed_score) — exponentially time-decayed
+    activity per user: each event contributes 0.5^(age/half_life) where
+    age is measured back from the NEWEST event in the table (data-derived
+    anchor — reruns over the same snapshot are bit-identical, no
+    wall-clock). The standard recency-weighted engagement score: a user
+    with 10 events today outranks one with 100 events a month ago.
+
+    Scale shape: one global max(ts) reduced to a scalar and broadcast
+    back (never a second scan parameterized per row), then one
+    map-side-combined groupBy(user_id). The decay term is pure codegen
+    arithmetic — pow + timestamp subtraction — so the whole thing is two
+    narrow aggregations.
+    """
+    anchor = df.agg(F.max("ts").alias("_anchor"))
+    # ltz cast: Spark 4's unix_micros rejects NTZ timestamps; the
+    # conversion offset cancels in the subtraction (sessionize precedent)
+    age_days = (
+        F.unix_micros(F.col("_anchor").cast("timestamp_ltz"))
+        - F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    ) / F.lit(86400.0 * 1e6)
+    weight = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days)))
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(weight), 6).alias("decayed_score"),
+        )
+    )

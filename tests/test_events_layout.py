@@ -479,3 +479,117 @@ def test_dow_seasonality_hand_computed(spark):
     # expected = 4 events / 2 observed dows = 2; chi2 = (1 + 1) / 2 = 1
     assert out[1].expected == 2.0 and out[2].expected == 2.0
     assert out[1].chi2 == 1.0 and out[2].chi2 == 1.0
+
+
+# ---- event_transitions: per-user Markov pairs ----
+
+def test_event_transitions_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from pdf_extractor_spark.operators.events import event_transitions
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    rows = [
+        # user 1: click -> view -> click
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(hours=1), 1, "view", 1.0, "{}"),
+        (3, t0 + timedelta(hours=2), 1, "click", 1.0, "{}"),
+        # user 2: view -> view
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0 + timedelta(hours=1), 2, "view", 1.0, "{}"),
+        # user 3: single event -> contributes nothing
+        (6, t0, 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.n_trans, r.prob)
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("click", "view"): (1, 1.0),
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+    }
+
+
+def test_event_transitions_ts_tie_broken_by_event_id(spark):
+    from datetime import datetime
+
+    from pdf_extractor_spark.operators.events import event_transitions
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    rows = [  # same timestamp: order must follow event_id
+        (2, t0, 1, "view", 1.0, "{}"),
+        (1, t0, 1, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {(r.prev_type, r.next_type) for r in event_transitions(df).collect()}
+    assert got == {("click", "view")}
+
+
+# ---- attribution_credit: linear multi-touch inside 72h ----
+
+def test_attribution_credit_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from pdf_extractor_spark.operators.events import attribution_credit
+
+    d1 = datetime(2024, 1, 1, 10, 0)
+    d2 = datetime(2024, 1, 2, 10, 0)
+    rows = [
+        # user 1: two clicks, then a purchase 2h after the second click
+        (1, d1, 1, "click", 1.0, "{}"),
+        (2, d2, 1, "click", 1.0, "{}"),
+        (3, d2 + timedelta(hours=2), 1, "purchase", 10.0, "{}"),
+        # second purchase lands 74h after the last click -> no credit
+        (4, d2 + timedelta(hours=74), 1, "purchase", 8.0, "{}"),
+        # user 2: click strictly AFTER its purchase -> no credit
+        (5, d1, 2, "purchase", 7.0, "{}"),
+        (6, d1 + timedelta(hours=1), 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r.click_date: (r.n_credited_clicks, r.credited_value)
+        for r in attribution_credit(df).collect()
+    }
+    # the 10.0 purchase splits evenly over its two in-window clicks
+    assert got == {"2024-01-01": (1, 5.0), "2024-01-02": (1, 5.0)}
+
+
+# ---- decayed_activity: half-life recency weighting ----
+
+def test_decayed_activity_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from pdf_extractor_spark.operators.events import decayed_activity
+
+    anchor = datetime(2024, 1, 15, 0, 0)
+    rows = [
+        # user 1: one event AT the anchor (weight 1), one 7d old (0.5)
+        (1, anchor, 1, "click", 1.0, "{}"),
+        (2, anchor - timedelta(days=7), 1, "click", 1.0, "{}"),
+        # user 2: one event 14d old (0.25)
+        (3, anchor - timedelta(days=14), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r.user_id: (r.n_events, r.decayed_score)
+        for r in decayed_activity(df).collect()
+    }
+    assert got == {1: (2, 1.5), 2: (1, 0.25)}

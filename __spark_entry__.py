@@ -1001,6 +1001,55 @@ def _dow_seasonality(spark, sf_dir):
     return dow_seasonality(_t(spark, sf_dir, "events"))
 
 
+def _dehyphenate(spark, sf_dir):
+    """End-of-line hyphenation repair over a deterministically wrapped
+    corpus (token midpoint breaks at (doc_id + i) % 5 == 0): repairing
+    must reproduce the original text exactly, and `restored` certifies
+    it via md5 equality."""
+    from pdf_extractor_spark.operators.layout import (
+        dehyphenate,
+        synthesize_hyphen_wraps,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = synthesize_hyphen_wraps(docs)
+    out = dehyphenate(wrapped).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "n_wraps",
+        F.md5(F.col("dehyphenated")).alias("repaired_md5"),
+        (
+            F.md5(F.col("dehyphenated"))
+            == F.md5(
+                F.array_join(
+                    F.filter(
+                        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                        lambda t: t != "",
+                    ),
+                    " ",
+                )
+            )
+        ).alias("restored"),
+    )
+
+
+def _header_footer_strip(spark, sf_dir):
+    """Running header/footer removal over a deterministic multi-page
+    synthesis (repeating 'Report doc N' header, numbered footer):
+    digit-normalized lines on >= max(2, ceil(0.8 * n_pages)) distinct
+    pages are boilerplate; body_md5 pins the surviving text."""
+    from pdf_extractor_spark.operators.layout import (
+        header_footer_strip,
+        synthesize_doc_pages,
+    )
+
+    return header_footer_strip(
+        synthesize_doc_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _event_transitions(spark, sf_dir):
     """First-order Markov transition table over per-user event sequences:
     lead() window keyed by user, then a tiny |types|² rollup with
@@ -3563,6 +3612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "attribution_credit": _attribution_credit,
         "decayed_activity": _decayed_activity,
+        "dehyphenate": _dehyphenate,
+        "header_footer_strip": _header_footer_strip,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -7584,6 +7635,81 @@ withc AS (
 chi AS (SELECT round(sum(contrib), 6) + 0.0 AS chi2 FROM withc)
 SELECT dow, n_events, round(exp, 6) + 0.0 AS expected, chi.chi2
 FROM withc, chi
+"""
+    # dehyphenate: identical midpoint-wrap synthesis (1-based token pos,
+    # (doc_id + i) % 5), then plain replace('-\n') — DuckDB replace() is
+    # global, matching Spark's regexp_replace.
+    sql["dehyphenate"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+wrapped AS (
+  SELECT doc_id, tk,
+    array_to_string(
+      list_transform(range(1, len(tk) + 1), i ->
+        CASE WHEN (doc_id + i) % 5 = 0 AND length(tk[i]) >= 4
+             THEN substr(tk[i], 1,
+                         CAST(floor(length(tk[i]) / 2) AS INT))
+                  || '-' || chr(10)
+                  || substr(tk[i],
+                            CAST(floor(length(tk[i]) / 2) AS INT) + 1)
+             ELSE tk[i] END), ' ') AS w
+  FROM toks)
+SELECT doc_id,
+  CAST((length(w) - length(replace(w, '-' || chr(10), ''))) / 2
+       AS BIGINT) AS n_wraps,
+  md5(replace(w, '-' || chr(10), '')) AS repaired_md5,
+  md5(replace(w, '-' || chr(10), '')) = md5(array_to_string(tk, ' '))
+    AS restored
+FROM wrapped
+"""
+    # header_footer_strip: identical page synthesis, digit-normalized
+    # line frequency over distinct pages, floor-of-2 threshold; string_agg
+    # skips the boilerplate NULLs and orders by (page_no, line_no).
+    sql["header_footer_strip"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     t -> t <> '') AS tk,
+         CAST(1 + doc_id % 4 AS INT) AS n_pages
+  FROM documents),
+par AS (
+  SELECT doc_id, tk, n_pages,
+         greatest(1, CAST(ceil(len(tk) * 1.0 / n_pages) AS INT))
+           AS per_page
+  FROM toks),
+pages AS (
+  SELECT doc_id, n_pages, CAST(p AS INT) AS page_no,
+    'Report doc ' || doc_id || chr(10) ||
+    array_to_string(list_slice(tk, (p - 1) * per_page + 1,
+                               p * per_page), ' ')
+    || chr(10) || 'Page ' || p || ' of ' || n_pages AS page
+  FROM par, unnest(range(1, n_pages + 1)) AS u(p)),
+lines AS (
+  SELECT doc_id, n_pages, page_no,
+         generate_subscripts(string_split(page, chr(10)), 1) AS line_no,
+         unnest(string_split(page, chr(10))) AS line
+  FROM pages),
+normed AS (
+  SELECT *, regexp_replace(line, '[0-9]+', '#', 'g') AS norm FROM lines),
+freq AS (
+  SELECT doc_id, norm, count(DISTINCT page_no) AS n_with
+  FROM normed GROUP BY 1, 2),
+flagged AS (
+  SELECT l.doc_id, l.n_pages, l.page_no, l.line_no, l.line,
+         f.n_with >= greatest(2, CAST(ceil(0.8 * l.n_pages) AS INT))
+           AS boiler
+  FROM normed l JOIN freq f ON l.doc_id = f.doc_id AND l.norm = f.norm)
+SELECT doc_id,
+  CAST(max(n_pages) AS INT) AS n_pages,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boiler_lines,
+  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN line END, chr(10)
+      ORDER BY page_no, line_no), '')) AS body_md5
+FROM flagged GROUP BY doc_id
 """
     # event_transitions: lead() ≡ the next row per user in (ts, event_id)
     # order; probabilities row-normalized per prev_type.

@@ -126,6 +126,8 @@ HEADLINE = [
     "triangle_hosts",
     "crawl_schedule",
     "layout_text",
+    "dehyphenate",
+    "header_footer_strip",
     "sessionize",
     "asof_last_purchase",
     "resample_locf",

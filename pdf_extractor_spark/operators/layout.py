@@ -122,3 +122,199 @@ def extract_text_tables(
         F.col("col_idx").cast("int").alias("col_idx"),
         F.trim(F.col("cell")).alias("cell"),
     )
+
+
+def synthesize_hyphen_wraps(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    every: int = 5,
+    min_len: int = 4,
+) -> DataFrame:
+    """(doc_id, wrapped) — deterministic line-wrap hyphenation over the
+    flat token corpus (the `synthesize_pages` pattern: the driver corpus
+    has no line structure, so the dehyphenation input is synthesized
+    columnar and the DuckDB oracle rebuilds the identical string). Token
+    i (1-based) is broken at its midpoint into 'xx-\\nyy' when
+    (doc_id + i) % every == 0 and the token has >= min_len chars — the
+    shape a justified PDF text layer emits at the right margin."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "",
+    )
+
+    def _wrap(t, i):
+        half = F.floor(F.length(t) / 2).cast("int")
+        return (
+            F.when(
+                ((F.col(id_col) + i + F.lit(1)) % every == 0)
+                & (F.length(t) >= min_len),
+                F.concat(
+                    t.substr(F.lit(1), half),
+                    F.lit("-\n"),
+                    t.substr(half + 1, F.length(t)),
+                ),
+            ).otherwise(t)
+        )
+
+    wrapped = F.array_join(F.transform(toks, _wrap), " ")
+    return df.select(F.col(id_col), wrapped.alias("wrapped"))
+
+
+def dehyphenate(
+    df: DataFrame,
+    text_col: str = "wrapped",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_wraps, dehyphenated) — repair end-of-line hyphenation:
+    every '-\\n' break is joined back into one token (the standard PDF
+    text-layer cleanup step; the reference's extractor emits the raw text
+    layer, reference src/core/extractor.py:59-75, and wrapped tokens are
+    what a justified layout leaves in it). Deliberately joins ALL wraps —
+    distinguishing soft wraps from true compound hyphens needs a lexicon
+    and is out of scope (documented limitation, as in every rule-based
+    dehyphenator).
+
+    Scale: a narrow codegen projection (regexp + length arithmetic), no
+    shuffle, filter-at-scan-speed — the same shape as nfc_normalize."""
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    repaired = F.regexp_replace(src, "-\n", "")
+    return df.select(
+        F.col(id_col),
+        ((F.length(src) - F.length(repaired)) / 2)
+        .cast("long")
+        .alias("n_wraps"),
+        repaired.alias("dehyphenated"),
+    )
+
+
+def synthesize_doc_pages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_pages: int = 4,
+) -> DataFrame:
+    """(doc_id, n_pages, page_no, page) — deterministic multi-page layout
+    per document: 1 + doc_id % max_pages pages, tokens split into equal
+    runs, every page decorated with the repeating header 'Report doc N'
+    and the page-numbered footer 'Page p of n' — the boilerplate shape
+    header_footer_strip exists to remove. Pure split/slice/concat so the
+    DuckDB oracle rebuilds identical pages."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    n_pages = (F.lit(1) + F.col(id_col) % max_pages).cast("int")
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"), n_pages.alias("n_pages"))
+        .withColumn(
+            "per_page",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.size("_toks") / F.col("n_pages")).cast("int"),
+            ),
+        )
+        .select(
+            id_col,
+            "n_pages",
+            "_toks",
+            "per_page",
+            F.explode(F.sequence(F.lit(1), F.col("n_pages"))).alias(
+                "page_no"
+            ),
+        )
+    )
+    body = F.array_join(
+        F.slice(
+            F.col("_toks"),
+            (F.col("page_no") - 1) * F.col("per_page") + 1,
+            F.col("per_page"),
+        ),
+        " ",
+    )
+    page = F.concat(
+        F.lit("Report doc "),
+        F.col(id_col).cast("string"),
+        F.lit("\n"),
+        body,
+        F.lit("\nPage "),
+        F.col("page_no").cast("string"),
+        F.lit(" of "),
+        F.col("n_pages").cast("string"),
+    )
+    return out.select(
+        id_col, "n_pages", F.col("page_no").cast("int"), page.alias("page")
+    )
+
+
+def header_footer_strip(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    page_col: str = "page_no",
+    text_col: str = "page",
+    min_frac: float = 0.8,
+) -> DataFrame:
+    """(doc_id, n_pages, n_lines, n_boiler_lines, body_md5) — detect and
+    strip running headers/footers: a line is boilerplate when its
+    digit-normalized form ('Page 3 of 9' -> 'Page # of #') appears on at
+    least max(2, ceil(min_frac * n_pages)) DISTINCT pages of the same
+    document. This is the frequency heuristic every PDF main-content
+    extractor uses (headers repeat, body text doesn't); the floor of 2
+    means single-page documents are never stripped — one page cannot
+    witness repetition. body_md5 fingerprints the surviving lines joined
+    in (page_no, line_no) order, so the oracle check covers the exact
+    reconstructed body, not just counts.
+
+    Scale: every shuffle — the line-frequency groupBy, the two joins,
+    and the final rollup — keys on doc_id (the frequency key (doc_id,
+    norm) is a refinement), so one HashPartitioning(doc_id) serves the
+    whole plan, co-partitioned with the rest of the per-doc pipeline.
+    Per-doc page×line counts are bounded (documents, not logs), so the
+    collect_list rollup holds no more than one document's lines."""
+    lines = pages.select(
+        F.col(id_col),
+        F.col(page_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "line_no", "line"
+        ),
+    ).withColumn("norm", F.regexp_replace("line", "[0-9]+", "#"))
+    freq = lines.groupBy(id_col, "norm").agg(
+        F.countDistinct(page_col).alias("_n_with")
+    )
+    npages = pages.groupBy(id_col).agg(
+        F.countDistinct(page_col).cast("int").alias("n_pages")
+    )
+    flagged = (
+        lines.join(freq, [id_col, "norm"])
+        .join(npages, id_col)
+        .withColumn(
+            "_boiler",
+            F.col("_n_with")
+            >= F.greatest(
+                F.lit(2), F.ceil(F.lit(min_frac) * F.col("n_pages"))
+            ),
+        )
+    )
+    kept_struct = F.when(
+        ~F.col("_boiler"),
+        F.struct(F.col(page_col), F.col("line_no"), F.col("line")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.max("n_pages").alias("n_pages"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_boiler").cast("long")).alias("n_boiler_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.filter(
+                            F.collect_list(kept_struct),
+                            lambda s: s.isNotNull(),
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("body_md5"),
+    )

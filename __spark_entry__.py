@@ -1001,6 +1001,20 @@ def _dow_seasonality(spark, sf_dir):
     return dow_seasonality(_t(spark, sf_dir, "events"))
 
 
+def _quality_percentile(spark, sf_dir):
+    """Per-language percentile rank of the quality score — rank
+    normalization before cross-language threshold filtering. Scalable
+    shape: cumulative counts over the (lang, score) distribution table,
+    never a per-row window; the oracle uses native percent_rank()."""
+    from pdf_extractor_spark.operators.textstats import (
+        add_quality_score,
+        quality_percentile,
+    )
+
+    docs = add_quality_score(_t_wide(spark, sf_dir, "documents"))
+    return quality_percentile(docs.select("doc_id", "lang", "quality"))
+
+
 def _dehyphenate(spark, sf_dir):
     """End-of-line hyphenation repair over a deterministically wrapped
     corpus (token midpoint breaks at (doc_id + i) % 5 == 0): repairing
@@ -3614,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_activity": _decayed_activity,
         "dehyphenate": _dehyphenate,
         "header_footer_strip": _header_footer_strip,
+        "quality_percentile": _quality_percentile,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -7635,6 +7650,21 @@ withc AS (
 chi AS (SELECT round(sum(contrib), 6) + 0.0 AS chi2 FROM withc)
 SELECT dow, n_events, round(exp, 6) + 0.0 AS expected, chi.chi2
 FROM withc, chi
+"""
+    # quality_percentile: native percent_rank() over the same rounded
+    # quality score — an independent implementation of the repo's
+    # distribution-table cumulative-count percentile (singleton groups
+    # guarded to 0, matching the Spark operator).
+    sql["quality_percentile"] = f"""
+WITH q AS ({sql["quality_score"]}),
+j AS (SELECT q.doc_id, d.lang, q.quality
+      FROM q JOIN documents d USING (doc_id))
+SELECT doc_id, lang, quality,
+  CASE WHEN count(*) OVER (PARTITION BY lang) > 1
+       THEN round(percent_rank() OVER (PARTITION BY lang ORDER BY quality),
+                  6)
+       ELSE 0.0 END + 0.0 AS pct_rank
+FROM j
 """
     # dehyphenate: identical midpoint-wrap synthesis (1-based token pos,
     # (doc_id + i) % 5), then plain replace('-\n') — DuckDB replace() is

@@ -117,6 +117,7 @@ HEADLINE = [
     "host_quota_sample",
     "ngram_lm",
     "quality_tiers",
+    "quality_percentile",
     "media_dedup",
     "media_phash",
     "media_phash_neardup",

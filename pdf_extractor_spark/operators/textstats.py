@@ -1436,3 +1436,55 @@ def word_burstiness(
             F.round(F.col("total_tf") / F.col("df1"), 6).alias("mean_tf"),
         )
     )
+
+
+def quality_percentile(
+    df,
+    score_col: str = "quality",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+):
+    """(doc_id, lang, quality, pct_rank) — per-language percentile rank of
+    a score column (percent_rank semantics: strictly-lower count divided
+    by group size minus one; ties share a rank; singleton groups get 0).
+    Rank normalization is the standard cross-language calibration step
+    before thresholding quality filters: an absolute 0.6 means different
+    things in different languages, the 90th percentile does not.
+
+    Scale design: NOT a per-row window — percent_rank over 10^12 rows
+    would funnel each language partition through one sorted task. Instead
+    the distribution is aggregated per (group, score) first (map-side
+    combined; bounded by DISTINCT scores — the score is rounded to 6
+    decimals, so <= 10^6 buckets per group in the worst case), the
+    cumulative strictly-lower count runs over that small table, and a
+    (group, score) equi-join carries the percentile back to the docs.
+    The DuckDB oracle uses native percent_rank() — an independent
+    implementation of the same definition.
+    """
+    from pyspark.sql import Window
+
+    dist = df.groupBy(group_col, score_col).agg(
+        F.count("*").alias("_n")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    ranked = dist.select(
+        group_col,
+        score_col,
+        F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_lower"),
+        F.sum("_n").over(w_all).alias("_total"),
+    ).select(
+        group_col,
+        score_col,
+        F.when(F.col("_total") > 1,
+               F.round(F.col("_lower") / (F.col("_total") - 1), 6))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+    )
+    return df.select(id_col, group_col, score_col).join(
+        ranked, [group_col, score_col]
+    ).select(id_col, group_col, score_col, "pct_rank")

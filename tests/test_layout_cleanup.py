@@ -92,3 +92,28 @@ def test_header_footer_strip_all_boiler_page(spark):
     r = header_footer_strip(df).collect()[0]
     assert (r.n_lines, r.n_boiler_lines) == (4, 4)
     assert r.body_md5 == _md5("")
+
+
+# ---- quality_percentile: distribution-table percent_rank ----
+
+def test_quality_percentile_hand_computed(spark):
+    from pdf_extractor_spark.operators.textstats import quality_percentile
+
+    rows = [
+        # en: scores 0.1, 0.2, 0.2, 0.4 -> pct = lower/(n-1) over n=4
+        (1, "en", 0.1),
+        (2, "en", 0.2),
+        (3, "en", 0.2),
+        (4, "en", 0.4),
+        # fr: singleton -> 0.0
+        (5, "fr", 0.9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+    got = {r.doc_id: r.pct_rank for r in quality_percentile(df).collect()}
+    assert got == {
+        1: 0.0,
+        2: round(1 / 3, 6),  # one strictly lower; tie shares the rank
+        3: round(1 / 3, 6),
+        4: 1.0,
+        5: 0.0,
+    }

@@ -1001,6 +1001,19 @@ def _dow_seasonality(spark, sf_dir):
     return dow_seasonality(_t(spark, sf_dir, "events"))
 
 
+def _section_split(spark, sf_dir):
+    """Heading-based document segmentation over a deterministic sectioned
+    synthesis (ALL-CAPS 'HEADING s 1' lines, 6-token body lines, an
+    unheaded preamble for doc_id % 7 == 0): short uppercase lines open
+    sections; preamble lines form section 0."""
+    from pdf_extractor_spark.operators.layout import (
+        section_split,
+        synthesize_sections,
+    )
+
+    return section_split(synthesize_sections(_t(spark, sf_dir, "documents")))
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -3629,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dehyphenate": _dehyphenate,
         "header_footer_strip": _header_footer_strip,
         "quality_percentile": _quality_percentile,
+        "section_split": _section_split,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -7650,6 +7664,64 @@ withc AS (
 chi AS (SELECT round(sum(contrib), 6) + 0.0 AS chi2 FROM withc)
 SELECT dow, n_events, round(exp, 6) + 0.0 AS expected, chi.chi2
 FROM withc, chi
+"""
+    # section_split: identical section synthesis (heading || '\n' || body
+    # even when the body is empty — concat_ws semantics), running heading
+    # count numbers sections, section 0 = unheaded preamble.
+    sql["section_split"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     t -> t <> '') AS tk,
+         CAST(1 + doc_id % 3 AS INT) AS nsec
+  FROM documents),
+par AS (
+  SELECT doc_id, tk, nsec,
+         greatest(1, CAST(ceil(len(tk) * 1.0 / nsec) AS INT)) AS per
+  FROM toks),
+secs0 AS (
+  SELECT doc_id, nsec, s,
+         list_slice(tk, (s - 1) * per + 1, s * per) AS st
+  FROM par, unnest(range(1, nsec + 1)) AS u(s)),
+secs AS (
+  SELECT doc_id, nsec, s,
+    'HEADING ' || s || ' 1' || chr(10) ||
+    CASE WHEN len(st) > 0 THEN
+      array_to_string(
+        list_transform(range(1, CAST(ceil(len(st) / 6.0) AS INT) + 1),
+          i -> array_to_string(list_slice(st, (i - 1) * 6 + 1, i * 6),
+                               ' ')),
+        chr(10))
+    ELSE '' END AS sec
+  FROM secs0),
+docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN 'unheaded preamble text' || chr(10) ELSE '' END
+    || string_agg(sec, chr(10) ORDER BY s) AS doc
+  FROM secs GROUP BY doc_id),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(doc, chr(10)), 1) AS line_no,
+         unnest(string_split(doc, chr(10))) AS line
+  FROM docs2),
+marked AS (
+  SELECT doc_id, line_no, line,
+         (line <> '' AND NOT regexp_matches(line, '[a-z]')
+          AND len(regexp_split_to_array(line, '\\s+')) <= 4) AS h
+  FROM lines),
+numbered AS (
+  SELECT *, CAST(sum(CASE WHEN h THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY line_no) AS INT)
+            AS section_idx
+  FROM marked)
+SELECT doc_id, section_idx,
+  max(CASE WHEN h THEN line END) AS heading,
+  CAST(sum(CASE WHEN h THEN 0 ELSE 1 END) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN h OR line = '' THEN 0
+           ELSE len(regexp_split_to_array(line, '\\s+')) END) AS BIGINT)
+    AS n_tokens
+FROM numbered GROUP BY doc_id, section_idx
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

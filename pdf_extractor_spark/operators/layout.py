@@ -318,3 +318,117 @@ def header_footer_strip(
             )
         ).alias("body_md5"),
     )
+
+
+def synthesize_sections(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_sections: int = 3,
+    line_tokens: int = 6,
+) -> DataFrame:
+    """(doc_id, doc) — deterministic sectioned document: 1 + doc_id %
+    max_sections sections, each an ALL-CAPS heading line ('HEADING s 1')
+    followed by the section's tokens wrapped into `line_tokens`-word
+    lines. Docs where doc_id % 7 == 0 additionally get an unheaded
+    preamble line first (the section-0 case a segmenter must handle).
+    Pure split/slice/concat, so the DuckDB oracle rebuilds the identical
+    string."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    n_sec = (F.lit(1) + F.col(id_col) % max_sections).cast("int")
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), n_sec.alias("_nsec")
+    ).withColumn(
+        "_per",
+        F.greatest(
+            F.lit(1), F.ceil(F.size("_toks") / F.col("_nsec")).cast("int")
+        ),
+    )
+
+    def _section(s):
+        sec_toks = F.slice(
+            F.col("_toks"), ((s - 1) * F.col("_per") + 1).cast("int"), F.col("_per")
+        )
+        n_lines = F.ceil(F.size(sec_toks) / F.lit(line_tokens)).cast("int")
+        body_lines = F.when(
+            n_lines > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_lines),
+                lambda i: F.array_join(
+                    F.slice(
+                        sec_toks, ((i - 1) * line_tokens + 1).cast("int"),
+                        line_tokens,
+                    ),
+                    " ",
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        heading = F.concat(
+            F.lit("HEADING "), s.cast("string"), F.lit(" 1")
+        )
+        return F.concat_ws(
+            "\n", F.array(heading), F.array_join(body_lines, "\n")
+        )
+
+    sections = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.col("_nsec")), _section), "\n"
+    )
+    doc = F.when(
+        F.col(id_col) % 7 == 0,
+        F.concat(F.lit("unheaded preamble text\n"), sections),
+    ).otherwise(sections)
+    return base.select(F.col(id_col), doc.alias("doc"))
+
+
+def section_split(
+    df: DataFrame,
+    text_col: str = "doc",
+    id_col: str = "doc_id",
+    max_heading_words: int = 4,
+) -> DataFrame:
+    """(doc_id, section_idx, heading, n_lines, n_tokens) — heading-based
+    document segmentation: a line is a HEADING when it is non-empty,
+    contains no lowercase letters, and has at most `max_heading_words`
+    whitespace words (the classic layout heuristic — short ALL-CAPS lines
+    start sections). Each heading opens a new section holding the lines
+    up to the next heading; lines before the first heading form the
+    unheaded section 0 (heading = NULL). n_lines/n_tokens count body
+    lines only, never the heading itself.
+
+    Scale: posexplode lines, one running-sum window over (doc_id) to
+    number sections (the same gaps-and-islands shape as
+    extract_text_tables — one hash shuffle on the doc key), then a
+    groupBy on (doc_id, section_idx) that reuses that partitioning.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
+    )
+    is_heading = (
+        (F.col("line") != "")
+        & ~F.col("line").rlike("[a-z]")
+        & (F.size(F.split(F.col("line"), r"\s+")) <= max_heading_words)
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = lines.withColumn("_h", is_heading).withColumn(
+        "section_idx", F.sum(F.col("_h").cast("int")).over(w).cast("int")
+    )
+    n_tok = F.when(
+        F.col("line") == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.col("line"), r"\s+")))
+    return marked.groupBy(id_col, "section_idx").agg(
+        F.max(F.when(F.col("_h"), F.col("line"))).alias("heading"),
+        F.sum((~F.col("_h")).cast("long")).alias("n_lines"),
+        F.sum(F.when(~F.col("_h"), n_tok).otherwise(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )

@@ -117,3 +117,54 @@ def test_quality_percentile_hand_computed(spark):
         4: 1.0,
         5: 0.0,
     }
+
+
+# ---- section_split: heading-based segmentation ----
+
+def test_section_split_hand_computed(spark):
+    from pdf_extractor_spark.operators.layout import section_split
+
+    doc = "\n".join(
+        [
+            "intro line one",          # unheaded -> section 0
+            "HEADING 1 1",
+            "body a b",
+            "body c",
+            "HEADING 2 1",
+            "",                        # empty body line: counts, 0 tokens
+            "THIS HEADING HAS FIVE WORDS",  # >4 words -> NOT a heading
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, doc string")
+    got = {
+        r.section_idx: (r.heading, r.n_lines, r.n_tokens)
+        for r in section_split(df).collect()
+    }
+    assert got == {
+        0: (None, 1, 3),
+        1: ("HEADING 1 1", 2, 5),
+        2: ("HEADING 2 1", 2, 5),  # empty line + the 5-word caps line
+    }
+
+
+def test_section_split_synthesized_roundtrip(spark):
+    from pdf_extractor_spark.operators.layout import (
+        section_split,
+        synthesize_sections,
+    )
+
+    # doc 7: 1 + 7 % 3 = 2 sections of 6 tokens (one 6-token line each),
+    # plus the doc_id % 7 == 0 unheaded preamble
+    df = spark.createDataFrame(
+        [(7, " ".join(f"t{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    got = {
+        r.section_idx: (r.heading, r.n_lines, r.n_tokens)
+        for r in section_split(synthesize_sections(df)).collect()
+    }
+    assert got == {
+        0: (None, 1, 3),              # 'unheaded preamble text'
+        1: ("HEADING 1 1", 1, 6),
+        2: ("HEADING 2 1", 1, 6),
+    }

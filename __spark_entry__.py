@@ -1014,6 +1014,53 @@ def _section_split(spark, sf_dir):
     return section_split(synthesize_sections(_t(spark, sf_dir, "documents")))
 
 
+def _keyword_rake(spark, sf_dir):
+    """RAKE keyword extraction per document: phrases split at the
+    stopword boundaries, words scored degree/freq over the phrase
+    co-occurrence graph, top-3 distinct phrases by summed word score."""
+    from pdf_extractor_spark.operators.keywords import keyword_rake
+
+    return keyword_rake(_t_wide(spark, sf_dir, "documents"))
+
+
+def _reverse_search(spark, sf_dir):
+    """Percolator-style stored-query matching: five standing conjunctive
+    term queries (STORED_QUERIES index state) matched against every
+    document's token set; per query, match count + smallest doc id."""
+    from pdf_extractor_spark.operators.keywords import reverse_search
+
+    return reverse_search(_t_wide(spark, sf_dir, "documents"))
+
+
+def _sentence_segment(spark, sf_dir):
+    """Rule-based sentence segmentation stats over a deterministically
+    punctuated corpus (abbreviation trap 'Dr.' at i%17==0, '.' at i%5==4,
+    '?' at i%11==7): sentence counts, mean length, the C4/Gopher-style
+    short-sentence fraction, and the unterminated-tail flag."""
+    from pdf_extractor_spark.operators.textstats import (
+        sentence_segment,
+        synthesize_sentences,
+    )
+
+    return sentence_segment(
+        synthesize_sentences(_t_wide(spark, sf_dir, "documents"))
+    )
+
+
+def _badword_filter(spark, sf_dir):
+    """Wordlist safety filter with leetspeak normalization over a
+    deterministically obfuscated corpus (tokens at i%13==0 leetified):
+    normalize-then-match, drop docs whose flagged fraction >= 0.08."""
+    from pdf_extractor_spark.operators.curation import (
+        badword_filter,
+        synthesize_obfuscation,
+    )
+
+    return badword_filter(
+        synthesize_obfuscation(_t_wide(spark, sf_dir, "documents"))
+    )
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -3643,6 +3690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "header_footer_strip": _header_footer_strip,
         "quality_percentile": _quality_percentile,
         "section_split": _section_split,
+        "keyword_rake": _keyword_rake,
+        "reverse_search": _reverse_search,
+        "sentence_segment": _sentence_segment,
+        "badword_filter": _badword_filter,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -7722,6 +7773,153 @@ SELECT doc_id, section_idx,
            ELSE len(regexp_split_to_array(line, '\\s+')) END) AS BIGINT)
     AS n_tokens
 FROM numbered GROUP BY doc_id, section_idx
+"""
+    # keyword_rake / reverse_search: the stopword set and the standing
+    # queries are embedded from the SAME Python literals the Spark
+    # operator uses (keywords.RAKE_STOPWORDS / STORED_QUERIES), so the
+    # two sides cannot drift.
+    from pdf_extractor_spark.operators.keywords import (
+        RAKE_STOPWORDS,
+        STORED_QUERIES,
+    )
+
+    _rake_stop = ", ".join("'" + s + "'" for s in RAKE_STOPWORDS)
+    sql["keyword_rake"] = f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                 '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents)),
+numbered AS (
+  SELECT doc_id, pos, tok, tok IN ({_rake_stop}) AS b,
+         sum(CASE WHEN tok IN ({_rake_stop}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM toks),
+members AS (
+  SELECT doc_id, phrase_id, pos, tok FROM numbered WHERE NOT b),
+wl AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+  FROM members),
+ws AS (
+  SELECT *, sum(plen) OVER (PARTITION BY doc_id, tok) * 1.0
+            / count(*) OVER (PARTITION BY doc_id, tok) AS wscore
+  FROM wl),
+phr AS (
+  SELECT doc_id, phrase_id,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         round(sum(wscore), 6) AS score
+  FROM ws GROUP BY doc_id, phrase_id),
+dist AS (SELECT doc_id, phrase, score FROM phr
+         GROUP BY doc_id, phrase, score),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, phrase ASC) AS rnk
+  FROM dist)
+SELECT doc_id, CAST(rnk AS INT) AS rank, phrase, score + 0.0 AS score
+FROM ranked WHERE rnk <= 3
+"""
+    _rs_terms = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in STORED_QUERIES
+        for t in sorted(set(terms))
+    )
+    sql["reverse_search"] = f"""
+WITH q(query_id, term) AS (VALUES {_rs_terms}),
+qn AS (SELECT query_id, CAST(count(DISTINCT term) AS INT) AS n_terms
+       FROM q GROUP BY query_id),
+dt AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_distinct(
+      list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                  t -> t <> ''))) AS term
+  FROM documents),
+hits AS (
+  SELECT d.doc_id, q.query_id, count(DISTINCT d.term) AS m
+  FROM dt d JOIN q ON d.term = q.term GROUP BY 1, 2),
+fullh AS (
+  SELECT h.doc_id, h.query_id FROM hits h
+  JOIN qn USING (query_id) WHERE h.m = qn.n_terms)
+SELECT qn.query_id, qn.n_terms,
+       CAST(count(f.doc_id) AS BIGINT) AS n_docs,
+       CAST(min(f.doc_id) AS BIGINT) AS first_doc
+FROM qn LEFT JOIN fullh f USING (query_id)
+GROUP BY qn.query_id, qn.n_terms
+"""
+    # sentence_segment: re-applies the synthesis rules directly on token
+    # positions (added punctuation never contains whitespace, so
+    # rebuild-join-resplit and direct application are equivalent), then
+    # the same exclusive running-sum segmentation.
+    from pdf_extractor_spark.operators.textstats import (
+        SENTENCE_ABBREVIATIONS,
+    )
+
+    _abbr = ", ".join("'" + a + "'" for a in SENTENCE_ABBREVIATIONS)
+    sql["sentence_segment"] = f"""
+WITH tk AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos1, unnest(t) AS tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                 '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents)),
+syn AS (
+  SELECT doc_id, pos1,
+    CASE WHEN (pos1 - 1) % 17 = 0 THEN 'Dr.'
+         WHEN (pos1 - 1) % 5 = 4 THEN tok || '.'
+         WHEN (pos1 - 1) % 11 = 7 THEN tok || '?'
+         ELSE tok END AS tok
+  FROM tk),
+marked AS (
+  SELECT doc_id, pos1, tok,
+    (regexp_matches(tok, '[.?!]$') AND tok NOT IN ({_abbr})) AS e
+  FROM syn),
+numbered AS (
+  SELECT *, coalesce(sum(CASE WHEN e THEN 1 ELSE 0 END) OVER
+    (PARTITION BY doc_id ORDER BY pos1
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_idx
+  FROM marked),
+sents AS (
+  SELECT doc_id, sent_idx, count(*) AS n_tok,
+         max(CASE WHEN e THEN 1 ELSE 0 END) AS term
+  FROM numbered GROUP BY doc_id, sent_idx)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+  round(avg(n_tok), 6) + 0.0 AS avg_tokens,
+  round(sum(CASE WHEN n_tok < 4 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    + 0.0 AS short_frac,
+  CAST(sum(1 - term) AS BIGINT) AS unterminated
+FROM sents GROUP BY doc_id
+"""
+    # badword_filter: identical leet obfuscation at (pos-1) % 13 == 0,
+    # identical normalize-then-match; blocklist embedded from the SAME
+    # Python literal (curation.BADWORDS).
+    from pdf_extractor_spark.operators.curation import BADWORDS
+
+    _bw = ", ".join("'" + b + "'" for b in BADWORDS)
+    sql["badword_filter"] = f"""
+WITH tk AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos1, unnest(t) AS tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                 '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents)),
+ob AS (
+  SELECT doc_id,
+    CASE WHEN (pos1 - 1) % 13 = 0
+         THEN translate(tok, 'oieas', '01345') ELSE tok END AS tok
+  FROM tk),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN translate(lower(tok), '01345', 'oieas')
+                       IN ({_bw}) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_flagged
+  FROM ob GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_flagged,
+  round(n_flagged * 1.0 / n_tokens, 6) + 0.0 AS flagged_frac,
+  round(n_flagged * 1.0 / n_tokens, 6) < 0.08 AS keep
+FROM agg WHERE n_tokens > 0
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

@@ -2444,3 +2444,77 @@ def pareto_frontier(
     return scored.where(keep).select(
         "lang", "doc_id", "n_chars", "score"
     )
+
+
+# Stand-in safety blocklist (index state): real deployments swap in a
+# per-language wordlist; the match/normalize semantics are what's tested.
+BADWORDS: tuple[str, ...] = ("slow", "big")
+
+# leetspeak digit <-> letter table used by both the obfuscation synthesis
+# and the filter's normalization (translate is columnar on both engines).
+_LEET_LETTERS = "oieas"
+_LEET_DIGITS = "01345"
+
+
+def synthesize_obfuscation(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, otext) — deterministic leetspeak obfuscation: tokens at
+    positions ≡ 0 (mod 13) get o→0 i→1 e→3 a→4 s→5, the classic filter
+    evasion a blocklist must normalize away. Pure transform/translate so
+    the DuckDB oracle rebuilds the identical string."""
+    toks = F.split(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+    )
+    otext = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i % 13 == 0, F.translate(t, _LEET_LETTERS, _LEET_DIGITS)
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    return df.select(F.col(id_col), otext.alias("otext"))
+
+
+def badword_filter(
+    df: DataFrame,
+    text_col: str = "otext",
+    id_col: str = "doc_id",
+    badwords: tuple[str, ...] = BADWORDS,
+    max_frac: float = 0.08,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_flagged, flagged_frac, keep) — wordlist
+    safety filter with obfuscation normalization: each token is
+    lowercased and leet-normalized (0→o 1→i 3→e 4→a 5→s) before the
+    blocklist membership test; documents whose flagged-token fraction
+    reaches `max_frac` are dropped (keep = false). The normalize-then-
+    match shape is the standard public blocklist-filter design (e.g.
+    the C4 badwords step).
+
+    Scale: fully columnar — one filter+aggregate per doc over the token
+    array (no explode, no join, no UDF); the blocklist rides the plan as
+    an IN-list. Zero shuffles beyond the per-doc aggregate.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    norm = lambda t: F.translate(F.lower(t), _LEET_DIGITS, _LEET_LETTERS)
+    flagged = F.filter(toks, lambda t: norm(t).isin(*badwords))
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(flagged).cast("long").alias("n_flagged"),
+    ).where(F.col("n_tokens") > 0)
+    frac = F.round(F.col("n_flagged") / F.col("n_tokens"), 6)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_flagged",
+        (frac + 0.0).alias("flagged_frac"),
+        (frac < max_frac).alias("keep"),
+    )

@@ -1,0 +1,185 @@
+"""Keyword extraction and stored-query matching over the document corpus.
+
+Two classic text-pipeline operators, both fully columnar (no Python UDF):
+
+  * keyword_rake    — RAKE (Rapid Automatic Keyword Extraction, Rose et
+                      al. 2010, public knowledge): split each document
+                      into candidate phrases at stopword boundaries,
+                      score words by degree/frequency over the phrase
+                      co-occurrence graph, rank phrases by the sum of
+                      their word scores. The per-document keyword signal
+                      every corpus-curation dashboard wants next to
+                      tf-idf (tfidf_top_terms is the corpus-level twin).
+  * reverse_search  — percolator-style stored-query matching: a small
+                      set of standing conjunctive term queries is matched
+                      against every document (the inverse of phrase
+                      search — queries are the index, documents are the
+                      stream). The alerting primitive of a continuously
+                      ingested corpus ("tell me when a doc mentioning X
+                      and Y arrives").
+
+Scale design: RAKE is entirely per-document — posexplode + windows +
+groupBys all keyed by doc_id, so the whole operator rides ONE hash
+shuffle on the document key (the same partitioning the rest of the
+pipeline uses; AQE handles stragglers). reverse_search broadcasts the
+stored-query term table (standing queries are small by construction —
+thousands, not billions) and joins it against per-doc DISTINCT terms, so
+the join input is bounded by per-doc vocabulary, not token count; the
+single shuffle is the (doc, query) match-count aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# RAKE phrase delimiters. The synthetic corpus's function words; a real
+# deployment swaps in a full stopword list per language (lang_id upstream).
+RAKE_STOPWORDS: tuple[str, ...] = ("a", "the")
+
+# Standing conjunctive queries (index state, like textstats.WORDPIECE_VOCAB):
+# (query_id, terms). A document matches when it contains EVERY term.
+STORED_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("spark", "join")),
+    (2, ("window", "merge", "batch")),
+    (3, ("slow", "fast", "query")),
+    (4, ("vector",)),
+    (5, ("spark", "nosuchterm")),  # can never match — the zero-row case
+)
+
+
+def _doc_phrases(
+    df: DataFrame, text_col: str, id_col: str, stopwords: tuple[str, ...]
+) -> DataFrame:
+    """(doc_id, phrase_id, pos, tok) — candidate-phrase membership: tokens
+    between stopword boundaries share a phrase_id; stopwords themselves
+    are dropped after numbering."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    is_stop = F.col("tok").isin(*stopwords)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("_b", is_stop)
+        .withColumn("phrase_id", F.sum(F.col("_b").cast("int")).over(w))
+        .where(~F.col("_b"))
+        .drop("_b")
+    )
+
+
+def keyword_rake(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    top_k: int = 3,
+) -> DataFrame:
+    """(doc_id, rank, phrase, score) — RAKE keywords per document.
+
+    Candidate phrases are maximal stopword-free token runs. Within a
+    document, word freq = occurrences across all phrases, word degree =
+    sum of the lengths of the phrases each occurrence sits in (the
+    classic degree = co-occurrence-graph degree + self), word score =
+    degree / freq, phrase score = sum of member word scores (repeated
+    members count each occurrence, per the original formulation). The
+    top_k DISTINCT phrase strings per doc are ranked by (score desc,
+    phrase asc); a phrase string occurring twice scores identically both
+    times, so distinctness is well-defined. Scores are rounded to 6
+    decimals to keep the cross-engine comparison float-stable.
+    """
+    members = _doc_phrases(df, text_col, id_col, stopwords)
+    # phrase length rides every member row (window, not a join)
+    wp = Window.partitionBy(id_col, "phrase_id")
+    members = members.withColumn("plen", F.count("*").over(wp))
+    # per-(doc, word): freq and degree
+    ww = Window.partitionBy(id_col, "tok")
+    scored = members.withColumn(
+        "wscore",
+        F.sum("plen").over(ww) / F.count("*").over(ww),
+    )
+    phrases = scored.groupBy(id_col, "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.round(F.sum("wscore"), 6).alias("score"),
+    )
+    distinct = phrases.groupBy(id_col, "phrase", "score").agg(
+        F.count("*").alias("_n")
+    )
+    wr = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        distinct.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "rank", "phrase", (F.col("score") + 0.0).alias("score"))
+    )
+
+
+def reverse_search(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = STORED_QUERIES,
+) -> DataFrame:
+    """(query_id, n_terms, n_docs, first_doc) — how many documents match
+    each standing conjunctive query, plus the smallest matching doc id
+    (NULL when nothing matches; every query emits a row).
+
+    Match semantics: doc matches iff its token SET contains every query
+    term. The term table is broadcast (standing queries are small), the
+    document side explodes array_distinct(tokens) — bounded by per-doc
+    vocabulary — and a (doc, query) distinct-term count equal to the
+    query's arity is a full conjunctive hit. One shuffle.
+    """
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [
+            (qid, t, len(set(terms)))
+            for qid, terms in queries
+            for t in set(terms)
+        ],
+        "query_id int, term string, n_terms int",
+    )
+    qdim = spark.createDataFrame(
+        [(qid, len(set(terms))) for qid, terms in queries],
+        "query_id int, n_terms int",
+    )
+    doc_terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+            )
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    hits = (
+        doc_terms.join(F.broadcast(qterms), "term")
+        .groupBy(id_col, "query_id", "n_terms")
+        .agg(F.count("*").alias("_matched"))
+        .where(F.col("_matched") == F.col("n_terms"))
+    )
+    per_query = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min(id_col).alias("first_doc"),
+    )
+    return (
+        qdim.join(per_query, "query_id", "left")
+        .select(
+            "query_id",
+            "n_terms",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.col("first_doc").cast("long"),
+        )
+    )

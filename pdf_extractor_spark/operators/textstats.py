@@ -1488,3 +1488,86 @@ def quality_percentile(
     return df.select(id_col, group_col, score_col).join(
         ranked, [group_col, score_col]
     ).select(id_col, group_col, score_col, "pct_rank")
+
+
+# Known abbreviations whose trailing '.' does NOT end a sentence — the
+# classic rule-based sentence-boundary guard (public knowledge; every
+# Punkt-style segmenter ships such a list).
+SENTENCE_ABBREVIATIONS: tuple[str, ...] = ("Dr.", "Mr.", "e.g.", "i.e.")
+
+
+def synthesize_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, stext) — deterministic sentence-punctuated corpus: token
+    at position i (0-based) becomes 'Dr.' when i % 17 == 0 (the
+    abbreviation trap a segmenter must NOT split at), gains '.' when
+    i % 5 == 4, gains '?' when i % 11 == 7; the final token is usually
+    unpunctuated, producing the unterminated-tail case. Pure transform /
+    concat so the DuckDB oracle rebuilds the identical string."""
+    stext = F.array_join(
+        F.transform(
+            tokens_col(F.col(text_col)),
+            lambda t, i: F.when(i % 17 == 0, F.lit("Dr."))
+            .when(i % 5 == 4, F.concat(t, F.lit(".")))
+            .when(i % 11 == 7, F.concat(t, F.lit("?")))
+            .otherwise(t),
+        ),
+        " ",
+    )
+    return df.select(F.col(id_col), stext.alias("stext"))
+
+
+def sentence_segment(
+    df: DataFrame,
+    text_col: str = "stext",
+    id_col: str = "doc_id",
+    abbreviations: tuple[str, ...] = SENTENCE_ABBREVIATIONS,
+    short_tokens: int = 4,
+) -> DataFrame:
+    """(doc_id, n_sentences, avg_tokens, short_frac, unterminated) —
+    rule-based sentence segmentation stats: a token ENDS a sentence when
+    it ends with [.?!] and is not a known abbreviation. n_sentences
+    counts the segments; avg_tokens is mean tokens per sentence;
+    short_frac is the fraction of sentences with fewer than
+    `short_tokens` tokens (the C4/Gopher-style too-short-sentence
+    quality signal); unterminated counts trailing segments with no
+    sentence-ending token (0 or 1 per doc).
+
+    Scale: posexplode + ONE exclusive running-sum window + two groupBys,
+    all keyed by doc_id — a single hash shuffle on the document key.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    is_end = F.col("tok").rlike(r"[.?!]$") & ~F.col("tok").isin(
+        *abbreviations
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = toks.withColumn("_e", is_end).withColumn(
+        "sent_idx",
+        F.coalesce(F.sum(F.col("_e").cast("int")).over(w), F.lit(0)),
+    )
+    sents = marked.groupBy(id_col, "sent_idx").agg(
+        F.count("*").alias("n_tok"),
+        F.max(F.col("_e").cast("int")).alias("term"),
+    )
+    return sents.groupBy(id_col).agg(
+        F.count("*").alias("n_sentences"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        F.round(
+            F.sum((F.col("n_tok") < short_tokens).cast("int"))
+            / F.count("*"),
+            6,
+        ).alias("short_frac"),
+        F.sum(F.lit(1) - F.col("term")).cast("long").alias("unterminated"),
+    )

@@ -1061,6 +1061,45 @@ def _badword_filter(spark, sf_dir):
     )
 
 
+def _assoc_rules(spark, sf_dir):
+    """Apriori association rules over documents-as-baskets: frequent
+    token pairs at support >= 1/5, both directional rules, top-20 by
+    lift with deterministic tie-breaks."""
+    from pdf_extractor_spark.operators.keywords import assoc_rules
+
+    return assoc_rules(_t_wide(spark, sf_dir, "documents"))
+
+
+def _quote_extract(spark, sf_dir):
+    """Quotation-span extraction over a deterministically quoted corpus
+    (every 19th token opens a 3-token quote; truncated tails stay
+    unclosed and must not match)."""
+    from pdf_extractor_spark.operators.layout import (
+        quote_extract,
+        synthesize_quotes,
+    )
+
+    return quote_extract(synthesize_quotes(_t_wide(spark, sf_dir, "documents")))
+
+
+def _sample_alloc(spark, sf_dir):
+    """Largest-remainder (Hamilton) allocation of a 100-doc eval budget
+    across (lang, source) strata — all-integer arithmetic, quotas sum to
+    the budget exactly."""
+    from pdf_extractor_spark.operators.curation import sample_alloc
+
+    return sample_alloc(_t(spark, sf_dir, "documents"))
+
+
+def _time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: per user the first view and the
+    first strictly-later purchase, integer-microsecond deltas, median and
+    p90 seconds over converted users."""
+    from pdf_extractor_spark.operators.events import time_to_convert
+
+    return time_to_convert(_t(spark, sf_dir, "events"))
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -3694,6 +3733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_search": _reverse_search,
         "sentence_segment": _sentence_segment,
         "badword_filter": _badword_filter,
+        "assoc_rules": _assoc_rules,
+        "quote_extract": _quote_extract,
+        "sample_alloc": _sample_alloc,
+        "time_to_convert": _time_to_convert,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -7920,6 +7963,127 @@ SELECT doc_id, n_tokens, n_flagged,
   round(n_flagged * 1.0 / n_tokens, 6) + 0.0 AS flagged_frac,
   round(n_flagged * 1.0 / n_tokens, 6) < 0.08 AS keep
 FROM agg WHERE n_tokens > 0
+"""
+    # assoc_rules: same Apriori shape; the support threshold is integer
+    # cross-multiplication (n * den >= N * num) on both engines.
+    sql["assoc_rules"] = """
+WITH items AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_distinct(
+      list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                  t -> t <> ''))) AS tok
+  FROM documents),
+tot AS (SELECT count(DISTINCT doc_id) AS n_total FROM items),
+freq AS (
+  SELECT tok, count(*) AS n_tok FROM items GROUP BY tok
+  HAVING count(*) * 5 >= (SELECT n_total FROM tot) * 1),
+fitems AS (
+  SELECT i.doc_id, i.tok, f.n_tok FROM items i JOIN freq f USING (tok)),
+pairs AS (
+  SELECT a.tok AS a, a.n_tok AS n_a, b.tok AS b, b.n_tok AS n_b,
+         count(*) AS n_pair
+  FROM fitems a JOIN fitems b
+    ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) * 5 >= (SELECT n_total FROM tot) * 1),
+rules AS (
+  SELECT a AS antecedent, b AS consequent, n_pair, n_a AS n_ante,
+         n_b AS n_cons FROM pairs
+  UNION ALL
+  SELECT b, a, n_pair, n_b, n_a FROM pairs),
+scored AS (
+  SELECT antecedent, consequent, CAST(n_pair AS BIGINT) AS n_pair,
+         CAST(n_ante AS BIGINT) AS n_ante, CAST(n_cons AS BIGINT) AS n_cons,
+         round(n_pair * 1.0 / n_ante, 6) + 0.0 AS confidence,
+         round(n_pair * (SELECT n_total FROM tot) * 1.0
+               / (n_ante * n_cons), 6) + 0.0 AS lift
+  FROM rules),
+ranked AS (
+  SELECT *, row_number() OVER
+    (ORDER BY lift DESC, antecedent, consequent) AS rnk
+  FROM scored)
+SELECT CAST(rnk AS INT) AS rank, antecedent, consequent, n_pair, n_ante,
+       n_cons, confidence, lift
+FROM ranked WHERE rnk <= 20
+"""
+    # quote_extract: identical quote synthesis at (pos-1) % 19, then the
+    # same regex — unclosed tails must not match on either engine.
+    sql["quote_extract"] = """
+WITH tk AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos1, unnest(t) AS tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                 '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents)),
+syn AS (
+  SELECT doc_id, pos1,
+    (CASE WHEN (pos1 - 1) % 19 = 0 THEN '"' ELSE '' END) || tok ||
+    (CASE WHEN (pos1 - 1) % 19 = 2 THEN '"' ELSE '' END) AS tok
+  FROM tk),
+docs2 AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos1) AS qtext
+  FROM syn GROUP BY doc_id),
+ext AS (
+  SELECT doc_id, regexp_extract_all(qtext, '"([^"]*)"', 1) AS qs
+  FROM docs2),
+counted AS (
+  SELECT doc_id, qs,
+    list_transform(qs, q -> CASE WHEN trim(q) = '' THEN 0
+      ELSE len(regexp_split_to_array(trim(q), '\\s+')) END) AS qt
+  FROM ext)
+SELECT doc_id, CAST(len(qs) AS BIGINT) AS n_quotes,
+  CAST(coalesce(list_sum(qt), 0) AS BIGINT) AS quoted_tokens,
+  CAST(coalesce(list_max(qt), 0) AS BIGINT) AS max_quote_tokens
+FROM counted
+"""
+    # sample_alloc: all-integer Hamilton allocation — base via integer
+    # division, leftover seats by remainder rank.
+    sql["sample_alloc"] = """
+WITH strata AS (
+  SELECT lang, source, count(doc_id) AS n_docs
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT sum(n_docs) AS N FROM strata),
+based AS (
+  SELECT lang, source, n_docs,
+         (100 * n_docs) // N AS base,
+         (100 * n_docs) % N AS rem
+  FROM strata, tot),
+lo AS (SELECT 100 - sum(base) AS leftover FROM based),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rnk
+  FROM based)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(base + CASE WHEN rnk <= (SELECT leftover FROM lo)
+              THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM ranked
+"""
+    # time_to_convert: integer-microsecond deltas (epoch_us ==
+    # unix_micros), interpolated quantiles over converted users.
+    sql["time_to_convert"] = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           AS first_from
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id),
+base AS (SELECT * FROM f WHERE first_from IS NOT NULL),
+conv AS (
+  SELECT e.user_id, min(epoch_us(e.ts) - b.first_from) AS delta_us
+  FROM events e JOIN base b USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.first_from
+  GROUP BY e.user_id),
+agg AS (
+  SELECT count(*) AS n_converted,
+         round(quantile_cont(delta_us, 0.5) / 1000000, 6) AS median_s,
+         round(quantile_cont(delta_us, 0.9) / 1000000, 6) AS p90_s
+  FROM conv)
+SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_from_users,
+  CAST(n_converted AS BIGINT) AS n_converted,
+  round(n_converted * 1.0 / (SELECT count(*) FROM base), 6) + 0.0
+    AS conv_rate,
+  median_s + 0.0 AS median_s, p90_s + 0.0 AS p90_s
+FROM agg
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

@@ -2518,3 +2518,58 @@ def badword_filter(
         (frac + 0.0).alias("flagged_frac"),
         (frac < max_frac).alias("keep"),
     )
+
+
+def sample_alloc(
+    df: DataFrame,
+    strata_cols: tuple[str, str] = ("lang", "source"),
+    id_col: str = "doc_id",
+    budget: int = 100,
+) -> DataFrame:
+    """(lang, source, n_docs, quota) — largest-remainder (Hamilton)
+    integer allocation of an evaluation-sample budget across strata,
+    proportional to stratum size: base = floor(budget * n / N) per
+    stratum, then the leftover seats go to the strata with the largest
+    integer remainders (budget * n mod N), ties broken by stratum key
+    ascending. Σ quota == budget exactly — the property naive
+    round(budget * n / N) does NOT have, and the reason every
+    stratified-eval sampler uses this method. All-integer arithmetic, so
+    the cross-engine comparison is exact.
+
+    Scale: one groupBy over the strata (the only data-sized shuffle);
+    the allocation itself runs on the stratum table — bounded domain
+    (languages x sources, thousands at most), so the single-partition
+    ranking window is over a tiny table, never over documents.
+    """
+    a, b = strata_cols
+    strata = df.groupBy(a, b).agg(F.count(id_col).alias("n_docs"))
+    tot = Window.partitionBy()
+    withbase = strata.select(
+        a,
+        b,
+        "n_docs",
+        F.sum("n_docs").over(tot).alias("_N"),
+    ).select(
+        a,
+        b,
+        "n_docs",
+        F.expr(f"({budget} * n_docs) div _N").alias("_base"),
+        F.expr(f"({budget} * n_docs) % _N").alias("_rem"),
+    )
+    wr = Window.orderBy(F.col("_rem").desc(), F.col(a), F.col(b))
+    leftover = Window.partitionBy()
+    return (
+        withbase.withColumn("_rank", F.row_number().over(wr))
+        .withColumn("_left", F.lit(budget) - F.sum("_base").over(leftover))
+        .select(
+            a,
+            b,
+            F.col("n_docs").cast("long"),
+            (
+                F.col("_base")
+                + F.when(F.col("_rank") <= F.col("_left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

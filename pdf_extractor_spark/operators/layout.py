@@ -432,3 +432,74 @@ def section_split(
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+def synthesize_quotes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    period: int = 19,
+    quote_tokens: int = 3,
+) -> DataFrame:
+    """(doc_id, qtext) — deterministic quoted corpus: every `period`-th
+    token opens a quotation spanning `quote_tokens` tokens ('"' glued to
+    the opening token's front and the closing token's back). A document
+    whose tail cuts a quotation short leaves an UNCLOSED quote — the
+    degenerate case an extractor must not match. Pure transform/concat
+    so the DuckDB oracle rebuilds the identical string."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    qtext = F.array_join(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda t, i: F.concat(
+                F.when(i % period == 0, F.lit('"')).otherwise(F.lit("")),
+                t,
+                F.when(
+                    i % period == quote_tokens - 1, F.lit('"')
+                ).otherwise(F.lit("")),
+            ),
+        ),
+        " ",
+    )
+    return df.select(F.col(id_col), qtext.alias("qtext"))
+
+
+def quote_extract(
+    df: DataFrame,
+    text_col: str = "qtext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_quotes, quoted_tokens, max_quote_tokens) — quotation
+    extraction: the spans between balanced double-quote pairs, the
+    attribution/citation primitive of news-corpus curation. Unclosed
+    trailing quotes never match (regex requires the closing '"').
+
+    Scale: one regexp_extract_all + array folds per row — no explode,
+    no join, no shuffle; the aggregate shape every per-doc textstat
+    uses. Empty-text docs emit (0, 0, 0) rather than vanishing.
+    """
+    quotes = F.expr(
+        f"regexp_extract_all({text_col}, '\"([^\"]*)\"', 1)"
+    )
+    qtoks = F.transform(
+        quotes,
+        lambda q: F.when(F.trim(q) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(q), r"\s+"))
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(quotes).cast("long").alias("n_quotes"),
+        F.coalesce(
+            F.aggregate(qtoks, F.lit(0), lambda acc, x: acc + x), F.lit(0)
+        )
+        .cast("long")
+        .alias("quoted_tokens"),
+        F.coalesce(F.array_max(qtoks), F.lit(0))
+        .cast("long")
+        .alias("max_quote_tokens"),
+    )

@@ -1100,6 +1100,44 @@ def _time_to_convert(spark, sf_dir):
     return time_to_convert(_t(spark, sf_dir, "events"))
 
 
+def _luhn_scan(spark, sf_dir):
+    """Payment-card PII detection over deterministically seeded digit
+    runs: doc_id % 4 selects valid-Luhn / invalid-Luhn / too-short / no
+    digits; candidates are 13-19 digit runs, validity is the mod-10
+    checksum — both computed columnar (array fold, no UDF)."""
+    from pdf_extractor_spark.operators.curation import (
+        luhn_scan,
+        synthesize_pans,
+    )
+
+    return luhn_scan(synthesize_pans(_t_wide(spark, sf_dir, "documents")))
+
+
+def _cusum_changepoint(spark, sf_dir):
+    """One-sided CUSUM drift detection on the daily event-count series,
+    all-integer (residuals scaled by n_days), earliest-peak alarm day."""
+    from pdf_extractor_spark.operators.events import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+def _event_paths(spark, sf_dir):
+    """Top-10 3-step event-type paths across users (the Sankey feed),
+    microsecond-ordered with event_id tie-breaks."""
+    from pdf_extractor_spark.operators.events import event_paths
+
+    return event_paths(_t(spark, sf_dir, "events"))
+
+
+def _rfm_segments(spark, sf_dir):
+    """RFM purchase segmentation: recency/frequency/monetary ntile(5)
+    tiers under fully deterministic orderings (monetary in exact integer
+    cents), rolled up per segment."""
+    from pdf_extractor_spark.operators.events import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "events"))
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -3737,6 +3775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_extract": _quote_extract,
         "sample_alloc": _sample_alloc,
         "time_to_convert": _time_to_convert,
+        "luhn_scan": _luhn_scan,
+        "cusum_changepoint": _cusum_changepoint,
+        "event_paths": _event_paths,
+        "rfm_segments": _rfm_segments,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -8084,6 +8126,119 @@ SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_from_users,
     AS conv_rate,
   median_s + 0.0 AS median_s, p90_s + 0.0 AS p90_s
 FROM agg
+"""
+    # luhn_scan: identical PAN synthesis ('4' + 14 id-derived digits +
+    # computed check digit), identical mod-10 fold via DuckDB's indexed
+    # list lambda (1-based index == position from the right after
+    # reverse).
+    sql["luhn_scan"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         '4' || lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR),
+                     14, '0') AS b15
+  FROM documents),
+chk AS (
+  SELECT doc_id, text, b15,
+    (10 - list_sum(
+       list_transform(regexp_split_to_array(reverse(b15), ''),
+         (d, i) -> CASE WHEN i % 2 = 1
+                        THEN 2 * CAST(d AS INT)
+                             - CASE WHEN CAST(d AS INT) >= 5
+                                    THEN 9 ELSE 0 END
+                        ELSE CAST(d AS INT) END)) % 10) % 10 AS c
+  FROM base),
+syn AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text || ' ' || b15 || CAST(c AS VARCHAR)
+         WHEN doc_id % 4 = 1
+           THEN text || ' ' || b15 || CAST((c + 1) % 10 AS VARCHAR)
+         WHEN doc_id % 4 = 2 THEN text || ' 123'
+         ELSE text END AS ptext
+  FROM chk),
+cands AS (
+  SELECT doc_id,
+         regexp_extract_all(ptext, '[0-9]{13,19}') AS cs
+  FROM syn)
+SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_candidates,
+  CAST(len(list_filter(cs, s ->
+    list_sum(
+      list_transform(regexp_split_to_array(reverse(s), ''),
+        (d, i) -> CASE WHEN i % 2 = 0
+                       THEN 2 * CAST(d AS INT)
+                            - CASE WHEN CAST(d AS INT) >= 5
+                                   THEN 9 ELSE 0 END
+                       ELSE CAST(d AS INT) END)) % 10 = 0))
+    AS BIGINT) AS n_luhn_valid
+FROM cands
+"""
+    # cusum_changepoint: the same integer-scaled recursion via a
+    # recursive CTE over the day index; earliest peak wins ties, flat
+    # series (peak 0) yields a NULL alarm date.
+    sql["cusum_changepoint"] = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1),
+m AS (SELECT count(*) AS n_days, sum(x) AS total FROM daily),
+numbered AS (
+  SELECT d, x, row_number() OVER (ORDER BY d) AS i FROM daily),
+rec AS (
+  SELECT i, d,
+    GREATEST(CAST(0 AS HUGEINT),
+             (SELECT n_days FROM m) * x - (SELECT total FROM m)) AS s
+  FROM numbered WHERE i = 1
+  UNION ALL
+  SELECT n.i, n.d,
+    GREATEST(CAST(0 AS HUGEINT),
+             r.s + (SELECT n_days FROM m) * n.x - (SELECT total FROM m))
+  FROM rec r JOIN numbered n ON n.i = r.i + 1),
+peak AS (SELECT max(s) AS smax FROM rec)
+SELECT CAST((SELECT n_days FROM m) AS BIGINT) AS n_days,
+  CAST((SELECT total FROM m) AS BIGINT) AS total,
+  CAST(CASE WHEN (SELECT smax FROM peak) > 0
+            THEN (SELECT smax FROM peak) ELSE 0 END AS BIGINT)
+    AS max_cusum_scaled,
+  CAST((SELECT min(d) FROM rec WHERE s = (SELECT smax FROM peak)
+        AND (SELECT smax FROM peak) > 0) AS VARCHAR) AS alarm_date
+"""
+    # event_paths: same lead-window triples, same (count desc, path asc)
+    # ranking.
+    sql["event_paths"] = """
+WITH trip AS (
+  SELECT event_type AS e0,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+counts AS (
+  SELECT e0 || '>' || e1 || '>' || e2 AS path, count(*) AS n
+  FROM trip WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+  GROUP BY 1),
+ranked AS (
+  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rnk
+  FROM counts)
+SELECT CAST(rnk AS INT) AS rank, path, CAST(n AS BIGINT) AS n
+FROM ranked WHERE rnk <= 10
+"""
+    # rfm_segments: identical integer-cents rollup and deterministic
+    # ntile orderings (metric, then user_id).
+    sql["rfm_segments"] = """
+WITH pu AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS freq,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+ref AS (SELECT max(last_us) AS ref_us FROM pu),
+tiered AS (
+  SELECT user_id, cents,
+    ntile(5) OVER (ORDER BY ((SELECT ref_us FROM ref) - last_us)
+                            // 86400000000, user_id)
+      AS r_tier,
+    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_tier,
+    ntile(5) OVER (ORDER BY cents DESC, user_id) AS m_tier
+  FROM pu)
+SELECT CAST(r_tier AS INT) AS r_tier, CAST(f_tier AS INT) AS f_tier,
+  CAST(m_tier AS INT) AS m_tier,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(cents) AS BIGINT) AS total_cents
+FROM tiered GROUP BY 1, 2, 3
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

@@ -2573,3 +2573,80 @@ def sample_alloc(
             .alias("quota"),
         )
     )
+
+
+def _luhn_terms(digits: "F.Column", double_odd: bool) -> "F.Column":
+    """Luhn weighted digit sum over a digit-string column: positions are
+    1-based FROM THE RIGHT; `double_odd` selects which parity doubles
+    (odd for check-digit synthesis over a base number, even for
+    validation of a full number). Doubled digits >= 5 subtract 9 — the
+    classic casting-out trick."""
+    rev = F.split(F.reverse(digits), "(?!$)")
+    parity = 1 if double_odd else 0
+    weighted = F.zip_with(
+        rev,
+        F.sequence(F.lit(1), F.size(rev)),
+        lambda d, i: F.when(
+            i % 2 == parity,
+            d.cast("int") * 2
+            - F.when(d.cast("int") >= 5, 9).otherwise(0),
+        ).otherwise(d.cast("int")),
+    )
+    return F.aggregate(weighted, F.lit(0), lambda acc, x: acc + x)
+
+
+def synthesize_pans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, ptext) — deterministic payment-card-like digit runs:
+    docs with doc_id % 4 == 0 get a VALID 16-digit Luhn number appended
+    ('4' + 14 id-derived digits + computed check digit), % 4 == 1 an
+    INVALID one (check digit + 1), % 4 == 2 a too-short run ('123', the
+    length-filter case), % 4 == 3 no digits at all."""
+    base15 = F.concat(
+        F.lit("4"),
+        F.lpad(
+            ((F.col(id_col) * 7919) % F.lit(10**14)).cast("string"),
+            14,
+            "0",
+        ),
+    )
+    check = (10 - _luhn_terms(base15, double_odd=True) % 10) % 10
+    valid = F.concat(base15, check.cast("string"))
+    invalid = F.concat(base15, ((check + 1) % 10).cast("string"))
+    ptext = F.when(
+        F.col(id_col) % 4 == 0, F.concat(F.col(text_col), F.lit(" "), valid)
+    ).when(
+        F.col(id_col) % 4 == 1,
+        F.concat(F.col(text_col), F.lit(" "), invalid),
+    ).when(
+        F.col(id_col) % 4 == 2, F.concat(F.col(text_col), F.lit(" 123"))
+    ).otherwise(F.col(text_col))
+    return df.select(F.col(id_col), ptext.alias("ptext"))
+
+
+def luhn_scan(
+    df: DataFrame,
+    text_col: str = "ptext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_candidates, n_luhn_valid) — payment-card PII detector:
+    digit runs of 13-19 characters are candidates; a candidate is a
+    plausible card number when its Luhn checksum passes (the public
+    mod-10 algorithm every card-PII scanner uses — pii_scrub's regex
+    family catches emails/phones/IPs, this adds the checksummed class).
+
+    Scale: regexp_extract_all + an array fold per row — no explode, no
+    shuffle; the same per-doc columnar shape as the other textstats.
+    """
+    cands = F.expr(
+        f"regexp_extract_all({text_col}, '[0-9]{{13,19}}', 0)"
+    )
+    valid = F.filter(cands, lambda c: _luhn_terms(c, False) % 10 == 0)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+    )

@@ -752,3 +752,141 @@ def time_to_convert(
         (F.col("median_s") + 0.0).alias("median_s"),
         (F.col("p90_s") + 0.0).alias("p90_s"),
     )
+
+
+def cusum_changepoint(df: DataFrame) -> DataFrame:
+    """One row: (n_days, total, max_cusum_scaled, alarm_date) — one-sided
+    CUSUM drift detection on the daily event-count series (Page 1954,
+    public knowledge): S_d = max(0, S_{d-1} + (x_d - mean)), alarm at the
+    day where S peaks. To keep the recursion exact across engines the
+    residual is scaled by n_days: r_d = n_days * x_d - total (integer),
+    so max_cusum_scaled is in units of count x n_days and mean never
+    becomes a float. Ties on the peak go to the earliest day.
+
+    Scale: the recursion runs over the DAILY grain — a bounded-domain
+    array fold (365 elements a year), never over events; the only
+    data-sized work is the per-day count shuffle.
+    """
+    daily = df.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s"),
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("total"),
+    )
+    fold = F.aggregate(
+        F.col("s"),
+        F.struct(
+            F.lit(0).cast("long").alias("cur"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(None).cast("date").alias("best_d"),
+        ),
+        lambda acc, e: F.struct(
+            F.greatest(
+                F.lit(0).cast("long"),
+                acc["cur"] + F.col("n_days") * e["x"] - F.col("total"),
+            ).alias("cur"),
+            F.when(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    acc["cur"] + F.col("n_days") * e["x"] - F.col("total"),
+                )
+                > acc["best"],
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    acc["cur"] + F.col("n_days") * e["x"] - F.col("total"),
+                ),
+            ).otherwise(acc["best"]).alias("best"),
+            F.when(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    acc["cur"] + F.col("n_days") * e["x"] - F.col("total"),
+                )
+                > acc["best"],
+                e["d"],
+            ).otherwise(acc["best_d"]).alias("best_d"),
+        ),
+    )
+    return series.select(
+        F.col("n_days").cast("long"),
+        F.col("total").cast("long"),
+        fold["best"].alias("max_cusum_scaled"),
+        # string, not date: the cross-engine comparison canonicalizes
+        # dates differently (date vs midnight timestamp)
+        fold["best_d"].cast("string").alias("alarm_date"),
+    )
+
+
+def event_paths(df: DataFrame, top_k: int = 10) -> DataFrame:
+    """(rank, path, n) — the top_k most common 3-step event-type paths
+    across users ('view>click>purchase' style), ordered by count desc
+    then path asc. The product-analytics Sankey feed; event_transitions
+    is the 1-step (Markov) twin. One window shuffle on user_id, one
+    count shuffle on the path string.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trip = df.select(
+        F.col("event_type").alias("e0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    ).where(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+    counts = trip.groupBy(
+        F.concat_ws(">", "e0", "e1", "e2").alias("path")
+    ).agg(F.count("*").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "path", F.col("n").cast("long"))
+    )
+
+
+def rfm_segments(df: DataFrame, tiers: int = 5) -> DataFrame:
+    """(r_tier, f_tier, m_tier, n_users, total_cents) — RFM customer
+    segmentation over purchase events: per user, Recency = whole days
+    from their last purchase to the corpus's latest purchase, Frequency
+    = purchase count, Monetary = value summed in integer CENTS (exact —
+    a float sum would make near-tie orderings engine-dependent). Each
+    dimension is ntile(`tiers`)-bucketed under a fully deterministic
+    order (metric, then user_id), tier 1 best (most recent / most
+    frequent / highest spend). Output is the segment rollup.
+
+    Scale: one shuffle on user_id for the per-user rollup; the ntile
+    windows run over the USER table (one row per user). A global sort
+    for ntile is the textbook quantile-binning cost — at 10^12 users
+    you'd swap ntile for approx-quantile boundaries; at any realistic
+    user count the sort is fine and exactness wins.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    per_user = (
+        df.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(us).alias("last_us"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    ref = per_user.agg(F.max("last_us").alias("ref_us"))
+    per_user = per_user.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        ((F.col("ref_us") - F.col("last_us")) / F.lit(86400_000_000))
+        .cast("long"),
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.col("freq").desc(), "user_id")
+    wm = Window.orderBy(F.col("cents").desc(), "user_id")
+    tiered = per_user.select(
+        "user_id",
+        "cents",
+        F.ntile(tiers).over(wr).alias("r_tier"),
+        F.ntile(tiers).over(wf).alias("f_tier"),
+        F.ntile(tiers).over(wm).alias("m_tier"),
+    )
+    return tiered.groupBy("r_tier", "f_tier", "m_tier").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

@@ -1138,6 +1138,59 @@ def _rfm_segments(spark, sf_dir):
     return rfm_segments(_t(spark, sf_dir, "events"))
 
 
+def _span_interleave_stats(spark, sf_dir):
+    """Interleaving profile of north-rule span arrays (runs, max
+    same-kind stretch, transitions) over the deterministic interleaved
+    synthesis; arrays arrive REVERSED so the offset sort is exercised."""
+    from pdf_extractor_spark.operators.multimodal import (
+        span_interleave_stats,
+        synthesize_interleaved,
+    )
+
+    return span_interleave_stats(
+        synthesize_interleaved(_t_wide(spark, sf_dir, "documents"))
+    )
+
+
+def _media_ref_integrity(spark, sf_dir):
+    """Referential-integrity audit of interleaved media spans against a
+    synthesized asset store with deterministically missing rows."""
+    from pdf_extractor_spark.operators.multimodal import (
+        media_ref_integrity,
+        synthesize_assets,
+        synthesize_interleaved,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return media_ref_integrity(
+        synthesize_interleaved(docs), synthesize_assets(docs)
+    )
+
+
+def _toc_extract(spark, sf_dir):
+    """Dotted-number outline extraction (depth = dots + 1) over the
+    deterministic TOC synthesis; plain body lines must not match."""
+    from pdf_extractor_spark.operators.layout import (
+        synthesize_toc,
+        toc_extract,
+    )
+
+    return toc_extract(synthesize_toc(_t_wide(spark, sf_dir, "documents")))
+
+
+def _footnote_link(spark, sf_dir):
+    """Footnote marker-to-definition linking with dangling markers and
+    orphan definitions, via array set algebra (no joins)."""
+    from pdf_extractor_spark.operators.layout import (
+        footnote_link,
+        synthesize_footnotes,
+    )
+
+    return footnote_link(
+        synthesize_footnotes(_t_wide(spark, sf_dir, "documents"))
+    )
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -3779,6 +3832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": _cusum_changepoint,
         "event_paths": _event_paths,
         "rfm_segments": _rfm_segments,
+        "span_interleave_stats": _span_interleave_stats,
+        "media_ref_integrity": _media_ref_integrity,
+        "toc_extract": _toc_extract,
+        "footnote_link": _footnote_link,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -8239,6 +8296,107 @@ SELECT CAST(r_tier AS INT) AS r_tier, CAST(f_tier AS INT) AS f_tier,
   CAST(count(*) AS BIGINT) AS n_users,
   CAST(sum(cents) AS BIGINT) AS total_cents
 FROM tiered GROUP BY 1, 2, 3
+"""
+    # span_interleave_stats: the oracle rebuilds the KIND sequence per
+    # offset (spans = ceil(tokens/4), media at (doc_id+i)%3==0) and
+    # derives runs via lag islands — an independent implementation of
+    # the Spark side's array fold. transitions == n_runs - 1 by
+    # construction on non-empty docs.
+    sql["span_interleave_stats"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+par AS (
+  SELECT doc_id, CAST(ceil(len(t) / 4.0) AS INT) AS ns
+  FROM tk WHERE len(t) > 0),
+kinds AS (
+  SELECT doc_id, i,
+         CASE WHEN (doc_id + i) % 3 = 0 THEN 'image' ELSE 'text' END
+           AS kind
+  FROM (SELECT doc_id, unnest(range(0, ns)) AS i FROM par)),
+lagged AS (
+  SELECT *, lag(kind) OVER (PARTITION BY doc_id ORDER BY i) AS pk
+  FROM kinds),
+runs AS (
+  SELECT *, sum(CASE WHEN pk IS NULL OR kind <> pk THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+  FROM lagged),
+runlens AS (
+  SELECT doc_id, run_id, kind, count(*) AS rl
+  FROM runs GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_spans,
+  CAST(sum(CASE WHEN kind = 'text' THEN rl ELSE 0 END) AS BIGINT)
+    AS n_text,
+  CAST(sum(CASE WHEN kind <> 'text' THEN rl ELSE 0 END) AS BIGINT)
+    AS n_media,
+  CAST(count(*) AS BIGINT) AS n_runs,
+  CAST(coalesce(max(CASE WHEN kind = 'text' THEN rl END), 0) AS BIGINT)
+    AS max_text_run,
+  CAST(coalesce(max(CASE WHEN kind <> 'text' THEN rl END), 0) AS BIGINT)
+    AS max_media_run,
+  CAST(count(*) - 1 AS BIGINT) AS transitions
+FROM runlens GROUP BY doc_id
+"""
+    # media_ref_integrity: the asset-store hole is (doc_id*31+i)%5==0,
+    # so orphan counts are derivable analytically — independent of the
+    # Spark side's explode + left join.
+    sql["media_ref_integrity"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+par AS (
+  SELECT doc_id, CAST(ceil(len(t) / 4.0) AS INT) AS ns
+  FROM tk WHERE len(t) > 0),
+media AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, unnest(range(0, ns)) AS i FROM par)
+  WHERE (doc_id + i) % 3 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media,
+  CAST(sum(CASE WHEN (doc_id * 31 + i) % 5 = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_orphans
+FROM media GROUP BY doc_id
+"""
+    # toc_extract: heading i has depth 1 + i % 3 and always parses (all
+    # number parts are single digits), so the outline stats are
+    # analytically derivable — the Spark side actually regex-parses the
+    # synthesized text.
+    sql["toc_extract"] = """
+WITH h AS (
+  SELECT doc_id, 1 + i % 3 AS depth
+  FROM (SELECT doc_id,
+               unnest(range(0, CAST(1 + doc_id % 4 AS INT))) AS i
+        FROM documents))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_entries,
+  CAST(max(depth) AS BIGINT) AS max_depth,
+  CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_top_level
+FROM h GROUP BY doc_id
+"""
+    # footnote_link: markers 1..m (m = 1 + doc_id % 3), definition n
+    # missing when (doc_id + n) % 4 == 0, orphan [9] when doc_id % 5
+    # == 0 — the set algebra collapses to modular counting.
+    sql["footnote_link"] = """
+WITH n AS (
+  SELECT doc_id, m, unnest(range(1, m + 1)) AS k
+  FROM (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS m
+        FROM documents)),
+agg AS (
+  SELECT doc_id, max(m) AS m,
+         sum(CASE WHEN (doc_id + k) % 4 <> 0 THEN 1 ELSE 0 END)
+           AS resolved
+  FROM n GROUP BY doc_id)
+SELECT doc_id, CAST(m AS BIGINT) AS n_markers,
+  CAST(resolved AS BIGINT) AS n_resolved,
+  CAST(m - resolved AS BIGINT) AS n_dangling,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_orphan_defs
+FROM agg
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

@@ -503,3 +503,162 @@ def quote_extract(
         .cast("long")
         .alias("max_quote_tokens"),
     )
+
+
+def synthesize_toc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, ttext) — deterministic dotted-number outlines: 1 +
+    doc_id % 4 heading lines; heading i (0-based) has depth 1 + i % 3,
+    numbered by joining ((doc_id + i + j) % 9 + 1) for j < depth with
+    '.', then ' Title <i>'. A plain body line follows each heading (and
+    one precedes everything) so the extractor must select, not assume."""
+    n_h = (1 + F.col(id_col) % 4).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_h - 1),
+        lambda i: F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), (i % 3).cast("int")),
+                    lambda j: ((F.col(id_col) + i + j) % 9 + 1).cast(
+                        "string"
+                    ),
+                ),
+                ".",
+            ),
+            F.lit(" Title "),
+            i.cast("string"),
+            F.lit("\nplain body text here"),
+        ),
+    )
+    ttext = F.concat(
+        F.lit("intro line\n"), F.array_join(lines, "\n")
+    )
+    return df.select(F.col(id_col), ttext.alias("ttext"))
+
+
+def toc_extract(
+    df: DataFrame,
+    text_col: str = "ttext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_entries, max_depth, n_top_level) — table-of-contents
+    extraction: lines opening with a dotted section number ('2.3.4
+    Title ...') are outline entries; depth = dot count + 1. The
+    document-outline recovery step of PDF/report parsing.
+
+    Scale: explode lines, regexp per line, per-doc aggregate — one
+    shuffle on the doc key.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line"),
+    )
+    num = F.regexp_extract(F.col("line"), r"^([0-9]+(\.[0-9]+)*) ", 1)
+    entries = lines.where(num != "").select(
+        F.col(id_col),
+        (F.size(F.split(num, r"\.")) ).cast("long").alias("depth"),
+    )
+    return entries.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_entries"),
+        F.max("depth").alias("max_depth"),
+        F.sum((F.col("depth") == 1).cast("long")).alias("n_top_level"),
+    )
+
+
+def synthesize_footnotes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, ftext) — body with [n] footnote markers plus trailing
+    definition lines: markers 1 .. 1 + doc_id % 3 appear in the body;
+    the DEFINITION for marker n is omitted when (doc_id + n) % 4 == 0
+    (dangling marker), and an extra definition [9] nobody references is
+    appended when doc_id % 5 == 0 (orphan definition)."""
+    m = (1 + F.col(id_col) % 3).cast("int")
+    markers = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda n: F.concat(
+                F.lit("claim"), n.cast("string"), F.lit("["),
+                n.cast("string"), F.lit("]"),
+            ),
+        ),
+        " ",
+    )
+    defs = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda n: F.when(
+                    (F.col(id_col) + n) % 4 != 0,
+                    F.concat(
+                        F.lit("["), n.cast("string"),
+                        F.lit("] source note"),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        "\n",
+    )
+    extra = F.when(
+        F.col(id_col) % 5 == 0, F.lit("\n[9] orphan note")
+    ).otherwise(F.lit(""))
+    ftext = F.concat(
+        F.lit("body "), markers, F.lit("\n"), defs, extra
+    )
+    return df.select(F.col(id_col), ftext.alias("ftext"))
+
+
+def footnote_link(
+    df: DataFrame,
+    text_col: str = "ftext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_markers, n_resolved, n_dangling, n_orphan_defs) —
+    footnote linking: [n] markers NOT at line start are references,
+    lines opening with '[n] ' are definitions; resolved = marker with a
+    definition, dangling = marker without, orphan = definition nobody
+    references. Set algebra via array_intersect/array_except — no
+    explode, no join, no shuffle.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+    defs = F.array_distinct(
+        F.filter(
+            F.transform(
+                lines,
+                lambda l: F.regexp_extract(l, r"^\[([0-9]+)\] ", 1),
+            ),
+            lambda x: x != "",
+        )
+    )
+    body_lines = F.filter(
+        lines, lambda l: ~l.rlike(r"^\[[0-9]+\] ")
+    )
+    markers = F.array_distinct(
+        F.flatten(
+            F.transform(
+                body_lines,
+                lambda l: F.regexp_extract_all(
+                    l, F.lit(r"\[([0-9]+)\]"), F.lit(1)
+                ),
+            )
+        )
+    )
+    resolved = F.array_intersect(markers, defs)
+    dangling = F.array_except(markers, defs)
+    orphans = F.array_except(defs, markers)
+    return df.select(
+        F.col(id_col),
+        F.size(markers).cast("long").alias("n_markers"),
+        F.size(resolved).cast("long").alias("n_resolved"),
+        F.size(dangling).cast("long").alias("n_dangling"),
+        F.size(orphans).cast("long").alias("n_orphan_defs"),
+    )

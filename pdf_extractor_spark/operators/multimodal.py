@@ -427,3 +427,193 @@ def media_phash_neardup(features: DataFrame, bits: int = 8) -> DataFrame:
             (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
         )
     )
+
+
+def synthesize_interleaved(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 4,
+) -> DataFrame:
+    """(doc_id, spans) — deterministic interleaved text+media span arrays
+    in the north-rule shape struct<kind, text, media_ref, offset>: the
+    document's tokens are chunked `span_tokens` per span; span offset i
+    becomes a MEDIA span (text NULL, media_ref 'media://<doc>/<i>') when
+    (doc_id + i) % 3 == 0, else a TEXT span. The array is stored
+    REVERSED so offset order is not free — consumers must sort, exactly
+    like the extraction pipeline's spans corpus."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    n_spans = F.ceil(F.size(toks) / span_tokens).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            F.when((F.col(id_col) + i) % 3 == 0, F.lit("image"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when(
+                (F.col(id_col) + i) % 3 != 0,
+                F.array_join(
+                    F.slice(
+                        toks, (i * span_tokens + 1).cast("int"), span_tokens
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+            F.when(
+                (F.col(id_col) + i) % 3 == 0,
+                F.concat(
+                    F.lit("media://"),
+                    F.col(id_col).cast("string"),
+                    F.lit("/"),
+                    i.cast("string"),
+                ),
+            ).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.reverse(spans).alias("spans")
+    ).where(F.size(toks) > 0)
+
+
+def span_interleave_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_spans, n_text, n_media, n_runs, max_text_run,
+    max_media_run, transitions) — interleaving profile of each document's
+    span sequence: runs are maximal same-kind stretches in OFFSET order
+    (the array arrives unordered), transitions count kind changes. The
+    packing planner's core statistic for interleaved VLM training — how
+    media-fragmented a document is determines its image-token overhead.
+
+    Scale: per-row array sort + ONE aggregate fold — no explode, no
+    shuffle at all; spans arrays are per-document bounded.
+    """
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("spans"),
+                lambda s: F.struct(
+                    s["offset"].alias("offset"), s["kind"].alias("kind")
+                ),
+            )
+        ),
+        lambda s: s["kind"],
+    )
+    fold = F.aggregate(
+        ordered,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("runs"),
+            F.lit(0).cast("long").alias("cur"),
+            F.lit(0).cast("long").alias("max_t"),
+            F.lit(0).cast("long").alias("max_m"),
+            F.lit(0).cast("long").alias("trans"),
+        ),
+        lambda acc, k: F.struct(
+            k.alias("prev"),
+            (acc["runs"] + (k != acc["prev"]).cast("long")).alias("runs"),
+            F.when(k == acc["prev"], acc["cur"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cur"),
+            F.greatest(
+                acc["max_t"],
+                F.when(
+                    k == F.lit("text"),
+                    F.when(k == acc["prev"], acc["cur"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            ).alias("max_t"),
+            F.greatest(
+                acc["max_m"],
+                F.when(
+                    k != F.lit("text"),
+                    F.when(k == acc["prev"], acc["cur"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            ).alias("max_m"),
+            (
+                acc["trans"]
+                + ((acc["prev"] != "") & (k != acc["prev"])).cast("long")
+            ).alias("trans"),
+        ),
+    )
+    kinds = F.transform(F.col("spans"), lambda s: s["kind"])
+    return df.select(
+        F.col(id_col),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(F.filter(kinds, lambda k: k == "text"))
+        .cast("long")
+        .alias("n_text"),
+        F.size(F.filter(kinds, lambda k: k != "text"))
+        .cast("long")
+        .alias("n_media"),
+        fold["runs"].alias("n_runs"),
+        fold["max_t"].alias("max_text_run"),
+        fold["max_m"].alias("max_media_run"),
+        fold["trans"].alias("transitions"),
+    )
+
+
+def synthesize_assets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 4,
+) -> DataFrame:
+    """(media_ref, bytes) — the asset-store side of media_ref_integrity:
+    one row per media span the interleaved synthesis emits, EXCEPT refs
+    where (doc_id * 31 + offset) % 5 == 0 — the deterministically
+    missing assets an integrity audit must surface."""
+    spans = synthesize_interleaved(df, text_col, id_col, span_tokens)
+    media = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["media_ref"].isNotNull())
+        ).alias("s"),
+    )
+    return media.where(
+        (F.col(id_col) * 31 + F.col("s")["offset"]) % 5 != 0
+    ).select(
+        F.col("s")["media_ref"].alias("media_ref"),
+        (F.length(F.col("s")["media_ref"]) * 100).cast("long").alias("bytes"),
+    )
+
+
+def media_ref_integrity(
+    spans_df: DataFrame,
+    assets: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_media, n_orphans) — referential-integrity audit of the
+    interleaved corpus against the asset store: a media span whose
+    media_ref has no asset row is an ORPHAN (the broken-image class of
+    ingest bug). Only docs with at least one media span appear.
+
+    Scale: explode media spans, LEFT ANTI-ish via left join + null
+    check on the ref key — one shuffle each side on media_ref (both
+    sides huge, so no broadcast), then a per-doc count that reuses
+    nothing fancy. At 10^12 docs this is the standard fact-to-dim
+    conformance join; bucketing both tables by media_ref would remove
+    the shuffle entirely.
+    """
+    media = spans_df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["media_ref"].isNotNull())
+        ).alias("s"),
+    ).select(F.col(id_col), F.col("s")["media_ref"].alias("media_ref"))
+    joined = media.join(
+        assets.select("media_ref", F.lit(1).alias("_present")),
+        "media_ref",
+        "left",
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum(F.col("_present").isNull().cast("long"))
+        .cast("long")
+        .alias("n_orphans"),
+    )

@@ -1191,6 +1191,59 @@ def _footnote_link(spark, sf_dir):
     )
 
 
+def _acronym_extract(spark, sf_dir):
+    """Schwartz-Hearst-style acronym mining over seeded definition
+    sites: parenthesized caps candidates validated by initial matching
+    (the doc_id%3 'Q' variant is usually invalid — except when the
+    second word genuinely starts with q)."""
+    from pdf_extractor_spark.operators.keywords import (
+        acronym_extract,
+        synthesize_acronyms,
+    )
+
+    return acronym_extract(
+        synthesize_acronyms(_t_wide(spark, sf_dir, "documents"))
+    )
+
+
+def _unit_normalize(spark, sf_dir):
+    """Storage-quantity extraction with unit canonicalization to exact
+    integer bytes; unknown-unit decoys must not match."""
+    from pdf_extractor_spark.operators.curation import (
+        synthesize_quantities,
+        unit_normalize,
+    )
+
+    return unit_normalize(
+        synthesize_quantities(_t_wide(spark, sf_dir, "documents"))
+    )
+
+
+def _list_detect(spark, sf_dir):
+    """Bulleted-list block detection (gaps-and-islands over item lines)
+    with zero-list docs reported, over the deterministic list
+    synthesis."""
+    from pdf_extractor_spark.operators.layout import (
+        list_detect,
+        synthesize_lists,
+    )
+
+    return list_detect(synthesize_lists(_t_wide(spark, sf_dir, "documents")))
+
+
+def _column_conformance(spark, sf_dir):
+    """Derived-column conformance audit (stored n_chars vs
+    length(text)) per source, over deterministically drifted metadata."""
+    from pdf_extractor_spark.operators.maintenance import (
+        column_conformance,
+        synthesize_meta_drift,
+    )
+
+    return column_conformance(
+        synthesize_meta_drift(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -3836,6 +3889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ref_integrity": _media_ref_integrity,
         "toc_extract": _toc_extract,
         "footnote_link": _footnote_link,
+        "acronym_extract": _acronym_extract,
+        "unit_normalize": _unit_normalize,
+        "list_detect": _list_detect,
+        "column_conformance": _column_conformance,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -8397,6 +8454,62 @@ SELECT doc_id, CAST(m AS BIGINT) AS n_markers,
   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
     AS n_orphan_defs
 FROM agg
+"""
+    # acronym_extract: the synthesis's validity condition collapses to
+    # modular logic (the Q variant is valid iff the second word starts
+    # with q) — the Spark side genuinely parses and initial-matches.
+    sql["acronym_extract"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+c AS (SELECT doc_id, t[1] AS t1, t[2] AS t2 FROM tk),
+v AS (
+  SELECT doc_id, t1,
+    CASE WHEN doc_id % 3 = 0 THEN 'Q'
+         ELSE upper(substr(t2, 1, 1)) END AS a2,
+    (doc_id % 3 <> 0 OR lower(substr(t2, 1, 1)) = 'q') AS ok
+  FROM c)
+SELECT doc_id, CAST(1 AS BIGINT) AS n_candidates,
+  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_valid,
+  CASE WHEN ok THEN upper(substr(t1, 1, 1)) || a2 END AS first_acronym
+FROM v
+"""
+    # unit_normalize: v = 1 + doc%97, unit by doc%3, extra '7 kb' at
+    # doc%4==0, decoy never counted.
+    sql["unit_normalize"] = """
+SELECT doc_id,
+  CAST(1 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_quantities,
+  CAST((1 + doc_id % 97) *
+       CASE WHEN doc_id % 3 = 0 THEN 1024
+            WHEN doc_id % 3 = 1 THEN 1048576
+            ELSE 1073741824 END
+       + CASE WHEN doc_id % 4 = 0 THEN 7 * 1024 ELSE 0 END AS BIGINT)
+    AS total_bytes
+FROM documents
+"""
+    # list_detect: block sizes are doc%4 and doc%3; empty blocks vanish.
+    sql["list_detect"] = """
+SELECT doc_id,
+  CAST((CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN doc_id % 3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lists,
+  CAST(doc_id % 4 + doc_id % 3 AS BIGINT) AS n_items,
+  CAST(greatest(doc_id % 4, doc_id % 3) AS BIGINT) AS max_list_len
+FROM documents
+"""
+    # column_conformance: drift = 1 + doc%5 injected at doc%9==0 (>= 1,
+    # so every drifted row mismatches).
+    sql["column_conformance"] = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_mismatch,
+  CAST(max(CASE WHEN doc_id % 9 = 0 THEN 1 + doc_id % 5 ELSE 0 END)
+       AS BIGINT) AS max_abs_dev
+FROM documents GROUP BY source
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

@@ -2650,3 +2650,81 @@ def luhn_scan(
         F.size(cands).cast("long").alias("n_candidates"),
         F.size(valid).cast("long").alias("n_luhn_valid"),
     )
+
+
+# byte multipliers for the storage-unit extractor; index state shared
+# with the oracle.
+UNIT_BYTES: tuple[tuple[str, int], ...] = (
+    ("kb", 1024),
+    ("mb", 1024 * 1024),
+    ("gb", 1024 * 1024 * 1024),
+)
+
+
+def synthesize_quantities(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, utext) — deterministic storage quantities appended to
+    each document: value 1 + doc_id % 97 with unit kb/mb/gb by
+    doc_id % 3, plus a second quantity '7 kb' for doc_id % 4 == 0 and a
+    decoy '12 zz' (unknown unit) that extraction must skip."""
+    v = (1 + F.col(id_col) % 97).cast("string")
+    unit = (
+        F.when(F.col(id_col) % 3 == 0, F.lit("kb"))
+        .when(F.col(id_col) % 3 == 1, F.lit("mb"))
+        .otherwise(F.lit("gb"))
+    )
+    extra = F.when(F.col(id_col) % 4 == 0, F.lit(" 7 kb")).otherwise(
+        F.lit("")
+    )
+    utext = F.concat(
+        F.col(text_col), F.lit(" "), v, F.lit(" "), unit, extra,
+        F.lit(" 12 zz"),
+    )
+    return df.select(F.col(id_col), utext.alias("utext"))
+
+
+def unit_normalize(
+    df: DataFrame,
+    text_col: str = "utext",
+    id_col: str = "doc_id",
+    units: tuple[tuple[str, int], ...] = UNIT_BYTES,
+) -> DataFrame:
+    """(doc_id, n_quantities, total_bytes) — numeric-quantity extraction
+    with unit normalization: '<int> kb|mb|gb' pairs are parsed and
+    converted to bytes (binary multipliers); unknown units never match.
+    The measurement-canonicalization step of document ingestion,
+    all-integer so the cross-engine check is exact.
+
+    Scale: one regexp_extract_all + an array fold per row — no explode,
+    no shuffle.
+    """
+    alts = "|".join(u for u, _ in units)
+    pairs = F.expr(
+        f"regexp_extract_all({text_col}, '([0-9]+) ({alts})', 0)"
+    )
+    byte_vals = F.transform(
+        pairs,
+        lambda p: F.element_at(F.split(p, " "), 1).cast("long")
+        * F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(u) for u, _ in units]),
+                F.array(*[F.lit(b).cast("long") for _, b in units]),
+            ),
+            F.element_at(F.split(p, " "), 2),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(pairs).cast("long").alias("n_quantities"),
+        F.coalesce(
+            F.aggregate(
+                byte_vals, F.lit(0).cast("long"), lambda a, x: a + x
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("total_bytes"),
+    )

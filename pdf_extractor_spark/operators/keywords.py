@@ -287,3 +287,92 @@ def assoc_rules(
             "n_cons", "confidence", "lift",
         )
     )
+
+
+def synthesize_acronyms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, atext) — deterministic acronym-definition sites: append
+    ' <t1> <t2> (<I1><I2>) (Z)' where t1/t2 are the document's first two
+    tokens and I1/I2 their uppercased initials — except docs with
+    doc_id % 3 == 0, whose second initial is replaced by 'Q' (usually a
+    mismatch, but genuinely valid when t2 itself starts with 'q' — the
+    oracle reproduces that exact condition). '(Z)' is the 1-letter decoy
+    below the extractor's length floor."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    t1 = F.element_at(toks, 1)
+    t2 = F.element_at(toks, 2)
+    i2 = F.when(
+        F.col(id_col) % 3 == 0, F.lit("Q")
+    ).otherwise(F.upper(F.substring(t2, 1, 1)))
+    atext = F.concat(
+        F.col(text_col),
+        F.lit(" "), t1, F.lit(" "), t2,
+        F.lit(" ("), F.upper(F.substring(t1, 1, 1)), i2, F.lit(")"),
+        F.lit(" (Z)"),
+    )
+    return df.select(F.col(id_col), atext.alias("atext"))
+
+
+def acronym_extract(
+    df: DataFrame,
+    text_col: str = "atext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_candidates, n_valid, first_acronym) — Schwartz-Hearst-
+    style acronym-definition mining (public knowledge): a parenthesized
+    ALL-CAPS token of 2-5 letters is a candidate; it is VALID when the
+    |acronym| tokens immediately before it have matching initials
+    (case-insensitive). first_acronym is the earliest valid acronym
+    (NULL when none).
+
+    Scale: pure array work per row — positions filtered by regex, the
+    initial-match check is a forall over a zip of acronym letters and
+    preceding-token initials. No explode, no join, no shuffle.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    df2 = df.select(F.col(id_col), toks.alias("_toks"))
+    cand_pos = F.filter(
+        F.sequence(F.lit(1), F.size("_toks")),
+        lambda p: F.element_at(F.col("_toks"), p).rlike(
+            r"^\([A-Z]{2,5}\)$"
+        ),
+    )
+
+    def _is_valid(p):
+        acr = F.regexp_extract(
+            F.element_at(F.col("_toks"), p), r"^\(([A-Z]{2,5})\)$", 1
+        )
+        ln = F.length(acr)
+        return (p > ln) & F.forall(
+            F.sequence(F.lit(1), ln),
+            lambda j: F.lower(
+                F.substring(acr, 1, 5).substr(j, F.lit(1))
+            )
+            == F.lower(
+                F.substring(
+                    F.element_at(F.col("_toks"), (p - ln - 1 + j)), 1, 1
+                )
+            ),
+        )
+
+    valid_pos = F.filter(cand_pos, _is_valid)
+    first_acr = F.when(
+        F.size(valid_pos) > 0,
+        F.regexp_extract(
+            F.element_at(F.col("_toks"), F.element_at(valid_pos, 1)),
+            r"^\(([A-Z]{2,5})\)$",
+            1,
+        ),
+    )
+    return df2.select(
+        F.col(id_col),
+        F.size(cand_pos).cast("long").alias("n_candidates"),
+        F.size(valid_pos).cast("long").alias("n_valid"),
+        first_acr.alias("first_acronym"),
+    )

@@ -662,3 +662,89 @@ def footnote_link(
         F.size(dangling).cast("long").alias("n_dangling"),
         F.size(orphans).cast("long").alias("n_orphan_defs"),
     )
+
+
+def synthesize_lists(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, ltext) — deterministic bulleted documents: a body line,
+    then a bullet block of doc_id % 4 items ('- item <i>'), another body
+    line, and a second block of doc_id % 3 items ('* alt <i>'); zero-item
+    blocks simply vanish, giving docs with 0, 1, or 2 lists."""
+    def _block(n, fmt):
+        # sequence(1, 0) is DESCENDING in Spark, not empty — guard
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(F.lit(fmt), i.cast("string")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    b1 = _block((F.col(id_col) % 4).cast("int"), "- item ")
+    b2 = _block((F.col(id_col) % 3).cast("int"), "* alt ")
+    parts = F.concat(
+        F.array(F.lit("prose opens the page")),
+        b1,
+        F.array(F.lit("prose between blocks")),
+        b2,
+    )
+    return df.select(
+        F.col(id_col), F.array_join(parts, "\n").alias("ltext")
+    )
+
+
+def list_detect(
+    df: DataFrame,
+    text_col: str = "ltext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_lists, n_items, max_list_len) — bulleted-list block
+    detection: lines opening with '- ' or '* ' are items, maximal runs
+    of consecutive item lines form a LIST block. The list-structure
+    recovery step of layout parsing (lists carry different training
+    value than prose — they're enumerations, not sentences). Docs with
+    no items report (0, 0, 0).
+
+    Scale: the familiar gaps-and-islands shape — posexplode lines, one
+    running-sum window keyed by doc_id, two groupBys that reuse the
+    partitioning. One shuffle.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
+    )
+    is_item = F.col("line").rlike(r"^[-*] ")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = lines.withColumn("_i", is_item).withColumn(
+        "block_id", F.sum((~F.col("_i")).cast("int")).over(w)
+    )
+    blocks = (
+        marked.where(F.col("_i"))
+        .groupBy(id_col, "block_id")
+        .agg(F.count("*").alias("blen"))
+    )
+    agg = blocks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.sum("blen").cast("long").alias("n_items"),
+        F.max("blen").cast("long").alias("max_list_len"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lists", F.lit(0)).cast("long").alias("n_lists"),
+            F.coalesce("n_items", F.lit(0)).cast("long").alias("n_items"),
+            F.coalesce("max_list_len", F.lit(0))
+            .cast("long")
+            .alias("max_list_len"),
+        )
+    )

@@ -125,3 +125,41 @@ def rendezvous_shards(
         argmax_shard(num_shards),
         argmax_shard(new_shards).alias("shard_new"),
     ).withColumn("moved", F.col("shard") != F.col("shard_new"))
+
+
+def synthesize_meta_drift(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents with deterministically corrupted n_chars metadata: docs
+    with doc_id % 9 == 0 report n_chars inflated by 1 + doc_id % 5 —
+    the stale-derived-column drift a conformance audit must catch (the
+    test corpus itself conforms perfectly, which would make the audit
+    vacuous)."""
+    drift = F.when(
+        F.col(id_col) % 9 == 0, 1 + F.col(id_col) % 5
+    ).otherwise(F.lit(0))
+    return df.withColumn("n_chars", F.col("n_chars") + drift)
+
+
+def column_conformance(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(source, n_rows, n_mismatch, max_abs_dev) — derived-column
+    conformance audit: does the stored n_chars metadata equal
+    length(text)? Stale derived columns are the classic silent corruption
+    of incrementally-maintained tables (a rewrite that forgot to refresh
+    metadata); every 10^12-row pipeline runs this class of check before
+    trusting pushed-down n_chars filters.
+
+    Scale: single scan + one aggregate on the source key; the comparison
+    is columnar. At 100 TB this is the cheapest possible audit shape —
+    no joins, no windows.
+    """
+    dev = F.abs(F.col("n_chars") - F.length(F.coalesce("text", F.lit(""))))
+    return df.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum((dev > 0).cast("long")).cast("long").alias("n_mismatch"),
+        F.max(dev).cast("long").alias("max_abs_dev"),
+    )

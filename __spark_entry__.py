@@ -1244,6 +1244,52 @@ def _column_conformance(spark, sf_dir):
     )
 
 
+def _zone_map_prune(spark, sf_dir):
+    """Manifest-pruning audit: zone-map file inventory (32 docs/file)
+    vs the truth for a length-range predicate — pruned files, scanned
+    files, and zone-map false positives."""
+    from pdf_extractor_spark.operators.maintenance import (
+        synthesize_file_stats,
+        zone_map_prune,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return zone_map_prune(synthesize_file_stats(docs), docs)
+
+
+def _lang_confusion(spark, sf_dir):
+    """Confusion matrix between the stored lang column and the stopword
+    -vote lang_id prediction — the label-quality audit run before
+    trusting either side for curation decisions."""
+    from pdf_extractor_spark.operators.textstats import add_lang_id
+
+    docs = add_lang_id(_t_wide(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def _bot_detect(spark, sf_dir):
+    """Rate-based bot detection over traffic with deterministic bot
+    users injected (user_id % 37 == 0 rewritten to a half-second
+    cadence): flags users whose average inter-event gap is under the
+    human floor, all-integer cross-multiplied."""
+    from pdf_extractor_spark.operators.events import (
+        bot_detect,
+        synthesize_bot_traffic,
+    )
+
+    return bot_detect(synthesize_bot_traffic(_t(spark, sf_dir, "events")))
+
+
+def _centroid_drift(spark, sf_dir):
+    """Per-label cosine similarity between even- and odd-half embedding
+    centroids — the distribution-drift gate for embedding ingest."""
+    from pdf_extractor_spark.operators.similarity import centroid_drift
+
+    return centroid_drift(_t(spark, sf_dir, "embeddings"))
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -3893,6 +3939,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_normalize": _unit_normalize,
         "list_detect": _list_detect,
         "column_conformance": _column_conformance,
+        "zone_map_prune": _zone_map_prune,
+        "lang_confusion": _lang_confusion,
+        "bot_detect": _bot_detect,
+        "centroid_drift": _centroid_drift,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -8510,6 +8560,92 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(max(CASE WHEN doc_id % 9 = 0 THEN 1 + doc_id % 5 ELSE 0 END)
        AS BIGINT) AS max_abs_dev
 FROM documents GROUP BY source
+"""
+    # zone_map_prune: same 32-doc file grouping; truth and zone map are
+    # derivable in one aggregate on the oracle side.
+    sql["zone_map_prune"] = """
+WITH fs AS (
+  SELECT doc_id // 32 AS file_id,
+         min(n_chars) AS min_len, max(n_chars) AS max_len,
+         count(*) AS n_rows,
+         sum(CASE WHEN n_chars >= 600 AND n_chars < 900
+             THEN 1 ELSE 0 END) AS n_match
+  FROM documents GROUP BY 1),
+j AS (SELECT *, (max_len < 600 OR min_len >= 900) AS pruned FROM fs)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+  CAST(sum(CASE WHEN pruned THEN 0 ELSE 1 END) AS BIGINT) AS n_scanned,
+  CAST(sum(CASE WHEN NOT pruned AND n_match = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_positive,
+  CAST(sum(CASE WHEN NOT pruned THEN n_rows ELSE 0 END) AS BIGINT)
+    AS rows_scanned,
+  CAST(sum(n_match) AS BIGINT) AS rows_matching
+FROM j
+"""
+    # lang_confusion: reuses the lang_id oracle's marker-vote fold as a
+    # CTE and cross-tabs it against the stored label.
+    sql["lang_confusion"] = f"""
+WITH p AS ({sql["lang_id"]})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN p USING (doc_id)
+GROUP BY 1, 2
+"""
+    # bot_detect: identical bot-cadence rewrite (rank within user), lag
+    # gaps, integer cross-multiplied rate threshold.
+    sql["bot_detect"] = """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+t AS (
+  SELECT user_id,
+    CASE WHEN user_id % 37 = 0
+         THEN 1704067200000000 + (rn - 1) * 500000
+         ELSE epoch_us(ts) END AS ts_us
+  FROM base),
+g AS (
+  SELECT user_id, ts_us,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+           AS gap
+  FROM t),
+pu AS (
+  SELECT user_id, count(*) AS n_events,
+         max(ts_us) - min(ts_us) AS span_us,
+         min(gap) AS min_gap_us
+  FROM g GROUP BY user_id)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+  CAST(span_us AS BIGINT) AS span_us,
+  CAST(min_gap_us AS BIGINT) AS min_gap_us
+FROM pu WHERE n_events >= 10 AND span_us < (n_events - 1) * 5000000
+"""
+    # centroid_drift: same per-(label, half, dim) centroids and cosine;
+    # dims are 1-based here and 0-based in Spark, but dim is only a
+    # grouping key so the offset cancels.
+    sql["centroid_drift"] = """
+WITH dims AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS half,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label, half, dim, avg(CAST(v AS DOUBLE)) AS c, count(*) AS n
+  FROM dims GROUP BY 1, 2, 3),
+paired AS (
+  SELECT label, dim,
+    max(CASE WHEN half = 0 THEN c END) AS ca,
+    max(CASE WHEN half = 1 THEN c END) AS cb,
+    max(CASE WHEN half = 0 THEN n END) AS na,
+    max(CASE WHEN half = 1 THEN n END) AS nb
+  FROM cent GROUP BY 1, 2),
+pl AS (
+  SELECT label, max(na) AS n_a, max(nb) AS n_b,
+    sum(ca * cb) AS dot, sum(ca * ca) AS na2, sum(cb * cb) AS nb2
+  FROM paired GROUP BY label)
+SELECT CAST(label AS INT) AS label, CAST(n_a AS BIGINT) AS n_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  round(dot / sqrt(na2 * nb2), 6) + 0.0 AS cos_sim
+FROM pl
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

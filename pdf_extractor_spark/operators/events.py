@@ -890,3 +890,55 @@ def rfm_segments(df: DataFrame, tiers: int = 5) -> DataFrame:
         F.count("*").cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+def synthesize_bot_traffic(df: DataFrame, period: int = 37) -> DataFrame:
+    """events with deterministic bot users injected: users with
+    user_id % period == 0 get their timestamps rewritten to a dense
+    half-second cadence (base 2024-01-01, rank within user) — the
+    superhuman-rate traffic a bot detector must flag; everyone else
+    keeps their organic timing."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+    rn = F.row_number().over(w)
+    bot_us = F.lit(base_us) + (rn - 1).cast("long") * 500_000
+    nat_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    return df.withColumn(
+        "ts_us",
+        F.when(F.col("user_id") % period == 0, bot_us).otherwise(nat_us),
+    )
+
+
+def bot_detect(
+    df: DataFrame,
+    min_events: int = 10,
+    max_avg_gap_s: int = 5,
+) -> DataFrame:
+    """(user_id, n_events, span_us, min_gap_us) — rate-based bot
+    detection, bots only: a user with >= min_events whose events span
+    less than (n_events - 1) * max_avg_gap_s seconds (average gap under
+    the human floor) is flagged. All-integer microsecond arithmetic
+    (span < (n-1) * gap * 1e6 — cross-multiplied, no division), so the
+    cross-engine check is exact.
+
+    Scale: one lag window + one aggregate, both keyed by user_id — a
+    single hash shuffle; per-user state is O(1).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    per_user = (
+        df.withColumn("_gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).cast("long").alias("span_us"),
+            F.min("_gap").cast("long").alias("min_gap_us"),
+        )
+    )
+    return per_user.where(
+        (F.col("n_events") >= min_events)
+        & (
+            F.col("span_us")
+            < (F.col("n_events") - 1) * max_avg_gap_s * 1_000_000
+        )
+    )

@@ -163,3 +163,85 @@ def column_conformance(
         F.sum((dev > 0).cast("long")).cast("long").alias("n_mismatch"),
         F.max(dev).cast("long").alias("max_abs_dev"),
     )
+
+
+def synthesize_file_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    docs_per_file: int = 32,
+) -> DataFrame:
+    """(file_id, min_id, max_id, min_len, max_len, n_rows) — zone-map
+    file inventory synthesized from the documents table: docs group into
+    files of `docs_per_file` by id order (file_id = doc_id div
+    docs_per_file), each file carrying min/max column statistics — the
+    per-file metadata an Iceberg/Parquet footer publishes."""
+    return df.groupBy(
+        (F.col(id_col) / docs_per_file).cast("long").alias("file_id")
+    ).agg(
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+        F.min("n_chars").alias("min_len"),
+        F.max("n_chars").alias("max_len"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def zone_map_prune(
+    files: DataFrame,
+    docs: DataFrame,
+    len_lo: int = 600,
+    len_hi: int = 900,
+    id_col: str = "doc_id",
+    docs_per_file: int = 32,
+) -> DataFrame:
+    """One row: (n_files, n_pruned, n_scanned, n_false_positive,
+    rows_scanned, rows_matching) — scan-planning audit for the predicate
+    `len_lo <= n_chars < len_hi`: a file is PRUNED when its zone map
+    proves no row can match (max_len < len_lo or min_len >= len_hi); a
+    scanned file is a FALSE POSITIVE when it actually contains no
+    matching row (the zone map was too coarse to prune it). This is the
+    manifest-pruning arithmetic every Iceberg scan runs before touching
+    data — the audit quantifies how much the current clustering helps.
+
+    Scale: the files side is metadata (rows = files, millions at 100 TB
+    — trivially aggregable); the truth side is one predicate aggregate
+    per file over the data, joined on file_id. At production scale the
+    truth check runs on a SAMPLE of scanned files; here the corpus is
+    small enough to check exactly.
+    """
+    truth = docs.groupBy(
+        (F.col(id_col) / docs_per_file).cast("long").alias("file_id")
+    ).agg(
+        F.sum(
+            (
+                (F.col("n_chars") >= len_lo) & (F.col("n_chars") < len_hi)
+            ).cast("long")
+        ).alias("n_match")
+    )
+    j = files.join(truth, "file_id", "left").select(
+        "*",
+        (
+            (F.col("max_len") < len_lo) | (F.col("min_len") >= len_hi)
+        ).alias("pruned"),
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.col("pruned").cast("long")).cast("long").alias("n_pruned"),
+        F.sum((~F.col("pruned")).cast("long"))
+        .cast("long")
+        .alias("n_scanned"),
+        F.sum(
+            ((~F.col("pruned")) & (F.coalesce("n_match", F.lit(0)) == 0))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(
+            F.when(~F.col("pruned"), F.col("n_rows")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum(F.coalesce("n_match", F.lit(0))).cast("long").alias(
+            "rows_matching"
+        ),
+    )

@@ -775,3 +775,51 @@ def bitext_margin_pairs(
             ).alias("accepted"),
         )
     )
+
+
+def centroid_drift(emb: DataFrame) -> DataFrame:
+    """(label, n_a, n_b, cos_sim) — embedding-distribution drift check
+    between two halves of the corpus (even vs odd vec_id — the stand-in
+    for two ingest snapshots): per label, the cosine similarity between
+    the two halves' centroids. Near-1 cosines mean the new batch matches
+    the old distribution; a drop is the drift alarm an embedding-ingest
+    gate watches (embedding_outliers is the per-row twin).
+
+    Scale: ONE explode + (label, half, dim) partial aggregate — the
+    shuffle moves labels x dims x 2 rows, not vectors; the cosine fold
+    runs on that tiny centroid table. Rounded to 6 to absorb
+    sum-order float noise.
+    """
+    dims = emb.select(
+        F.col("label"),
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    cent = dims.groupBy("label", "half", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("c"),
+        F.count("*").alias("n"),
+    )
+    paired = (
+        cent.groupBy("label", "dim")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("c"))).alias("ca"),
+            F.max(F.when(F.col("half") == 1, F.col("c"))).alias("cb"),
+            F.max(F.when(F.col("half") == 0, F.col("n"))).alias("na"),
+            F.max(F.when(F.col("half") == 1, F.col("n"))).alias("nb"),
+        )
+    )
+    per_label = paired.groupBy("label").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("cb")).alias("_dot"),
+        F.sum(F.col("ca") * F.col("ca")).alias("_na2"),
+        F.sum(F.col("cb") * F.col("cb")).alias("_nb2"),
+    )
+    return per_label.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("_dot") / F.sqrt(F.col("_na2") * F.col("_nb2")), 6
+        ).alias("cos_sim"),
+    )

@@ -1290,6 +1290,39 @@ def _centroid_drift(spark, sf_dir):
     return centroid_drift(_t(spark, sf_dir, "embeddings"))
 
 
+def _stylometry_delta(spark, sf_dir):
+    """Burrows' Delta over the 10 most frequent corpus tokens: top-5
+    closest source pairs by mean |z_a - z_b| (ranked on the rounded
+    delta so float noise cannot reorder)."""
+    from pdf_extractor_spark.operators.stylometry import stylometry_delta
+
+    return stylometry_delta(_t_wide(spark, sf_dir, "documents"))
+
+
+def _source_diversity(spark, sf_dir):
+    """Per-source vocabulary size and Simpson diversity index (integer
+    numerator, single rounded division)."""
+    from pdf_extractor_spark.operators.stylometry import source_diversity
+
+    return source_diversity(_t_wide(spark, sf_dir, "documents"))
+
+
+def _autocomplete_prefix(spark, sf_dir):
+    """Autocomplete prefix index: per 3-char prefix, occurrence total
+    and the most frequent completion."""
+    from pdf_extractor_spark.operators.keywords import autocomplete_prefix
+
+    return autocomplete_prefix(_t_wide(spark, sf_dir, "documents"))
+
+
+def _anomaly_mad(spark, sf_dir):
+    """Robust per-type outlier counts: median absolute deviation
+    threshold (|v - med| > 5 * MAD), exact percentiles."""
+    from pdf_extractor_spark.operators.events import anomaly_mad
+
+    return anomaly_mad(_t(spark, sf_dir, "events"))
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -3943,6 +3976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": _lang_confusion,
         "bot_detect": _bot_detect,
         "centroid_drift": _centroid_drift,
+        "stylometry_delta": _stylometry_delta,
+        "source_diversity": _source_diversity,
+        "autocomplete_prefix": _autocomplete_prefix,
+        "anomaly_mad": _anomaly_mad,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -8646,6 +8683,100 @@ SELECT CAST(label AS INT) AS label, CAST(n_a AS BIGINT) AS n_a,
   CAST(n_b AS BIGINT) AS n_b,
   round(dot / sqrt(na2 * nb2), 6) + 0.0 AS cos_sim
 FROM pl
+"""
+    # stylometry_delta: same marker choice (top-10 by count desc, tok
+    # asc), z-scores via stddev_pop windows, pairs ranked on the
+    # ROUNDED delta.
+    sql["stylometry_delta"] = """
+WITH st AS (
+  SELECT source, tok, count(*) AS n
+  FROM (SELECT source,
+               unnest(list_filter(
+                 regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                 x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2),
+totals AS (SELECT source, sum(n) AS n_total FROM st GROUP BY source),
+mk AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY sum(n) DESC, tok) AS r
+    FROM st GROUP BY tok)
+  WHERE r <= 10),
+freqs AS (
+  SELECT t.source, m.tok, coalesce(s.n, 0) * 1.0 / t.n_total AS f
+  FROM totals t CROSS JOIN mk m
+  LEFT JOIN st s ON s.source = t.source AND s.tok = m.tok),
+z AS (
+  SELECT source, tok,
+    CASE WHEN stddev_pop(f) OVER (PARTITION BY tok) > 0
+         THEN (f - avg(f) OVER (PARTITION BY tok))
+              / stddev_pop(f) OVER (PARTITION BY tok)
+         ELSE 0.0 END AS z
+  FROM freqs),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         round(avg(abs(a.z - b.z)), 6) AS delta
+  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY delta, src_a, src_b) AS rnk
+  FROM pairs)
+SELECT CAST(rnk AS INT) AS rank, src_a, src_b, delta + 0.0 AS delta
+FROM ranked WHERE rnk <= 5
+"""
+    sql["source_diversity"] = """
+WITH st AS (
+  SELECT source, tok, count(*) AS n
+  FROM (SELECT source,
+               unnest(list_filter(
+                 regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                 x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_distinct,
+  round(1 - sum(n * (n - 1)) * 1.0 / (sum(n) * (sum(n) - 1)), 6) + 0.0
+    AS simpson
+FROM st GROUP BY source
+"""
+    sql["autocomplete_prefix"] = """
+WITH f AS (
+  SELECT substr(tok, 1, 3) AS prefix, tok, count(*) AS n
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+          x -> x <> '')) AS tok
+        FROM documents)
+  WHERE length(tok) >= 3 GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY prefix
+                               ORDER BY n DESC, tok) AS rn
+  FROM f)
+SELECT prefix, CAST(sum(n) AS BIGINT) AS n_tokens,
+  max(CASE WHEN rn = 1 THEN tok END) AS top_token,
+  CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_count
+FROM r GROUP BY prefix
+"""
+    # anomaly_mad: identical two-pass MAD; the strict > threshold uses
+    # the unrounded MAD on both sides (identical double pipelines).
+    sql["anomaly_mad"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+  FROM events e JOIN med m USING (event_type)),
+stats AS (
+  SELECT event_type, count(*) AS n, max(med) AS med,
+         quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY 1),
+o AS (
+  SELECT d.event_type, count(*) AS n_outliers
+  FROM dev d JOIN stats s USING (event_type)
+  WHERE d.ad > 5 * s.mad GROUP BY 1)
+SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+  round(s.med, 6) + 0.0 AS med, round(s.mad, 6) + 0.0 AS mad,
+  CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM stats s LEFT JOIN o USING (event_type)
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

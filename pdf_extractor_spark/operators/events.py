@@ -942,3 +942,47 @@ def bot_detect(
             < (F.col("n_events") - 1) * max_avg_gap_s * 1_000_000
         )
     )
+
+
+def anomaly_mad(df: DataFrame, k: int = 5) -> DataFrame:
+    """(event_type, n, med, mad, n_outliers) — robust outlier counting
+    per event type: median absolute deviation instead of stddev (one
+    giant value cannot inflate its own threshold), outlier when
+    |value - median| > k * MAD. The robust-statistics twin of
+    daily_anomaly's z-score.
+
+    Scale: two exact-percentile passes per group (median, then MAD) —
+    at 10^12 rows you'd swap percentile for the GK sketch
+    (approx_value_quantiles shows that path); exactness wins here.
+    """
+    med = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), "event_type").withColumn(
+        "_ad", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = dev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("med").alias("_med"),
+        F.expr("percentile(_ad, 0.5)").alias("_mad"),
+    )
+    outliers = (
+        dev.join(
+            F.broadcast(stats.select("event_type", "_mad")), "event_type"
+        )
+        .where(F.col("_ad") > k * F.col("_mad"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_outliers"))
+    )
+    return (
+        stats.join(outliers, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            F.round("_med", 6).alias("med"),
+            F.round("_mad", 6).alias("mad"),
+            F.coalesce("n_outliers", F.lit(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

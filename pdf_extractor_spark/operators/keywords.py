@@ -376,3 +376,43 @@ def acronym_extract(
         F.size(valid_pos).cast("long").alias("n_valid"),
         first_acr.alias("first_acronym"),
     )
+
+
+def autocomplete_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 3,
+) -> DataFrame:
+    """(prefix, n_tokens, top_token, top_count) — autocomplete prefix
+    index: for every `prefix_len`-char prefix, the total token
+    occurrences under it and the most frequent completion (count desc,
+    token asc). The suggest-as-you-type index a search layer keeps next
+    to the inverted index; tokens shorter than the prefix are skipped.
+
+    Scale: one (prefix, token) count aggregate (map-side partial), one
+    per-prefix max_by — shuffle volume is distinct (prefix, token)
+    pairs, bounded by vocabulary.
+    """
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("tok")
+    ).where(F.length("tok") >= prefix_len)
+    counts = toks.groupBy(
+        F.substring("tok", 1, prefix_len).alias("prefix"), "tok"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("prefix").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .groupBy("prefix")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.max(F.when(F.col("_r") == 1, F.col("tok"))).alias(
+                "top_token"
+            ),
+            F.max(F.when(F.col("_r") == 1, F.col("n")))
+            .cast("long")
+            .alias("top_count"),
+        )
+    )

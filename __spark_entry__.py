@@ -1323,6 +1323,79 @@ def _anomaly_mad(spark, sf_dir):
     return anomaly_mad(_t(spark, sf_dir, "events"))
 
 
+def _table_column_types(spark, sf_dir):
+    """Column-type inference over extracted pipe-table grids: doc_id %
+    4 == 1 docs carry a (text, int, num) 3-col table; doc_id % 8 == 5
+    docs add a second (int, num) table behind a separator."""
+    from pdf_extractor_spark.operators.layout import (
+        extract_text_tables,
+        table_column_types,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def data_row(r: int):
+        line = F.concat(
+            F.lit(f"\nitem{r} | "),
+            ((did % 10) + r).cast("string"),
+            F.lit(" | "),
+            ((did * (r + 1)) % 97).cast("string"),
+            F.lit(".5"),
+        )
+        return F.when(F.lit(r) < (did % 3) + 2, line).otherwise(F.lit(""))
+
+    t1 = F.concat(
+        F.lit("\nname | qty | price"),
+        data_row(0), data_row(1), data_row(2), data_row(3),
+    )
+    t2 = F.lit("\n--\nx | y\n1 | 2.25")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 1, t1).otherwise(F.lit("")),
+        F.when(did % 8 == 5, t2).otherwise(F.lit("")),
+    )
+    return table_column_types(
+        extract_text_tables(docs.select("doc_id", aug.alias("text")))
+    )
+
+
+def _vocab_prune(spark, sf_dir):
+    """Tokenizer vocabulary sizing: smallest vocab covering 99% of
+    occurrences (integer threshold) plus top-10/top-50 coverage."""
+    from pdf_extractor_spark.operators.textstats import vocab_prune
+
+    return vocab_prune(_t_wide(spark, sf_dir, "documents"))
+
+
+def _value_histogram(spark, sf_dir):
+    """Equi-width 10-bucket histogram of event values over [min, max]."""
+    from pdf_extractor_spark.operators.events import value_histogram
+
+    return value_histogram(_t(spark, sf_dir, "events"))
+
+
+def _link_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity over the same deterministic host graph
+    pagerank_hosts uses (distinct directed edges, self-loops removed)."""
+    from pdf_extractor_spark.operators.graph import reciprocity
+
+    docs = _t_wide(spark, sf_dir, "documents")
+
+    def tgt(a: int, b: int):
+        return F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * a + b) % 20).cast("string"),
+            F.lit(".example.com"),
+        )
+
+    edges = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+        F.explode(F.array(tgt(3, 1), tgt(7, 2), tgt(11, 5))).alias("dst"),
+    )
+    return reciprocity(edges)
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -3980,6 +4053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_diversity": _source_diversity,
         "autocomplete_prefix": _autocomplete_prefix,
         "anomaly_mad": _anomaly_mad,
+        "table_column_types": _table_column_types,
+        "vocab_prune": _vocab_prune,
+        "value_histogram": _value_histogram,
+        "link_reciprocity": _link_reciprocity,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -8777,6 +8854,94 @@ SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
   round(s.med, 6) + 0.0 AS med, round(s.mad, 6) + 0.0 AS mad,
   CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
 FROM stats s LEFT JOIN o USING (event_type)
+"""
+    # table_column_types: the synthesis determines every column's type
+    # analytically (names text, qty int, price num; the t2 table int +
+    # num with 1 row); docs with doc_id % 8 == 5 always also carry t1
+    # (5 mod 4 == 1), so t2 is always table_idx 1.
+    sql["table_column_types"] = """
+WITH base AS (
+  SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 4 = 1),
+t1 AS (
+  SELECT doc_id, 0 AS table_idx, c.col_idx, c.header, n,
+         c.dtype
+  FROM base, (VALUES (0, 'name', 'text'), (1, 'qty', 'int'),
+                     (2, 'price', 'num')) AS c(col_idx, header, dtype)),
+t2 AS (
+  SELECT doc_id, 1 AS table_idx, c.col_idx, c.header, CAST(1 AS BIGINT)
+           AS n, c.dtype
+  FROM documents,
+       (VALUES (0, 'x', 'int'), (1, 'y', 'num')) AS c(col_idx, header,
+                                                      dtype)
+  WHERE doc_id % 8 = 5)
+SELECT doc_id, CAST(table_idx AS INT) AS table_idx,
+  CAST(col_idx AS INT) AS col_idx, header, n AS n_rows, dtype
+FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+"""
+    # vocab_prune: same deterministic ranking (count desc, token asc),
+    # integer cross-multiplied coverage threshold.
+    sql["vocab_prune"] = """
+WITH counts AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+          x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY tok),
+tot AS (SELECT sum(n) AS n_total FROM counts),
+r AS (
+  SELECT tok, n,
+         row_number() OVER (ORDER BY n DESC, tok) AS rank,
+         sum(n) OVER (ORDER BY n DESC, tok
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts)
+SELECT CAST((SELECT n_total FROM tot) AS BIGINT) AS n_total,
+  CAST(count(*) AS BIGINT) AS n_vocab,
+  CAST(min(CASE WHEN cum * 100 >= (SELECT n_total FROM tot) * 99
+           THEN rank END) AS BIGINT) AS size_at_pct,
+  round(max(CASE WHEN rank = 10 THEN cum END) * 1.0
+        / (SELECT n_total FROM tot), 6) + 0.0 AS cov_at_10,
+  round(max(CASE WHEN rank = 50 THEN cum END) * 1.0
+        / (SELECT n_total FROM tot), 6) + 0.0 AS cov_at_50
+FROM r
+"""
+    # value_histogram: identical double pipeline for bucket assignment;
+    # edges rounded for display only.
+    sql["value_histogram"] = """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT least(9, CAST(floor((value - lo) * 10 / (hi - lo)) AS INT))
+           AS bucket, lo, hi
+  FROM events, mm)
+SELECT bucket,
+  round(max(lo) + bucket * (max(hi) - max(lo)) / 10, 6) + 0.0 AS lo,
+  round(max(lo) + (bucket + 1) * (max(hi) - max(lo)) / 10, 6) + 0.0
+    AS hi,
+  CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+"""
+    # link_reciprocity: same 3-edge host synthesis as pagerank_hosts;
+    # left join against the reversed distinct edge set.
+    sql["link_reciprocity"] = """
+WITH e0 AS (
+  SELECT source || '.example.com' AS src,
+         'src' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR)
+           || '.example.com' AS dst FROM documents
+  UNION ALL
+  SELECT source || '.example.com',
+         'src' || CAST((doc_id * 7 + 2) % 20 AS VARCHAR)
+           || '.example.com' FROM documents
+  UNION ALL
+  SELECT source || '.example.com',
+         'src' || CAST((doc_id * 11 + 5) % 20 AS VARCHAR)
+           || '.example.com' FROM documents),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+SELECT a.src, CAST(count(*) AS BIGINT) AS out_deg,
+  CAST(sum(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_recip
+FROM e a LEFT JOIN e b ON b.src = a.dst AND b.dst = a.src
+GROUP BY a.src
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

@@ -986,3 +986,48 @@ def anomaly_mad(df: DataFrame, k: int = 5) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+def value_histogram(df: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """(bucket, lo, hi, n) — equi-width histogram of event values over
+    [min, max]: bucket = min(n_buckets - 1, floor((v - lo) * n /
+    (hi - lo))), so the top edge closes the last bucket. The ingest
+    dashboard's distribution panel (value_quantiles is the percentile
+    twin). Bucket edges are reported rounded; bucket ASSIGNMENT uses the
+    raw doubles, identically on both engines.
+
+    Scale: one global min/max aggregate (broadcast), then one bucket
+    count — two passes, no window, no sort.
+    """
+    mm = df.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    b = df.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("value") - F.col("_lo"))
+                * n_buckets
+                / (F.col("_hi") - F.col("_lo"))
+            ),
+        )
+        .cast("int")
+        .alias("bucket"),
+        "_lo",
+        "_hi",
+    )
+    return b.groupBy("bucket").agg(
+        F.round(
+            F.max("_lo")
+            + F.col("bucket") * (F.max("_hi") - F.max("_lo")) / n_buckets,
+            6,
+        ).alias("lo"),
+        F.round(
+            F.max("_lo")
+            + (F.col("bucket") + 1)
+            * (F.max("_hi") - F.max("_lo"))
+            / n_buckets,
+            6,
+        ).alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    )

@@ -748,3 +748,49 @@ def list_detect(
             .alias("max_list_len"),
         )
     )
+
+
+def table_column_types(tables: DataFrame) -> DataFrame:
+    """(doc_id, table_idx, col_idx, header, n_rows, dtype) — column-type
+    inference over extracted table grids (the table-understanding step
+    after extract_text_tables): row 0 is the header, data cells vote
+    'int' when every cell is an optionally-signed integer, 'num' when
+    every cell parses as a number but not all as integers, else 'text'.
+    Empty columns (header-only tables) type as 'text'.
+
+    Scale: one aggregate keyed by (doc, table, col) — co-partitioned
+    with the extractor's doc-key shuffle.
+    """
+    is_int = F.col("cell").rlike(r"^-?[0-9]+$")
+    is_num = F.col("cell").rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+    agg = tables.groupBy("doc_id", "table_idx", "col_idx").agg(
+        F.max(F.when(F.col("row_idx") == 0, F.col("cell"))).alias(
+            "header"
+        ),
+        F.sum((F.col("row_idx") > 0).cast("long")).alias("n_rows"),
+        F.sum(
+            ((F.col("row_idx") > 0) & is_int).cast("long")
+        ).alias("_n_int"),
+        F.sum(
+            ((F.col("row_idx") > 0) & is_num).cast("long")
+        ).alias("_n_num"),
+    )
+    dtype = (
+        F.when(
+            (F.col("n_rows") > 0) & (F.col("_n_int") == F.col("n_rows")),
+            F.lit("int"),
+        )
+        .when(
+            (F.col("n_rows") > 0) & (F.col("_n_num") == F.col("n_rows")),
+            F.lit("num"),
+        )
+        .otherwise(F.lit("text"))
+    )
+    return agg.select(
+        "doc_id",
+        "table_idx",
+        "col_idx",
+        "header",
+        F.col("n_rows").cast("long"),
+        dtype.alias("dtype"),
+    )

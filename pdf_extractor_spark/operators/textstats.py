@@ -1571,3 +1571,67 @@ def sentence_segment(
         ).alias("short_frac"),
         F.sum(F.lit(1) - F.col("term")).cast("long").alias("unterminated"),
     )
+
+
+def vocab_prune(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    coverage_pct: int = 99,
+):
+    """One row: (n_total, n_vocab, size_at_pct, cov_at_10, cov_at_50) —
+    tokenizer vocabulary sizing: rank tokens by (count desc, token asc),
+    size_at_pct is the smallest vocabulary covering >= coverage_pct% of
+    occurrences (integer cross-multiplied — no float threshold), and
+    cov_at_10/50 report the coverage of the top-10/top-50 vocabularies.
+    The budget curve every tokenizer-training run consults before fixing
+    vocab size (vocab_coverage is the inverse: it scores a GIVEN vocab).
+
+    Scale: token counting partial-aggregates map-side; the ranking and
+    cumulative sum run on the VOCABULARY table (distinct tokens), which
+    is many orders smaller than the corpus. The single-partition window
+    over the vocab table is the textbook cost — swap for a two-level
+    rollup only when distinct tokens overflow one executor.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.explode(tokens_col(F.col(text_col))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.select(
+        F.row_number().over(wr).alias("rank"),
+        F.col("n"),
+        F.sum("n").over(w).alias("cum"),
+    )
+    tot = Window.partitionBy()
+    ranked = ranked.withColumn("n_total", F.max("cum").over(tot))
+    return ranked.agg(
+        F.max("n_total").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_vocab"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("n_total") * coverage_pct,
+                F.col("rank"),
+            )
+        )
+        .cast("long")
+        .alias("size_at_pct"),
+        F.round(
+            F.max(F.when(F.col("rank") == 10, F.col("cum")))
+            / F.max("n_total"),
+            6,
+        ).alias("cov_at_10"),
+        F.round(
+            F.max(F.when(F.col("rank") == 50, F.col("cum")))
+            / F.max("n_total"),
+            6,
+        ).alias("cov_at_50"),
+    )

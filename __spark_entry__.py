@@ -1396,6 +1396,63 @@ def _link_reciprocity(spark, sf_dir):
     return reciprocity(edges)
 
 
+def _label_propagation(spark, sf_dir):
+    """Min-label propagation communities (2 synchronous rounds) over
+    the undirected closure of the deterministic host graph."""
+    from pdf_extractor_spark.operators.graph import label_propagation
+
+    docs = _t_wide(spark, sf_dir, "documents")
+
+    def tgt(a: int, b: int):
+        return F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * a + b) % 20).cast("string"),
+            F.lit(".example.com"),
+        )
+
+    edges = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+        F.explode(F.array(tgt(3, 1), tgt(7, 2), tgt(11, 5))).alias("dst"),
+    )
+    return label_propagation(edges)
+
+
+def _expire_snapshots(spark, sf_dir):
+    """Snapshot retention planning (keep last 7 + weekly heads) over a
+    snapshot timeline synthesized from the distinct event dates."""
+    from pdf_extractor_spark.operators.maintenance import expire_snapshots
+    from pyspark.sql import Window
+
+    snaps = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("snap_date"))
+        .distinct()
+        .withColumn(
+            "snapshot_id",
+            F.row_number()
+            .over(Window.orderBy("snap_date"))
+            .cast("long"),
+        )
+    )
+    return expire_snapshots(snaps)
+
+
+def _text_tiling(spark, sf_dir):
+    """TextTiling-style topic segmentation: Jaccard between adjacent
+    20-token blocks, boundaries where similarity < 0.1."""
+    from pdf_extractor_spark.operators.textstats import text_tiling
+
+    return text_tiling(_t_wide(spark, sf_dir, "documents"))
+
+
+def _event_rle(spark, sf_dir):
+    """Run-length profile of each user's event-type sequence — the
+    repetition smell complementary to bot_detect's timing signal."""
+    from pdf_extractor_spark.operators.events import event_rle
+
+    return event_rle(_t(spark, sf_dir, "events"))
+
+
 def _quality_percentile(spark, sf_dir):
     """Per-language percentile rank of the quality score — rank
     normalization before cross-language threshold filtering. Scalable
@@ -4057,6 +4114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_prune": _vocab_prune,
         "value_histogram": _value_histogram,
         "link_reciprocity": _link_reciprocity,
+        "label_propagation": _label_propagation,
+        "expire_snapshots": _expire_snapshots,
+        "text_tiling": _text_tiling,
+        "event_rle": _event_rle,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -8942,6 +9003,119 @@ SELECT a.src, CAST(count(*) AS BIGINT) AS out_deg,
     AS n_recip
 FROM e a LEFT JOIN e b ON b.src = a.dst AND b.dst = a.src
 GROUP BY a.src
+"""
+    # label_propagation: same undirected closure, two unrolled
+    # min-propagation rounds.
+    sql["label_propagation"] = """
+WITH e0 AS (
+  SELECT source || '.example.com' AS src,
+         'src' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR)
+           || '.example.com' AS dst FROM documents
+  UNION ALL
+  SELECT source || '.example.com',
+         'src' || CAST((doc_id * 7 + 2) % 20 AS VARCHAR)
+           || '.example.com' FROM documents
+  UNION ALL
+  SELECT source || '.example.com',
+         'src' || CAST((doc_id * 11 + 5) % 20 AS VARCHAR)
+           || '.example.com' FROM documents),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+  WHERE src <> dst),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+l1 AS (
+  SELECT l.node,
+         least(l.label, coalesce(min(nl.label), l.label)) AS label
+  FROM l0 l
+  LEFT JOIN und u ON u.src = l.node
+  LEFT JOIN l0 nl ON nl.node = u.dst
+  GROUP BY l.node, l.label),
+l2 AS (
+  SELECT l.node,
+         least(l.label, coalesce(min(nl.label), l.label)) AS label
+  FROM l1 l
+  LEFT JOIN und u ON u.src = l.node
+  LEFT JOIN l1 nl ON nl.node = u.dst
+  GROUP BY l.node, l.label),
+s AS (SELECT label, count(*) AS cs FROM l2 GROUP BY label)
+SELECT l2.node AS host, l2.label AS community,
+  CAST(s.cs AS BIGINT) AS community_size
+FROM l2 JOIN s USING (label)
+"""
+    # expire_snapshots: same retention windows over the distinct-date
+    # snapshot timeline; week heads via date_trunc('week') (Monday on
+    # both engines).
+    sql["expire_snapshots"] = """
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS snap_date FROM events),
+snap AS (
+  SELECT snap_date,
+         CAST(row_number() OVER (ORDER BY snap_date) AS BIGINT)
+           AS snapshot_id
+  FROM d),
+m AS (
+  SELECT snapshot_id, snap_date,
+    row_number() OVER (ORDER BY snap_date DESC, snapshot_id DESC)
+      AS rc,
+    row_number() OVER (PARTITION BY date_trunc('week', snap_date)
+                       ORDER BY snap_date, snapshot_id) AS wr
+  FROM snap)
+SELECT snapshot_id, CAST(snap_date AS VARCHAR) AS snap_date,
+  CASE WHEN rc <= 7 THEN 'retained'
+       WHEN wr = 1 THEN 'retained' ELSE 'expired' END AS status,
+  CASE WHEN rc <= 7 THEN 'recent'
+       WHEN wr = 1 THEN 'weekly_head' ELSE 'age' END AS reason
+FROM m
+"""
+    # text_tiling: same block slicing and integer Jaccard; lag window
+    # instead of the Spark-side array fold.
+    sql["text_tiling"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+par AS (
+  SELECT doc_id, t, CAST(ceil(len(t) / 20.0) AS INT) AS nb
+  FROM tk WHERE len(t) > 0),
+blocks AS (
+  SELECT doc_id, nb, b,
+         list_distinct(t[(b - 1) * 20 + 1 : b * 20]) AS blk
+  FROM par, unnest(range(1, nb + 1)) AS u(b)),
+sims AS (
+  SELECT doc_id, nb, b,
+    round(len(list_intersect(lag(blk) OVER w, blk)) * 1.0 /
+          len(list_distinct(list_concat(lag(blk) OVER w, blk))), 6)
+      AS sim
+  FROM blocks WINDOW w AS (PARTITION BY doc_id ORDER BY b))
+SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_blocks,
+  CAST(sum(CASE WHEN sim < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boundaries,
+  min(sim) + 0.0 AS min_sim
+FROM sims GROUP BY doc_id
+"""
+    # event_rle: same lag islands over (ts, event_id) order.
+    sql["event_rle"] = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(event_type) OVER w IS NULL
+              OR event_type <> lag(event_type) OVER w
+         THEN 1 ELSE 0 END AS newr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id,
+         sum(newr) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rid
+  FROM m),
+runs AS (
+  SELECT user_id, rid, count(*) AS rl FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(sum(rl) AS BIGINT) AS n_events,
+  CAST(count(*) AS BIGINT) AS n_runs,
+  CAST(max(rl) AS BIGINT) AS longest_run,
+  round(count(*) * 1.0 / sum(rl), 6) + 0.0 AS compress_ratio
+FROM runs GROUP BY user_id
 """
     # quality_percentile: native percent_rank() over the same rounded
     # quality score — an independent implementation of the repo's

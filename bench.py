@@ -129,6 +129,30 @@ HEADLINE = [
     "layout_text",
     "dehyphenate",
     "header_footer_strip",
+    "section_split",
+    "keyword_rake",
+    "reverse_search",
+    "sentence_segment",
+    "badword_filter",
+    "assoc_rules",
+    "quote_extract",
+    "sample_alloc",
+    "luhn_scan",
+    "span_interleave_stats",
+    "media_ref_integrity",
+    "toc_extract",
+    "footnote_link",
+    "acronym_extract",
+    "unit_normalize",
+    "list_detect",
+    "column_conformance",
+    "zone_map_prune",
+    "lang_confusion",
+    "stylometry_delta",
+    "source_diversity",
+    "autocomplete_prefix",
+    "table_column_types",
+    "vocab_prune",
     "sessionize",
     "asof_last_purchase",
     "resample_locf",
@@ -153,6 +177,19 @@ HEADLINE = [
     "event_transitions",
     "attribution_credit",
     "decayed_activity",
+    "time_to_convert",
+    "cusum_changepoint",
+    "event_paths",
+    "rfm_segments",
+    "bot_detect",
+    "anomaly_mad",
+    "value_histogram",
+    "link_reciprocity",
+    "centroid_drift",
+    "label_propagation",
+    "expire_snapshots",
+    "text_tiling",
+    "event_rle",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

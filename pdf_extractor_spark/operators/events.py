@@ -1031,3 +1031,40 @@ def value_histogram(df: DataFrame, n_buckets: int = 10) -> DataFrame:
         ).alias("hi"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+def event_rle(df: DataFrame) -> DataFrame:
+    """(user_id, n_events, n_runs, longest_run, compress_ratio) —
+    run-length profile of each user's event-type sequence (ts then
+    event_id order): highly repetitive streams (the same event fired in
+    long runs) compress far below 1.0 and are the replay/automation
+    smell complementary to bot_detect's timing signal. compress_ratio =
+    n_runs / n_events, rounded.
+
+    Scale: one lag window + two aggregates, all keyed by user_id — a
+    single shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = df.withColumn(
+        "_new",
+        (
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w))
+        ).cast("int"),
+    ).withColumn(
+        "_run",
+        F.sum("_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = marked.groupBy("user_id", "_run").agg(
+        F.count("*").alias("_rl")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("_rl").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("_rl").cast("long").alias("longest_run"),
+        F.round(F.count("*") / F.sum("_rl"), 6).alias("compress_ratio"),
+    )

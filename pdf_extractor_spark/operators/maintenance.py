@@ -245,3 +245,47 @@ def zone_map_prune(
             "rows_matching"
         ),
     )
+
+
+def expire_snapshots(
+    snapshots: DataFrame,
+    keep_last: int = 7,
+) -> DataFrame:
+    """(snapshot_id, snap_date, status, reason) — Iceberg
+    expire_snapshots-style retention planning: the newest `keep_last`
+    snapshots are retained as 'recent', the FIRST snapshot of every ISO
+    week is retained as 'weekly_head' (point-in-time recovery grid),
+    everything else is 'expired'. Recent beats weekly_head when both
+    apply. Planning only — the actual delete is the engine's job, this
+    emits the auditable decision table first (the safe pattern for a
+    destructive maintenance op).
+
+    Scale: windows over the SNAPSHOT timeline — metadata, thousands of
+    rows regardless of data volume.
+    """
+    wr = Window.orderBy(F.desc("snap_date"), F.desc("snapshot_id"))
+    ww = Window.partitionBy(F.date_trunc("week", F.col("snap_date"))).orderBy(
+        "snap_date", "snapshot_id"
+    )
+    marked = snapshots.select(
+        "snapshot_id",
+        "snap_date",
+        F.row_number().over(wr).alias("_recency"),
+        F.row_number().over(ww).alias("_week_rank"),
+    )
+    status = (
+        F.when(F.col("_recency") <= keep_last, F.lit("retained"))
+        .when(F.col("_week_rank") == 1, F.lit("retained"))
+        .otherwise(F.lit("expired"))
+    )
+    reason = (
+        F.when(F.col("_recency") <= keep_last, F.lit("recent"))
+        .when(F.col("_week_rank") == 1, F.lit("weekly_head"))
+        .otherwise(F.lit("age"))
+    )
+    return marked.select(
+        "snapshot_id",
+        F.col("snap_date").cast("string").alias("snap_date"),
+        status.alias("status"),
+        reason.alias("reason"),
+    )

@@ -1635,3 +1635,72 @@ def vocab_prune(
             6,
         ).alias("cov_at_50"),
     )
+
+
+def text_tiling(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 20,
+    boundary_sim: float = 0.1,
+):
+    """(doc_id, n_blocks, n_boundaries, min_sim) — TextTiling-style
+    topic segmentation (Hearst 1997, public knowledge): the document is
+    cut into consecutive `block_tokens`-token blocks, adjacent blocks
+    are compared by Jaccard over their DISTINCT vocabularies, and a
+    topic BOUNDARY is declared where similarity falls below
+    `boundary_sim`. Jaccard is an integer ratio (|∩| / |∪|), so the
+    only float is the final rounded min_sim. Single-block docs report
+    (1, 0, NULL).
+
+    Scale: pure array expressions per row — block slicing, set
+    intersections, one fold; no explode, no shuffle.
+    """
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    toks = tokens_col(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") > 0
+    )
+    n_blocks = F.ceil(F.size("_toks") / block_tokens).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(1), n_blocks),
+        lambda b: F.array_distinct(
+            F.slice(
+                F.col("_toks"),
+                ((b - 1) * block_tokens + 1).cast("int"),
+                block_tokens,
+            )
+        ),
+    )
+    d = d.select(F.col(id_col), blocks.alias("_b"))
+    sims = F.when(
+        F.size("_b") > 1,
+        F.transform(
+            F.sequence(F.lit(2), F.size("_b")),
+            lambda i: F.round(
+                F.size(
+                    F.array_intersect(
+                        F.element_at(F.col("_b"), i - 1),
+                        F.element_at(F.col("_b"), i),
+                    )
+                )
+                / F.size(
+                    F.array_union(
+                        F.element_at(F.col("_b"), i - 1),
+                        F.element_at(F.col("_b"), i),
+                    )
+                ),
+                6,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<double>"))
+    d = d.select(F.col(id_col), F.size("_b").alias("_nb"), sims.alias("_s"))
+    return d.select(
+        F.col(id_col),
+        F.col("_nb").cast("long").alias("n_blocks"),
+        F.size(F.filter(F.col("_s"), lambda s: s < boundary_sim))
+        .cast("long")
+        .alias("n_boundaries"),
+        (F.array_min("_s") + 0.0).alias("min_sim"),
+    )

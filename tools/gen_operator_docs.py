@@ -37,7 +37,19 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "gopher_filter", "c4_filter", "hash_lr", "calibration_bins",
         "entity_mentions", "vocab_coverage",
         "readability", "tokenizer_fertility", "ocr_garble_score",
-        "script_mix",
+        "script_mix", "sentence_segment", "quality_percentile",
+        "vocab_prune", "lang_confusion",
+        "zipf_fit", "heaps_law", "word_burstiness",
+        "stylometry_delta", "source_diversity", "text_tiling",
+    ]),
+    ("Document structure (layout cleanup & mining)", [
+        "dehyphenate", "header_footer_strip", "section_split",
+        "quote_extract", "toc_extract", "footnote_link", "list_detect",
+        "table_column_types", "acronym_extract", "unit_normalize",
+    ]),
+    ("Keywords & search", [
+        "keyword_rake", "reverse_search", "assoc_rules",
+        "autocomplete_prefix",
     ]),
     ("Deduplication", [
         "exact_dedup", "line_dedup", "substring_dedup", "ngram_jaccard",
@@ -55,26 +67,29 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "stratified_sample", "corpus_rollup", "dsir_weights",
         "source_similarity", "source_similarity_kmv",
         "lang_alpha_weights", "corpus_digest",
-        "host_boilerplate",
+        "host_boilerplate", "dataset_split", "pareto_frontier",
+        "sample_alloc", "badword_filter", "luhn_scan",
     ]),
     ("Similarity search (ANN)", [
         "cosine_topk", "bm25_topk", "phrase_search", "lsh_ann_topk", "ivf_ann_topk",
         "kmeans_clusters", "cluster_balanced_sample",
         "embedding_quantize", "hard_negatives", "bitext_mine",
-        "embedding_outliers",
+        "embedding_outliers", "centroid_drift",
     ]),
     ("Web: HTML, URLs, link graph", [
         "html_main_content", "html_blocks", "html_links",
         "anchor_text_index", "url_normalize", "url_dedup", "host_stats",
         "url_blocklist", "robots_rules", "crawl_schedule",
         "pagerank_hosts", "crawl_frontier", "triangle_hosts",
+        "link_reciprocity", "label_propagation",
     ]),
     ("Layout (reading order)", ["layout_order", "layout_text", "text_tables"]),
     ("Multimodal (interleaved media)", [
         "media_meta", "media_features", "media_resize", "frame_sample",
         "audio_segments",
         "media_captions", "multimodal_pack", "media_dedup", "media_phash",
-        "media_phash_neardup",
+        "media_phash_neardup", "span_interleave_stats",
+        "media_ref_integrity",
     ]),
     ("Events: sessions, as-of, rollups, sketches", [
         "sessionize", "asof_last_purchase", "resample_locf", "events_rollup",
@@ -83,9 +98,14 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "moving_avg_daily", "daily_anomaly", "value_quantiles", "approx_value_quantiles",
         "approx_distinct_users", "hll_mergeable_users", "sample_quantile_sketch", "heavy_hitters", "event_dedup", "props_variant_stats", "funnel_conversion", "retention_cohorts",
         "key_skew_stats", "salted_join", "scd2_user_status",
+        "ab_test", "dow_seasonality", "event_transitions",
+        "attribution_credit", "decayed_activity", "time_to_convert",
+        "cusum_changepoint", "event_paths", "rfm_segments", "bot_detect",
+        "anomaly_mad", "value_histogram", "event_rle",
     ]),
     ("Table layout & maintenance (Iceberg upkeep)", [
         "zorder_key", "compaction_plan", "snapshot_diff", "rendezvous_shards",
+        "zone_map_prune", "column_conformance", "expire_snapshots",
     ]),
 ]
 

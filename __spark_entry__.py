@@ -3951,6 +3951,45 @@ def _dedup_apply(spark, sf_dir):
     return kept.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def _levenshtein_names(spark, sf_dir):
+    """Edit-distance near-duplicate part-name pairs from the distinct-name
+    dictionary, blocked by the head noun (last token)."""
+    from pdf_extractor_spark.operators.fuzzy import levenshtein_name_pairs
+
+    return levenshtein_name_pairs(
+        _t(spark, sf_dir, "part"), "p_name", "p_partkey", max_dist=2
+    )
+
+
+def _phonetic_groups(spark, sf_dir):
+    """Spelling-variant candidate groups: part-name first tokens bucketed
+    by the consonant-skeleton phonetic key."""
+    from pdf_extractor_spark.operators.fuzzy import phonetic_groups
+
+    return phonetic_groups(
+        _t(spark, sf_dir, "part"), "p_name", "p_partkey", token_index=1
+    )
+
+
+def _cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking duplicate-passage signal per document:
+    gear-style boundaries (window 4, modulus 8), corpus-wide chunk-hash
+    frequency."""
+    from pdf_extractor_spark.operators.curation import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(
+        _t_wide(spark, sf_dir, "documents"), w=4, modulus=8
+    )
+
+
+def _rouge_overlap(spark, sf_dir):
+    """ROUGE-2 recall of every document against its successor doc — the
+    adjacent-snapshot redundancy probe."""
+    from pdf_extractor_spark.operators.curation import rouge_overlap
+
+    return rouge_overlap(_t_wide(spark, sf_dir, "documents"), n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4118,6 +4157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expire_snapshots": _expire_snapshots,
         "text_tiling": _text_tiling,
         "event_rle": _event_rle,
+        "levenshtein_names": _levenshtein_names,
+        "phonetic_groups": _phonetic_groups,
+        "cdc_chunk_dedup": _cdc_chunk_dedup,
+        "rouge_overlap": _rouge_overlap,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -9253,6 +9296,125 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
              (epoch_us(a) - epoch_us(ts)) / (86400.0 * 1e6) / 7.0)),
              6) + 0.0 AS decayed_score
 FROM events, anchor GROUP BY user_id
+"""
+    # levenshtein_names: same dictionary aggregate + last-token block +
+    # DuckDB's native levenshtein (classic edit distance, same as Spark's).
+    sql["levenshtein_names"] = r"""
+WITH dict AS (
+  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
+  FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+blk AS (
+  SELECT name, n_rows,
+         (regexp_split_to_array(name, '\s+'))[-1] AS b
+  FROM dict)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist,
+       a.n_rows AS n_a, b.n_rows AS n_b
+FROM blk a JOIN blk b ON a.b = b.b AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+    # phonetic_groups: identical regexp chain; DuckDB regexp_replace needs
+    # the 'g' flag to match Spark's replace-all default.
+    sql["phonetic_groups"] = r"""
+WITH w AS (
+  SELECT (regexp_split_to_array(p_name, '\s+'))[1] AS word,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+w2 AS (SELECT word, n_rows FROM w
+       WHERE word IS NOT NULL AND word <> ''),
+k AS (
+  SELECT word, n_rows,
+         regexp_replace(upper(word), '[^A-Z]', '', 'g') AS letters
+  FROM w2),
+p AS (
+  SELECT word, n_rows,
+         CASE WHEN letters = '' THEN ''
+              ELSE substr(letters, 1, 1) ||
+                   substr(regexp_replace(substr(letters, 2),
+                                         '[AEIOUHWY]', '', 'g'), 1, 4)
+         END AS pkey
+  FROM k)
+SELECT pkey, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       string_agg(word, '|' ORDER BY word) AS words
+FROM p GROUP BY pkey
+"""
+    # cdc_chunk_dedup: the identical gear boundaries (rolling 4-sum of the
+    # md5 60-bit token hashes mod 8) re-derived with window functions.
+    sql["cdc_chunk_dedup"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_OTOKS}) AS tk,
+         generate_subscripts({_OTOKS}, 1) AS ord
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+h AS (
+  SELECT doc_id, ord, tk,
+         CAST('0x' || substr(md5(lower(tk)), 1, 15) AS BIGINT) AS hv
+  FROM tok),
+b AS (
+  SELECT doc_id, ord, tk,
+         CASE WHEN ord >= 4 AND
+                   sum(hv) OVER (PARTITION BY doc_id ORDER BY ord
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   % 8 = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM h),
+c AS (
+  SELECT doc_id, ord, tk,
+         CAST(coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS INT) AS chunk_idx
+  FROM b),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(lower(string_agg(tk, ' ' ORDER BY ord))) AS chunk_hash,
+         CAST(count(*) AS BIGINT) AS n_toks
+  FROM c GROUP BY 1, 2),
+freq AS (SELECT chunk_hash, count(*) AS occ FROM chunks GROUP BY 1),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN occ > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+           AS dup_toks
+  FROM chunks JOIN freq USING (chunk_hash) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       round(coalesce(dup_toks * 1.0 / n_tokens, 0.0), 6) + 0.0
+         AS dup_token_ratio
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+    # rouge_overlap: distinct lowercase bigram hash sets per doc, overlap
+    # with the successor doc, recall vs the successor's set size.
+    sql["rouge_overlap"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_OTOKS} AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+g AS (
+  SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+  FROM tok WHERE len(toks) >= 2),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(lower(toks[i] || ' ' || toks[i + 1])),
+                             1, 15) AS BIGINT) AS gram
+  FROM g),
+ref AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ref
+        FROM grams GROUP BY 1),
+ov AS (
+  SELECT b.doc_id AS bid, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM grams a JOIN grams b
+    ON b.doc_id = a.doc_id + 1 AND b.gram = a.gram
+  GROUP BY 1)
+SELECT r.doc_id - 1 AS doc_a, r.doc_id AS doc_b,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       r.n_ref,
+       round(coalesce(n_overlap, 0) * 1.0 / r.n_ref, 6) + 0.0
+         AS rouge_recall
+FROM ref r LEFT JOIN ov ON ov.bid = r.doc_id
+WHERE EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = r.doc_id - 1)
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -190,6 +190,10 @@ HEADLINE = [
     "expire_snapshots",
     "text_tiling",
     "event_rle",
+    "levenshtein_names",
+    "phonetic_groups",
+    "cdc_chunk_dedup",
+    "rouge_overlap",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -2728,3 +2728,192 @@ def unit_normalize(
         .cast("long")
         .alias("total_bytes"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    modulus: int = 8,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_hash, n_toks) — content-defined chunking
+    over tokens (gear/Rabin-style, as in CDC storage dedup): a chunk
+    boundary falls AFTER token position i when the rolling sum of the last
+    `w` token hashes is divisible by `modulus` (and always at end-of-doc).
+    Expected chunk length ~= modulus tokens. Because the boundary test
+    depends only on local CONTENT, an insertion early in a document shifts
+    chunk ids but not downstream boundaries — unlike fixed-size chunks
+    (line_dedup), edits don't cascade, so shared passages keep their chunk
+    hashes and stay detectable.
+
+    Physical shape: posexplode tokens -> rolling window sum over
+    (doc, pos) -> boundary flag -> chunk index as the running count of
+    PRIOR boundaries (lagged cumulative sum) -> per-(doc, chunk) rebuild
+    via array_sort(collect_list(struct(pos, tok))). Two doc-key window
+    passes share ONE doc-hash shuffle (same partitioning, Exchange
+    reused), then one (doc, chunk) aggregate. Hashes are the 60-bit
+    md5-derived construction shared with winnowing, so the DuckDB oracle
+    reproduces every boundary bit-for-bit. Window sums of w * 2^60 stay
+    well inside int64 for w <= 7."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = (
+        base.select("id", F.posexplode_outer("_toks").alias("pos", "tok"))
+        .where(F.col("tok").isNotNull())
+        .withColumn("h", simhash_token_hash(F.lower("tok")))
+    )
+    roll = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    prior = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = toks.withColumn(
+        "boundary",
+        (F.col("pos") >= F.lit(w - 1))
+        & (F.sum("h").over(roll) % F.lit(modulus) == 0),
+    ).withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum(F.col("boundary").cast("long")).over(prior), F.lit(0)
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy(F.col("id").alias(id_col), "chunk_idx")
+        .agg(
+            F.md5(
+                F.lower(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "tok"))
+                            ),
+                            lambda s: s["tok"],
+                        ),
+                        " ",
+                    )
+                )
+            ).alias("chunk_hash"),
+            F.count("*").cast("long").alias("n_toks"),
+        )
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    modulus: int = 8,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_chunks, n_dup_chunks, dup_token_ratio) —
+    corpus-level duplicate-passage signal on top of cdc_chunks: a chunk is
+    duplicated when its hash occurs more than once corpus-wide;
+    dup_token_ratio is the fraction of the document's tokens inside
+    duplicated chunks (rounded to 6 dp). Token-less documents report
+    zeros.
+
+    Physical shape: chunk inventory (above) -> chunk-hash frequency
+    aggregate (map-side combined; the shuffle carries one row per distinct
+    chunk per mapper) -> shuffle join back on chunk_hash (corpus-sized,
+    NOT broadcastable at scale) -> per-doc rollup. The frequency table is
+    the only corpus-scale exchange added beyond the inventory itself."""
+    chunks = cdc_chunks(df, text_col, id_col, w, modulus)
+    freq = chunks.groupBy("chunk_hash").agg(F.count("*").alias("occ"))
+    per_doc = (
+        chunks.join(freq, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("occ") > 1).cast("long")).alias("n_dup_chunks"),
+            F.sum("n_toks").alias("_n_toks"),
+            F.sum(F.when(F.col("occ") > 1, F.col("n_toks")).otherwise(0)).alias(
+                "_dup_toks"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n_toks", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.round(
+                F.coalesce(
+                    F.col("_dup_toks") / F.col("_n_toks"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_token_ratio"),
+        )
+    )
+
+
+def rouge_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, n_overlap, n_ref, rouge_recall) — ROUGE-N recall of
+    each document against its successor (doc_b = doc_a + 1): the fraction
+    of doc_b's DISTINCT token n-grams that also appear in doc_a. The
+    summarization-eval metric repurposed as an adjacent-document
+    redundancy probe (crawl snapshots land in id order, so neighbors are
+    the cheapest near-dup prior). Pairs whose reference has no n-gram are
+    dropped; recall is rounded to 6 dp.
+
+    Physical shape: one distinct-(id, gram) inventory, consumed twice.
+    The overlap join is a pure EQUI-join on the composite (successor id,
+    gram) key — the successor constraint is folded INTO the key (a.id+1,
+    a.gram) = (b.id, b.gram), so there is no fan-out beyond true matches
+    and no theta-join. Gram keys are lowercase-folded md5 60-bit hashes
+    (16 bytes shuffled, not the gram text)."""
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: simhash_token_hash(
+                    F.lower(F.array_join(F.slice(toks, i + 1, n), " "))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    inv = (
+        df.select(
+            F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+        )
+        .select("id", F.explode_outer(grams).alias("gram"))
+        .where(F.col("gram").isNotNull())
+    )
+    ref_counts = inv.groupBy("id").agg(F.count("*").alias("n_ref"))
+    overlap = (
+        inv.select((F.col("id") + 1).alias("bid"), "gram")
+        .join(
+            inv.select(F.col("id").alias("bid"), "gram"),
+            ["bid", "gram"],
+        )
+        .groupBy("bid")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        ref_counts.withColumnRenamed("id", "bid")
+        .join(overlap, "bid", "left")
+        .select(
+            (F.col("bid") - 1).alias("doc_a"),
+            F.col("bid").alias("doc_b"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_ref"), 6
+            ).alias("rouge_recall"),
+        )
+        .join(
+            df.select(F.col(id_col).alias("doc_a")).distinct(), "doc_a"
+        )
+    )

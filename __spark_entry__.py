@@ -3990,6 +3990,35 @@ def _rouge_overlap(spark, sf_dir):
     return rouge_overlap(_t_wide(spark, sf_dir, "documents"), n=2)
 
 
+def _dau_wau_stickiness(spark, sf_dir):
+    """Per-day DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio."""
+    from pdf_extractor_spark.operators.events import dau_wau_stickiness
+
+    return dau_wau_stickiness(_t(spark, sf_dir, "events"), window_days=7)
+
+
+def _gini_value(spark, sf_dir):
+    """Gini concentration of event values per event type."""
+    from pdf_extractor_spark.operators.events import gini_value
+
+    return gini_value(_t(spark, sf_dir, "events"))
+
+
+def _user_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type mix (behavioral
+    diversity)."""
+    from pdf_extractor_spark.operators.events import user_entropy
+
+    return user_entropy(_t(spark, sf_dir, "events"))
+
+
+def _ewma_daily(spark, sf_dir):
+    """Truncated-window EWMA of daily event counts + spike ratio."""
+    from pdf_extractor_spark.operators.events import ewma_daily
+
+    return ewma_daily(_t(spark, sf_dir, "events"), alpha=0.3, span=14)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4161,6 +4190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_groups": _phonetic_groups,
         "cdc_chunk_dedup": _cdc_chunk_dedup,
         "rouge_overlap": _rouge_overlap,
+        "dau_wau_stickiness": _dau_wau_stickiness,
+        "gini_value": _gini_value,
+        "user_entropy": _user_entropy,
+        "ewma_daily": _ewma_daily,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -9415,6 +9448,67 @@ SELECT r.doc_id - 1 AS doc_a, r.doc_id AS doc_b,
          AS rouge_recall
 FROM ref r LEFT JOIN ov ON ov.bid = r.doc_id
 WHERE EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = r.doc_id - 1)
+"""
+    # dau_wau_stickiness: distinct user-day inventory; the trailing
+    # 7-day distinct count via a bounded date-diff join (the oracle can
+    # afford the range join; the Spark op uses the constant-fan-out
+    # explode rewrite of the same window).
+    sql["dau_wau_stickiness"] = """
+WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM act),
+dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM act GROUP BY 1),
+wau AS (SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+        FROM days d JOIN act a
+          ON a.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1)
+SELECT CAST(d.day AS VARCHAR) AS day, dau.dau, wau.wau,
+       round(dau.dau * 1.0 / wau.wau, 6) + 0.0 AS stickiness
+FROM days d JOIN dau USING (day) JOIN wau ON wau.day = d.day
+"""
+    # gini_value: identical rank formula; row_number ties are harmless
+    # (sum(i*x) over an equal-value run is tie-order invariant).
+    sql["gini_value"] = """
+WITH v AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS i
+  FROM events WHERE value IS NOT NULL),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_values,
+         sum(value) AS tot, sum(i * value) AS iws
+  FROM v GROUP BY 1)
+SELECT event_type, n_values, round(tot, 6) + 0.0 AS total_value,
+       CASE WHEN tot <= 0 OR n_values <= 1 THEN 0.0
+            ELSE round(2.0 * iws / (n_values * tot)
+                       - (n_values + 1.0) / n_values, 6) END + 0.0 AS gini
+FROM a
+"""
+    # user_entropy: exact integer counts, entropy as log2(N) - sum(c
+    # log2 c)/N — the same regrouping the Spark op uses.
+    sql["user_entropy"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2)
+SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) + 0.0 AS entropy
+FROM c GROUP BY user_id
+"""
+    # ewma_daily: trailing 14-day renormalized (0.7^age) weighted mean of
+    # daily counts via a bounded date-diff join.
+    sql["ewma_daily"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+w AS (
+  SELECT d.day, d.n,
+         sum(s.n * power(0.7, d.day - s.day)) AS ws,
+         sum(power(0.7, d.day - s.day)) AS wsum
+  FROM daily d JOIN daily s
+    ON s.day BETWEEN d.day - 13 AND d.day
+  GROUP BY 1, 2)
+SELECT CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n_events,
+       round(ws / wsum, 6) + 0.0 AS ewma,
+       round(n / (ws / wsum), 6) + 0.0 AS ratio
+FROM w
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

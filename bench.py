@@ -194,6 +194,10 @@ HEADLINE = [
     "phonetic_groups",
     "cdc_chunk_dedup",
     "rouge_overlap",
+    "dau_wau_stickiness",
+    "gini_value",
+    "user_entropy",
+    "ewma_daily",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -1068,3 +1068,158 @@ def event_rle(df: DataFrame) -> DataFrame:
         F.max("_rl").cast("long").alias("longest_run"),
         F.round(F.count("*") / F.sum("_rl"), 6).alias("compress_ratio"),
     )
+
+
+def dau_wau_stickiness(df: DataFrame, window_days: int = 7) -> DataFrame:
+    """(day, dau, wau, stickiness) — per-day distinct active users, the
+    trailing `window_days`-day distinct-user count, and the DAU/WAU
+    stickiness ratio (6 dp). Only days with at least one event appear.
+
+    Physical shape: distinct (day, user) inventory (map-side partial
+    distinct; the shuffle carries one row per user-day, not per event) ->
+    each user-day EXPLODED to the `window_days` trailing windows it
+    contributes to (constant fan-out, no theta/range join) -> per-day
+    distinct aggregate, filtered back to observed days. Sliding distinct
+    counts cannot be windowed directly (distinct doesn't decompose);
+    the constant-fan-out explode is the scalable rewrite — shuffle volume
+    is window_days x |user-days|, independent of raw event count."""
+    act = df.select(
+        F.to_date("ts").alias("day"), F.col("user_id")
+    ).distinct()
+    dau = act.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    contrib = act.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def gini_value(df: DataFrame) -> DataFrame:
+    """(event_type, n_values, total_value, gini) — Gini coefficient of the
+    non-null `value` distribution within each event type: how concentrated
+    spend/latency is on a few events. Formula over ascending-sorted x with
+    1-based rank i: G = 2*sum(i*x_i) / (n*sum(x)) - (n+1)/n; degenerate
+    groups (sum == 0 or n == 1) report 0. Rank ties share a value, and
+    sum(i*x_i) over a run of equal x is invariant to the tie order, so the
+    result is deterministic without a tiebreaker column.
+
+    Physical shape: one window pass (row_number per type over value
+    order) + one aggregate — a single event-type hash shuffle; the sort is
+    the window's spillable partition sort. Five event types means five
+    partitions: at corpus scale the type key is LOW-cardinality, so this
+    op deliberately accepts the per-type sort (the alternative — a
+    value-histogram approximation — trades exactness for parallelism;
+    value_histogram covers that path)."""
+    vals = df.where(F.col("value").isNotNull()).select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = vals.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_values"),
+            F.sum("value").alias("_tot"),
+            F.sum(F.col("i") * F.col("value")).alias("_iws"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            F.round("_tot", 6).alias("total_value"),
+            F.when(
+                (F.col("_tot") <= 0) | (F.col("n_values") <= 1), F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    2.0 * F.col("_iws") / (F.col("n_values") * F.col("_tot"))
+                    - (F.col("n_values") + 1) / F.col("n_values"),
+                    6,
+                )
+            )
+            .alias("gini"),
+        )
+    )
+
+
+def user_entropy(df: DataFrame) -> DataFrame:
+    """(user_id, n_events, n_types, entropy) — Shannon entropy (bits) of
+    each user's event-type distribution: a behavioral-diversity signal
+    (entropy 0 = single-type bots, high entropy = organic browsing; the
+    bot_detect op uses periodicity, this uses the type mix). 6 dp.
+
+    Physical shape: (user, type) count aggregate -> per-user rollup — two
+    hash shuffles, both map-side combined; entropy is computed from exact
+    integer counts, so the only float work is the final log2 ratio."""
+    counts = df.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+def ewma_daily(df: DataFrame, alpha: float = 0.3, span: int = 14) -> DataFrame:
+    """(day, n_events, ewma, ratio) — exponentially weighted moving
+    average of the daily event count over a TRUNCATED `span`-day window
+    with weights (1-alpha)^age renormalized over the days actually
+    present. ratio = n / ewma (spike detector input). 6 dp.
+
+    The textbook recursive EWMA (s_t = a*c_t + (1-a)*s_{t-1}) is
+    sequential, and its closed form needs (1-a)^(-t) terms that overflow
+    after a few thousand days — both are non-starters for a distributed
+    multi-year log. Truncating at `span` days keeps every weight in
+    [(1-a)^(span-1), 1], makes the op a constant-fan-out self-join on the
+    day key (each day joins its trailing window), and loses only the
+    (1-a)^span ~ 0.7^14 < 1% weight tail.
+
+    Physical shape: daily-count aggregate (one date shuffle) -> trailing
+    window via explode of the next `span` days each count contributes to
+    (same rewrite as dau_wau_stickiness — constant fan-out, no range
+    join) -> weighted per-day rollup, filtered to observed days."""
+    daily = df.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    contrib = daily.select(
+        F.col("day").alias("src"),
+        "n",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), span - 1))
+        ).alias("day"),
+    ).withColumn("age", F.datediff("day", "src"))
+    weighted = contrib.groupBy("day").agg(
+        F.sum(F.col("n") * F.pow(F.lit(1.0 - alpha), F.col("age"))).alias(
+            "_ws"
+        ),
+        F.sum(F.pow(F.lit(1.0 - alpha), F.col("age"))).alias("_w"),
+    )
+    return (
+        daily.join(weighted, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("_ws") / F.col("_w"), 6).alias("ewma"),
+            F.round(F.col("n") / (F.col("_ws") / F.col("_w")), 6).alias(
+                "ratio"
+            ),
+        )
+    )

@@ -4019,6 +4019,42 @@ def _ewma_daily(spark, sf_dir):
     return ewma_daily(_t(spark, sf_dir, "events"), alpha=0.3, span=14)
 
 
+def _host_graph_edges(docs):
+    """The deterministic synthetic host link graph shared by the
+    pagerank_hosts / crawl_frontier / triangle_hosts family."""
+
+    def tgt(a: int, b: int):
+        return F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * a + b) % 20).cast("string"),
+            F.lit(".example.com"),
+        )
+
+    return docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+        F.explode(F.array(tgt(3, 1), tgt(7, 2), tgt(11, 5))).alias("dst"),
+    )
+
+
+def _hits_hosts(spark, sf_dir):
+    """HITS hub/authority scores (2 L1-normalized rounds) over the same
+    synthetic host graph as pagerank_hosts; oracle = both rounds unrolled
+    in SQL."""
+    from pdf_extractor_spark.operators.graph import hits
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    return hits(edges, iters=2).withColumnRenamed("node", "host")
+
+
+def _degree_ccdf(spark, sf_dir):
+    """Total-degree distribution of the host graph with the complementary
+    CDF — the log-log scale-free diagnostic."""
+    from pdf_extractor_spark.operators.graph import degree_ccdf
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    return degree_ccdf(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4194,6 +4230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_value": _gini_value,
         "user_entropy": _user_entropy,
         "ewma_daily": _ewma_daily,
+        "hits_hosts": _hits_hosts,
+        "degree_ccdf": _degree_ccdf,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -9510,6 +9548,47 @@ SELECT CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n_events,
        round(n / (ws / wsum), 6) + 0.0 AS ratio
 FROM w
 """
+    # hits_hosts: 2 L1-normalized HITS rounds unrolled over the shared
+    # host-graph CTE (auth starts at 1; hub then auth each round, each
+    # divided by its global sum).
+    _hits_step = """
+h{k}r AS (SELECT e.src AS node, sum(a{j}.auth) AS hub
+          FROM e JOIN a{j} ON a{j}.node = e.dst GROUP BY 1),
+h{k}f AS (SELECT n.node, coalesce(h{k}r.hub, 0.0) AS hub
+          FROM nodes n LEFT JOIN h{k}r USING (node)),
+h{k} AS (SELECT node, hub / (SELECT sum(hub) FROM h{k}f) AS hub FROM h{k}f),
+a{k}r AS (SELECT e.dst AS node, sum(h{k}.hub) AS auth
+          FROM e JOIN h{k} ON h{k}.node = e.src GROUP BY 1),
+a{k}f AS (SELECT n.node, coalesce(a{k}r.auth, 0.0) AS auth
+          FROM nodes n LEFT JOIN a{k}r USING (node)),
+a{k} AS (SELECT node, auth / (SELECT sum(auth) FROM a{k}f) AS auth
+         FROM a{k}f),"""
+    sql["hits_hosts"] = (
+        _pr_edges
+        + "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+        + "a0 AS (SELECT node, 1.0 AS auth FROM nodes),"
+        + "".join(_hits_step.format(k=k, j=k - 1) for k in (1, 2)).rstrip(",")
+        + """
+SELECT n.node AS host, round(h2.hub, 6) + 0.0 AS hub,
+       round(a2.auth, 6) + 0.0 AS auth
+FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)"""
+    )
+    # degree_ccdf: count-of-counts histogram of total degree (out + in
+    # over the distinct edge set) with a descending running share.
+    sql["degree_ccdf"] = (
+        _pr_edges
+        + """
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY 1),
+hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_hosts
+         FROM deg GROUP BY 1)
+SELECT degree, n_hosts,
+       round(sum(n_hosts) OVER (ORDER BY degree DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 /
+             (SELECT sum(n_hosts) FROM hist), 6) + 0.0 AS ccdf
+FROM hist"""
+    )
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

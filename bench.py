@@ -198,6 +198,8 @@ HEADLINE = [
     "gini_value",
     "user_entropy",
     "ewma_daily",
+    "hits_hosts",
+    "degree_ccdf",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

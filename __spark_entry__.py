@@ -4055,6 +4055,27 @@ def _degree_ccdf(spark, sf_dir):
     return degree_ccdf(edges)
 
 
+def _shot_boundaries(spark, sf_dir):
+    """Shot-boundary detection over sampled video frames of the derived
+    media table (deterministic per-frame feature; threshold cut
+    detector)."""
+    from pdf_extractor_spark.operators.multimodal import (
+        media_from_documents,
+        shot_boundaries,
+    )
+
+    media = media_from_documents(_t_wide(spark, sf_dir, "documents"))
+    return shot_boundaries(media, every_n=5, threshold=96)
+
+
+def _events_cube(spark, sf_dir):
+    """CUBE over (event_type, day-of-week) with grouping-id bitmask — all
+    cells, subtotals, and the grand total in one pass."""
+    from pdf_extractor_spark.operators.events import events_cube
+
+    return events_cube(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4232,6 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": _ewma_daily,
         "hits_hosts": _hits_hosts,
         "degree_ccdf": _degree_ccdf,
+        "shot_boundaries": _shot_boundaries,
+        "events_cube": _events_cube,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -9589,6 +9612,60 @@ SELECT degree, n_hosts,
              (SELECT sum(n_hosts) FROM hist), 6) + 0.0 AS ccdf
 FROM hist"""
     )
+    # shot_boundaries: the same sampled-frame lag windows over the derived
+    # video rows (doc_id % 3 = 2), per-frame feature = md5 60-bit hash of
+    # media_id:frame_idx mod 256.
+    sql["shot_boundaries"] = """
+WITH vids AS (
+  SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id,
+         coalesce(length(text) % 100 + 1 - 1, 0) AS hi
+  FROM documents WHERE doc_id % 3 = 2),
+frames AS (
+  SELECT media_id, unnest(range(0, hi + 1, 5)) AS frame_idx FROM vids),
+feat AS (
+  SELECT media_id, frame_idx,
+         CAST('0x' || substr(md5(media_id || ':' ||
+              CAST(frame_idx AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS f
+  FROM frames),
+d AS (
+  SELECT media_id, frame_idx, f,
+         abs(f - lag(f) OVER (PARTITION BY media_id ORDER BY frame_idx))
+           AS diff
+  FROM feat),
+ns AS (
+  SELECT media_id, frame_idx, diff,
+         CASE WHEN diff IS NULL OR diff > 96 THEN 1 ELSE 0 END AS new_shot
+  FROM d),
+sh AS (
+  SELECT media_id, frame_idx, diff,
+         sum(new_shot) OVER (PARTITION BY media_id ORDER BY frame_idx)
+           AS shot_id
+  FROM ns),
+per_shot AS (
+  SELECT media_id, shot_id, count(*) AS sl FROM sh GROUP BY 1, 2),
+a1 AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n_shots,
+         CAST(max(sl) AS BIGINT) AS longest_shot
+  FROM per_shot GROUP BY 1),
+a2 AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n_sampled,
+         round(coalesce(avg(diff), 0.0), 6) + 0.0 AS mean_abs_diff
+  FROM sh GROUP BY 1)
+SELECT media_id, n_sampled, n_shots, longest_shot, mean_abs_diff
+FROM a2 JOIN a1 USING (media_id)
+"""
+    # events_cube: native CUBE + GROUPING bitmask (same bit order: first
+    # grouping column is the most significant bit in both engines).
+    sql["events_cube"] = """
+WITH ev AS (
+  SELECT coalesce(event_type, 'unknown') AS event_type,
+         CAST(dayofweek(ts) + 1 AS INT) AS dow, value
+  FROM events)
+SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+       round(coalesce(sum(value), 0), 4) + 0.0 AS total_value,
+       CAST(GROUPING(event_type, dow) AS BIGINT) AS gid
+FROM ev GROUP BY CUBE (event_type, dow)
+"""
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

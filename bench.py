@@ -200,6 +200,8 @@ HEADLINE = [
     "ewma_daily",
     "hits_hosts",
     "degree_ccdf",
+    "shot_boundaries",
+    "events_cube",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

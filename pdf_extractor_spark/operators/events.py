@@ -1223,3 +1223,31 @@ def ewma_daily(df: DataFrame, alpha: float = 0.3, span: int = 14) -> DataFrame:
             ),
         )
     )
+
+
+def events_cube(df: DataFrame) -> DataFrame:
+    """(event_type, dow, n, total_value, gid) — CUBE over (event type,
+    day-of-week): every cell, both one-dimension subtotals, and the grand
+    total in ONE shuffle pass, disambiguated by the grouping-id bitmask
+    (0 = cell, 1 = dow rolled up, 2 = type rolled up, 3 = grand total).
+    The GROUPING SETS companion to events_rollup (which only covers the
+    hierarchical prefix sets). dow is Spark's dayofweek (Sunday = 1).
+
+    Scale note: CUBE expands each input row to the 4 grouping sets
+    map-side and partially aggregates BEFORE the exchange, so the shuffle
+    carries at most 4x the distinct-cell count — not 4x the data. That
+    plan (Expand -> partial HashAggregate -> exchange) is exactly what a
+    hand-built union-of-aggregates would cost in four passes, done in
+    one."""
+    ev = df.select(
+        F.coalesce("event_type", F.lit("unknown")).alias("event_type"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+        "value",
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias(
+            "total_value"
+        ),
+        F.grouping_id().cast("long").alias("gid"),
+    )

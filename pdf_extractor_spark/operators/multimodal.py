@@ -617,3 +617,76 @@ def media_ref_integrity(
         .cast("long")
         .alias("n_orphans"),
     )
+
+
+def shot_boundaries(
+    media: DataFrame, every_n: int = 5, threshold: int = 96
+) -> DataFrame:
+    """(media_id, n_sampled, n_shots, longest_shot, mean_abs_diff) — shot-
+    boundary detection plumbing over sampled video frames: a per-frame
+    scalar feature stands in for the decoded-frame histogram (the 60-bit
+    md5 hash of media_id:frame_idx mod 256 — deterministic, columnar, and
+    SQL-mirrorable; a real pipeline swaps in the decoder's luma histogram
+    at exactly this expression), and a new shot starts where the absolute
+    frame-to-frame feature jump exceeds `threshold`. longest_shot counts
+    SAMPLED frames; mean_abs_diff (6 dp) is the cut-detector's signal
+    level per video.
+
+    Physical shape: frame sampling is the existing explode-of-sequence
+    (sample_frames), the feature a pure projection, boundaries one
+    lag-window pass and the rollup one aggregate — the window and the
+    groupBy share the media_id hash shuffle (Exchange reused). Per-video
+    frame counts are metadata-bounded, so window partitions stay small
+    regardless of corpus size."""
+    from pyspark.sql import Window
+
+    frames = sample_frames(media, every_n=every_n).withColumn(
+        "feat",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("media_id"),
+                        F.lit(":"),
+                        F.col("frame_idx").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256,
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    diffs = frames.withColumn(
+        "diff", F.abs(F.col("feat") - F.lag("feat").over(w))
+    ).withColumn(
+        "new_shot",
+        F.when(
+            F.col("diff").isNull() | (F.col("diff") > threshold), 1
+        ).otherwise(0),
+    )
+    shots = diffs.withColumn(
+        "shot_id",
+        F.sum("new_shot").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_shot = shots.groupBy("media_id", "shot_id").agg(
+        F.count("*").alias("shot_len")
+    )
+    agg_shots = per_shot.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_shots"),
+        F.max("shot_len").cast("long").alias("longest_shot"),
+    )
+    agg_frames = diffs.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.round(F.coalesce(F.avg("diff"), F.lit(0.0)), 6).alias(
+            "mean_abs_diff"
+        ),
+    )
+    return agg_frames.join(agg_shots, "media_id").select(
+        "media_id", "n_sampled", "n_shots", "longest_shot", "mean_abs_diff"
+    )

@@ -4076,6 +4076,40 @@ def _events_cube(spark, sf_dir):
     return events_cube(_t(spark, sf_dir, "events"))
 
 
+def _concordance(spark, sf_dir):
+    """Keyword-in-context concordance for the token 'spark' with 3 tokens
+    of context each side."""
+    from pdf_extractor_spark.operators.textstats import concordance
+
+    return concordance(
+        _t_wide(spark, sf_dir, "documents"), term="spark", width=3
+    )
+
+
+def _branching_entropy(spark, sf_dir):
+    """Successor branching entropy per unigram context — the unsupervised
+    segmentation-boundary signal."""
+    from pdf_extractor_spark.operators.textstats import branching_entropy
+
+    return branching_entropy(_t_wide(spark, sf_dir, "documents"))
+
+
+def _kmv_setops(spark, sf_dir):
+    """KMV bottom-64 distinct-count algebra between event-type user sets:
+    per-set, union, and intersection cardinality estimates."""
+    from pdf_extractor_spark.operators.sketches import kmv_set_cardinality
+
+    return kmv_set_cardinality(_t(spark, sf_dir, "events"), k=64)
+
+
+def _seasonal_decompose(spark, sf_dir):
+    """Multiplicative trend/weekday-seasonal/residual decomposition of the
+    daily event counts."""
+    from pdf_extractor_spark.operators.events import seasonal_decompose
+
+    return seasonal_decompose(_t(spark, sf_dir, "events"), period_days=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4255,6 +4289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_ccdf": _degree_ccdf,
         "shot_boundaries": _shot_boundaries,
         "events_cube": _events_cube,
+        "concordance": _concordance,
+        "branching_entropy": _branching_entropy,
+        "kmv_setops": _kmv_setops,
+        "seasonal_decompose": _seasonal_decompose,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -9665,6 +9703,96 @@ SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
        round(coalesce(sum(value), 0), 4) + 0.0 AS total_value,
        CAST(GROUPING(event_type, dow) AS BIGINT) AS gid
 FROM ev GROUP BY CUBE (event_type, dow)
+"""
+    # concordance: same 1-based slicing over the token array; pos is the
+    # Spark 0-based posexplode index.
+    sql["concordance"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_OTOKS} AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+g AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+h AS (SELECT doc_id, toks, i FROM g WHERE lower(toks[i]) = 'spark')
+SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       coalesce(array_to_string(
+           list_slice(toks, greatest(i - 3, 1), i - 1), ' '), '')
+         AS left_ctx,
+       toks[i] AS matched,
+       coalesce(array_to_string(list_slice(toks, i + 1, i + 3), ' '), '')
+         AS right_ctx
+FROM h
+"""
+    # branching_entropy: bigram successor counts, entropy as
+    # log2(N) - sum(c log2 c)/N over exact integer counts.
+    sql["branching_entropy"] = f"""
+WITH tok AS (
+  SELECT {_OTOKS} AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+g AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok
+      WHERE len(toks) >= 2),
+p AS (SELECT lower(toks[i]) AS w1, lower(toks[i + 1]) AS w2 FROM g),
+c AS (SELECT w1, w2, count(*) AS c FROM p GROUP BY 1, 2)
+SELECT w1 AS context, CAST(sum(c) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_successors,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) + 0.0 AS entropy
+FROM c GROUP BY 1
+"""
+    # kmv_setops: identical bottom-64 sketches under the md5 hash ranking;
+    # the (k-1)*M/h_(k) estimator and the Jaccard-x-union intersection.
+    sql["kmv_setops"] = """
+WITH idx AS (
+  SELECT DISTINCT event_type AS g,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM idx),
+sk AS (SELECT g, list(h ORDER BY h) AS sk, count(*) AS kn
+       FROM r WHERE rn <= 64 GROUP BY 1),
+pairs AS (
+  SELECT a.g AS grp_a, b.g AS grp_b, a.sk AS ska, b.sk AS skb,
+         a.kn AS kna, b.kn AS knb
+  FROM sk a JOIN sk b ON a.g < b.g),
+m AS (
+  SELECT grp_a, grp_b, ska, skb, kna, knb,
+         list_slice(list_sort(list_distinct(list_concat(ska, skb))),
+                    1, 64) AS mm
+  FROM pairs),
+m2 AS (
+  SELECT grp_a, grp_b, ska, skb, kna, knb, mm, len(mm) AS mn,
+         CASE WHEN len(mm) < 64 THEN len(mm) * 1.0
+              ELSE 63.0 * 1152921504606846976 / mm[64] END AS est_u,
+         len(list_intersect(list_intersect(mm, ska), skb)) AS shared
+  FROM m)
+SELECT grp_a, grp_b,
+       round(CASE WHEN kna < 64 THEN kna * 1.0
+                  ELSE 63.0 * 1152921504606846976 / ska[64] END, 2) + 0.0
+         AS est_a,
+       round(CASE WHEN knb < 64 THEN knb * 1.0
+                  ELSE 63.0 * 1152921504606846976 / skb[64] END, 2) + 0.0
+         AS est_b,
+       round(est_u, 2) + 0.0 AS est_union,
+       round(shared * 1.0 / mn * est_u, 2) + 0.0 AS est_inter
+FROM m2
+"""
+    # seasonal_decompose: centered 7-day renormalized moving average,
+    # per-weekday multiplicative index, residual.
+    sql["seasonal_decompose"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+tr AS (
+  SELECT d.day, sum(s.n) * 1.0 / count(*) AS trend
+  FROM daily d JOIN daily s ON s.day BETWEEN d.day - 3 AND d.day + 3
+  GROUP BY 1),
+b AS (
+  SELECT daily.day, daily.n, tr.trend,
+         dayofweek(daily.day) + 1 AS dow
+  FROM daily JOIN tr USING (day)),
+seas AS (SELECT dow, avg(n / trend) AS si FROM b GROUP BY 1)
+SELECT CAST(b.day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n_events,
+       round(trend, 6) + 0.0 AS trend,
+       round(si, 6) + 0.0 AS seasonal_idx,
+       round(n / (trend * si), 6) + 0.0 AS residual
+FROM b JOIN seas USING (dow)
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -202,6 +202,10 @@ HEADLINE = [
     "degree_ccdf",
     "shot_boundaries",
     "events_cube",
+    "concordance",
+    "branching_entropy",
+    "kmv_setops",
+    "seasonal_decompose",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

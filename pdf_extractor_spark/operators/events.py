@@ -1251,3 +1251,55 @@ def events_cube(df: DataFrame) -> DataFrame:
         ),
         F.grouping_id().cast("long").alias("gid"),
     )
+
+
+def seasonal_decompose(df: DataFrame, period_days: int = 7) -> DataFrame:
+    """(day, n_events, trend, seasonal_idx, residual) — classic
+    multiplicative decomposition of the daily event count: trend = the
+    centered `period_days`-day moving average (renormalized over the days
+    actually present), seasonal_idx = the mean n/trend ratio of the day's
+    weekday across the whole series, residual = n / (trend *
+    seasonal_idx). The anomaly detectors (daily_anomaly, anomaly_mad)
+    flag deviations; this explains the systematic part they must NOT
+    flag. 6 dp.
+
+    Physical shape: daily-count aggregate -> centered window via the same
+    constant-fan-out explode as ewma_daily (each day contributes to the
+    period_days days centered on it — no range join) -> per-weekday
+    seasonal aggregate (7 rows, broadcast back) -> final projection. The
+    only non-constant shuffle keys are calendar dates."""
+    half = period_days // 2
+    daily = df.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    contrib = daily.select(
+        F.col("day").alias("src"),
+        "n",
+        F.explode(
+            F.sequence(
+                F.date_sub(F.col("day"), half),
+                F.date_add(F.col("day"), half),
+            )
+        ).alias("day"),
+    )
+    trend = contrib.groupBy("day").agg(
+        (F.sum("n") / F.count("*")).alias("trend")
+    )
+    based = daily.join(trend, "day").withColumn(
+        "dow", F.dayofweek("day")
+    )
+    seas = based.groupBy("dow").agg(
+        F.avg(F.col("n") / F.col("trend")).alias("seasonal_idx")
+    )
+    return (
+        based.join(F.broadcast(seas), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal_idx", 6).alias("seasonal_idx"),
+            F.round(
+                F.col("n") / (F.col("trend") * F.col("seasonal_idx")), 6
+            ).alias("residual"),
+        )
+    )

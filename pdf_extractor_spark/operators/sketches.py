@@ -332,3 +332,85 @@ def heavy_hitters(
         .agg(F.count("*").cast("long").alias("exact_n"))
         .filter(F.col("exact_n") >= F.lit(threshold))
     )
+
+
+def kmv_set_cardinality(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """(grp_a, grp_b, est_a, est_b, est_union, est_inter) — KMV bottom-k
+    distinct-count ALGEBRA between per-group key sets: cardinality of each
+    set, of the union (merge sketches, re-take bottom-k, apply the
+    (k-1)*M/h_(k) estimator), and of the intersection (KMV Jaccard x
+    union estimate). Completes the mergeable-summary family: HLL answers
+    one set's cardinality, source_similarity_kmv answers similarity; this
+    answers |A∪B| and |A∩B| — the audience-overlap question — from the
+    same k-hash summaries. Estimates round to 2 dp; sets smaller than k
+    are EXACT (the estimator degenerates to the true count by design).
+
+    Scale shape: distinct (group, hash) inventory (map-side combined) ->
+    per-group bottom-k via rank window (group count is LOW cardinality:
+    event types, crawl snapshots — the window partitions are the groups)
+    -> the pair algebra runs on groups^2 k-length arrays, never corpus
+    rows. Hashes are 60-bit md5-derived, so every estimate is
+    bit-reproducible in the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    max_h = float(1 << 60)
+    idx = (
+        df.where(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            simhash_token_hash(F.col(key_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("h"))
+    sk = (
+        idx.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy("g")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("sk"),
+            F.count("*").cast("long").alias("_kn"),
+        )
+    )
+
+    def est(sk_col, kn_col):
+        # fewer than k hashes survive -> the sketch IS the set: exact
+        return F.when(kn_col < F.lit(k), kn_col.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(max_h) / F.element_at(sk_col, k)
+        )
+
+    a = sk.select(
+        F.col("g").alias("grp_a"), F.col("sk").alias("_ska"),
+        F.col("_kn").alias("_kna"),
+    )
+    b = sk.select(
+        F.col("g").alias("grp_b"), F.col("sk").alias("_skb"),
+        F.col("_kn").alias("_knb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    merged = F.array_sort(F.array_distinct(F.concat("_ska", "_skb")))
+    pairs = pairs.withColumn("_m", F.slice(merged, 1, k)).withColumn(
+        "_mn", F.size("_m").cast("long")
+    )
+    union_est = F.when(
+        F.col("_mn") < F.lit(k), F.col("_mn").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(max_h) / F.element_at("_m", k))
+    shared = F.size(
+        F.array_intersect(
+            F.array_intersect("_m", "_ska"), F.array_intersect("_m", "_skb")
+        )
+    )
+    jac = shared / F.col("_mn")
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        F.round(est(F.col("_ska"), F.col("_kna")), 2).alias("est_a"),
+        F.round(est(F.col("_skb"), F.col("_knb")), 2).alias("est_b"),
+        F.round(union_est, 2).alias("est_union"),
+        F.round(jac * union_est, 2).alias("est_inter"),
+    )

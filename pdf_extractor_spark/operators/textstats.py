@@ -1704,3 +1704,90 @@ def text_tiling(
         .alias("n_boundaries"),
         (F.array_min("_s") + 0.0).alias("min_sim"),
     )
+
+
+def concordance(
+    df,
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 3,
+) -> "DataFrame":
+    """(doc_id, pos, left_ctx, matched, right_ctx) — keyword-in-context
+    (KWIC) concordance: every occurrence of `term` (case-folded exact
+    token match) with up to `width` tokens of context on each side. The
+    corpus-inspection view every curation decision ends up needing
+    ("show me how this badword is actually used").
+
+    Physical shape: tokens bound once as a column (the projection-
+    boundary lesson), posexplode, an equality filter on the folded token
+    — which Catalyst pushes into the generate — then pure array slicing
+    against the retained token array. One narrow pass, no shuffle at
+    all: the output order is (doc_id, pos)-keyed and deterministic."""
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    hits_df = base.select(
+        F.col(id_col),
+        "_toks",
+        F.posexplode_outer("_toks").alias("pos", "tok"),
+    ).where(F.lower(F.col("tok")) == term.lower())
+    start = F.greatest(F.col("pos") + 1 - width, F.lit(1))
+    left_len = F.col("pos") + 1 - start
+    return hits_df.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.array_join(F.slice("_toks", start, left_len), " ").alias(
+            "left_ctx"
+        ),
+        F.col("tok").alias("matched"),
+        F.array_join(
+            F.slice("_toks", F.col("pos") + 2, F.lit(width)), " "
+        ).alias("right_ctx"),
+    )
+
+
+def branching_entropy(
+    df, text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """(context, n_total, n_successors, entropy) — successor branching
+    entropy per unigram context over the case-folded corpus: the Shannon
+    entropy (bits) of the next-token distribution after each word. The
+    unsupervised word/phrase-boundary signal (Jin & Tanaka-Ishii 2006):
+    low entropy = the context predicts its successor (inside a
+    collocation), entropy spikes mark segmentation points — the
+    corpus-level statistic a tokenizer-induction pass reads. 6 dp.
+
+    Physical shape: bigram explode -> (context, successor) counts ->
+    per-context entropy from exact integer counts. Two hash shuffles,
+    both map-side combined; vocabulary-sized output."""
+    toks = F.col("_toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.lower(F.element_at(toks, i + 1)).alias("w1"),
+                F.lower(F.element_at(toks, i + 2)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        df.select(tokens_col(F.col(text_col)).alias("_toks"))
+        .select(F.explode_outer(bigrams).alias("bg"))
+        .where(F.col("bg").isNotNull())
+        .select("bg.w1", "bg.w2")
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(F.col("w1").alias("context"))
+        .agg(
+            F.sum("c").cast("long").alias("n_total"),
+            F.count("*").cast("long").alias("n_successors"),
+            F.round(
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+    )

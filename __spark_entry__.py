@@ -4110,6 +4110,31 @@ def _seasonal_decompose(spark, sf_dir):
     return seasonal_decompose(_t(spark, sf_dir, "events"), period_days=7)
 
 
+def _order_deciles(spark, sf_dir):
+    """Order-value decile bands per market segment (deterministic ntile
+    with orderkey tiebreaker)."""
+    from pdf_extractor_spark.operators.analytics import order_deciles
+
+    return order_deciles(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+def _part_affinity(spark, sf_dir):
+    """Market-basket lift between part pairs co-occurring in orders."""
+    from pdf_extractor_spark.operators.analytics import part_affinity
+
+    return part_affinity(_t(spark, sf_dir, "lineitem"), min_pairs=2)
+
+
+def _collocations_llr(spark, sf_dir):
+    """Dunning log-likelihood-ratio collocation scores for adjacent
+    bigrams (the rare-word-calibrated complement to PMI)."""
+    from pdf_extractor_spark.operators.curation import collocations_llr
+
+    return collocations_llr(_t_wide(spark, sf_dir, "documents"), min_pairs=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4293,6 +4318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branching_entropy": _branching_entropy,
         "kmv_setops": _kmv_setops,
         "seasonal_decompose": _seasonal_decompose,
+        "order_deciles": _order_deciles,
+        "part_affinity": _part_affinity,
+        "collocations_llr": _collocations_llr,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -9793,6 +9821,72 @@ SELECT CAST(b.day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n_events,
        round(si, 6) + 0.0 AS seasonal_idx,
        round(n / (trend * si), 6) + 0.0 AS residual
 FROM b JOIN seas USING (dow)
+"""
+    # order_deciles: identical deterministic ntile (orderkey tiebreaker).
+    sql["order_deciles"] = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice, o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+t AS (
+  SELECT segment, o_totalprice,
+         ntile(10) OVER (PARTITION BY segment
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM j)
+SELECT segment, CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) + 0.0 AS min_price,
+       round(max(o_totalprice), 2) + 0.0 AS max_price,
+       round(avg(o_totalprice), 2) + 0.0 AS avg_price
+FROM t GROUP BY 1, 2
+"""
+    # part_affinity: distinct basket inventory, ordered-pair self-join on
+    # the order key, lift vs the part order-frequencies.
+    sql["part_affinity"] = """
+WITH inv AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS nn FROM inv),
+p AS (
+  SELECT a.pk AS part_a, b.pk AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_n
+  FROM inv a JOIN inv b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+f AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM inv GROUP BY 1)
+SELECT part_a, part_b, pair_n, fa.n AS n_a, fb.n AS n_b,
+       round(pair_n * nn / (fa.n * fb.n), 4) + 0.0 AS lift
+FROM p JOIN f fa ON fa.pk = p.part_a
+       JOIN f fb ON fb.pk = p.part_b, n
+"""
+    # collocations_llr: Dunning 2x2 LLR from the same exact bigram and
+    # positional-margin counts; S(k) = k ln k with S(0) = 0.
+    sql["collocations_llr"] = f"""
+WITH tok AS (
+  SELECT {_OTOKS} AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+g AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok
+      WHERE len(toks) >= 2),
+prs AS (SELECT lower(toks[i]) AS a, lower(toks[i + 1]) AS b FROM g),
+pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS pair_n
+       FROM prs GROUP BY 1, 2 HAVING count(*) >= 3),
+la AS (SELECT a, CAST(count(*) AS BIGINT) AS n_a FROM prs GROUP BY 1),
+rb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b FROM prs GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS N FROM prs),
+x AS (
+  SELECT pc.a, pc.b, pair_n, n_a, n_b, N,
+         pair_n AS k11, n_a - pair_n AS k12, n_b - pair_n AS k21,
+         N - n_a - n_b + pair_n AS k22
+  FROM pc JOIN la USING (a) JOIN rb USING (b), tot)
+SELECT a, b, pair_n, n_a, n_b,
+  round(2.0 * (
+    (CASE WHEN k11 > 0 THEN k11 * ln(k11) ELSE 0 END) +
+    (CASE WHEN k12 > 0 THEN k12 * ln(k12) ELSE 0 END) +
+    (CASE WHEN k21 > 0 THEN k21 * ln(k21) ELSE 0 END) +
+    (CASE WHEN k22 > 0 THEN k22 * ln(k22) ELSE 0 END) -
+    (CASE WHEN n_a > 0 THEN n_a * ln(n_a) ELSE 0 END) -
+    (CASE WHEN N - n_a > 0 THEN (N - n_a) * ln(N - n_a) ELSE 0 END) -
+    (CASE WHEN n_b > 0 THEN n_b * ln(n_b) ELSE 0 END) -
+    (CASE WHEN N - n_b > 0 THEN (N - n_b) * ln(N - n_b) ELSE 0 END) +
+    N * ln(N)), 4) + 0.0 AS llr
+FROM x
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -206,6 +206,9 @@ HEADLINE = [
     "branching_entropy",
     "kmv_setops",
     "seasonal_decompose",
+    "order_deciles",
+    "part_affinity",
+    "collocations_llr",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

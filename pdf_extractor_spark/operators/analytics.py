@@ -262,3 +262,97 @@ def props_variant_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def order_deciles(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(segment, decile, n_orders, min_price, max_price, avg_price) —
+    order-value decile bands per market segment: ntile(10) over
+    (o_totalprice, o_orderkey) — the orderkey tiebreaker makes the tiling
+    deterministic under equal prices — then per-band stats. The
+    "where do the big orders sit per segment" distribution view. 2 dp.
+
+    Physical shape: orders ⋈ customer on custkey (the dimension side is
+    segment-only and AQE/broadcast-eligible), ONE segment-key window for
+    the tiling, one aggregate. Segments are LOW cardinality, so window
+    partitions are few and large — the spillable-sort profile — while the
+    aggregate is map-side combined. At 10^12 orders the exact global
+    tiling per segment is the honest cost of exact deciles; the
+    approx-quantile path (value_quantiles/approx_value_quantiles) is the
+    documented alternative when rank exactness can be traded away."""
+    from pyspark.sql import Window
+
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy("o_totalprice", "o_orderkey")
+    tiled = j.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("segment", "decile").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+def part_affinity(
+    lineitem: DataFrame, min_pairs: int = 2
+) -> DataFrame:
+    """(part_a, part_b, pair_n, n_a, n_b, lift) — market-basket affinity
+    between parts over orders: for every unordered part pair co-occurring
+    in at least `min_pairs` orders, the co-occurrence count, each part's
+    order frequency, and the lift P(a,b)·N / (P(a)·P(b)) (4 dp). The
+    TPC-H-relational twin of assoc_rules (which mines event props).
+
+    Physical shape: distinct (order, part) inventory -> self-equi-join ON
+    THE ORDER KEY with part_a < part_b — fan-out is bounded by per-order
+    basket size (TPC-H ~4 items), never corpus-wide — -> pair aggregate
+    with map-side combine, pruned by min_pairs BEFORE the two
+    vocabulary-sized frequency joins (both broadcast-eligible). The order
+    count rides in as a broadcast 1-row aggregate."""
+    inv = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = inv.select("ok").distinct().agg(
+        F.count("*").cast("double").alias("_N")
+    )
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count("*").cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= min_pairs)
+    )
+    # part-frequency joins are part-dictionary-sized: NOT force-broadcast
+    # (at 10^12 lineitems the part dictionary is billions of rows); AQE
+    # elects broadcast when it fits
+    freq = inv.groupBy("pk").agg(F.count("*").cast("long").alias("n"))
+    return (
+        pairs.join(
+            freq.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            freq.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("pair_n") * F.col("_N") / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )

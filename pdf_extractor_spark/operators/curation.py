@@ -2917,3 +2917,72 @@ def rouge_overlap(
             df.select(F.col(id_col).alias("doc_a")).distinct(), "doc_a"
         )
     )
+
+
+def collocations_llr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pairs: int = 3,
+) -> DataFrame:
+    """(a, b, pair_n, n_a, n_b, llr) — Dunning log-likelihood-ratio
+    collocation scores for adjacent token bigrams: the 2x2 contingency
+    test (bigram vs its unigram margins) that stays calibrated for RARE
+    words where PMI (pmi_cooccurrence) explodes — the standard
+    collocation ranking since Dunning 1993. llr = 2*(S(k11)+S(k12)+
+    S(k21)+S(k22) - S(row sums) - S(col sums) + S(N)) with S(k) =
+    k·ln k, S(0) = 0; 4 dp.
+
+    Physical shape: one bigram explode -> pair counts (map-side
+    combined), pruned by `min_pairs` BEFORE the two unigram joins
+    (output stays vocabulary-bounded); margins are unigram counts of the
+    LEFT/RIGHT bigram positions so the contingency table is exact even at
+    document boundaries; N rides in as a broadcast 1-row sum. All counts
+    are exact integers — the only float work is the final ln."""
+    toks = F.col("_toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.lower(F.element_at(toks, i + 1)).alias("a"),
+                F.lower(F.element_at(toks, i + 2)).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    prs = (
+        fan_out(df)
+        .select(tokens_col(F.col(text_col)).alias("_toks"))
+        .select(F.explode_outer(bigrams).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.a", "p.b")
+    )
+    pair_counts = prs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("pair_n")
+    )
+    left = prs.groupBy("a").agg(F.count("*").cast("long").alias("n_a"))
+    right = prs.groupBy("b").agg(F.count("*").cast("long").alias("n_b"))
+    total = prs.agg(F.count("*").cast("long").alias("_N"))
+
+    def S(k):
+        return F.when(k > 0, k * F.log(k.cast("double"))).otherwise(F.lit(0.0))
+
+    out = (
+        pair_counts.where(F.col("pair_n") >= min_pairs)
+        .join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(total))
+    )
+    k11 = F.col("pair_n")
+    k12 = F.col("n_a") - k11
+    k21 = F.col("n_b") - k11
+    k22 = F.col("_N") - F.col("n_a") - F.col("n_b") + k11
+    llr = 2.0 * (
+        S(k11) + S(k12) + S(k21) + S(k22)
+        - S(F.col("n_a")) - S(F.col("_N") - F.col("n_a"))
+        - S(F.col("n_b")) - S(F.col("_N") - F.col("n_b"))
+        + S(F.col("_N"))
+    )
+    return out.select(
+        "a", "b", "pair_n", "n_a", "n_b", F.round(llr, 4).alias("llr")
+    )

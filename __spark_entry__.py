@@ -4135,6 +4135,89 @@ def _collocations_llr(spark, sf_dir):
     return collocations_llr(_t_wide(spark, sf_dir, "documents"), min_pairs=3)
 
 
+def _embedding_quantile_norm(spark, sf_dir):
+    """Per-dimension percent-rank quantile normalization of the embedding
+    corpus, flat (vec, dim) rows."""
+    from pdf_extractor_spark.operators.similarity import (
+        embedding_quantile_norm,
+    )
+
+    return embedding_quantile_norm(_t(spark, sf_dir, "embeddings"))
+
+
+def _churn_detect(spark, sf_dir):
+    """Inactivity churn flags: last event > 7 days before the snapshot
+    anchor with >= 3 lifetime events."""
+    from pdf_extractor_spark.operators.events import churn_detect
+
+    return churn_detect(_t(spark, sf_dir, "events"), 7, 3)
+
+
+def _robust_value_stats(spark, sf_dir):
+    """10%-trimmed and winsorized value means per event type
+    (deterministic rank tiebreak on event_id)."""
+    from pdf_extractor_spark.operators.events import robust_value_stats
+
+    return robust_value_stats(_t(spark, sf_dir, "events"), trim=0.1)
+
+
+def _pca_top_component(spark, sf_dir):
+    """Dominant principal direction of the embedding corpus by 3 power
+    iterations (all-ones start) + Rayleigh eigenvalue."""
+    from pdf_extractor_spark.operators.similarity import pca_top_component
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"), iters=3)
+
+
+def _filter_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between the Gopher and C4 accept flags —
+    the chance-corrected filter-audit statistic."""
+    from pdf_extractor_spark.operators.classify import cohens_kappa
+    from pdf_extractor_spark.operators.curation import (
+        c4_filter,
+        synthesize_pages,
+    )
+    from pdf_extractor_spark.operators.textstats import gopher_filter
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    g = gopher_filter(docs).select("doc_id", "accept")
+    c = c4_filter(synthesize_pages(docs)).select("doc_id", "accept")
+    return cohens_kappa(g, c)
+
+
+def _lang_source_mi(spark, sf_dir):
+    """Mutual information between document language and source — the
+    split-confound audit."""
+    from pdf_extractor_spark.operators.analytics import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _kcore_hosts(spark, sf_dir):
+    """Two peeling rounds toward the 12-core of the synthetic host graph
+    (link-farm core separation)."""
+    from pdf_extractor_spark.operators.graph import kcore_peel
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    return kcore_peel(edges, k=12, rounds=2)
+
+
+def _user_tier_enrich(spark, sf_dir):
+    """Batch twin of the stream-static enrichment: events joined with the
+    per-user lifetime-spend tier dimension (unknown users -> 'new')."""
+    from pdf_extractor_spark.streaming.enrich_stream import (
+        enrich_stream,
+        user_tier_dimension,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = enrich_stream(ev, user_tier_dimension(ev))
+    return out.select(
+        "event_id", "user_id", "tier",
+        F.round("lifetime_value", 6).alias("lifetime_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4321,6 +4404,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_deciles": _order_deciles,
         "part_affinity": _part_affinity,
         "collocations_llr": _collocations_llr,
+        "embedding_quantile_norm": _embedding_quantile_norm,
+        "churn_detect": _churn_detect,
+        "robust_value_stats": _robust_value_stats,
+        "pca_top_component": _pca_top_component,
+        "filter_kappa": _filter_kappa,
+        "lang_source_mi": _lang_source_mi,
+        "kcore_hosts": _kcore_hosts,
+        "user_tier_enrich": _user_tier_enrich,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -9887,6 +9978,161 @@ SELECT a, b, pair_n, n_a, n_b,
     (CASE WHEN N - n_b > 0 THEN (N - n_b) * ln(N - n_b) ELSE 0 END) +
     N * ln(N)), 4) + 0.0 AS llr
 FROM x
+"""
+    # embedding_quantile_norm: percent_rank over each dimension; ties
+    # share a rank by definition in both engines.
+    sql["embedding_quantile_norm"] = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS value
+  FROM embeddings)
+SELECT vec_id, CAST(dim AS INT) AS dim,
+       round(CAST(value AS DOUBLE), 6) + 0.0 AS value,
+       round(percent_rank() OVER (PARTITION BY dim ORDER BY value), 6)
+         + 0.0 AS qnorm
+FROM flat
+"""
+    # churn_detect: anchor = corpus max ts; same horizon/min-events rule.
+    sql["churn_detect"] = """
+WITH a AS (SELECT max(ts) AS anchor FROM events),
+u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS last FROM events GROUP BY 1)
+SELECT user_id, n_events,
+       CAST(CAST(last AS DATE) AS VARCHAR) AS last_day,
+       (last < anchor - INTERVAL 7 DAY) AND (n_events >= 3) AS churned
+FROM u, a
+"""
+    # robust_value_stats: identical rank trimming (event_id tiebreak) and
+    # winsorized clamp to the surviving extremes.
+    sql["robust_value_stats"] = """
+WITH v AS (SELECT event_type, value, event_id FROM events
+           WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+k AS (SELECT event_type, value, rn, n,
+             CAST(floor(n * 0.1) AS BIGINT) AS k FROM r)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+  round(coalesce(avg(CASE WHEN rn BETWEEN k + 1 AND n - k THEN value END),
+                 avg(value)), 6) + 0.0 AS trimmed_mean,
+  round(coalesce(
+    (sum(CASE WHEN rn BETWEEN k + 1 AND n - k THEN value END)
+     + max(k) * min(CASE WHEN rn BETWEEN k + 1 AND n - k THEN value END)
+     + max(k) * max(CASE WHEN rn BETWEEN k + 1 AND n - k THEN value END))
+    / max(n), avg(value)), 6) + 0.0 AS winsor_mean
+FROM k GROUP BY 1
+"""
+    # pca_top_component: 3 power iterations unrolled; each = two matvec
+    # aggregates + an L2 normalizer subquery.
+    _pca_step = """
+y{k} AS (SELECT vid, sum(x * w) AS y
+         FROM flat JOIN v{j} USING (dim) GROUP BY 1),
+w{k} AS (SELECT dim, sum(x * y) AS wr
+         FROM flat JOIN y{k} USING (vid) GROUP BY 1),
+v{k} AS (SELECT dim, wr / (SELECT sqrt(sum(wr * wr)) FROM w{k}) AS w
+         FROM w{k}),"""
+    sql["pca_top_component"] = (
+        """
+WITH flat AS (
+  SELECT vec_id AS vid, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+v0 AS (SELECT DISTINCT dim, 1.0 AS w FROM flat),"""
+        + "".join(_pca_step.format(k=k, j=k - 1) for k in (1, 2, 3))
+        + """
+yf AS (SELECT vid, sum(x * w) AS y
+       FROM flat JOIN v3 USING (dim) GROUP BY 1),
+lam AS (SELECT sum(y * y) AS l FROM yf)
+SELECT CAST(dim AS INT) AS dim, round(w, 6) + 0.0 AS loading,
+       round((SELECT l FROM lam), 6) + 0.0 AS eigenvalue
+FROM v3"""
+    )
+    # filter_kappa: chance-corrected agreement between the two filter
+    # oracles, composed as CTEs; kappa from UNROUNDED po/pe.
+    sql["filter_kappa"] = f"""
+WITH g AS ({sql["gopher_filter"]}),
+c AS ({sql["c4_filter"]}),
+j AS (SELECT g.accept AS la, c.accept AS lb FROM g JOIN c USING (doc_id)),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agree,
+             sum(CASE WHEN la THEN 1 ELSE 0 END) AS a_true,
+             sum(CASE WHEN lb THEN 1 ELSE 0 END) AS b_true
+      FROM j)
+SELECT n,
+  round(agree * 1.0 / n, 6) + 0.0 AS observed_agree,
+  round((a_true * b_true + (n - a_true) * (n - b_true)) * 1.0 / (n * n),
+        6) + 0.0 AS expected_agree,
+  round(CASE WHEN (a_true * b_true + (n - a_true) * (n - b_true)) * 1.0
+                  / (n * n) >= 1.0 THEN 0.0
+        ELSE (agree * 1.0 / n
+              - (a_true * b_true + (n - a_true) * (n - b_true)) * 1.0
+                / (n * n))
+             / (1.0 - (a_true * b_true + (n - a_true) * (n - b_true)) * 1.0
+                / (n * n)) END, 6) + 0.0 AS kappa
+FROM s
+"""
+    # lang_source_mi: joint counts -> MI in nats + sqrt-normalized NMI,
+    # marginal entropies as ln N - sum(nx ln nx)/N over the margins.
+    sql["lang_source_mi"] = """
+WITH j AS (
+  SELECT lang AS x, source AS y, count(*) AS c
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2),
+n AS (SELECT sum(c) AS n FROM j),
+mx AS (SELECT x, sum(c) AS nx FROM j GROUP BY 1),
+my AS (SELECT y, sum(c) AS ny FROM j GROUP BY 1),
+mi AS (
+  SELECT sum((c * 1.0 / n.n) * ln(c * n.n * 1.0 / (nx * ny))) AS mi
+  FROM j JOIN mx USING (x) JOIN my USING (y), n),
+hx AS (SELECT ln(max(n.n)) - sum(nx * ln(nx)) * 1.0 / max(n.n) AS h
+       FROM mx, n),
+hy AS (SELECT ln(max(n.n)) - sum(ny * ln(ny)) * 1.0 / max(n.n) AS h
+       FROM my, n)
+SELECT CAST(n.n AS BIGINT) AS n,
+       round(hx.h, 6) + 0.0 AS h_x, round(hy.h, 6) + 0.0 AS h_y,
+       round(mi.mi, 6) + 0.0 AS mi,
+       round(CASE WHEN hx.h * hy.h <= 0 THEN 0.0
+                  ELSE mi.mi / sqrt(hx.h * hy.h) END, 6) + 0.0 AS nmi
+FROM n, mi, hx, hy
+"""
+    # kcore_hosts: 2 unrolled peel rounds over the shared host-graph CTE.
+    _core_round = """
+s{k} AS (SELECT node FROM d{j} WHERE deg >= 12),
+e{k} AS (SELECT e{j}.src, e{j}.dst FROM e{j}
+         JOIN s{k} a ON e{j}.src = a.node
+         JOIN s{k} b ON e{j}.dst = b.node),
+d{k} AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+         (SELECT src AS node FROM e{k} UNION ALL SELECT dst FROM e{k})
+         GROUP BY 1),"""
+    sql["kcore_hosts"] = (
+        _pr_edges.replace("WITH e AS", "WITH e0 AS")
+        + """
+d0 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
+       GROUP BY 1),"""
+        + "".join(_core_round.format(k=k, j=k - 1) for k in (1, 2)).rstrip(",")
+        + """
+SELECT d0.node, d0.deg AS degree0,
+       CAST(coalesce(d2.deg, 0) AS BIGINT) AS degree_final,
+       coalesce(d2.deg, 0) >= 12 AS in_core
+FROM d0 LEFT JOIN d2 USING (node)"""
+    )
+    # user_tier_enrich: lifetime purchase rollup + tier thresholds, left
+    # join with the 'new' fallback.
+    sql["user_tier_enrich"] = """
+WITH dim AS (
+  SELECT user_id, round(sum(value), 6) AS lifetime_value,
+         CASE WHEN round(sum(value), 6) >= 500 THEN 'gold'
+              WHEN round(sum(value), 6) >= 100 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT e.event_id, e.user_id,
+       coalesce(dim.tier, 'new') AS tier,
+       round(coalesce(dim.lifetime_value, 0.0), 6) + 0.0 AS lifetime_value
+FROM events e LEFT JOIN dim USING (user_id)
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

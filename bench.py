@@ -209,6 +209,14 @@ HEADLINE = [
     "order_deciles",
     "part_affinity",
     "collocations_llr",
+    "embedding_quantile_norm",
+    "churn_detect",
+    "robust_value_stats",
+    "pca_top_component",
+    "filter_kappa",
+    "lang_source_mi",
+    "kcore_hosts",
+    "user_tier_enrich",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -356,3 +356,71 @@ def part_affinity(
             ).alias("lift"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame, col_x: str, col_y: str
+) -> DataFrame:
+    """One row (n, h_x, h_y, mi, nmi) — mutual information (nats) between
+    two categorical columns with marginal entropies and the
+    sqrt-normalized NMI. The dataset-audit statistic behind "is language
+    confounded with source?" — a high NMI means a per-source split leaks
+    language (or vice versa) into train/eval. Degenerate case (either
+    entropy 0) reports nmi 0. 6 dp.
+
+    Physical shape: one joint-count aggregate (map-side combined), the
+    marginals re-aggregated FROM the joint table (category-pairs-sized,
+    tiny), a final 1-row rollup. All counts exact integers; only the
+    final ln is float."""
+    joint = (
+        df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    t = (
+        joint.withColumn("nx", F.sum("c").over(wx))
+        .withColumn("ny", F.sum("c").over(wy))
+        .withColumn("n", F.sum("c").over(wall))
+    )
+    mi = F.sum(
+        (F.col("c") / F.col("n"))
+        * F.log(F.col("c") * F.col("n") / (F.col("nx") * F.col("ny")))
+    )
+    # marginal entropies from the joint table: sum over x of nx ln nx
+    # counts each x once per y — divide by the per-x duplication via
+    # distinct-aggregated expressions instead: H = ln N - sum(nx ln nx)/N
+    # computed on the DISTINCT margins
+    hx = F.log(F.max("n")) - F.sum(
+        F.when(F.col("_rx") == 1, F.col("nx") * F.log("nx")).otherwise(0.0)
+    ) / F.max("n")
+    hy = F.log(F.max("n")) - F.sum(
+        F.when(F.col("_ry") == 1, F.col("ny") * F.log("ny")).otherwise(0.0)
+    ) / F.max("n")
+    t = t.withColumn(
+        "_rx", F.row_number().over(wx.orderBy("y"))
+    ).withColumn("_ry", F.row_number().over(wy.orderBy("x")))
+    out = t.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(hx, 6).alias("h_x"),
+        F.round(hy, 6).alias("h_y"),
+        F.round(mi, 6).alias("mi"),
+        (hx * hy).alias("_hh"),
+        mi.alias("_mi_raw"),
+    )
+    return out.select(
+        "n",
+        "h_x",
+        "h_y",
+        "mi",
+        F.round(
+            F.when(F.col("_hh") <= 0, F.lit(0.0)).otherwise(
+                F.col("_mi_raw") / F.sqrt("_hh")
+            ),
+            6,
+        ).alias("nmi"),
+    )

@@ -1303,3 +1303,83 @@ def seasonal_decompose(df: DataFrame, period_days: int = 7) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+def churn_detect(
+    df: DataFrame, horizon_days: int = 7, min_events: int = 3
+) -> DataFrame:
+    """(user_id, n_events, last_day, churned) — inactivity churn flags:
+    a user is churned when their last event is more than `horizon_days`
+    before the snapshot anchor (the corpus max timestamp) AND they had at
+    least `min_events` events (one-shot visitors are noise, not churn).
+
+    Physical shape: one per-user rollup; the anchor rides in as a
+    broadcast 1-row max — no second scan, no driver collect."""
+    anchor = df.agg(F.max("ts").alias("_a"))
+    per_user = df.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("ts").alias("_last"),
+    )
+    return per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "n_events",
+        F.date_format(F.to_date("_last"), "yyyy-MM-dd").alias("last_day"),
+        (
+            (F.col("_last") < F.col("_a") - F.expr(
+                f"INTERVAL {horizon_days} DAYS"
+            ))
+            & (F.col("n_events") >= min_events)
+        ).alias("churned"),
+    )
+
+
+def robust_value_stats(df: DataFrame, trim: float = 0.1) -> DataFrame:
+    """(event_type, n_values, trimmed_mean, winsor_mean) — outlier-robust
+    value statistics per event type: the `trim`-fraction trimmed mean
+    (drop floor(n*trim) rows from each tail) and the winsorized mean
+    (clamp those tails to the surviving extremes). Rank ties break on
+    event_id, so both statistics are deterministic. 6 dp; groups where
+    trimming would drop everything fall back to the plain mean.
+
+    Physical shape: one row_number window per event type (low-cardinality
+    partitions, spillable sort) feeding a conditional aggregate — the
+    trim boundaries are computed from count(*) OVER the same partition,
+    so there is exactly ONE shuffle on the type key and no self-join."""
+    from pyspark.sql import Window
+
+    vals = df.where(F.col("value").isNotNull()).select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    ).withColumn("k", F.floor(F.col("n") * trim).cast("long"))
+    kept = F.col("rn").between(F.col("k") + 1, F.col("n") - F.col("k"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_values"),
+            F.round(
+                F.coalesce(
+                    F.avg(F.when(kept, F.col("value"))), F.avg("value")
+                ),
+                6,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.coalesce(
+                    (
+                        F.sum(F.when(kept, F.col("value")))
+                        + F.max("k") * F.min(F.when(kept, F.col("value")))
+                        + F.max("k") * F.max(F.when(kept, F.col("value")))
+                    )
+                    / F.max("n"),
+                    F.avg("value"),
+                ),
+                6,
+            ).alias("winsor_mean"),
+        )
+    )

@@ -823,3 +823,102 @@ def centroid_drift(emb: DataFrame) -> DataFrame:
             F.col("_dot") / F.sqrt(F.col("_na2") * F.col("_nb2")), 6
         ).alias("cos_sim"),
     )
+
+
+def embedding_quantile_norm(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, dim, value, qnorm) — per-DIMENSION quantile normalization
+    of the embedding corpus: each coordinate is replaced by its
+    percent_rank within its dimension's corpus-wide distribution. The
+    standard fix for dimension-scale imbalance before cosine/IP indexing
+    (one hot dimension otherwise dominates every distance); flat
+    (vec, dim) rows rather than rebuilt arrays so the cross-engine hash
+    compares scalars. 6 dp.
+
+    Physical shape: posexplode to (vec, dim, value) -> ONE window pass
+    partitioned by dim (dims are LOW cardinality, the partitions are
+    corpus-sized spillable sorts — the honest cost of exact ranks; the
+    IVF/LSH family shows the approximate alternatives). Ties share a
+    percent_rank in both engines by definition, so no tiebreaker is
+    needed."""
+    from pyspark.sql import Window
+
+    flat = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "value")
+    )
+    w = Window.partitionBy("dim").orderBy("value")
+    return flat.select(
+        F.col(id_col),
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("qnorm"),
+    )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> DataFrame:
+    """(dim, loading, eigenvalue) — the corpus's top principal direction
+    (uncentered PCA / dominant right singular vector of X) by `iters`
+    power iterations v <- normalize(X'Xv) from the deterministic all-ones
+    start, plus the Rayleigh-quotient eigenvalue estimate on every row.
+    The whitening/ABTT direction ("All-but-the-Top", Mu 2018): dominant
+    components of embedding corpora encode frequency artifacts, and
+    subtracting this direction is the standard cleanup before cosine
+    retrieval. 6 dp.
+
+    Physical shape per iteration: TWO matvec aggregates over the flat
+    (vec, dim, value) view — y = Xv groups by vec (joined on the
+    dim-keyed broadcast v, which is dim-sized, i.e. tiny by construction),
+    then w = X'y groups by dim (joined on the vec-keyed y — corpus-sized,
+    co-partitioned with the flat view so the exchange is reused). The
+    normalizer rides as a broadcast 1-row sum. Nothing dim x dim is ever
+    materialized (no covariance matrix), which is what makes this the
+    10^12-row path: cost is iters x two shuffles over the nonzeros.
+    localCheckpoint truncates each iteration's lineage (the pagerank
+    lesson)."""
+    flat = (
+        _valid_vectors(df, vec_col)
+        .select(F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("dim", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    v = flat.select("dim").distinct().select(
+        "dim", F.lit(1.0).alias("w")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        y = (
+            flat.join(F.broadcast(v), "dim")
+            .groupBy("vid")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("y"))
+        )
+        w_raw = (
+            flat.join(y, "vid")
+            .groupBy("dim")
+            .agg(F.sum(F.col("x") * F.col("y")).alias("wr"))
+        )
+        nrm = w_raw.agg(F.sqrt(F.sum(F.col("wr") * F.col("wr"))).alias("_n"))
+        v = (
+            w_raw.crossJoin(F.broadcast(nrm))
+            .select("dim", (F.col("wr") / F.col("_n")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    # Rayleigh quotient with the final unit vector: lambda = |Xv|^2
+    y = (
+        flat.join(F.broadcast(v), "dim")
+        .groupBy("vid")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("y"))
+    )
+    lam = y.agg(F.sum(F.col("y") * F.col("y")).alias("_lam"))
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round("w", 6).alias("loading"),
+            F.round("_lam", 6).alias("eigenvalue"),
+        )
+    )

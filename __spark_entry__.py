@@ -4218,6 +4218,52 @@ def _user_tier_enrich(spark, sf_dir):
     )
 
 
+def _wow_growth(spark, sf_dir):
+    """Week-over-week event-count growth per type (lag over the weekly
+    rollup; first week has null baseline)."""
+    from pdf_extractor_spark.operators.events import wow_growth
+
+    return wow_growth(_t(spark, sf_dir, "events"))
+
+
+def _shipping_delay_stats(spark, sf_dir):
+    """Order-to-ship latency per order priority with exact interpolated
+    median/p90."""
+    from pdf_extractor_spark.operators.analytics import shipping_delay_stats
+
+    return shipping_delay_stats(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _discount_revenue_curve(spark, sf_dir):
+    """Revenue response per discount level (TPC-H q6 generalized to the
+    whole curve)."""
+    from pdf_extractor_spark.operators.analytics import discount_revenue_curve
+
+    return discount_revenue_curve(_t(spark, sf_dir, "lineitem"))
+
+
+def _image_tiles(spark, sf_dir):
+    """ViT patch-grid geometry (64x64 tiles) over the derived media
+    table's image rows, edge tiles clipped."""
+    from pdf_extractor_spark.operators.multimodal import (
+        image_tiles,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t_wide(spark, sf_dir, "documents"))
+    return image_tiles(media, tile_w=64, tile_h=64)
+
+
+def _token_length_hist(spark, sf_dir):
+    """Corpus token-length histogram with distinct-type counts and mass
+    shares."""
+    from pdf_extractor_spark.operators.textstats import token_length_hist
+
+    return token_length_hist(_t_wide(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4412,6 +4458,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_mi": _lang_source_mi,
         "kcore_hosts": _kcore_hosts,
         "user_tier_enrich": _user_tier_enrich,
+        "wow_growth": _wow_growth,
+        "shipping_delay_stats": _shipping_delay_stats,
+        "discount_revenue_curve": _discount_revenue_curve,
+        "image_tiles": _image_tiles,
+        "token_length_hist": _token_length_hist,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10133,6 +10184,77 @@ SELECT e.event_id, e.user_id,
        coalesce(dim.tier, 'new') AS tier,
        round(coalesce(dim.lifetime_value, 0.0), 6) + 0.0 AS lifetime_value
 FROM events e LEFT JOIN dim USING (user_id)
+"""
+    # wow_growth: identical Monday-start week truncation + lag over the
+    # weekly rollup.
+    sql["wow_growth"] = """
+WITH w AS (
+  SELECT event_type,
+         CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, week, n,
+       lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+       round(n * 1.0 / lag(n) OVER (PARTITION BY event_type ORDER BY week),
+             6) + 0.0 AS growth
+FROM w
+"""
+    # shipping_delay_stats: quantile_cont matches Spark's interpolated
+    # `percentile` aggregate.
+    sql["shipping_delay_stats"] = """
+WITH d AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS delay
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT priority, CAST(count(*) AS BIGINT) AS n,
+       round(avg(delay), 6) + 0.0 AS avg_delay,
+       round(quantile_cont(delay, 0.5), 6) + 0.0 AS median_delay,
+       round(quantile_cont(delay, 0.9), 6) + 0.0 AS p90_delay
+FROM d GROUP BY 1
+"""
+    sql["discount_revenue_curve"] = """
+SELECT round(l_discount, 2) + 0.0 AS discount,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_quantity), 2) + 0.0 AS qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue,
+       round(avg(l_extendedprice * (1 - l_discount)), 2) + 0.0
+         AS avg_item_revenue
+FROM lineitem GROUP BY 1
+"""
+    # image_tiles: same ceil grid; nested unnests (side-by-side unnests
+    # zip in DuckDB, so rows then cols in separate CTEs).
+    sql["image_tiles"] = """
+WITH imgs AS (
+  SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id,
+         length(text) % 640 + 1 AS w, length(text) % 480 + 1 AS h
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+r AS (
+  SELECT media_id, w, h,
+         unnest(range(0, CAST(ceil(h / 64.0) AS INT))) AS tile_row
+  FROM imgs),
+c AS (
+  SELECT media_id, w, h, tile_row,
+         unnest(range(0, CAST(ceil(w / 64.0) AS INT))) AS tile_col
+  FROM r)
+SELECT media_id, CAST(tile_row AS INT) AS tile_row,
+       CAST(tile_col AS INT) AS tile_col,
+       CAST(tile_col * 64 AS INT) AS x0, CAST(tile_row * 64 AS INT) AS y0,
+       CAST(least(64, w - tile_col * 64) AS INT) AS w,
+       CAST(least(64, h - tile_row * 64) AS INT) AS h
+FROM c
+"""
+    sql["token_length_hist"] = f"""
+WITH tok AS (
+  SELECT unnest({_OTOKS}) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+h AS (
+  SELECT length(tok) AS length, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT lower(tok)) AS BIGINT) AS n_distinct
+  FROM tok GROUP BY 1)
+SELECT CAST(length AS INT) AS length, n_tokens, n_distinct,
+       round(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM h), 6) + 0.0
+         AS share
+FROM h
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

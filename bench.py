@@ -217,6 +217,11 @@ HEADLINE = [
     "lang_source_mi",
     "kcore_hosts",
     "user_tier_enrich",
+    "wow_growth",
+    "shipping_delay_stats",
+    "discount_revenue_curve",
+    "image_tiles",
+    "token_length_hist",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

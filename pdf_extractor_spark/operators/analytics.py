@@ -424,3 +424,56 @@ def mutual_information(
             6,
         ).alias("nmi"),
     )
+
+
+def shipping_delay_stats(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """(priority, n, avg_delay, median_delay, p90_delay) — order-to-ship
+    latency per order priority: delay = datediff(l_shipdate,
+    o_orderdate). Exact percentiles via Spark's `percentile` aggregate —
+    linear interpolation on the sorted values, the same contract as
+    DuckDB's quantile_cont, so the oracle matches bit-for-bit modulo the
+    6-dp round.
+
+    Physical shape: fact ⋈ fact equi-join on the order key (both sides
+    shuffle — co-bucketing by orderkey is the production layout that
+    removes it), then exact grouped percentiles sorting within each
+    (low-cardinality) priority partition — the honest exact path; the
+    approx_percentile twin (approx_value_quantiles) is the documented
+    trade when group cardinality or skew makes full sorts
+    unreasonable."""
+    d = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+    )
+    return d.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("delay"), 6).alias("avg_delay"),
+        F.round(F.expr("percentile(delay, 0.5)"), 6).alias("median_delay"),
+        F.round(F.expr("percentile(delay, 0.9)"), 6).alias("p90_delay"),
+    )
+
+
+def discount_revenue_curve(lineitem: DataFrame) -> DataFrame:
+    """(discount, n_items, qty, revenue, avg_item_revenue) — revenue
+    response per discount level (the TPC-H q6 question generalized from a
+    band filter to the whole curve): revenue = extendedprice * (1 -
+    discount), grouped by the discount level (2 dp — TPC-H discounts are
+    already 2-dp levels). One map-side-combined aggregate, no joins."""
+    return (
+        lineitem.groupBy(F.round("l_discount", 2).alias("discount"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(
+                F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("avg_item_revenue"),
+        )
+    )

@@ -1383,3 +1383,30 @@ def robust_value_stats(df: DataFrame, trim: float = 0.1) -> DataFrame:
             ).alias("winsor_mean"),
         )
     )
+
+
+def wow_growth(df: DataFrame) -> DataFrame:
+    """(event_type, week, n, prev_n, growth) — week-over-week event-count
+    growth per type: weekly counts (ISO Monday week start via date_trunc),
+    the previous OBSERVED week's count, and the growth ratio n/prev
+    (null on the first observed week — semantically "no baseline", not
+    zero growth). 6 dp.
+
+    Physical shape: one (type, week) aggregate, one lag window over the
+    tiny weekly rollup — the window never touches event rows."""
+    from pyspark.sql import Window
+
+    weekly = df.groupBy(
+        F.col("event_type"),
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week"
+        ),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.round(F.col("n") / F.lag("n").over(w), 6).alias("growth"),
+    )

@@ -690,3 +690,41 @@ def shot_boundaries(
     return agg_frames.join(agg_shots, "media_id").select(
         "media_id", "n_sampled", "n_shots", "longest_shot", "mean_abs_diff"
     )
+
+
+def image_tiles(
+    media: DataFrame, tile_w: int = 224, tile_h: int = 224
+) -> DataFrame:
+    """(media_id, tile_row, tile_col, x0, y0, w, h) — ViT-style patch-grid
+    plumbing over image rows: one output row per tile of a ceil-divided
+    grid, edge tiles clipped to the image bounds. The geometry is the
+    real, tested part; the pixel crop itself is the decoder seam (same
+    contract as extract_media_features).
+
+    Physical shape: a 2-D explode built from ONE sequence cross product
+    per row (no join, no UDF); output volume = sum of per-image grid
+    sizes, metadata-bounded."""
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.col("meta.width").alias("_w"),
+        F.col("meta.height").alias("_h"),
+    )
+    n_cols = F.ceil(F.col("_w") / F.lit(tile_w)).cast("int")
+    n_rows = F.ceil(F.col("_h") / F.lit(tile_h)).cast("int")
+    return (
+        imgs.withColumn("tile_row", F.explode(F.sequence(F.lit(0), n_rows - 1)))
+        .withColumn("tile_col", F.explode(F.sequence(F.lit(0), n_cols - 1)))
+        .select(
+            "media_id",
+            "tile_row",
+            "tile_col",
+            (F.col("tile_col") * tile_w).alias("x0"),
+            (F.col("tile_row") * tile_h).alias("y0"),
+            F.least(
+                F.lit(tile_w), F.col("_w") - F.col("tile_col") * tile_w
+            ).alias("w"),
+            F.least(
+                F.lit(tile_h), F.col("_h") - F.col("tile_row") * tile_h
+            ).alias("h"),
+        )
+    )

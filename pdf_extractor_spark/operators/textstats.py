@@ -1791,3 +1791,38 @@ def branching_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def token_length_hist(
+    df, text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """(length, n_tokens, n_distinct, share) — corpus histogram of token
+    CHARACTER lengths with per-bucket distinct-type counts and the token-
+    mass share (6 dp). The tokenizer-design diagnostic: the length mass
+    profile decides byte-vs-word-level vocab budgets, and a heavy tail of
+    very long 'tokens' usually means markup/URL leakage upstream.
+
+    Physical shape: one explode -> (length) aggregate with map-side
+    combine + a distinct-type count per bucket; the share denominator
+    rides as a window sum over the tiny histogram."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(tokens_col(F.col(text_col)).alias("_toks"))
+        .select(F.explode_outer("_toks").alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .select(F.length("tok").alias("length"), F.lower("tok").alias("t"))
+    )
+    hist = toks.groupBy("length").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.count_distinct("t").cast("long").alias("n_distinct"),
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        F.col("length").cast("int").alias("length"),
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias(
+            "share"
+        ),
+    )

@@ -4264,6 +4264,46 @@ def _token_length_hist(spark, sf_dir):
     return token_length_hist(_t_wide(spark, sf_dir, "documents"))
 
 
+def _utf8_stats(spark, sf_dir):
+    """UTF-8 char-vs-byte budget profile per document."""
+    from pdf_extractor_spark.operators.textstats import utf8_stats
+
+    return utf8_stats(_t(spark, sf_dir, "documents"))
+
+
+def _interarrival_hist(spark, sf_dir):
+    """Log2-bucketed inter-arrival-gap histogram per event type."""
+    from pdf_extractor_spark.operators.events import interarrival_hist
+
+    return interarrival_hist(_t(spark, sf_dir, "events"))
+
+
+def _host_outlink_jaccard(spark, sf_dir):
+    """Host similarity by shared outlinks over the synthetic host graph
+    (inverted-index join on the destination key)."""
+    from pdf_extractor_spark.operators.graph import host_outlink_jaccard
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    return host_outlink_jaccard(edges, min_jaccard=0.2)
+
+
+def _cluster_purity(spark, sf_dir):
+    """External validation of the kmeans8x2 clustering against the
+    embeddings' ground-truth label column."""
+    from pdf_extractor_spark.operators.similarity import (
+        cluster_label_purity,
+        ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), "kmeans8x2")
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = ivf_centroids(emb, 8, refine_iters=2)
+        _IVF_CENTROID_CACHE[key] = cents
+    return cluster_label_purity(emb, n_clusters=8, centroids=cents)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4463,6 +4503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_revenue_curve": _discount_revenue_curve,
         "image_tiles": _image_tiles,
         "token_length_hist": _token_length_hist,
+        "utf8_stats": _utf8_stats,
+        "interarrival_hist": _interarrival_hist,
+        "host_outlink_jaccard": _host_outlink_jaccard,
+        "cluster_purity": _cluster_purity,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10255,6 +10299,76 @@ SELECT CAST(length AS INT) AS length, n_tokens, n_distinct,
        round(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM h), 6) + 0.0
          AS share
 FROM h
+"""
+    # utf8_stats: DuckDB strlen() is bytes, length() is chars.
+    sql["utf8_stats"] = """
+SELECT doc_id,
+       CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes,
+       CASE WHEN coalesce(length(text), 0) > 0
+            THEN round((strlen(text) - length(text)) * 1.0 / length(text), 6)
+            ELSE 0.0 END + 0.0 AS multibyte_ratio,
+       coalesce(strlen(text), 0) = coalesce(length(text), 0) AS pure_ascii
+FROM documents
+"""
+    # interarrival_hist: same per-type lag with (ts, event_id) order and
+    # exact microsecond gaps.
+    sql["interarrival_hist"] = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER
+             (PARTITION BY event_type ORDER BY ts, event_id)))
+           / 1000000.0 AS gap_s
+  FROM events),
+b AS (
+  SELECT event_type, gap_s,
+         CAST(floor(log2(gap_s + 1)) AS INT) AS bucket
+  FROM g WHERE gap_s IS NOT NULL)
+SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(gap_s), 3) + 0.0 AS min_gap_s,
+       round(max(gap_s), 3) + 0.0 AS max_gap_s
+FROM b GROUP BY 1, 2
+"""
+    # host_outlink_jaccard: inverted index on the destination over the
+    # shared host-graph CTE.
+    sql["host_outlink_jaccard"] = (
+        _pr_edges
+        + """
+inv AS (SELECT DISTINCT src AS h, dst AS d FROM e),
+sz AS (SELECT h, CAST(count(*) AS BIGINT) AS sz FROM inv GROUP BY 1),
+p AS (
+  SELECT a.h AS host_a, b.h AS host_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM inv a JOIN inv b ON a.d = b.d AND a.h < b.h
+  GROUP BY 1, 2)
+SELECT host_a, host_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
+       round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) + 0.0
+         AS jaccard
+FROM p JOIN sz sa ON sa.h = p.host_a JOIN sz sb ON sb.h = p.host_b
+WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.2
+"""
+    )
+    # cluster_purity: final kmeans8x2 assignment (shared Lloyd-replay
+    # prefix) joined with the ground-truth labels; majority ties to the
+    # smallest label.
+    sql["cluster_purity"] = _km_prefix + f"""
+assignp AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM vembeddings e, cents2 c),
+ap AS (SELECT vec_id, cid FROM assignp WHERE rn = 1),
+lab AS (SELECT ap.cid, emb.label, count(*) AS c
+        FROM ap JOIN embeddings emb USING (vec_id) GROUP BY 1, 2),
+tot AS (SELECT cid, sum(c) AS n FROM lab GROUP BY 1),
+maj AS (SELECT cid, label, c,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY c DESC, label) AS mrn
+        FROM lab)
+SELECT CAST(m.cid AS INT) AS cluster, CAST(t.n AS BIGINT) AS n_vecs,
+       CAST(m.label AS INT) AS majority_label,
+       round(m.c * 1.0 / t.n, 6) + 0.0 AS purity
+FROM maj m JOIN tot t USING (cid) WHERE m.mrn = 1
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

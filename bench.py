@@ -222,6 +222,10 @@ HEADLINE = [
     "discount_revenue_curve",
     "image_tiles",
     "token_length_hist",
+    "utf8_stats",
+    "interarrival_hist",
+    "host_outlink_jaccard",
+    "cluster_purity",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -1410,3 +1410,36 @@ def wow_growth(df: DataFrame) -> DataFrame:
         F.lag("n").over(w).alias("prev_n"),
         F.round(F.col("n") / F.lag("n").over(w), 6).alias("growth"),
     )
+
+
+def interarrival_hist(df: DataFrame) -> DataFrame:
+    """(event_type, bucket, n, min_gap_s, max_gap_s) — log2-bucketed
+    inter-arrival-gap histogram per event type: gap = seconds since the
+    type's previous event (global per type, the arrival-process view —
+    sessionize covers the per-user view), bucket = floor(log2(gap + 1)).
+    The burstiness/arrival-rate profile that sizes streaming watermarks
+    and micro-batch triggers. Gaps are exact microsecond differences;
+    3 dp on the min/max.
+
+    Physical shape: ONE event-type window pass for the lag (low-
+    cardinality partitions, spillable sort), then a (type, bucket)
+    aggregate with map-side combine over the lag output."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gaps = (
+        df.withColumn(
+            "gap_s",
+            (us - F.lag(us).over(w)) / F.lit(1_000_000.0),
+        )
+        .where(F.col("gap_s").isNotNull())
+        .withColumn(
+            "bucket", F.floor(F.log2(F.col("gap_s") + 1)).cast("int")
+        )
+    )
+    return gaps.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("gap_s"), 3).alias("min_gap_s"),
+        F.round(F.max("gap_s"), 3).alias("max_gap_s"),
+    )

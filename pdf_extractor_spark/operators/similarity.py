@@ -922,3 +922,56 @@ def pca_top_component(
             F.round("_lam", 6).alias("eigenvalue"),
         )
     )
+
+
+def cluster_label_purity(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    refine_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """(cluster, n_vecs, majority_label, purity) — external cluster
+    validation against a ground-truth label column: each cluster's
+    majority label (ties to the smallest label) and its share of the
+    cluster. The "did unsupervised clustering recover the taxonomy"
+    audit that decides whether cluster-balanced sampling balances
+    anything meaningful. 6 dp.
+
+    Scale shape: same single-pass matmul assignment as
+    kmeans_cluster_stats (centroids are passed-in index state), one
+    (cluster, label) aggregate + a K-partition window over the
+    label-count table — the window input is clusters x labels, never
+    corpus rows."""
+    from pyspark.sql import Window
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            corpus, n_clusters, vec_col, id_col, refine_iters=refine_iters
+        )
+    )
+    assign1 = _assign_udf(cents, 1)
+    assigned = _valid_vectors(corpus, vec_col).select(
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
+        F.col(label_col).alias("lbl"),
+    )
+    counts = assigned.groupBy("cluster", "lbl").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("c"), F.asc("lbl"))
+    tot = Window.partitionBy("cluster")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.sum("c").over(tot))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.col("lbl").cast("int").alias("majority_label"),
+            F.round(F.col("c") / F.col("n"), 6).alias("purity"),
+        )
+    )

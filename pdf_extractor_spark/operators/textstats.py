@@ -1826,3 +1826,26 @@ def token_length_hist(
             "share"
         ),
     )
+
+
+def utf8_stats(
+    df, text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """(doc_id, n_chars, n_bytes, multibyte_ratio, pure_ascii) — UTF-8
+    budget profile per document: character vs encoded-byte counts, the
+    extra-bytes-per-char ratio, and a pure-ASCII flag. The byte-level-
+    tokenizer planning stat (byte budgets diverge from char budgets
+    exactly by this ratio) and a cheap mojibake tripwire. Null text
+    reports zeros with pure_ascii true. 6 dp; fully columnar, zero
+    shuffle."""
+    n_chars = F.coalesce(F.length(F.col(text_col)), F.lit(0))
+    n_bytes = F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_bytes.cast("long").alias("n_bytes"),
+        F.when(n_chars > 0, F.round((n_bytes - n_chars) / n_chars, 6))
+        .otherwise(F.lit(0.0))
+        .alias("multibyte_ratio"),
+        (n_bytes == n_chars).alias("pure_ascii"),
+    )

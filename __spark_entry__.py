@@ -4304,6 +4304,36 @@ def _cluster_purity(spark, sf_dir):
     return cluster_label_purity(emb, n_clusters=8, centroids=cents)
 
 
+def _regional_top_parts(spark, sf_dir):
+    """Top-3 parts by discounted revenue per customer region (star join +
+    per-group rank over the rollup)."""
+    from pdf_extractor_spark.operators.analytics import regional_top_parts
+
+    return regional_top_parts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        top_k=3,
+    )
+
+
+def _null_profile(spark, sf_dir):
+    """Per-string-column completeness audit of the documents table."""
+    from pdf_extractor_spark.operators.analytics import null_profile
+
+    return null_profile(_t(spark, sf_dir, "documents"))
+
+
+def _benford_deviation(spark, sf_dir):
+    """First-significant-digit Benford audit of order totals with
+    per-digit chi-square contributions."""
+    from pdf_extractor_spark.operators.analytics import benford_deviation
+
+    return benford_deviation(_t(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4507,6 +4537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_hist": _interarrival_hist,
         "host_outlink_jaccard": _host_outlink_jaccard,
         "cluster_purity": _cluster_purity,
+        "regional_top_parts": _regional_top_parts,
+        "null_profile": _null_profile,
+        "benford_deviation": _benford_deviation,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10369,6 +10402,75 @@ SELECT CAST(m.cid AS INT) AS cluster, CAST(t.n AS BIGINT) AS n_vecs,
        CAST(m.label AS INT) AS majority_label,
        round(m.c * 1.0 / t.n, 6) + 0.0 AS purity
 FROM maj m JOIN tot t USING (cid) WHERE m.mrn = 1
+"""
+    # regional_top_parts: same star join + revenue rollup + rank window.
+    sql["regional_top_parts"] = """
+WITH dim AS (
+  SELECT c.c_custkey, r.r_name AS region
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey),
+rev AS (
+  SELECT dim.region, l.l_partkey AS part_key,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN dim ON o.o_custkey = dim.c_custkey
+  GROUP BY 1, 2),
+rk AS (
+  SELECT region, part_key, revenue,
+         row_number() OVER (PARTITION BY region
+                            ORDER BY revenue DESC, part_key) AS rank
+  FROM rev)
+SELECT region, CAST(rank AS INT) AS rank, part_key,
+       revenue + 0.0 AS revenue
+FROM rk WHERE rank <= 3
+"""
+    # null_profile: one conditional-aggregate pass per string column,
+    # unioned to rows.
+    sql["null_profile"] = """
+WITH s AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS tn,
+         sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1
+                  ELSE 0 END) AS tb,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS ln_,
+         sum(CASE WHEN lang IS NOT NULL AND trim(lang) = '' THEN 1
+                  ELSE 0 END) AS lb,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS sn,
+         sum(CASE WHEN source IS NOT NULL AND trim(source) = '' THEN 1
+                  ELSE 0 END) AS sb
+  FROM documents)
+SELECT 'text' AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(tn AS BIGINT) AS n_null, CAST(tb AS BIGINT) AS n_blank,
+       round((tn + tb) * 1.0 / n_rows, 6) + 0.0 AS pct_missing FROM s
+UNION ALL
+SELECT 'lang', CAST(n_rows AS BIGINT), CAST(ln_ AS BIGINT),
+       CAST(lb AS BIGINT), round((ln_ + lb) * 1.0 / n_rows, 6) + 0.0
+FROM s
+UNION ALL
+SELECT 'source', CAST(n_rows AS BIGINT), CAST(sn AS BIGINT),
+       CAST(sb AS BIGINT), round((sn + sb) * 1.0 / n_rows, 6) + 0.0
+FROM s
+"""
+    # benford_deviation: first significant digit via strip-non-1-9 of the
+    # 6-dp fixed-point rendering (commas vs none are both stripped).
+    sql["benford_deviation"] = """
+WITH d AS (
+  SELECT CAST(substr(regexp_replace(printf('%.6f', o_totalprice),
+                                    '[^1-9]', '', 'g'), 1, 1) AS INT)
+           AS digit
+  FROM orders WHERE o_totalprice > 0),
+h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+      WHERE digit IS NOT NULL GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM h)
+SELECT digit, n,
+       round(n * 1.0 / tot, 6) + 0.0 AS observed,
+       round(log10(1 + 1.0 / digit), 6) + 0.0 AS expected,
+       round(tot * (n * 1.0 / tot - log10(1 + 1.0 / digit))
+                 * (n * 1.0 / tot - log10(1 + 1.0 / digit))
+                 / log10(1 + 1.0 / digit), 6) + 0.0 AS chi_contrib
+FROM h, t
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

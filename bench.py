@@ -226,6 +226,9 @@ HEADLINE = [
     "interarrival_hist",
     "host_outlink_jaccard",
     "cluster_purity",
+    "regional_top_parts",
+    "null_profile",
+    "benford_deviation",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

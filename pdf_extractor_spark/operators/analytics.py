@@ -477,3 +477,148 @@ def discount_revenue_curve(lineitem: DataFrame) -> DataFrame:
             ).alias("avg_item_revenue"),
         )
     )
+
+
+def regional_top_parts(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    top_k: int = 3,
+) -> DataFrame:
+    """(region, rank, part_key, revenue) — top-k parts by discounted
+    revenue within each customer region: the star-join + per-group top-k
+    shape every BI layer runs hourly. Ties break on part key. 2 dp.
+
+    Physical shape: fact ⋈ fact on the order key (the one big shuffle),
+    dimensions (customer -> nation -> region) folded in as broadcast
+    joins BEFORE the aggregate so the revenue rollup happens once per
+    (region, part) — low cardinality — and the rank window runs over the
+    rollup, never over fact rows."""
+    from pyspark.sql import Window
+
+    dim = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", F.col("r_name").alias("region"))
+    )
+    rev = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(dim), F.col("o_custkey") == dim["c_custkey"])
+        .groupBy("region", F.col("l_partkey").alias("part_key"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("region").orderBy(
+        F.desc("revenue"), F.asc("part_key")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("region", F.col("rank").cast("int").alias("rank"),
+                "part_key", "revenue")
+    )
+
+
+def null_profile(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(column, n_rows, n_null, n_blank, pct_missing) — per-column
+    completeness audit over the STRING columns of a table: nulls,
+    blank-after-trim values, and the combined missing share (6 dp). The
+    ingest-contract check that runs before anything else in a pipeline.
+
+    Physical shape: ONE pass — per-column conditional aggregates in a
+    single agg (no unpivot shuffle, no per-column scans), reshaped to
+    rows with a literal stack. Output height = #columns."""
+    scols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() == "string"
+    ]
+    aggs = []
+    for c in scols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_n_{c}"))
+        aggs.append(
+            F.sum(
+                (F.col(c).isNotNull() & (F.trim(F.col(c)) == "")).cast("long")
+            ).alias(f"_b_{c}")
+        )
+    wide = df.agg(F.count("*").alias("_rows"), *aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("_rows").alias("n_rows"),
+                        F.col(f"_n_{c}").alias("n_null"),
+                        F.col(f"_b_{c}").alias("n_blank"),
+                    )
+                    for c in scols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return stacked.select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_blank").cast("long").alias("n_blank"),
+        F.round(
+            (F.col("n_null") + F.col("n_blank")) / F.col("n_rows"), 6
+        ).alias("pct_missing"),
+    )
+
+
+def benford_deviation(orders: DataFrame) -> DataFrame:
+    """(digit, n, observed, expected, chi_contrib) — first-significant-
+    digit distribution of order totals vs Benford's law
+    (P(d) = log10(1 + 1/d)) with per-digit chi-square contributions. The
+    books-cooked tripwire for any value column whose magnitudes span
+    orders of magnitude. 6 dp.
+
+    Physical shape: one digit aggregate (map-side combined) over a pure
+    string projection; the total rides as a window sum over the 9-row
+    histogram."""
+    from pyspark.sql import Window
+
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.regexp_replace(
+                F.format_number(F.col("o_totalprice"), 6), "[^1-9]", ""
+            ),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    hist = d.where(F.col("digit").isNotNull()).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w)
+    obs = F.col("n") / tot
+    exp = F.log10(1 + 1 / F.col("digit"))
+    return hist.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round(tot * (obs - exp) * (obs - exp) / exp, 6).alias(
+            "chi_contrib"
+        ),
+    )

@@ -4334,6 +4334,24 @@ def _benford_deviation(spark, sf_dir):
     return benford_deviation(_t(spark, sf_dir, "orders"))
 
 
+def _dedup_audit_pairs(spark, sf_dir):
+    """Human-audit sample of the exact n-gram dedup: top-10 Jaccard pairs
+    with 40-char text previews."""
+    from pdf_extractor_spark.operators.curation import dedup_audit_pairs
+
+    return dedup_audit_pairs(
+        _t_wide(spark, sf_dir, "documents"), n=3, threshold=0.8, top_k=10
+    )
+
+
+def _bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the event success rate (B=200,
+    deterministic md5 draws)."""
+    from pdf_extractor_spark.operators.analytics import bootstrap_ci
+
+    return bootstrap_ci(_t(spark, sf_dir, "events"), b=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4540,6 +4558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_top_parts": _regional_top_parts,
         "null_profile": _null_profile,
         "benford_deviation": _benford_deviation,
+        "dedup_audit_pairs": _dedup_audit_pairs,
+        "bootstrap_ci": _bootstrap_ci,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10471,6 +10491,51 @@ SELECT digit, n,
                  * (n * 1.0 / tot - log10(1 + 1.0 / digit))
                  / log10(1 + 1.0 / digit), 6) + 0.0 AS chi_contrib
 FROM h, t
+"""
+    # dedup_audit_pairs: the ngram_jaccard oracle composed with a fully
+    # ordered top-10 + text previews.
+    sql["dedup_audit_pairs"] = f"""
+WITH p AS ({sql["ngram_jaccard"]}),
+tp AS (SELECT * FROM p ORDER BY jaccard DESC, id1, id2 LIMIT 10)
+SELECT t.id1, t.id2, t.jaccard,
+       substr(coalesce(da.text, ''), 1, 40) AS text_a,
+       substr(coalesce(db.text, ''), 1, 40) AS text_b
+FROM tp t JOIN documents da ON da.doc_id = t.id1
+          JOIN documents db ON db.doc_id = t.id2
+"""
+    # bootstrap_ci: identical md5 Poisson draws and replicate means;
+    # quantile_cont matches Spark's interpolated percentile.
+    sql["bootstrap_ci"] = """
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.0 END AS x
+  FROM events),
+e AS (SELECT event_id, x, unnest(range(0, 200)) AS rb FROM base),
+uu AS (
+  SELECT x, rb,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+              CAST(rb AS VARCHAR)), 1, 15) AS BIGINT) * 1.0
+           / 1152921504606846976 AS u
+  FROM e),
+ww AS (
+  SELECT rb, x,
+         CASE WHEN u < 0.3678794411714423 THEN 0
+              WHEN u < 0.7357588823428846 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              ELSE 5 END AS w
+  FROM uu),
+reps AS (SELECT rb, sum(w * x) * 1.0 / sum(w) AS m FROM ww GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(avg(CASE WHEN event_type <> 'error' THEN 1.0
+                        ELSE 0.0 END), 6) AS mean
+  FROM events)
+SELECT s.n, CAST(200 AS BIGINT) AS b, s.mean + 0.0 AS mean,
+       round(quantile_cont(m, 0.025), 6) + 0.0 AS lo95,
+       round(quantile_cont(m, 0.975), 6) + 0.0 AS hi95
+FROM s, reps GROUP BY s.n, s.mean
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -229,6 +229,8 @@ HEADLINE = [
     "regional_top_parts",
     "null_profile",
     "benford_deviation",
+    "dedup_audit_pairs",
+    "bootstrap_ci",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

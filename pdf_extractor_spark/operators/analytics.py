@@ -622,3 +622,84 @@ def benford_deviation(orders: DataFrame) -> DataFrame:
             "chi_contrib"
         ),
     )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    b: int = 200,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """One row (n, b, mean, lo95, hi95) — Poisson-bootstrap confidence
+    interval for the event success rate (share of non-error events). The
+    error-bar every dashboard number needs: B replicate means from
+    per-(row, replicate) Poisson(1) weights, interval = interpolated
+    quantiles of the replicate means. 6 dp.
+
+    Deterministic by construction: the Poisson draw inverts the fixed
+    CDF thresholds against a 60-bit md5 uniform of (event_id, b) — same
+    bits in any engine, so the WHOLE interval is oracle-checkable, not
+    just its coverage. Poisson bootstrap (not multinomial) is the
+    distributed-data standard (per-row independence -> map-side
+    expansion, no global resample pass); weights cap at 5
+    (P(>5) < 1e-4 — negligible and keeps the CASE ladder finite).
+
+    Physical shape: explode rows x B (constant fan-out B), ONE replicate
+    aggregate with map-side combine (B partial rows per mapper), then
+    exact interpolated quantiles over the B-row replicate table."""
+    x = F.when(F.col("event_type") != "error", 1.0).otherwise(0.0)
+    base = df.select(F.col("event_id"), x.alias("x"))
+    expanded = base.select(
+        "event_id", "x", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rb")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("rb").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    # Poisson(1) inverse CDF, cumulative thresholds e^-1 * sum(1/k!)
+    w = (
+        F.when(u < 0.3678794411714423, 0)
+        .when(u < 0.7357588823428846, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    reps = (
+        expanded.withColumn("w", w)
+        .groupBy("rb")
+        .agg(
+            F.sum("w").alias("wn"),
+            F.sum(F.col("w") * F.col("x")).alias("wx"),
+        )
+        .select((F.col("wx") / F.col("wn")).alias("m"))
+    )
+    stats = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.avg(F.when(F.col("event_type") != "error", 1.0).otherwise(0.0)),
+            6,
+        ).alias("mean"),
+    )
+    ci = reps.agg(
+        F.round(F.expr(f"percentile(m, {lo})"), 6).alias("lo95"),
+        F.round(F.expr(f"percentile(m, {hi})"), 6).alias("hi95"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(ci))
+        .select("n", F.lit(b).cast("long").alias("b"), "mean", "lo95", "hi95")
+    )

@@ -2986,3 +2986,46 @@ def collocations_llr(
     return out.select(
         "a", "b", "pair_n", "n_a", "n_b", F.round(llr, 4).alias("llr")
     )
+
+
+def dedup_audit_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    top_k: int = 10,
+    prefix_chars: int = 40,
+) -> DataFrame:
+    """(id1, id2, jaccard, text_a, text_b) — the human-audit view of the
+    exact n-gram dedup: the `top_k` highest-Jaccard pairs (ties to the
+    id pair) with a `prefix_chars` preview of both texts. Every dedup
+    rollout ends with someone eyeballing pairs before flipping the
+    delete switch — this is that sample, produced without ever
+    collecting the corpus.
+
+    Physical shape: ngram_jaccard_pairs (inverted-index join) -> global
+    top-k (TakeOrderedAndProject — k rows cross the driver boundary, not
+    the pair set) -> two broadcast-eligible joins back to the text for
+    ONLY the k winners."""
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    top = pairs.orderBy(
+        F.desc("jaccard"), F.asc("id1"), F.asc("id2")
+    ).limit(top_k)
+    texts = df.select(
+        F.col(id_col).alias("_tid"),
+        F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, prefix_chars).alias(
+            "_prefix"
+        ),
+    )
+    return (
+        top.join(texts, top["id1"] == texts["_tid"])
+        .withColumnRenamed("_prefix", "text_a")
+        .drop("_tid")
+        .join(texts, top["id2"] == texts["_tid"])
+        .withColumnRenamed("_prefix", "text_b")
+        .drop("_tid")
+        .select("id1", "id2", "jaccard", "text_a", "text_b")
+    )

@@ -4352,6 +4352,27 @@ def _bootstrap_ci(spark, sf_dir):
     return bootstrap_ci(_t(spark, sf_dir, "events"), b=200)
 
 
+def _dp_counts(spark, sf_dir):
+    """Epsilon-DP count release per event type (deterministic Laplace
+    draws so the release is oracle-checkable)."""
+    from pdf_extractor_spark.operators.analytics import dp_counts
+
+    return dp_counts(_t(spark, sf_dir, "events"), epsilon=1.0)
+
+
+def _join_size_estimate(spark, sf_dir):
+    """Planner-style cardinality diagnostics for the orders ⋈ lineitem
+    equi-join: exact size from histograms vs the uniform estimate."""
+    from pdf_extractor_spark.operators.analytics import join_size_estimate
+
+    return join_size_estimate(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4560,6 +4581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_deviation": _benford_deviation,
         "dedup_audit_pairs": _dedup_audit_pairs,
         "bootstrap_ci": _bootstrap_ci,
+        "dp_counts": _dp_counts,
+        "join_size_estimate": _join_size_estimate,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10536,6 +10559,50 @@ SELECT s.n, CAST(200 AS BIGINT) AS b, s.mean + 0.0 AS mean,
        round(quantile_cont(m, 0.025), 6) + 0.0 AS lo95,
        round(quantile_cont(m, 0.975), 6) + 0.0 AS hi95
 FROM s, reps GROUP BY s.n, s.mean
+"""
+    # dp_counts: identical md5 uniform -> Laplace inverse CDF.
+    sql["dp_counts"] = """
+WITH c AS (
+  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS true_n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+u AS (
+  SELECT grp, true_n,
+         CAST('0x' || substr(md5('dp0:' || grp), 1, 15) AS BIGINT) * 1.0
+           / 1152921504606846976 - 0.5 AS uu
+  FROM c),
+nz AS (
+  SELECT grp, true_n,
+         -1.0 * sign(uu) * ln(1 - 2 * abs(uu)) AS noise
+  FROM u)
+SELECT grp AS "group", true_n, round(noise, 6) + 0.0 AS noise,
+       greatest(round(true_n + noise, 6), 0.0) + 0.0 AS noisy_n,
+       1.0 AS epsilon
+FROM nz
+"""
+    # join_size_estimate: exact sum(cl*cr) from the two key histograms vs
+    # the uniform-frequency estimate; top-16 key share.
+    sql["join_size_estimate"] = """
+WITH hl AS (SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1),
+hr AS (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1),
+j AS (SELECT hl.k, cl * cr AS pairs FROM hl JOIN hr USING (k)),
+tp AS (SELECT sum(pairs) AS top_pairs FROM
+       (SELECT pairs FROM j ORDER BY pairs DESC, k LIMIT 16)),
+s AS (
+  SELECT (SELECT sum(cl) FROM hl) AS nl,
+         (SELECT count(*) FROM hl) AS ndv_l,
+         (SELECT sum(cr) FROM hr) AS nr,
+         (SELECT count(*) FROM hr) AS ndv_r,
+         (SELECT coalesce(sum(pairs), 0) FROM j) AS actual,
+         (SELECT top_pairs FROM tp) AS top_pairs)
+SELECT CAST(actual AS BIGINT) AS actual_pairs,
+       round(nl * nr * 1.0 / greatest(ndv_l, ndv_r), 6) + 0.0 AS est_pairs,
+       round((nl * nr * 1.0 / greatest(ndv_l, ndv_r) - actual) * 100.0
+             / actual, 6) + 0.0 AS est_err_pct,
+       CAST(ndv_l AS BIGINT) AS left_keys,
+       CAST(ndv_r AS BIGINT) AS right_keys,
+       round(coalesce(top_pairs, 0) * 1.0 / actual, 6) + 0.0
+         AS top_key_share
+FROM s
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -231,6 +231,8 @@ HEADLINE = [
     "benford_deviation",
     "dedup_audit_pairs",
     "bootstrap_ci",
+    "dp_counts",
+    "join_size_estimate",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -703,3 +703,107 @@ def bootstrap_ci(
         stats.crossJoin(F.broadcast(ci))
         .select("n", F.lit(b).cast("long").alias("b"), "mean", "lo95", "hi95")
     )
+
+
+def dp_counts(
+    df: DataFrame,
+    group_col: str = "event_type",
+    epsilon: float = 1.0,
+    seed: str = "dp0",
+) -> DataFrame:
+    """(group, true_n, noise, noisy_n, epsilon) — epsilon-DP count release
+    plumbing: per-group counts + Laplace(1/epsilon) noise via the inverse
+    CDF. Counting queries have sensitivity 1, so scale b = 1/epsilon.
+    The pipeline-side mechanics (per-release seed, epsilon accounting
+    column, post-processing floor at 0) are the real part; the noise
+    draw here is DETERMINISTIC from md5(seed:group) so the whole release
+    is oracle-checkable — a production release swaps exactly this one
+    uniform for a secure RNG, which is the only line that must differ.
+    6 dp.
+
+    Physical shape: one count aggregate; noise is a projection over the
+    groups-sized result."""
+    counts = df.where(F.col(group_col).isNotNull()).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(F.count("*").cast("long").alias("true_n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("grp"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+        - 0.5
+    )
+    # Laplace inverse CDF: -b * sign(u) * ln(1 - 2|u|)
+    b = 1.0 / epsilon
+    noise = -F.lit(b) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return counts.select(
+        F.col("grp").alias("group"),
+        "true_n",
+        F.round(noise, 6).alias("noise"),
+        F.greatest(
+            F.round(F.col("true_n") + noise, 6), F.lit(0.0)
+        ).alias("noisy_n"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_frequent: int = 16,
+) -> DataFrame:
+    """One row (actual_pairs, est_pairs, est_err_pct, left_keys,
+    right_keys, top_key_share) — planner-style equi-join cardinality
+    diagnostics: the EXACT join output size sum(c_l(k) * c_r(k))
+    computed from the two key histograms (never materializing the join),
+    the uniform-frequency estimate |L|*|R|/max(ndv) a naive planner
+    would use, its signed error, and the share of true output owned by
+    the `top_frequent` heaviest keys (the skew-explains-the-error
+    readout). 6 dp.
+
+    Physical shape: two per-key count aggregates, one histogram-sized
+    join — the 'actual' is exact but costs histograms, not the join
+    itself. The top-share uses a bounded sort over the joined histogram
+    (top_frequent rows cross no boundary; it's a window-free
+    TakeOrdered pattern folded into the aggregate via sort+limit)."""
+    hl = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count("*").alias("cl")
+    )
+    hr = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count("*").alias("cr")
+    )
+    j = hl.join(hr, "k").select(
+        "k", (F.col("cl") * F.col("cr")).alias("pairs")
+    )
+    top = (
+        j.orderBy(F.desc("pairs"), F.asc("k"))
+        .limit(top_frequent)
+        .agg(F.sum("pairs").alias("top_pairs"))
+    )
+    stats = (
+        hl.agg(
+            F.sum("cl").alias("nl"), F.count("*").alias("ndv_l")
+        )
+        .crossJoin(hr.agg(F.sum("cr").alias("nr"), F.count("*").alias("ndv_r")))
+        .crossJoin(j.agg(F.coalesce(F.sum("pairs"), F.lit(0)).alias("actual")))
+        .crossJoin(F.broadcast(top))
+    )
+    est = F.col("nl") * F.col("nr") / F.greatest("ndv_l", "ndv_r")
+    return stats.select(
+        F.col("actual").cast("long").alias("actual_pairs"),
+        F.round(est, 6).alias("est_pairs"),
+        F.round((est - F.col("actual")) / F.col("actual") * 100, 6).alias(
+            "est_err_pct"
+        ),
+        F.col("ndv_l").cast("long").alias("left_keys"),
+        F.col("ndv_r").cast("long").alias("right_keys"),
+        F.round(
+            F.coalesce(F.col("top_pairs"), F.lit(0)) / F.col("actual"), 6
+        ).alias("top_key_share"),
+    )

@@ -4373,6 +4373,34 @@ def _join_size_estimate(spark, sf_dir):
     )
 
 
+def _morph_split(spark, sf_dir):
+    """Best compositional 2-way split per vocabulary word (one-step
+    morphology mining over the corpus dictionary)."""
+    from pdf_extractor_spark.operators.textstats import morph_split
+
+    return morph_split(
+        _t_wide(spark, sf_dir, "documents"), min_freq=5, min_len=4
+    )
+
+
+def _numeric_profile(spark, sf_dir):
+    """Per-numeric-column completeness/dispersion profile of the lineitem
+    measures."""
+    from pdf_extractor_spark.operators.analytics import numeric_profile
+
+    return numeric_profile(_t(spark, sf_dir, "lineitem"))
+
+
+def _linkage_scores(spark, sf_dir):
+    """Fellegi-Sunter-style additive-weight linkage decisions over the
+    part-name candidate pairs."""
+    from pdf_extractor_spark.operators.fuzzy import linkage_scores
+
+    return linkage_scores(
+        _t(spark, sf_dir, "part"), "p_name", "p_partkey", max_dist=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4583,6 +4611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": _bootstrap_ci,
         "dp_counts": _dp_counts,
         "join_size_estimate": _join_size_estimate,
+        "morph_split": _morph_split,
+        "numeric_profile": _numeric_profile,
+        "linkage_scores": _linkage_scores,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10603,6 +10634,87 @@ SELECT CAST(actual AS BIGINT) AS actual_pairs,
        round(coalesce(top_pairs, 0) * 1.0 / actual, 6) + 0.0
          AS top_key_share
 FROM s
+"""
+    # morph_split: identical split-point explode + piece-frequency joins
+    # + leftmost-max rank.
+    sql["morph_split"] = f"""
+WITH tok AS (
+  SELECT unnest({_OTOKS}) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+words AS (
+  SELECT lower(tok) AS w, CAST(count(*) AS BIGINT) AS freq
+  FROM tok GROUP BY 1 HAVING count(*) >= 5),
+cand AS (
+  SELECT w, freq, unnest(range(1, length(w))) AS i
+  FROM words WHERE length(w) >= 4),
+sp AS (
+  SELECT w, freq, i, substr(w, 1, i) AS l,
+         substr(w, i + 1, length(w)) AS r
+  FROM cand),
+sc AS (
+  SELECT sp.w, sp.freq, sp.i, sp.l, sp.r,
+         ln(wl.freq) + ln(wr.freq) AS score
+  FROM sp JOIN words wl ON wl.w = sp.l JOIN words wr ON wr.w = sp.r),
+rk AS (
+  SELECT w, freq, i, l, r, score,
+         row_number() OVER (PARTITION BY w ORDER BY score DESC, i) AS rn
+  FROM sc)
+SELECT w AS word, freq, l AS "left", r AS "right",
+       round(score, 4) + 0.0 AS score
+FROM rk WHERE rn = 1
+"""
+    # numeric_profile: same single-pass conditional aggregates per column.
+    _np_col = """
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       round(min({c}), 4) + 0.0 AS min_v, round(max({c}), 4) + 0.0 AS max_v,
+       round(avg({c}), 4) + 0.0 AS mean, round(stddev({c}), 4) + 0.0 AS std
+FROM lineitem"""
+    sql["numeric_profile"] = "\nUNION ALL\n".join(
+        _np_col.format(c=c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    # linkage_scores: levenshtein candidates + the same fixed comparator
+    # weights; phonetic key chain mirrored with RE2 'g' flags.
+    sql["linkage_scores"] = r"""
+WITH dict AS (
+  SELECT p_name AS name FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+blk AS (
+  SELECT name, (regexp_split_to_array(name, '\s+'))[-1] AS b FROM dict),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+         levenshtein(a.name, b.name) AS dist
+  FROM blk a JOIN blk b ON a.b = b.b AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2),
+pk AS (
+  SELECT name_a, name_b, dist,
+         (SELECT CASE WHEN l1 = '' THEN ''
+                 ELSE substr(l1, 1, 1) ||
+                      substr(regexp_replace(substr(l1, 2),
+                             '[AEIOUHWY]', '', 'g'), 1, 4) END
+          FROM (SELECT regexp_replace(upper(
+                    (regexp_split_to_array(name_a, '\s+'))[1]),
+                    '[^A-Z]', '', 'g') AS l1)) AS ka,
+         (SELECT CASE WHEN l2 = '' THEN ''
+                 ELSE substr(l2, 1, 1) ||
+                      substr(regexp_replace(substr(l2, 2),
+                             '[AEIOUHWY]', '', 'g'), 1, 4) END
+          FROM (SELECT regexp_replace(upper(
+                    (regexp_split_to_array(name_b, '\s+'))[1]),
+                    '[^A-Z]', '', 'g') AS l2)) AS kb
+  FROM pairs),
+sc AS (
+  SELECT name_a, name_b, dist, ka = kb AS phonetic_eq,
+         round((CASE WHEN dist = 0 THEN 4.0 WHEN dist = 1 THEN 2.5
+                     ELSE 1.0 END)
+               + (CASE WHEN ka = kb THEN 1.5 ELSE -0.5 END) + 0.5, 2)
+           AS score
+  FROM pk)
+SELECT name_a, name_b, dist, phonetic_eq, score + 0.0 AS score,
+       score >= 3.0 AS is_match
+FROM sc
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -233,6 +233,9 @@ HEADLINE = [
     "bootstrap_ci",
     "dp_counts",
     "join_size_estimate",
+    "morph_split",
+    "numeric_profile",
+    "linkage_scores",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -807,3 +807,46 @@ def join_size_estimate(
             F.coalesce(F.col("top_pairs"), F.lit(0)) / F.col("actual"), 6
         ).alias("top_key_share"),
     )
+
+
+def numeric_profile(lineitem: DataFrame) -> DataFrame:
+    """(column, n, n_null, ndv, min_v, max_v, mean, std) — per-numeric-
+    column profile of the lineitem measures: the ingest-contract /
+    near-zero-variance audit that complements null_profile's string-side
+    view. Sample standard deviation; 4 dp.
+
+    Physical shape: ONE aggregate pass computes every per-column
+    statistic (distincts via exact count_distinct, fine at column
+    granularity), reshaped to rows with a literal stack — no unpivot
+    shuffle, no per-column scans."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count("*").alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_n_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_d_{c}"),
+            F.round(F.min(c), 4).alias(f"_mi_{c}"),
+            F.round(F.max(c), 4).alias(f"_ma_{c}"),
+            F.round(F.avg(c), 4).alias(f"_me_{c}"),
+            F.round(F.stddev(c), 4).alias(f"_sd_{c}"),
+        ]
+    wide = lineitem.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("_rows").cast("long").alias("n"),
+                        F.col(f"_n_{c}").cast("long").alias("n_null"),
+                        F.col(f"_d_{c}").cast("long").alias("ndv"),
+                        F.col(f"_mi_{c}").alias("min_v"),
+                        F.col(f"_ma_{c}").alias("max_v"),
+                        F.col(f"_me_{c}").alias("mean"),
+                        F.col(f"_sd_{c}").alias("std"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")

@@ -145,3 +145,47 @@ def phonetic_groups(
             ),
         )
     )
+
+
+def linkage_scores(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    match_threshold: float = 3.0,
+) -> DataFrame:
+    """(name_a, name_b, dist, phonetic_eq, score, is_match) — Fellegi-
+    Sunter-style record-linkage scoring over the levenshtein candidate
+    pairs: fixed agreement weights per comparator (edit distance 0/1/2 ->
+    +4.0/+2.5/+1.0; first-token phonetic-key agreement -> +1.5 else
+    -0.5; the shared head-noun block contributes its +0.5 by
+    construction), decision = score >= match_threshold. The weights are
+    FIXED PRIORS (ln m/u ratios a labeled corpus would estimate) — the
+    pipeline mechanics (comparator fan-in, additive log-weights,
+    threshold decision) are the durable part, and the single constant
+    table is the swap point for EM-trained weights. 2 dp.
+
+    Physical shape: inherits levenshtein_name_pairs' dictionary-sized
+    blocking; the comparators are pure projections over the candidate
+    pairs."""
+    pairs = levenshtein_name_pairs(df, name_col, id_col, max_dist=max_dist)
+    first = lambda c: F.element_at(F.split(c, r"\s+"), 1)  # noqa: E731
+    ph_eq = phonetic_key(first(F.col("name_a"))) == phonetic_key(
+        first(F.col("name_b"))
+    )
+    w_dist = (
+        F.when(F.col("dist") == 0, 4.0)
+        .when(F.col("dist") == 1, 2.5)
+        .otherwise(1.0)
+    )
+    score = F.round(
+        w_dist + F.when(ph_eq, 1.5).otherwise(-0.5) + F.lit(0.5), 2
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        "dist",
+        ph_eq.alias("phonetic_eq"),
+        score.alias("score"),
+        (score >= match_threshold).alias("is_match"),
+    )

@@ -1849,3 +1849,72 @@ def utf8_stats(
         .alias("multibyte_ratio"),
         (n_bytes == n_chars).alias("pure_ascii"),
     )
+
+
+def morph_split(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_freq: int = 5,
+    min_len: int = 4,
+) -> "DataFrame":
+    """(word, freq, left, right, score) — best compositional 2-way split
+    per vocabulary word: the split point maximizing ln f(left) +
+    ln f(right) over splits whose BOTH pieces are themselves corpus
+    words. The one-step morphology/compound miner (the greedy core of
+    unigram-LM segmentation): 'motorboat' -> motor|boat when both pieces
+    carry corpus mass. Ties take the leftmost split; words with no valid
+    split are absent. 4 dp.
+
+    Physical shape: everything after the unigram count runs on the
+    DICTIONARY: split-point explode (fan-out <= word length), two
+    vocabulary-sized joins for the piece frequencies, one rank window
+    per word. The corpus is touched exactly once."""
+    from pyspark.sql import Window
+
+    words = (
+        df.select(tokens_col(F.col(text_col)).alias("_toks"))
+        .select(F.explode_outer("_toks").alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .groupBy(F.lower("tok").alias("w"))
+        .agg(F.count("*").cast("long").alias("freq"))
+        .where(F.col("freq") >= min_freq)
+    )
+    cand = (
+        words.where(F.length("w") >= min_len)
+        .select(
+            "w",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "w",
+            "freq",
+            "i",
+            F.substring(F.col("w"), 1, F.col("i")).alias("left"),
+            F.substring(
+                F.col("w"), F.col("i") + 1, F.length("w")
+            ).alias("right"),
+        )
+    )
+    fl = words.select(F.col("w").alias("left"), F.col("freq").alias("fl"))
+    fr = words.select(F.col("w").alias("right"), F.col("freq").alias("fr"))
+    scored = (
+        cand.join(fl, "left")
+        .join(fr, "right")
+        .withColumn("score", F.log("fl") + F.log("fr"))
+    )
+    w = Window.partitionBy("w").orderBy(F.desc("score"), F.asc("i"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("w").alias("word"),
+            "freq",
+            "left",
+            "right",
+            F.round("score", 4).alias("score"),
+        )
+    )

@@ -82,6 +82,34 @@ SCALAR_BROADCAST_OK = {
     "source_similarity_kmv": "pair matrix over the sources-sized sketch "
     "table (k-hash arrays, bounded by the source dimension) — the whole "
     "point of the sketch is that this join never touches the corpus",
+    "assoc_rules": "transaction total + per-item supports as 1-row / "
+    "item-dictionary-sized agg broadcasts onto the pruned pair table",
+    "bootstrap_ci": "full-sample stats x replicate-quantile frame — two "
+    "1-row aggs crossed into the single output row",
+    "churn_detect": "snapshot anchor max(ts) as 1-row agg broadcast",
+    "collocations_llr": "corpus bigram total N as 1-row agg broadcast "
+    "onto the pruned pair table",
+    "decayed_activity": "snapshot anchor max(ts) as 1-row agg broadcast",
+    "degree_ccdf": "histogram total as 1-row agg broadcast onto the "
+    "degree count-of-counts table",
+    "dow_seasonality": "chi-square totals as 1-row agg broadcasts onto "
+    "the 7-row dow frame",
+    "heaps_law": "corpus totals as 1-row agg broadcast onto the bucket "
+    "growth table",
+    "kmv_setops": "pair matrix over the groups-sized bottom-k sketch "
+    "table (same contract as source_similarity_kmv)",
+    "part_affinity": "order count N as 1-row agg broadcast onto the "
+    "pruned pair table",
+    "pca_top_component": "L2 normalizer and Rayleigh eigenvalue as "
+    "1-row agg broadcasts onto the dim-sized loading vector",
+    "rfm_segments": "reference snapshot scalars as 1-row agg broadcast",
+    "stylometry_delta": "corpus feature means/stds as 1-row agg "
+    "broadcast onto the author frame",
+    "time_to_convert": "per-funnel totals as 1-row agg broadcasts",
+    "value_histogram": "global min/max as 1-row agg broadcast before "
+    "bucketing",
+    "join_size_estimate": "four 1-row histogram summaries crossed into "
+    "the single diagnostics row",
 }
 
 

@@ -4401,6 +4401,45 @@ def _linkage_scores(spark, sf_dir):
     )
 
 
+def _ndcg_topk(spark, sf_dir):
+    """nDCG@10 of exact cosine retrieval with label-match relevance."""
+    from pdf_extractor_spark.operators.similarity import ndcg_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ndcg_topk(emb, q, k=10)
+
+
+def _rank_biased_overlap(spark, sf_dir):
+    """Truncated RBO@20 (p=0.9) between the PageRank and HITS-authority
+    host rankings."""
+    from pdf_extractor_spark.operators.graph import (
+        hits,
+        pagerank,
+        rank_biased_overlap,
+    )
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    pr = pagerank(edges, iters=3, damping=0.85).withColumnRenamed(
+        "node", "host"
+    )
+    ht = hits(edges, iters=2).withColumnRenamed("node", "host")
+    return rank_biased_overlap(
+        pr, ht, item_col="host", score_a="rank", score_b="auth",
+        depth=20, p=0.9,
+    )
+
+
+def _pps_sample(spark, sf_dir):
+    """Poisson PPS sample of documents weighted by n_chars (deterministic
+    inclusion draws; Horvitz-Thompson-ready inclusion probabilities)."""
+    from pdf_extractor_spark.operators.curation import pps_sample
+
+    return pps_sample(_t(spark, sf_dir, "documents"), k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4614,6 +4653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morph_split": _morph_split,
         "numeric_profile": _numeric_profile,
         "linkage_scores": _linkage_scores,
+        "ndcg_topk": _ndcg_topk,
+        "rank_biased_overlap": _rank_biased_overlap,
+        "pps_sample": _pps_sample,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10715,6 +10757,72 @@ sc AS (
 SELECT name_a, name_b, dist, phonetic_eq, score + 0.0 AS score,
        score >= 3.0 AS is_match
 FROM sc
+"""
+    # ndcg_topk: cosine ranking + binary label relevance; ideal DCG from
+    # an uncorrelated cumulative table joined on min(k, n_rel).
+    sql["ndcg_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, q.qlab, e.vec_id AS id, e.label AS clab,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           {cos_eq} DESC, e.vec_id) AS rank
+  FROM embeddings e, q),
+top AS (SELECT * FROM scored WHERE rank <= 10),
+rc AS (SELECT label AS qlab, CAST(count(*) AS BIGINT) AS n_rel
+       FROM embeddings GROUP BY 1),
+dcg AS (
+  SELECT query_id, qlab,
+         sum(CASE WHEN clab = qlab THEN 1.0 / log2(rank + 1)
+                  ELSE 0 END) AS dcg
+  FROM top GROUP BY 1, 2),
+iv AS (SELECT unnest(range(1, 11)) AS i),
+ideals AS (
+  SELECT a.i AS r, sum(1.0 / log2(b.i + 1)) AS idcg
+  FROM iv a JOIN iv b ON b.i <= a.i GROUP BY 1)
+SELECT d.query_id, rc.n_rel,
+       round(d.dcg, 6) + 0.0 AS dcg,
+       round(ideals.idcg, 6) + 0.0 AS idcg,
+       round(d.dcg / ideals.idcg, 6) + 0.0 AS ndcg
+FROM dcg d JOIN rc USING (qlab)
+JOIN ideals ON ideals.r = least(10, rc.n_rel)
+"""
+    # rank_biased_overlap: both ranking oracles composed; X_d via the
+    # bounded depth explode.
+    sql["rank_biased_overlap"] = f"""
+WITH pr AS ({sql["pagerank_hosts"]}),
+ht AS ({sql["hits_hosts"]}),
+ra AS (SELECT host AS item,
+              row_number() OVER (ORDER BY rank DESC, host) AS ra FROM pr),
+rb AS (SELECT host AS item,
+              row_number() OVER (ORDER BY auth DESC, host) AS rb FROM ht),
+mm AS (SELECT greatest(ra, rb) AS m FROM ra JOIN rb USING (item)
+       WHERE greatest(ra, rb) <= 20),
+cc AS (SELECT unnest(range(m, 21)) AS d FROM mm),
+x AS (SELECT d, count(*) AS x FROM cc GROUP BY 1)
+SELECT CAST(20 AS INT) AS depth, 0.9 AS p,
+       round(coalesce(sum((1.0 - 0.9) * power(0.9, d - 1) * x / d), 0.0),
+             6) + 0.0 AS rbo,
+       round(coalesce(max(CASE WHEN d = 20 THEN x END), 0) / 20.0, 6)
+         + 0.0 AS overlap_at_depth
+FROM x
+"""
+    # pps_sample: identical md5 inclusion draws against min(1, k*w/W).
+    sql["pps_sample"] = """
+WITH t AS (
+  SELECT sum(CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE)
+             ELSE 0 END) AS wtot
+  FROM documents),
+x AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         CAST('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) * 1.0 / 1152921504606846976 AS u
+  FROM documents)
+SELECT doc_id, coalesce(w, 0.0) + 0.0 AS weight,
+       round(least(1.0, 50 * w / wtot), 6) + 0.0 AS incl_prob,
+       TRUE AS picked
+FROM x, t
+WHERE w IS NOT NULL AND w > 0 AND u < least(1.0, 50 * w / wtot)
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -236,6 +236,9 @@ HEADLINE = [
     "morph_split",
     "numeric_profile",
     "linkage_scores",
+    "ndcg_topk",
+    "rank_biased_overlap",
+    "pps_sample",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

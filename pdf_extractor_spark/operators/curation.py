@@ -3029,3 +3029,52 @@ def dedup_audit_pairs(
         .drop("_tid")
         .select("id1", "id2", "jaccard", "text_a", "text_b")
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """(doc_id, weight, incl_prob, picked) — Poisson probability-
+    proportional-to-size sampling: row i is included independently with
+    probability min(1, k * w_i / W), giving an expected sample size of
+    ~k concentrated on heavy rows (the length-weighted corpus-audit
+    sample: a 1M-token document deserves more review probability than a
+    tweet). Horvitz-Thompson estimators divide by exactly the emitted
+    incl_prob, so the column IS the estimator input, not diagnostics.
+    Inclusion draws are md5 uniforms of the id — deterministic, so the
+    SAMPLE ITSELF is oracle-checkable. Rows with null/non-positive
+    weight are never picked. 6 dp.
+
+    Physical shape: one 1-row total-weight aggregate broadcast onto a
+    pure projection + filter — no sort, no per-group state; expected
+    output k rows regardless of corpus size."""
+    w = F.col(weight_col).cast("double")
+    tot = df.agg(F.sum(F.when(w > 0, w).otherwise(0.0)).alias("_W"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pps:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    out = df.crossJoin(F.broadcast(tot)).select(
+        F.col(id_col),
+        F.coalesce(w, F.lit(0.0)).alias("weight"),
+        F.round(
+            F.least(F.lit(1.0), F.lit(float(k)) * w / F.col("_W")), 6
+        ).alias("incl_prob"),
+        (
+            w.isNotNull()
+            & (w > 0)
+            & (u < F.least(F.lit(1.0), F.lit(float(k)) * w / F.col("_W")))
+        ).alias("picked"),
+    )
+    return out.where(F.col("picked"))

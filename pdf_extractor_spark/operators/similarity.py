@@ -975,3 +975,59 @@ def cluster_label_purity(
             F.round(F.col("c") / F.col("n"), 6).alias("purity"),
         )
     )
+
+
+def ndcg_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, n_rel, dcg, idcg, ndcg) — retrieval quality of the
+    exact cosine top-k as nDCG@k with binary relevance rel(d) =
+    [label(d) == label(query)] (the query itself counts — it retrieves
+    itself at rank 1 by construction). idcg places all R relevant items
+    first: sum_{i<=min(k,R)} 1 / log2(i+1). The IR-eval surface for the
+    ANN family: lsh/ivf recall says "same as brute force?", this says
+    "is brute force itself retrieving the right class". 6 dp.
+
+    Physical shape: cosine_topk's one-corpus-pass ranking, a broadcast
+    label-count table for R, and a per-query rollup; idcg is a closed
+    aggregate over sequence(1, min(k, R)) — no second retrieval pass."""
+    topk = cosine_topk(corpus, queries, k=k)
+    qlab = queries.select(
+        F.col("query_id"), F.col(label_col).alias("_qlab")
+    )
+    clab = corpus.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("_clab")
+    )
+    rel_counts = corpus.groupBy(F.col(label_col).alias("_qlab")).agg(
+        F.count("*").cast("long").alias("n_rel")
+    )
+    scored = (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(clab, "id")
+        .withColumn(
+            "rel", (F.col("_clab") == F.col("_qlab")).cast("double")
+        )
+    )
+    dcg = scored.groupBy("query_id", "_qlab").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("_dcg")
+    )
+    out = dcg.join(F.broadcast(rel_counts), "_qlab").withColumn(
+        "_idcg",
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.lit(k), F.col("n_rel"))),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+        ),
+    )
+    return out.select(
+        "query_id",
+        "n_rel",
+        F.round("_dcg", 6).alias("dcg"),
+        F.round("_idcg", 6).alias("idcg"),
+        F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
+    )

@@ -4440,6 +4440,22 @@ def _pps_sample(spark, sf_dir):
     return pps_sample(_t(spark, sf_dir, "documents"), k=50)
 
 
+def _markov_stationary(spark, sf_dir):
+    """Approximate stationary distribution of the event-type Markov
+    chain (3 power iterations, uniform start, sink self-loops)."""
+    from pdf_extractor_spark.operators.events import markov_stationary
+
+    return markov_stationary(_t(spark, sf_dir, "events"), iters=3)
+
+
+def _kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase survival curve with right
+    censoring at the last observed event."""
+    from pdf_extractor_spark.operators.events import kaplan_meier
+
+    return kaplan_meier(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4656,6 +4672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_topk": _ndcg_topk,
         "rank_biased_overlap": _rank_biased_overlap,
         "pps_sample": _pps_sample,
+        "markov_stationary": _markov_stationary,
+        "kaplan_meier": _kaplan_meier,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10823,6 +10841,71 @@ SELECT doc_id, coalesce(w, 0.0) + 0.0 AS weight,
        TRUE AS picked
 FROM x, t
 WHERE w IS NOT NULL AND w > 0 AND u < least(1.0, 50 * w / wtot)
+"""
+    # markov_stationary: 3 unrolled pi <- pi P iterations with sink mass
+    # kept in place.
+    _mk_step = """
+m{k} AS (SELECT P.b AS s, sum(P.p * pi{j}.pi) AS m
+         FROM P JOIN pi{j} ON pi{j}.s = P.a GROUP BY 1),
+k{k} AS (SELECT sinks.s, pi{j}.pi AS kk FROM sinks JOIN pi{j} USING (s)),
+pi{k} AS (SELECT st.s, coalesce(m{k}.m, 0) + coalesce(k{k}.kk, 0) AS pi
+          FROM st LEFT JOIN m{k} ON m{k}.s = st.s
+                  LEFT JOIN k{k} ON k{k}.s = st.s),"""
+    sql["markov_stationary"] = (
+        """
+WITH pr AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+pc AS (SELECT event_type AS a, nxt AS b, count(*) AS c
+       FROM pr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+po AS (SELECT a, sum(c) AS tot FROM pc GROUP BY 1),
+P AS (SELECT pc.a, pc.b, c * 1.0 / tot AS p FROM pc JOIN po USING (a)),
+st AS (SELECT DISTINCT event_type AS s FROM events
+       WHERE event_type IS NOT NULL),
+sinks AS (SELECT s FROM st WHERE s NOT IN (SELECT a FROM P)),
+pi0 AS (SELECT s, 1.0 / (SELECT count(*) FROM st) AS pi FROM st),"""
+        + "".join(_mk_step.format(k=k, j=k - 1) for k in (1, 2, 3)).rstrip(",")
+        + """
+SELECT s AS event_type, round(pi, 6) + 0.0 AS pi FROM pi3"""
+    )
+    # kaplan_meier: product limit via exp(sum(ln)) windows over the
+    # distinct-conversion-time table.
+    sql["kaplan_meier"] = """
+WITH pu AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS tp,
+         max(epoch_us(ts)) AS tl
+  FROM events GROUP BY 1),
+durs AS (
+  SELECT CAST(floor((coalesce(tp, tl) - t0) / 3600000000.0) AS BIGINT)
+           AS t,
+         tp IS NOT NULL AS ev
+  FROM pu),
+hist AS (SELECT t, count(*) AS n_all,
+                sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d
+         FROM durs GROUP BY 1),
+ar AS (
+  SELECT t, d,
+         sum(n_all) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS n_risk
+  FROM hist),
+et AS (SELECT t, d, n_risk, 1 - d * 1.0 / n_risk AS f
+       FROM ar WHERE d > 0),
+km AS (
+  SELECT t, d, n_risk,
+         sum(CASE WHEN f <= 0 THEN 1 ELSE 0 END) OVER w AS zeros,
+         sum(CASE WHEN f > 0 THEN ln(f) END) OVER w AS lns
+  FROM et
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW))
+SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       round(CASE WHEN zeros > 0 THEN 0.0 ELSE exp(lns) END, 6) + 0.0
+         AS survival
+FROM km
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -239,6 +239,8 @@ HEADLINE = [
     "ndcg_topk",
     "rank_biased_overlap",
     "pps_sample",
+    "markov_stationary",
+    "kaplan_meier",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

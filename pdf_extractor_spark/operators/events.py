@@ -1443,3 +1443,128 @@ def interarrival_hist(df: DataFrame) -> DataFrame:
         F.round(F.min("gap_s"), 3).alias("min_gap_s"),
         F.round(F.max("gap_s"), 3).alias("max_gap_s"),
     )
+
+
+def markov_stationary(df: DataFrame, iters: int = 3) -> DataFrame:
+    """(event_type, pi) — approximate stationary distribution of the
+    per-user event-type Markov chain: transition counts from lag pairs
+    (the event_transitions surface), row-normalized, then `iters` power
+    iterations pi <- pi P from the uniform start. Where users spend
+    their long-run attention — the steady-state complement of the
+    one-step transition view. States without outgoing transitions keep
+    their mass (self-loop convention, keeps pi a distribution). 6 dp.
+
+    Physical shape: ONE corpus window pass builds the transition counts;
+    every iteration then runs on the states x states table (event types
+    — single digits), so the loop costs nothing at any corpus size and
+    needs no checkpointing."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        df.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    outs = pairs.groupBy("a").agg(F.sum("c").alias("tot"))
+    P = pairs.join(outs, "a").select(
+        "a", "b", (F.col("c") / F.col("tot")).alias("p")
+    )
+    states = (
+        df.select(F.col("event_type").alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
+    )
+    n_states = states.agg(F.count("*").cast("double").alias("_n"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "s", (F.lit(1.0) / F.col("_n")).alias("pi")
+    )
+    sinks = states.join(
+        P.select(F.col("a").alias("s")).distinct(), "s", "left_anti"
+    ).withColumn("_sink", F.lit(True))
+    for _ in range(iters):
+        moved = (
+            P.join(pi.withColumnRenamed("s", "a"), "a")
+            .groupBy(F.col("b").alias("s"))
+            .agg(F.sum(F.col("p") * F.col("pi")).alias("m"))
+        )
+        kept = pi.join(sinks.select("s"), "s", "leftsemi").select(
+            "s", F.col("pi").alias("k")
+        )
+        pi = (
+            states.join(moved, "s", "left")
+            .join(kept, "s", "left")
+            .select(
+                "s",
+                (
+                    F.coalesce("m", F.lit(0.0)) + F.coalesce("k", F.lit(0.0))
+                ).alias("pi"),
+            )
+        )
+    return pi.select(
+        F.col("s").alias("event_type"), F.round("pi", 6).alias("pi")
+    )
+
+
+def kaplan_meier(df: DataFrame) -> DataFrame:
+    """(t_hours, n_risk, d_events, survival) — Kaplan-Meier estimate of
+    time-to-first-purchase: per user, duration = hours (floored) from
+    their first event to their first purchase (converted) or to their
+    last event (right-censored). One row per distinct CONVERSION time:
+    at-risk count (duration >= t), conversions at t, and the product-
+    limit survival S(t) = prod_{t_j <= t} (1 - d_j / n_j). The censoring-
+    aware answer to "how fast do users convert" that a plain average of
+    converted users biases. 6 dp.
+
+    Physical shape: one user rollup (first/purchase/last timestamps),
+    a duration histogram, then the KM curve assembled on the DISTINCT-
+    time table: at-risk via a running sum over the descending-time
+    histogram, the product limit via exp(sum(ln)) windows — the
+    sequential-looking cumulative product is two window passes over a
+    table bounded by distinct durations, never user rows."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    per_user = df.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("tp"),
+        F.max(us).alias("tl"),
+    )
+    durs = per_user.select(
+        F.floor(
+            (F.coalesce("tp", "tl") - F.col("t0")) / F.lit(3600.0 * 1e6)
+        ).cast("long").alias("t"),
+        F.col("tp").isNotNull().alias("ev"),
+    )
+    hist = durs.groupBy("t").agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.col("ev").cast("long")).alias("d"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = hist.withColumn("n_risk", F.sum("n_all").over(w_desc))
+    ev_times = at_risk.where(F.col("d") > 0)
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    factor = 1 - F.col("d") / F.col("n_risk")
+    km = (
+        ev_times.withColumn(
+            "_lnf", F.when(factor > 0, F.log(factor)).otherwise(F.lit(None))
+        )
+        .withColumn("_zeros", F.sum((factor <= 0).cast("long")).over(w_asc))
+        .withColumn(
+            "survival",
+            F.when(F.col("_zeros") > 0, F.lit(0.0)).otherwise(
+                F.exp(F.sum("_lnf").over(w_asc))
+            ),
+        )
+    )
+    return km.select(
+        F.col("t").alias("t_hours"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.round("survival", 6).alias("survival"),
+    )

@@ -4456,6 +4456,22 @@ def _kaplan_meier(spark, sf_dir):
     return kaplan_meier(_t(spark, sf_dir, "events"))
 
 
+def _ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test between purchase and click
+    value distributions."""
+    from pdf_extractor_spark.operators.analytics import ks_test
+
+    return ks_test(_t(spark, sf_dir, "events"))
+
+
+def _psi_drift(spark, sf_dir):
+    """Population Stability Index of the value distribution between the
+    first and second half of the time range (reference-decile bins)."""
+    from pdf_extractor_spark.operators.analytics import psi_drift
+
+    return psi_drift(_t(spark, sf_dir, "events"), n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4674,6 +4690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": _pps_sample,
         "markov_stationary": _markov_stationary,
         "kaplan_meier": _kaplan_meier,
+        "ks_test": _ks_test,
+        "psi_drift": _psi_drift,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10906,6 +10924,62 @@ SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
        round(CASE WHEN zeros > 0 THEN 0.0 ELSE exp(lns) END, 6) + 0.0
          AS survival
 FROM km
+"""
+    # ks_test: identical distinct-value running CDFs.
+    sql["ks_test"] = """
+WITH v AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+pv AS (SELECT value, sum(ia) AS ca, sum(ib) AS cb FROM v GROUP BY 1),
+n AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+             CAST(sum(ib) AS BIGINT) AS n_b FROM v),
+cum AS (
+  SELECT sum(ca) OVER w AS fa, sum(cb) OVER w AS fb
+  FROM pv WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)),
+ks AS (SELECT round(max(abs(fa * 1.0 / n.n_a - fb * 1.0 / n.n_b)), 6)
+         AS ks_stat
+       FROM cum, n)
+SELECT n.n_a, n.n_b, ks.ks_stat + 0.0 AS ks_stat,
+       round(1.36 * sqrt((n.n_a + n.n_b) * 1.0 / (n.n_a * n.n_b)), 6)
+         + 0.0 AS d_crit,
+       ks.ks_stat > round(1.36 * sqrt((n.n_a + n.n_b) * 1.0
+                          / (n.n_a * n.n_b)), 6) AS reject
+FROM n, ks
+"""
+    # psi_drift: same midpoint split, interpolated reference deciles, and
+    # floored-share contributions.
+    _psi_qs = ",".join(str(i / 10) for i in range(1, 10))
+    sql["psi_drift"] = f"""
+WITH mid AS (
+  SELECT (epoch_us(max(ts)) + epoch_us(min(ts))) / 2.0 AS m FROM events),
+base AS (
+  SELECT value, epoch_us(ts) < mid.m AS is_ref
+  FROM events, mid WHERE value IS NOT NULL),
+edges AS (
+  SELECT quantile_cont(value, [{_psi_qs}]) AS e
+  FROM base WHERE is_ref),
+binned AS (
+  SELECT is_ref,
+         1 + len(list_filter(edges.e, x -> base.value > x)) AS bin
+  FROM base, edges),
+hist AS (
+  SELECT bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM binned GROUP BY 1),
+t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM hist)
+SELECT CAST(bin AS INT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       round(greatest(n_ref * 1.0 / tr, 1e-6), 6) + 0.0 AS p_ref,
+       round(greatest(n_cur * 1.0 / tc, 1e-6), 6) + 0.0 AS p_cur,
+       round((greatest(n_cur * 1.0 / tc, 1e-6)
+              - greatest(n_ref * 1.0 / tr, 1e-6))
+             * ln(greatest(n_cur * 1.0 / tc, 1e-6)
+                  / greatest(n_ref * 1.0 / tr, 1e-6)), 6) + 0.0 AS contrib
+FROM hist, t
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -241,6 +241,8 @@ HEADLINE = [
     "pps_sample",
     "markov_stationary",
     "kaplan_meier",
+    "ks_test",
+    "psi_drift",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

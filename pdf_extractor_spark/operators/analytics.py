@@ -850,3 +850,140 @@ def numeric_profile(lineitem: DataFrame) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+def ks_test(
+    df: DataFrame, type_a: str = "purchase", type_b: str = "click"
+) -> DataFrame:
+    """One row (n_a, n_b, ks_stat, d_crit, reject) — two-sample
+    Kolmogorov-Smirnov test between the value distributions of two event
+    types: KS = max over observed values of |F_a(v) - F_b(v)|, critical
+    value at alpha=0.05 via the asymptotic 1.36*sqrt((n_a+n_b)/(n_a n_b)).
+    The distribution-drift tripwire the mean-based ab_test misses. 6 dp.
+
+    Physical shape: per-distinct-value (c_a, c_b) counts (map-side
+    combined), then running sums + the max over ONE value-ordered window
+    on the distinct-value table — bounded by value cardinality, not
+    rows. At true continuous 10^12-row scale distinct values approach
+    row count; the documented trade is pre-rounding values (binning)
+    before the test, which bounds the window at the cost of resolution."""
+    vals = df.where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(type_a, type_b)
+    ).select(
+        "value",
+        (F.col("event_type") == type_a).cast("long").alias("ia"),
+        (F.col("event_type") == type_b).cast("long").alias("ib"),
+    )
+    per_v = vals.groupBy("value").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
+    )
+    return (
+        cum.crossJoin(
+            F.broadcast(
+                vals.agg(
+                    F.sum("ia").cast("long").alias("n_a"),
+                    F.sum("ib").cast("long").alias("n_b"),
+                )
+            )
+        )
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("fa") / F.col("n_a")
+                        - F.col("fb") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_stat",
+            F.round(
+                1.36
+                * F.sqrt(
+                    (F.col("n_a") + F.col("n_b"))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("d_crit"),
+        )
+        .withColumn("reject", F.col("ks_stat") > F.col("d_crit"))
+    )
+
+
+def psi_drift(df: DataFrame, n_bins: int = 10) -> DataFrame:
+    """(bin, n_ref, n_cur, p_ref, p_cur, contrib) — Population Stability
+    Index of the event `value` distribution between the FIRST and SECOND
+    half of the observed time range: bins are the reference half's
+    deciles (interpolated percentiles), both halves are histogrammed
+    into them, contrib = (p_cur - p_ref) * ln(p_cur / p_ref) with both
+    shares floored at 1e-6 (the standard empty-bin guard; sum of contrib
+    is the PSI — > 0.2 conventionally flags drift). The ML-ops drift
+    monitor for any scored column. 6 dp.
+
+    Physical shape: one midpoint scalar, one n_bins-1 percentile
+    aggregate on the reference half (broadcast as an array literal),
+    then bin assignment as a pure aggregate expression over the edge
+    array — no join, one (half, bin) count shuffle."""
+    mid = df.agg(
+        ((F.unix_micros(F.max("ts").cast("timestamp_ltz"))
+          + F.unix_micros(F.min("ts").cast("timestamp_ltz"))) / 2
+         ).alias("_mid")
+    )
+    base = (
+        df.where(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "value",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                < F.col("_mid")
+            ).alias("is_ref"),
+        )
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = base.where("is_ref").agg(
+        F.expr(
+            "percentile(value, array(" + ",".join(str(q) for q in qs) + "))"
+        ).alias("_edges")
+    )
+    binned = base.crossJoin(F.broadcast(edges)).select(
+        "is_ref",
+        (
+            1
+            + F.aggregate(
+                "_edges",
+                F.lit(0),
+                lambda acc, e: acc + (F.col("value") > e).cast("int"),
+            )
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    tots = hist.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(1e-6))
+    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(1e-6))
+    return hist.crossJoin(F.broadcast(tots)).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("contrib"),
+    )

@@ -107,6 +107,41 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "zorder_key", "compaction_plan", "snapshot_diff", "rendezvous_shards",
         "zone_map_prune", "column_conformance", "expire_snapshots",
     ]),
+    ("Fuzzy matching & record linkage", [
+        "levenshtein_names", "phonetic_groups", "linkage_scores",
+        "fuzzy_name_match",
+    ]),
+    ("Dedup extensions (CDC / overlap / audit)", [
+        "cdc_chunk_dedup", "rouge_overlap", "dedup_audit_pairs",
+    ]),
+    ("Engagement & robust statistics", [
+        "dau_wau_stickiness", "gini_value", "user_entropy", "ewma_daily",
+        "seasonal_decompose", "churn_detect", "robust_value_stats",
+        "wow_growth", "interarrival_hist", "bootstrap_ci", "ks_test",
+        "psi_drift", "benford_deviation", "dp_counts", "markov_stationary",
+        "kaplan_meier", "events_cube",
+    ]),
+    ("Link-graph extensions", [
+        "hits_hosts", "degree_ccdf", "kcore_hosts", "host_outlink_jaccard",
+        "rank_biased_overlap",
+    ]),
+    ("Embedding & retrieval eval extensions", [
+        "embedding_quantile_norm", "pca_top_component", "cluster_purity",
+        "ndcg_topk", "kmv_setops",
+    ]),
+    ("Corpus inspection & tokenizer extensions", [
+        "concordance", "branching_entropy", "collocations_llr",
+        "morph_split", "token_length_hist", "utf8_stats", "pps_sample",
+        "lang_source_mi", "filter_kappa",
+    ]),
+    ("Relational & quality-audit extensions", [
+        "order_deciles", "part_affinity", "shipping_delay_stats",
+        "discount_revenue_curve", "regional_top_parts", "null_profile",
+        "numeric_profile", "join_size_estimate", "user_tier_enrich",
+    ]),
+    ("Multimodal extensions", [
+        "shot_boundaries", "image_tiles",
+    ]),
 ]
 
 

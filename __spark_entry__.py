@@ -4472,6 +4472,22 @@ def _psi_drift(spark, sf_dir):
     return psi_drift(_t(spark, sf_dir, "events"), n_bins=10)
 
 
+def _dup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate pressure per ingest source (distinct text digests
+    vs document counts)."""
+    from pdf_extractor_spark.operators.curation import dup_rate_by_source
+
+    return dup_rate_by_source(_t(spark, sf_dir, "documents"))
+
+
+def _corr_matrix(spark, sf_dir):
+    """Pearson correlations between every pair of lineitem measures in
+    one aggregate pass."""
+    from pdf_extractor_spark.operators.analytics import corr_matrix
+
+    return corr_matrix(_t(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4692,6 +4708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": _kaplan_meier,
         "ks_test": _ks_test,
         "psi_drift": _psi_drift,
+        "dup_rate_by_source": _dup_rate_by_source,
+        "corr_matrix": _corr_matrix,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -10981,6 +10999,26 @@ SELECT CAST(bin AS INT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
                   / greatest(n_ref * 1.0 / tr, 1e-6)), 6) + 0.0 AS contrib
 FROM hist, t
 """
+    # dup_rate_by_source: same lowercase-text digests per source.
+    sql["dup_rate_by_source"] = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(lower(coalesce(text, '')))) AS BIGINT)
+         AS n_unique,
+       round(1 - count(DISTINCT md5(lower(coalesce(text, '')))) * 1.0
+             / count(*), 6) + 0.0 AS dup_rate
+FROM documents GROUP BY 1
+"""
+    # corr_matrix: DuckDB's corr is the same sample Pearson.
+    _cm_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    _cm_rows = []
+    for _i, _a in enumerate(_cm_cols):
+        for _b in _cm_cols[_i + 1:]:
+            _cm_rows.append(
+                f"SELECT '{_a}' AS col_a, '{_b}' AS col_b, "
+                f"CAST(count(*) AS BIGINT) AS n, "
+                f"round(corr({_a}, {_b}), 6) + 0.0 AS pearson FROM lineitem"
+            )
+    sql["corr_matrix"] = "\nUNION ALL\n".join(_cm_rows)
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

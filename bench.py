@@ -243,6 +243,8 @@ HEADLINE = [
     "kaplan_meier",
     "ks_test",
     "psi_drift",
+    "dup_rate_by_source",
+    "corr_matrix",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

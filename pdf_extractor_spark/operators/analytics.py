@@ -987,3 +987,37 @@ def psi_drift(df: DataFrame, n_bins: int = 10) -> DataFrame:
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("contrib"),
     )
+
+
+def corr_matrix(lineitem: DataFrame) -> DataFrame:
+    """(col_a, col_b, n, pearson) — Pearson correlation for every
+    unordered pair of lineitem measures, computed in ONE aggregate pass
+    (Spark's corr is the streaming covariance formula; all pairs share
+    the scan). The feature-redundancy screen before any modeling step.
+    6 dp.
+
+    Physical shape: a single agg with C(4,2) corr accumulators — one
+    scan, one 1-row result, reshaped with a literal stack."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    aggs = [F.count("*").alias("_n")] + [
+        F.round(F.corr(a, b), 6).alias(f"_c_{a}_{b}") for a, b in pairs
+    ]
+    wide = lineitem.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col("_n").cast("long").alias("n"),
+                        F.col(f"_c_{a}_{b}").alias("pearson"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")

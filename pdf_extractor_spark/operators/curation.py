@@ -3078,3 +3078,36 @@ def pps_sample(
         ).alias("picked"),
     )
     return out.where(F.col("picked"))
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_unique, dup_rate) — exact-duplicate pressure
+    per ingest source: distinct lowercase-text digests vs document count,
+    dup_rate = 1 - unique/docs (6 dp). The per-feed health report that
+    decides which crawl sources get re-fetched less often. Null text
+    hashes as the empty digest and dedups like any other value.
+
+    Physical shape: digest computed map-side (16-byte md5), ONE
+    (source, digest)-key partial-distinct aggregate, then the per-source
+    rollup — shuffle volume is distinct digests, never text bytes."""
+    digests = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("_d"),
+    )
+    per_src = digests.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("_d").cast("long").alias("n_unique"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.round(1 - F.col("n_unique") / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+    )

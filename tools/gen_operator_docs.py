@@ -113,6 +113,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Dedup extensions (CDC / overlap / audit)", [
         "cdc_chunk_dedup", "rouge_overlap", "dedup_audit_pairs",
+        "dup_rate_by_source",
     ]),
     ("Engagement & robust statistics", [
         "dau_wau_stickiness", "gini_value", "user_entropy", "ewma_daily",
@@ -138,6 +139,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "order_deciles", "part_affinity", "shipping_delay_stats",
         "discount_revenue_curve", "regional_top_parts", "null_profile",
         "numeric_profile", "join_size_estimate", "user_tier_enrich",
+        "corr_matrix",
     ]),
     ("Multimodal extensions", [
         "shot_boundaries", "image_tiles",

@@ -10653,19 +10653,20 @@ SELECT t.id1, t.id2, t.jaccard,
 FROM tp t JOIN documents da ON da.doc_id = t.id1
           JOIN documents db ON db.doc_id = t.id2
 """
-    # bootstrap_ci: identical md5 Poisson draws and replicate means;
-    # quantile_cont matches Spark's interpolated percentile.
+    # bootstrap_ci: one md5 uniform per row + the identical Weyl shift
+    # per replicate; quantile_cont matches Spark's interpolated
+    # percentile.
     sql["bootstrap_ci"] = """
 WITH base AS (
-  SELECT event_id,
+  SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) * 1.0 / 1152921504606846976 AS h,
          CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.0 END AS x
   FROM events),
-e AS (SELECT event_id, x, unnest(range(0, 200)) AS rb FROM base),
+e AS (SELECT h, x, unnest(range(0, 200)) AS rb FROM base),
 uu AS (
   SELECT x, rb,
-         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
-              CAST(rb AS VARCHAR)), 1, 15) AS BIGINT) * 1.0
-           / 1152921504606846976 AS u
+         (h + 0.6180339887498949 * rb)
+           - floor(h + 0.6180339887498949 * rb) AS u
   FROM e),
 ww AS (
   SELECT rb, x,

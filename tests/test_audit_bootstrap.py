@@ -50,3 +50,55 @@ def test_bootstrap_ci_brackets_mean(spark):
     # deterministic: same inputs, same interval
     r2 = bootstrap_ci(df, b=100).collect()[0]
     assert (r2.lo95, r2.hi95) == (r.lo95, r.hi95)
+
+
+def test_bootstrap_ci_python_reference(spark):
+    """Exact parity with a python replay of the one-md5 + Weyl-shift
+    Poisson draws."""
+    import datetime as dt
+    import hashlib
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 1, "error" if i % 3 == 0 else "view", None)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    B = 16
+    phi = 0.6180339887498949
+    thresholds = [
+        0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563,
+    ]
+    means = []
+    hs = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        / float(1 << 60)
+        for i in range(30)
+    }
+    import math
+
+    for b in range(B):
+        wn = wx = 0
+        for i in range(30):
+            raw = hs[i] + phi * b
+            u = raw - math.floor(raw)
+            w = next(
+                (k for k, t in enumerate(thresholds) if u < t), 5
+            )
+            wn += w
+            wx += w * (0.0 if i % 3 == 0 else 1.0)
+        means.append(wx / wn)
+    means.sort()
+
+    def pctl(vals, q):
+        pos = (len(vals) - 1) * q
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        return vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+
+    r = bootstrap_ci(df, b=B).collect()[0]
+    assert abs(r.lo95 - round(pctl(means, 0.025), 6)) < 1e-9
+    assert abs(r.hi95 - round(pctl(means, 0.975), 6)) < 1e-9

@@ -4488,6 +4488,27 @@ def _corr_matrix(spark, sf_dir):
     return corr_matrix(_t(spark, sf_dir, "lineitem"))
 
 
+def _filter_committee(spark, sf_dir):
+    """Majority vote + unanimity flag across the Gopher, C4, and
+    hashed-LR quality filters."""
+    from pdf_extractor_spark.operators.curation import (
+        c4_filter,
+        filter_committee,
+        synthesize_pages,
+    )
+    from pdf_extractor_spark.operators.textstats import (
+        gopher_filter,
+        hash_lr_score,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return filter_committee(
+        gopher_filter(docs).select("doc_id", "accept"),
+        c4_filter(synthesize_pages(docs)).select("doc_id", "accept"),
+        hash_lr_score(docs).select("doc_id", "accept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4710,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _psi_drift,
         "dup_rate_by_source": _dup_rate_by_source,
         "corr_matrix": _corr_matrix,
+        "filter_committee": _filter_committee,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11020,6 +11042,22 @@ FROM documents GROUP BY 1
                 f"round(corr({_a}, {_b}), 6) + 0.0 AS pearson FROM lineitem"
             )
     sql["corr_matrix"] = "\nUNION ALL\n".join(_cm_rows)
+    # filter_committee: the three filter oracles composed; majority and
+    # unanimity from the integer vote sum.
+    sql["filter_committee"] = f"""
+WITH g AS ({sql["gopher_filter"]}),
+c AS ({sql["c4_filter"]}),
+h AS ({sql["hash_lr"]}),
+j AS (
+  SELECT g.doc_id,
+         CAST(g.accept AS INT) + CAST(c.accept AS INT)
+           + CAST(h.accept AS INT) AS na
+  FROM g JOIN c USING (doc_id) JOIN h USING (doc_id))
+SELECT doc_id, CAST(na AS BIGINT) AS n_accept,
+       na >= 2 AS verdict,
+       na = 0 OR na = 3 AS unanimous
+FROM j
+"""
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

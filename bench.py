@@ -245,6 +245,7 @@ HEADLINE = [
     "psi_drift",
     "dup_rate_by_source",
     "corr_matrix",
+    "filter_committee",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -3111,3 +3111,32 @@ def dup_rate_by_source(
             "dup_rate"
         ),
     )
+
+
+def filter_committee(
+    gopher: DataFrame, c4: DataFrame, lr: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_accept, verdict, unanimous) — majority vote across the
+    three quality filters (Gopher rules, C4 rules, hashed-LR classifier):
+    the ensemble-curation pattern (DCLM/FineWeb keep what most filters
+    keep) plus the disagreement surface — non-unanimous docs are exactly
+    the borderline set worth human audit (dedup_audit_pairs' quality
+    twin). Inputs are the filters' (doc_id, accept) outputs.
+
+    Physical shape: three same-keyed joins (all derived from one
+    documents scan upstream; AQE co-plans them) + a pure projection.
+    Inner joins: a doc must be scored by all three to vote."""
+    g = gopher.select(F.col(id_col), F.col("accept").alias("_g"))
+    c = c4.select(F.col(id_col), F.col("accept").alias("_c"))
+    h = lr.select(F.col(id_col), F.col("accept").alias("_l"))
+    j = g.join(c, id_col).join(h, id_col)
+    n_acc = (
+        F.col("_g").cast("int") + F.col("_c").cast("int")
+        + F.col("_l").cast("int")
+    )
+    return j.select(
+        F.col(id_col),
+        n_acc.cast("long").alias("n_accept"),
+        (n_acc >= 2).alias("verdict"),
+        ((n_acc == 0) | (n_acc == 3)).alias("unanimous"),
+    )

@@ -4509,6 +4509,22 @@ def _filter_committee(spark, sf_dir):
     )
 
 
+def _embedding_isotropy(spark, sf_dir):
+    """Mean-vector-vs-average-norm isotropy diagnostic of the embedding
+    corpus (the ABTT precondition check)."""
+    from pdf_extractor_spark.operators.similarity import embedding_isotropy
+
+    return embedding_isotropy(_t(spark, sf_dir, "embeddings"))
+
+
+def _dow_hour_heatmap(spark, sf_dir):
+    """Calendar heatmap: event counts and shares per (day-of-week, hour)
+    cell."""
+    from pdf_extractor_spark.operators.events import dow_hour_heatmap
+
+    return dow_hour_heatmap(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4732,6 +4748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": _dup_rate_by_source,
         "corr_matrix": _corr_matrix,
         "filter_committee": _filter_committee,
+        "embedding_isotropy": _embedding_isotropy,
+        "dow_hour_heatmap": _dow_hour_heatmap,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11057,6 +11075,32 @@ SELECT doc_id, CAST(na AS BIGINT) AS n_accept,
        na >= 2 AS verdict,
        na = 0 OR na = 3 AS unanimous
 FROM j
+"""
+    # embedding_isotropy: same two aggregates over the flat view.
+    sql["embedding_isotropy"] = """
+WITH flat AS (
+  SELECT vec_id AS vid, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+mv AS (SELECT dim, avg(x) AS m FROM flat GROUP BY 1),
+mn AS (SELECT sqrt(sum(m * m)) AS mean_norm,
+              CAST(count(*) AS INT) AS dim FROM mv),
+nr AS (SELECT vid, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+an AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(nrm) AS avg_norm FROM nr)
+SELECT an.n, mn.dim, round(mn.mean_norm, 6) + 0.0 AS mean_norm,
+       round(an.avg_norm, 6) + 0.0 AS avg_norm,
+       round(1 - mn.mean_norm / an.avg_norm, 6) + 0.0 AS isotropy
+FROM an, mn
+"""
+    sql["dow_hour_heatmap"] = """
+WITH h AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT dow, hour, n,
+       round(n * 1.0 / (SELECT sum(n) FROM h), 6) + 0.0 AS share
+FROM h
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -246,6 +246,8 @@ HEADLINE = [
     "dup_rate_by_source",
     "corr_matrix",
     "filter_committee",
+    "embedding_isotropy",
+    "dow_hour_heatmap",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -1568,3 +1568,24 @@ def kaplan_meier(df: DataFrame) -> DataFrame:
         F.col("d").cast("long").alias("d_events"),
         F.round("survival", 6).alias("survival"),
     )
+
+
+def dow_hour_heatmap(df: DataFrame) -> DataFrame:
+    """(dow, hour, n, share) — the calendar heatmap behind every traffic
+    dashboard: event counts per (day-of-week, hour-of-day) cell with the
+    global share (6 dp). dow is Spark's dayofweek (Sunday = 1). One
+    map-side-combined aggregate; the share denominator rides as a window
+    sum over the <= 168-cell result."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy()
+    return hist.select(
+        "dow",
+        "hour",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )

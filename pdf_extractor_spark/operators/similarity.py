@@ -1031,3 +1031,45 @@ def ndcg_topk(
         F.round("_idcg", 6).alias("idcg"),
         F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
     )
+
+
+def embedding_isotropy(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """One row (n, dim, mean_norm, avg_norm, isotropy) — the cheap
+    isotropy diagnostic for an embedding corpus: |mean vector| vs the
+    mean per-vector L2 norm. Isotropic (direction-balanced) corpora have
+    mean_norm ~ 0; a ratio near 1 means every vector shares a common
+    direction — the condition ABTT / pca_top_component removal fixes.
+    isotropy = 1 - mean_norm / avg_norm (1 = perfectly balanced). 6 dp.
+
+    Physical shape: one posexplode + a per-dimension mean aggregate
+    (dim-sized result) and a per-vector norm aggregate, combined through
+    broadcast 1-row frames — two passes over the flat view, nothing
+    driver-side beyond scalars."""
+    flat = _valid_vectors(df, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    mean_vec = flat.groupBy("dim").agg(F.avg("x").alias("m"))
+    mean_norm = mean_vec.agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("mean_norm"),
+        F.count("*").cast("long").alias("dim"),
+    )
+    norms = (
+        flat.groupBy("vid")
+        .agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.avg("nrm").alias("avg_norm"),
+        )
+    )
+    return norms.crossJoin(F.broadcast(mean_norm)).select(
+        "n",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("mean_norm", 6).alias("mean_norm"),
+        F.round("avg_norm", 6).alias("avg_norm"),
+        F.round(1 - F.col("mean_norm") / F.col("avg_norm"), 6).alias(
+            "isotropy"
+        ),
+    )

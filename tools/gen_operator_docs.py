@@ -101,7 +101,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "ab_test", "dow_seasonality", "event_transitions",
         "attribution_credit", "decayed_activity", "time_to_convert",
         "cusum_changepoint", "event_paths", "rfm_segments", "bot_detect",
-        "anomaly_mad", "value_histogram", "event_rle",
+        "anomaly_mad", "value_histogram", "event_rle", "dow_hour_heatmap",
     ]),
     ("Table layout & maintenance (Iceberg upkeep)", [
         "zorder_key", "compaction_plan", "snapshot_diff", "rendezvous_shards",
@@ -128,7 +128,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Embedding & retrieval eval extensions", [
         "embedding_quantile_norm", "pca_top_component", "cluster_purity",
-        "ndcg_topk", "kmv_setops",
+        "ndcg_topk", "kmv_setops", "embedding_isotropy",
     ]),
     ("Corpus inspection & tokenizer extensions", [
         "concordance", "branching_entropy", "collocations_llr",

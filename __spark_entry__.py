@@ -4525,6 +4525,22 @@ def _dow_hour_heatmap(spark, sf_dir):
     return dow_hour_heatmap(_t(spark, sf_dir, "events"))
 
 
+def _abtt_transform(spark, sf_dir):
+    """All-But-The-Top correction: dominant principal direction projected
+    out of every embedding (flat rows)."""
+    from pdf_extractor_spark.operators.similarity import abtt_transform
+
+    return abtt_transform(_t(spark, sf_dir, "embeddings"), iters=3)
+
+
+def _hashed_doc_embedding(spark, sf_dir):
+    """Feature-hashed signed bag-of-words document embedding (dim 16,
+    sparse flat rows, L2-normalized coordinates)."""
+    from pdf_extractor_spark.operators.textstats import hashed_doc_embedding
+
+    return hashed_doc_embedding(_t_wide(spark, sf_dir, "documents"), dim=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4750,6 +4766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_committee": _filter_committee,
         "embedding_isotropy": _embedding_isotropy,
         "dow_hour_heatmap": _dow_hour_heatmap,
+        "abtt_transform": _abtt_transform,
+        "hashed_doc_embedding": _hashed_doc_embedding,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11101,6 +11119,42 @@ WITH h AS (
 SELECT dow, hour, n,
        round(n * 1.0 / (SELECT sum(n) FROM h), 6) + 0.0 AS share
 FROM h
+"""
+    # abtt_transform: the pca oracle composed; both engines project
+    # through the same 6-dp component.
+    sql["abtt_transform"] = f"""
+WITH pc AS ({sql["pca_top_component"]}),
+flat AS (
+  SELECT vec_id AS vid, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+d AS (
+  SELECT vid, sum(x * pc.loading) AS dd
+  FROM flat JOIN pc ON pc.dim = flat.dim GROUP BY 1)
+SELECT f.vid AS vec_id, CAST(f.dim AS INT) AS dim,
+       round(f.x - d.dd * pc.loading, 6) + 0.0 AS value
+FROM flat f JOIN pc ON pc.dim = f.dim JOIN d ON d.vid = f.vid
+"""
+    # hashed_doc_embedding: identical md5 bucket/sign arithmetic.
+    sql["hashed_doc_embedding"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_OTOKS}) AS tk
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(lower(tk)), 1, 15) AS BIGINT) AS hv
+  FROM tok),
+s AS (
+  SELECT doc_id, CAST(hv % 16 AS INT) AS dim,
+         CASE WHEN hv % 128 >= 64 THEN -1 ELSE 1 END AS sg
+  FROM h),
+w AS (SELECT doc_id, dim, CAST(sum(sg) AS BIGINT) AS weight
+      FROM s GROUP BY 1, 2),
+n AS (SELECT doc_id, sqrt(sum(weight * weight)) AS nn FROM w GROUP BY 1)
+SELECT w.doc_id, w.dim, w.weight,
+       CASE WHEN n.nn > 0 THEN round(w.weight / n.nn, 6)
+            ELSE 0.0 END + 0.0 AS unit
+FROM w JOIN n USING (doc_id)
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

@@ -248,6 +248,8 @@ HEADLINE = [
     "filter_committee",
     "embedding_isotropy",
     "dow_hour_heatmap",
+    "abtt_transform",
+    "hashed_doc_embedding",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -1073,3 +1073,49 @@ def embedding_isotropy(
             "isotropy"
         ),
     )
+
+
+def abtt_transform(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> DataFrame:
+    """(vec_id, dim, value) — All-But-The-Top correction (Mu 2018): the
+    corpus's dominant principal direction (pca_top_component, at its
+    published 6-dp precision — both engines project through the SAME
+    rounded vector) is projected out of every embedding:
+    x' = x - (v·x) v. The post-processing step that measurably improves
+    cosine retrieval on anisotropic corpora (see embedding_isotropy for
+    the diagnostic that decides whether to run it). Flat rows, 6 dp.
+
+    Physical shape: the component is dim-sized (broadcast); the dot
+    products are one vec-keyed aggregate over the flat view, joined back
+    once — two passes over the nonzeros, nothing quadratic."""
+    v = pca_top_component(df, vec_col, id_col, iters).select(
+        "dim", "loading"
+    )
+    flat = (
+        _valid_vectors(df, vec_col)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(vec_col).alias("dim", "x"),
+        )
+        .withColumn("x", F.col("x").cast("double"))
+    )
+    dots = (
+        flat.join(F.broadcast(v), "dim")
+        .groupBy("vid")
+        .agg(F.sum(F.col("x") * F.col("loading")).alias("dd"))
+    )
+    return (
+        flat.join(F.broadcast(v), "dim")
+        .join(dots, "vid")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("dim").cast("int").alias("dim"),
+            F.round(
+                F.col("x") - F.col("dd") * F.col("loading"), 6
+            ).alias("value"),
+        )
+    )

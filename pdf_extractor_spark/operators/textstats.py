@@ -1918,3 +1918,57 @@ def morph_split(
             F.round("score", 4).alias("score"),
         )
     )
+
+
+def hashed_doc_embedding(
+    df, text_col: str = "text", id_col: str = "doc_id", dim: int = 16
+) -> "DataFrame":
+    """(doc_id, dim, weight, unit) — feature-hashed bag-of-words document
+    embedding (the FeatureHasher / hashing-trick vectorizer): each
+    case-folded token lands in bucket h mod dim with sign from hash
+    bit 6, weights are signed counts, `unit` is the L2-normalized
+    coordinate (zero-norm docs report 0). Sparse flat rows — absent
+    (doc, dim) pairs are implicit zeros. This gives any TEXT table a
+    deterministic embedding column feeding the ANN/cluster family
+    without a model artifact. 6 dp.
+
+    Physical shape: one token explode -> (doc, bucket) signed-count
+    aggregate (map-side combined) -> per-doc norm via a second aggregate
+    joined back — shuffle volume is docs x occupied buckets, bounded by
+    dim."""
+    from .dedup import simhash_token_hash
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens_col(F.col(text_col)).alias("_toks"),
+        )
+        .select("id", F.explode_outer("_toks").alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .withColumn("h", simhash_token_hash(F.lower("tok")))
+    )
+    signed = toks.select(
+        "id",
+        (F.col("h") % dim).cast("int").alias("dim"),
+        F.when(F.col("h") % 128 >= 64, -1).otherwise(1).alias("s"),
+    )
+    w = signed.groupBy("id", "dim").agg(
+        F.sum("s").cast("long").alias("weight")
+    )
+    norms = w.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("_n")
+    )
+    return (
+        w.join(norms, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "dim",
+            "weight",
+            F.when(
+                F.col("_n") > 0,
+                F.round(F.col("weight") / F.col("_n"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("unit"),
+        )
+    )

@@ -128,7 +128,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Embedding & retrieval eval extensions", [
         "embedding_quantile_norm", "pca_top_component", "cluster_purity",
-        "ndcg_topk", "kmv_setops", "embedding_isotropy",
+        "ndcg_topk", "kmv_setops", "embedding_isotropy", "abtt_transform",
+        "hashed_doc_embedding",
     ]),
     ("Corpus inspection & tokenizer extensions", [
         "concordance", "branching_entropy", "collocations_llr",

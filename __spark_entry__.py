@@ -4541,6 +4541,26 @@ def _hashed_doc_embedding(spark, sf_dir):
     return hashed_doc_embedding(_t_wide(spark, sf_dir, "documents"), dim=16)
 
 
+def _ppr_hosts(spark, sf_dir):
+    """Personalized PageRank from the src0/src1 seed hosts over the
+    synthetic host graph (focused-crawl prioritizer)."""
+    from pdf_extractor_spark.operators.graph import personalized_pagerank
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    seeds = spark.createDataFrame(
+        [("src0.example.com",), ("src1.example.com",)], "host string"
+    )
+    return personalized_pagerank(edges, seeds, iters=3, damping=0.85)
+
+
+def _autocorrelation(spark, sf_dir):
+    """Daily-count autocorrelation at lags 1/7/14 (weekly periodicity
+    detector)."""
+    from pdf_extractor_spark.operators.events import autocorrelation
+
+    return autocorrelation(_t(spark, sf_dir, "events"), lags=(1, 7, 14))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4768,6 +4788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_hour_heatmap": _dow_hour_heatmap,
         "abtt_transform": _abtt_transform,
         "hashed_doc_embedding": _hashed_doc_embedding,
+        "ppr_hosts": _ppr_hosts,
+        "autocorrelation": _autocorrelation,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11156,6 +11178,47 @@ SELECT w.doc_id, w.dim, w.weight,
             ELSE 0.0 END + 0.0 AS unit
 FROM w JOIN n USING (doc_id)
 """
+    # ppr_hosts: 3 unrolled personalized-restart iterations over the
+    # shared host-graph CTE.
+    _ppr_step = """
+pm{k} AS (SELECT e.dst AS node, sum(pp{j}.rank / od.od) AS m
+          FROM e JOIN pp{j} ON pp{j}.node = e.src
+                 JOIN od ON od.node = e.src
+          GROUP BY 1),
+pp{k} AS (SELECT rv.node, 0.15 * rv.r0 + 0.85 * coalesce(pm{k}.m, 0)
+            AS rank
+          FROM rv LEFT JOIN pm{k} ON pm{k}.node = rv.node),"""
+    sql["ppr_hosts"] = (
+        _pr_edges
+        + """
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+rv AS (SELECT node,
+              CASE WHEN node IN ('src0.example.com', 'src1.example.com')
+                   THEN 0.5 ELSE 0.0 END AS r0
+       FROM nodes),
+od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS od
+       FROM e GROUP BY 1),
+pp0 AS (SELECT node, r0 AS rank FROM rv),"""
+        + "".join(_ppr_step.format(k=k, j=k - 1) for k in (1, 2, 3)).rstrip(
+            ","
+        )
+        + """
+SELECT node, round(rank, 6) + 0.0 AS rank FROM pp3"""
+    )
+    # autocorrelation: per-lag shifted self-join + corr.
+    _acf_arm = """
+SELECT CAST({lag} AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       (CASE WHEN count(*) >= 3 THEN round(corr(a.n, b.n), 6) END) + 0.0
+         AS acf
+FROM daily a JOIN daily b ON a.day + {lag} = b.day"""
+    sql["autocorrelation"] = (
+        """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1)
+"""
+        + "\nUNION ALL\n".join(_acf_arm.format(lag=lag) for lag in (1, 7, 14))
+    )
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

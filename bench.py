@@ -250,6 +250,8 @@ HEADLINE = [
     "dow_hour_heatmap",
     "abtt_transform",
     "hashed_doc_embedding",
+    "ppr_hosts",
+    "autocorrelation",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

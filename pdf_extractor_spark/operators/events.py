@@ -1589,3 +1589,39 @@ def dow_hour_heatmap(df: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
     )
+
+
+def autocorrelation(df: DataFrame, lags: "tuple[int, ...]" = (1, 7, 14)) -> DataFrame:
+    """(lag, n_pairs, acf) — Pearson autocorrelation of the daily event
+    count at the given lags: acf(7) ~ 1 flags weekly periodicity (the
+    seasonality detector feeding seasonal_decompose's period choice),
+    acf(1) measures day-to-day persistence. Pairs are (day, day+lag)
+    where BOTH days exist; 6 dp; lags with < 3 pairs or zero variance
+    report null.
+
+    Physical shape: daily rollup once, then one self-equi-join per lag on
+    the shifted date key (calendar-sized frames) and a corr aggregate —
+    no window over event rows."""
+    daily = df.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    outs = []
+    for lag in lags:
+        j = daily.alias("a").join(
+            daily.alias("b"),
+            F.expr(f"date_add(a.day, {lag})") == F.col("b.day"),
+        )
+        outs.append(
+            j.agg(
+                F.lit(lag).cast("int").alias("lag"),
+                F.count("*").cast("long").alias("n_pairs"),
+                F.when(
+                    F.count("*") >= 3,
+                    F.round(F.corr(F.col("a.n"), F.col("b.n")), 6),
+                ).alias("acf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

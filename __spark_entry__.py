@@ -4561,6 +4561,32 @@ def _autocorrelation(spark, sf_dir):
     return autocorrelation(_t(spark, sf_dir, "events"), lags=(1, 7, 14))
 
 
+def _rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (k=60) of the PageRank and HITS-authority
+    host rankings."""
+    from pdf_extractor_spark.operators.graph import (
+        hits,
+        pagerank,
+        rrf_fusion,
+    )
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    pr = pagerank(edges, iters=3, damping=0.85).withColumnRenamed(
+        "node", "host"
+    )
+    ht = hits(edges, iters=2).withColumnRenamed("node", "host")
+    return rrf_fusion(pr, ht, item_col="host", score_a="rank",
+                      score_b="auth", k=60)
+
+
+def _event_trigrams(spark, sf_dir):
+    """Top-20 most frequent 3-step event-type motifs across user
+    streams."""
+    from pdf_extractor_spark.operators.events import event_trigrams
+
+    return event_trigrams(_t(spark, sf_dir, "events"), top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4790,6 +4816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_doc_embedding": _hashed_doc_embedding,
         "ppr_hosts": _ppr_hosts,
         "autocorrelation": _autocorrelation,
+        "rrf_fusion": _rrf_fusion,
+        "event_trigrams": _event_trigrams,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11219,6 +11247,35 @@ WITH daily AS (
 """
         + "\nUNION ALL\n".join(_acf_arm.format(lag=lag) for lag in (1, 7, 14))
     )
+    # rrf_fusion: the two ranking oracles composed + the 1/(60+r) sum.
+    sql["rrf_fusion"] = f"""
+WITH pr AS ({sql["pagerank_hosts"]}),
+ht AS ({sql["hits_hosts"]}),
+ra AS (SELECT host AS item,
+              row_number() OVER (ORDER BY rank DESC, host) AS rank_a
+       FROM pr),
+rb AS (SELECT host AS item,
+              row_number() OVER (ORDER BY auth DESC, host) AS rank_b
+       FROM ht)
+SELECT coalesce(ra.item, rb.item) AS item,
+       CAST(ra.rank_a AS INT) AS rank_a, CAST(rb.rank_b AS INT) AS rank_b,
+       round(coalesce(1.0 / (60 + ra.rank_a), 0)
+             + coalesce(1.0 / (60 + rb.rank_b), 0), 6) + 0.0 AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.item = rb.item
+"""
+    # event_trigrams: two leads over the same (user, ts, id) order,
+    # fully ordered top-20.
+    sql["event_trigrams"] = """
+WITH t AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3)
+SELECT e1, e2, e3, n FROM c ORDER BY n DESC, e1, e2, e3 LIMIT 20
+"""
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

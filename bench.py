@@ -252,6 +252,8 @@ HEADLINE = [
     "hashed_doc_embedding",
     "ppr_hosts",
     "autocorrelation",
+    "rrf_fusion",
+    "event_trigrams",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -1625,3 +1625,31 @@ def autocorrelation(df: DataFrame, lags: "tuple[int, ...]" = (1, 7, 14)) -> Data
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def event_trigrams(df: DataFrame, top_k: int = 20) -> DataFrame:
+    """(e1, e2, e3, n) — the `top_k` most frequent length-3 consecutive
+    event-type sequences across user streams (ties broken by the
+    sequence itself): the behavioral-motif miner between
+    event_transitions (length 2) and event_paths (whole truncated
+    paths). 
+
+    Physical shape: one user window pass (two leads share the single
+    (user, ts) sort), a map-side-combined trigram count, and a global
+    TakeOrderedAndProject for the top-k — k rows cross the final
+    boundary."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        df.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("e1"), "e2", "e3"
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return tri.orderBy(
+        F.desc("n"), "e1", "e2", "e3"
+    ).limit(top_k)

@@ -120,11 +120,11 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "seasonal_decompose", "churn_detect", "robust_value_stats",
         "wow_growth", "interarrival_hist", "bootstrap_ci", "ks_test",
         "psi_drift", "benford_deviation", "dp_counts", "markov_stationary",
-        "kaplan_meier", "events_cube", "autocorrelation",
+        "kaplan_meier", "events_cube", "autocorrelation", "event_trigrams",
     ]),
     ("Link-graph extensions", [
         "hits_hosts", "degree_ccdf", "kcore_hosts", "host_outlink_jaccard",
-        "ppr_hosts",
+        "ppr_hosts", "rrf_fusion",
         "rank_biased_overlap",
     ]),
     ("Embedding & retrieval eval extensions", [

@@ -4587,6 +4587,14 @@ def _event_trigrams(spark, sf_dir):
     return event_trigrams(_t(spark, sf_dir, "events"), top_k=20)
 
 
+def _encoding_advisor(spark, sf_dir):
+    """Columnar encoding advisory (RLE/DICT/PLAIN) from group-local run
+    lengths and dictionary sizes of the lineitem columns."""
+    from pdf_extractor_spark.operators.maintenance import encoding_advisor
+
+    return encoding_advisor(_t(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4818,6 +4826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": _autocorrelation,
         "rrf_fusion": _rrf_fusion,
         "event_trigrams": _event_trigrams,
+        "encoding_advisor": _encoding_advisor,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11276,6 +11285,32 @@ c AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
       FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3)
 SELECT e1, e2, e3, n FROM c ORDER BY n DESC, e1, e2, e3 LIMIT 20
 """
+    # encoding_advisor: same group-local run counting per column.
+    _enc_col = """
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(sum(r) AS BIGINT) AS n_runs,
+       round(count(*) * 1.0 / sum(r), 2) + 0.0 AS avg_run_len,
+       CASE WHEN count(*) * 1.0 / sum(r) >= 4 THEN 'RLE'
+            WHEN count(DISTINCT {c}) <= count(*) / 10.0 THEN 'DICT'
+            ELSE 'PLAIN' END AS suggested
+FROM (
+  SELECT {c},
+         CASE WHEN lag({c}) OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey,
+                                           l_suppkey, l_extendedprice)
+                   IS NULL
+                   OR {c} <> lag({c}) OVER (PARTITION BY l_orderkey
+                                            ORDER BY l_linenumber,
+                                                     l_partkey, l_suppkey,
+                                                     l_extendedprice)
+              THEN 1 ELSE 0 END AS r
+  FROM lineitem)"""
+    sql["encoding_advisor"] = "\nUNION ALL\n".join(
+        _enc_col.format(c=c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount",
+                  "l_returnflag")
+    )
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

@@ -254,6 +254,7 @@ HEADLINE = [
     "autocorrelation",
     "rrf_fusion",
     "event_trigrams",
+    "encoding_advisor",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

@@ -289,3 +289,61 @@ def expire_snapshots(
         status.alias("status"),
         reason.alias("reason"),
     )
+
+
+def encoding_advisor(lineitem: DataFrame) -> DataFrame:
+    """(column, n, ndv, n_runs, avg_run_len, suggested) — columnar
+    encoding advisory per lineitem column under the table's physical
+    sort order: run counts from lag inequality WITHIN each l_orderkey
+    group (ordered by l_linenumber), then the standard chooser — long
+    runs -> RLE, small dictionaries -> DICT, else PLAIN (thresholds:
+    avg_run_len >= 4, ndv <= n/10). The "why is this file big" layout
+    audit that pairs with zorder_key (which CHANGES the order this op
+    measures). Group-local runs slightly undercount cross-order runs —
+    the price of a partitioned (scalable) window; a global-order window
+    would serialize the corpus. 2 dp.
+
+    Physical shape: ONE partitioned window pass shared by every column's
+    lag, then a 1-row aggregate reshaped with a literal stack."""
+    from pyspark.sql import Window
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    with_runs = lineitem.select(
+        *cols,
+        *[
+            (
+                F.lag(c).over(w).isNull()
+                | (F.col(c) != F.lag(c).over(w))
+            )
+            .cast("long")
+            .alias(f"_r_{c}")
+            for c in cols
+        ],
+    )
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"_d_{c}"),
+            F.sum(f"_r_{c}").alias(f"_nr_{c}"),
+        ]
+    wide = with_runs.agg(*aggs)
+    rows = []
+    for c in cols:
+        avg_run = F.col("_n") / F.col(f"_nr_{c}")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").cast("long").alias("n"),
+                F.col(f"_d_{c}").cast("long").alias("ndv"),
+                F.col(f"_nr_{c}").cast("long").alias("n_runs"),
+                F.round(avg_run, 2).alias("avg_run_len"),
+                F.when(avg_run >= 4, "RLE")
+                .when(F.col(f"_d_{c}") <= F.col("_n") / 10, "DICT")
+                .otherwise("PLAIN")
+                .alias("suggested"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

@@ -106,6 +106,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Table layout & maintenance (Iceberg upkeep)", [
         "zorder_key", "compaction_plan", "snapshot_diff", "rendezvous_shards",
         "zone_map_prune", "column_conformance", "expire_snapshots",
+        "encoding_advisor",
     ]),
     ("Fuzzy matching & record linkage", [
         "levenshtein_names", "phonetic_groups", "linkage_scores",

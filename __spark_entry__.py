@@ -4595,6 +4595,36 @@ def _encoding_advisor(spark, sf_dir):
     return encoding_advisor(_t(spark, sf_dir, "lineitem"))
 
 
+def _doc_similar_topk(spark, sf_dir):
+    """Find-similar-documents retrieval over the feature-hashed
+    embeddings (sparse cosine, 3 query docs, top-5)."""
+    from pdf_extractor_spark.operators.textstats import doc_similar_topk
+
+    return doc_similar_topk(
+        _t_wide(spark, sf_dir, "documents"), dim=16, n_queries=3, k=5
+    )
+
+
+def _cluster_size_hist(spark, sf_dir):
+    """Near-dup cluster-size histogram over the minhash connected
+    components (how big do duplicate classes get)."""
+    from pdf_extractor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.7
+    )
+    clusters = neardup_clusters(docs, pairs)
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("size"))
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4827,6 +4857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _rrf_fusion,
         "event_trigrams": _event_trigrams,
         "encoding_advisor": _encoding_advisor,
+        "doc_similar_topk": _doc_similar_topk,
+        "cluster_size_hist": _cluster_size_hist,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11311,6 +11343,31 @@ FROM (
         for c in ("l_quantity", "l_extendedprice", "l_discount",
                   "l_returnflag")
     )
+    # doc_similar_topk: the hashed-embedding oracle composed; cosines
+    # rounded before ranking in both engines.
+    sql["doc_similar_topk"] = f"""
+WITH emb AS ({sql["hashed_doc_embedding"]}),
+q AS (SELECT doc_id AS query_id, dim, unit AS qu
+      FROM emb WHERE doc_id < 3),
+s AS (
+  SELECT q.query_id, e.doc_id AS id,
+         round(sum(e.unit * q.qu), 6) AS cosine
+  FROM emb e JOIN q USING (dim) GROUP BY 1, 2),
+r AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, id) AS rank
+  FROM s)
+SELECT query_id, id, cosine + 0.0 AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+    # cluster_size_hist: the neardup_clusters oracle composed.
+    sql["cluster_size_hist"] = f"""
+WITH nc AS ({sql["neardup_clusters"]}),
+s AS (SELECT cluster, count(*) AS sz FROM nc GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM s GROUP BY 1
+"""
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

@@ -255,6 +255,8 @@ HEADLINE = [
     "rrf_fusion",
     "event_trigrams",
     "encoding_advisor",
+    "doc_similar_topk",
+    "cluster_size_hist",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

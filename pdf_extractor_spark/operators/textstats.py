@@ -1972,3 +1972,47 @@ def hashed_doc_embedding(
             .alias("unit"),
         )
     )
+
+
+def doc_similar_topk(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    n_queries: int = 3,
+    k: int = 5,
+) -> "DataFrame":
+    """(query_id, id, cosine, rank) — document-to-document retrieval over
+    the feature-hashed embeddings (hashed_doc_embedding): cosine top-k
+    similar documents for each of the first `n_queries` doc ids, via a
+    SPARSE dot product — the (dim)-keyed join multiplies only the
+    coordinates both docs occupy, so cost is nnz(query docs) x corpus
+    rows per dim, never dense dim x dim work. The end-to-end "find me
+    documents like this one" surface that needs no embedding table or
+    model artifact. Self-matches included (sanity: rank 1, cosine 1).
+    6 dp; ties break on doc id.
+
+    Physical shape: one hashed-embedding build (corpus pass), the query
+    side filtered and broadcast, a dim-keyed join + (query, candidate)
+    aggregate, then a per-query rank window over the scored candidates."""
+    from pyspark.sql import Window
+
+    emb = hashed_doc_embedding(df, text_col, id_col, dim)
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("dim"),
+        F.col("unit").alias("qu"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), "dim")
+        .groupBy("query_id", F.col(id_col).alias("id"))
+        .agg(F.round(F.sum(F.col("unit") * F.col("qu")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

@@ -57,7 +57,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "simhash_neardup", "neardup_clusters", "dedup_survivors",
         "dedup_apply", "dup_ngram_stats", "incremental_dedup", "incremental_lsh_dedup", "embedding_neardup",
         "semdedup", "fuzzy_name_match", "containment_pairs",
-        "intra_doc_dedup", "ngram_novelty",
+        "intra_doc_dedup", "ngram_novelty", "cluster_size_hist",
     ]),
     ("Decontamination & corpus curation", [
         "decontaminate", "decontaminate_near", "pii_scrub", "k_anonymity", "mix_weights", "epoch_plan",
@@ -131,7 +131,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Embedding & retrieval eval extensions", [
         "embedding_quantile_norm", "pca_top_component", "cluster_purity",
         "ndcg_topk", "kmv_setops", "embedding_isotropy", "abtt_transform",
-        "hashed_doc_embedding",
+        "hashed_doc_embedding", "doc_similar_topk",
     ]),
     ("Corpus inspection & tokenizer extensions", [
         "concordance", "branching_entropy", "collocations_llr",

@@ -4625,6 +4625,31 @@ def _cluster_size_hist(spark, sf_dir):
     )
 
 
+def _dedup_threshold_curve(spark, sf_dir):
+    """Sensitivity curve for the exact-Jaccard dedup threshold: pair
+    counts at 0.7/0.8/0.9/1.0 from ONE pair computation — the
+    pick-the-knob report before a dedup rollout."""
+    from pdf_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t_wide(spark, sf_dir, "documents"), n=3, threshold=0.7
+    )
+    th = spark.createDataFrame(
+        [(0.7,), (0.8,), (0.9,), (1.0,)], "threshold double"
+    )
+    return (
+        th.join(pairs, F.lit(True), "left")
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4859,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_advisor": _encoding_advisor,
         "doc_similar_topk": _doc_similar_topk,
         "cluster_size_hist": _cluster_size_hist,
+        "dedup_threshold_curve": _dedup_threshold_curve,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11367,6 +11393,18 @@ WITH nc AS ({sql["neardup_clusters"]}),
 s AS (SELECT cluster, count(*) AS sz FROM nc GROUP BY 1)
 SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM s GROUP BY 1
+"""
+    # dedup_threshold_curve: the ngram_jaccard oracle with its final
+    # threshold filter stripped, counted against each knob setting.
+    _njp_all = sql["ngram_jaccard"].rsplit("\nWHERE", 1)[0]
+    sql["dedup_threshold_curve"] = f"""
+WITH p AS ({_njp_all}),
+t AS (SELECT unnest([0.7, 0.8, 0.9, 1.0]) AS threshold)
+SELECT t.threshold + 0.0 AS threshold,
+       CAST(sum(CASE WHEN p.jaccard >= t.threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pairs
+FROM t LEFT JOIN p ON p.jaccard >= 0.7
+GROUP BY t.threshold
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

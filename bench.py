@@ -257,6 +257,7 @@ HEADLINE = [
     "encoding_advisor",
     "doc_similar_topk",
     "cluster_size_hist",
+    "dedup_threshold_curve",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

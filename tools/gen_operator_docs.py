@@ -58,6 +58,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "dedup_apply", "dup_ngram_stats", "incremental_dedup", "incremental_lsh_dedup", "embedding_neardup",
         "semdedup", "fuzzy_name_match", "containment_pairs",
         "intra_doc_dedup", "ngram_novelty", "cluster_size_hist",
+        "dedup_threshold_curve",
     ]),
     ("Decontamination & corpus curation", [
         "decontaminate", "decontaminate_near", "pii_scrub", "k_anonymity", "mix_weights", "epoch_plan",

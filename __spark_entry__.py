@@ -4650,6 +4650,30 @@ def _dedup_threshold_curve(spark, sf_dir):
     )
 
 
+def _source_trend(spark, sf_dir):
+    """Per-event-type OLS trend of daily counts vs the day index (feed-
+    health slope + R^2)."""
+    from pdf_extractor_spark.operators.analytics import source_trend
+
+    return source_trend(_t(spark, sf_dir, "events"))
+
+
+def _dispersion_index(spark, sf_dir):
+    """Variance-to-mean ratio of per-user event counts per type (Poisson
+    overdispersion tripwire)."""
+    from pdf_extractor_spark.operators.analytics import dispersion_index
+
+    return dispersion_index(_t(spark, sf_dir, "events"))
+
+
+def _capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen population estimate from the purchase/click user
+    sightings."""
+    from pdf_extractor_spark.operators.analytics import capture_recapture
+
+    return capture_recapture(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4885,6 +4909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_similar_topk": _doc_similar_topk,
         "cluster_size_hist": _cluster_size_hist,
         "dedup_threshold_curve": _dedup_threshold_curve,
+        "source_trend": _source_trend,
+        "dispersion_index": _dispersion_index,
+        "capture_recapture": _capture_recapture,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11405,6 +11432,72 @@ SELECT t.threshold + 0.0 AS threshold,
             AS BIGINT) AS n_pairs
 FROM t LEFT JOIN p ON p.jaccard >= 0.7
 GROUP BY t.threshold
+"""
+    # source_trend: identical closed-form OLS over the daily rollup.
+    sql["source_trend"] = """
+WITH daily AS (
+  SELECT event_type AS source, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2),
+b AS (
+  SELECT source, y,
+         CAST(day - min(day) OVER (PARTITION BY source) AS DOUBLE) AS x
+  FROM daily),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM b GROUP BY 1)
+SELECT source, n_days,
+  (CASE WHEN n_days * sxx - sx * sx > 0
+        THEN round((n_days * sxy - sx * sy)
+                   / (n_days * sxx - sx * sx), 6) END) + 0.0 AS slope,
+  (CASE WHEN n_days * sxx - sx * sx > 0
+        THEN round((sy - (n_days * sxy - sx * sy)
+                        / (n_days * sxx - sx * sx) * sx) / n_days, 6)
+        END) + 0.0 AS intercept,
+  (CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
+        THEN round((n_days * sxy - sx * sy) * (n_days * sxy - sx * sy)
+                   / ((n_days * sxx - sx * sx)
+                      * (n_days * syy - sy * sy)), 6) END) + 0.0 AS r2
+FROM s
+"""
+    # dispersion_index: same population moments of per-user counts.
+    sql["dispersion_index"] = """
+WITH pu AS (
+  SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+         avg(c) AS m, avg(c * c) - avg(c) * avg(c) AS v
+  FROM pu GROUP BY 1)
+SELECT event_type, n_users, round(m, 6) + 0.0 AS mean_count,
+       round(v, 6) + 0.0 AS var_count,
+       (CASE WHEN m > 0 THEN round(v / m, 6) END) + 0.0 AS dispersion,
+       v / m > 1.5 AS overdispersed
+FROM s
+"""
+    # capture_recapture: Lincoln-Petersen from the two sighting sets.
+    sql["capture_recapture"] = """
+WITH inv AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('purchase', 'click')),
+pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ib
+  FROM inv GROUP BY 1),
+s AS (
+  SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b,
+         CAST(sum(ia * ib) AS BIGINT) AS n_both,
+         CAST(count(*) AS BIGINT) AS n_seen
+  FROM pu)
+SELECT n_a, n_b, n_both,
+  (CASE WHEN n_both > 0 THEN round(n_a * n_b * 1.0 / n_both, 2) END)
+    + 0.0 AS estimate,
+  (CASE WHEN n_both > 0 THEN round(n_seen
+        / round(n_a * n_b * 1.0 / n_both, 2), 4) END) + 0.0 AS coverage
+FROM s
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

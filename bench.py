@@ -258,6 +258,9 @@ HEADLINE = [
     "doc_similar_topk",
     "cluster_size_hist",
     "dedup_threshold_curve",
+    "source_trend",
+    "dispersion_index",
+    "capture_recapture",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

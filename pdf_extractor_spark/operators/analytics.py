@@ -1021,3 +1021,123 @@ def corr_matrix(lineitem: DataFrame) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+def source_trend(df: DataFrame) -> DataFrame:
+    """(source, n_days, slope, intercept, r2) — per-source OLS trend of
+    daily event counts against the day index (days since the source's
+    first active day): the feed-health trend detector ("is this crawl
+    source drying up"). Closed-form OLS from the five sums; singleton /
+    zero-variance groups report null slope. 6 dp.
+
+    Physical shape: daily rollup -> per-source closed-form aggregate —
+    two map-side-combined shuffles, no window, no iteration."""
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.col("event_type").alias("source"), F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    base = daily.withColumn(
+        "x",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy("source"))
+        ).cast("double"),
+    )
+    s = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(varx > 0, cov / varx)
+    intercept = F.when(
+        varx > 0, (F.col("sy") - slope * F.col("sx")) / n
+    )
+    r2 = F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary))
+    return s.select(
+        "source",
+        "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def dispersion_index(df: DataFrame) -> DataFrame:
+    """(event_type, n_users, mean_count, var_count, dispersion,
+    overdispersed) — variance-to-mean ratio of per-user event counts per
+    type: ~1 under a Poisson arrival model, >> 1 flags bursty/clumped
+    usage (bots, batch imports). Population variance; dispersion null
+    when the mean is 0. 6 dp.
+
+    Physical shape: (type, user) counts then a per-type moment rollup —
+    two map-side-combined shuffles."""
+    per_user = df.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    s = per_user.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.avg("c").alias("m"),
+        (F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c")).alias(
+            "v"
+        ),
+    )
+    return s.select(
+        "event_type",
+        "n_users",
+        F.round("m", 6).alias("mean_count"),
+        F.round("v", 6).alias("var_count"),
+        F.round(F.when(F.col("m") > 0, F.col("v") / F.col("m")), 6).alias(
+            "dispersion"
+        ),
+        (F.col("v") / F.col("m") > 1.5).alias("overdispersed"),
+    )
+
+
+def capture_recapture(
+    df: DataFrame, type_a: str = "purchase", type_b: str = "click"
+) -> DataFrame:
+    """One row (n_a, n_b, n_both, estimate, coverage) — Lincoln-Petersen
+    capture-recapture estimate of the total user population from two
+    independent "sightings" (users seen in each of two event types):
+    N_hat = n_a * n_b / n_both, plus the coverage ratio of the users
+    actually observed in either. The completeness audit when the true
+    population is unobservable (how many users does the log MISS).
+    Returns null estimate when the overlap is empty. 2 dp.
+
+    Physical shape: one distinct (type, user) inventory feeding three
+    conditional counts in a single aggregate."""
+    inv = (
+        df.where(F.col("event_type").isin(type_a, type_b))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    per_user = inv.groupBy("user_id").agg(
+        F.max((F.col("event_type") == type_a).cast("int")).alias("ia"),
+        F.max((F.col("event_type") == type_b).cast("int")).alias("ib"),
+    )
+    s = per_user.agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum("ib").cast("long").alias("n_b"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_both"),
+        F.count("*").cast("long").alias("n_seen"),
+    )
+    est = F.when(
+        F.col("n_both") > 0,
+        F.round(F.col("n_a") * F.col("n_b") / F.col("n_both"), 2),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        est.alias("estimate"),
+        F.round(
+            F.when(F.col("n_both") > 0, F.col("n_seen") / est), 4
+        ).alias("coverage"),
+    )

@@ -123,6 +123,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "wow_growth", "interarrival_hist", "bootstrap_ci", "ks_test",
         "psi_drift", "benford_deviation", "dp_counts", "markov_stationary",
         "kaplan_meier", "events_cube", "autocorrelation", "event_trigrams",
+        "source_trend", "dispersion_index", "capture_recapture",
     ]),
     ("Link-graph extensions", [
         "hits_hosts", "degree_ccdf", "kcore_hosts", "host_outlink_jaccard",

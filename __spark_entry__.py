@@ -4674,6 +4674,23 @@ def _capture_recapture(spark, sf_dir):
     return capture_recapture(_t(spark, sf_dir, "events"))
 
 
+def _query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (mu=500) for the
+    shared 3-query batch — the LM alternative to bm25_topk."""
+    from pdf_extractor_spark.operators.textstats import query_likelihood_topk
+
+    return query_likelihood_topk(_t(spark, sf_dir, "documents"), k=10)
+
+
+def _markov_entropy_rate(spark, sf_dir):
+    """Entropy rate (nats/step) + effective branching factor of the
+    event-type Markov chain under its approximate stationary
+    distribution."""
+    from pdf_extractor_spark.operators.events import markov_entropy_rate
+
+    return markov_entropy_rate(_t(spark, sf_dir, "events"), iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4912,6 +4929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_trend": _source_trend,
         "dispersion_index": _dispersion_index,
         "capture_recapture": _capture_recapture,
+        "query_likelihood": _query_likelihood,
+        "markov_entropy_rate": _markov_entropy_rate,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11498,6 +11517,72 @@ SELECT n_a, n_b, n_both,
   (CASE WHEN n_both > 0 THEN round(n_seen
         / round(n_a * n_b * 1.0 / n_both, 2), 4) END) + 0.0 AS coverage
 FROM s
+"""
+    # query_likelihood: Dirichlet-smoothed LM scoring with the ordered
+    # list_reduce fold (bm25's cross-engine float discipline).
+    sql["query_likelihood"] = f"""
+WITH q(query_id, qtext) AS (VALUES
+  ('q1', 'spark table scan'),
+  ('q2', 'hash join merge'),
+  ('q3', 'window order data')),
+qt AS (SELECT DISTINCT query_id,
+         unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS term
+       FROM q),
+base AS (
+  SELECT doc_id AS id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END AS toks
+  FROM documents),
+b2 AS (SELECT id, toks, len(toks) AS dl FROM base),
+tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS C FROM b2),
+words AS (SELECT id, dl, unnest(toks) AS term FROM b2),
+posts AS (SELECT words.id, words.dl, words.term FROM words
+          JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM posts GROUP BY 1),
+tf AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+       FROM posts GROUP BY 1, 2),
+cand AS (SELECT DISTINCT qt.query_id, tf.id, tf.dl
+         FROM tf JOIN qt USING (term)),
+grid AS (
+  SELECT cand.query_id, cand.id, qt.term,
+         ln((coalesce(tf.tf, 0) + 500.0 * cf.cf / tot.C)
+            / (cand.dl + 500.0)) AS s
+  FROM cand JOIN qt ON qt.query_id = cand.query_id
+       JOIN cf ON cf.term = qt.term
+       LEFT JOIN tf ON tf.id = cand.id AND tf.term = qt.term, tot),
+summed AS (
+  SELECT query_id, id,
+         round(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                           (acc, x) -> acc + x), 6) AS score
+  FROM grid GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, id) AS rank
+  FROM summed)
+SELECT query_id, id AS doc_id, score + 0.0 AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+    # markov_entropy_rate: the stationary oracle composed with per-state
+    # row entropies.
+    sql["markov_entropy_rate"] = f"""
+WITH ms AS ({sql["markov_stationary"]}),
+pr2 AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+pc2 AS (SELECT event_type AS a, nxt AS b, count(*) AS c
+        FROM pr2 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+po2 AS (SELECT a, sum(c) AS tot FROM pc2 GROUP BY 1),
+rh AS (
+  SELECT a, -sum((c * 1.0 / tot) * ln(c * 1.0 / tot)) AS h
+  FROM pc2 JOIN po2 USING (a) GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_states,
+       round(sum(ms.pi * coalesce(rh.h, 0)), 6) + 0.0 AS entropy_rate,
+       round(exp(sum(ms.pi * coalesce(rh.h, 0))), 6) + 0.0 AS perplexity
+FROM ms LEFT JOIN rh ON rh.a = ms.event_type
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).

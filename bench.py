@@ -261,6 +261,8 @@ HEADLINE = [
     "source_trend",
     "dispersion_index",
     "capture_recapture",
+    "query_likelihood",
+    "markov_entropy_rate",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

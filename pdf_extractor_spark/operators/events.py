@@ -1653,3 +1653,51 @@ def event_trigrams(df: DataFrame, top_k: int = 20) -> DataFrame:
     return tri.orderBy(
         F.desc("n"), "e1", "e2", "e3"
     ).limit(top_k)
+
+
+def markov_entropy_rate(df: DataFrame, iters: int = 3) -> DataFrame:
+    """One row (n_states, entropy_rate, perplexity) — entropy rate of the
+    per-user event-type Markov chain: H = -sum_a pi_a sum_b P_ab ln P_ab
+    with pi from markov_stationary (same `iters` approximation) — nats
+    per step, plus e^H as the effective branching factor. How
+    predictable the average next event is, weighted by where users
+    actually spend time; sink states (no outgoing transitions, modeled
+    as self-loops) contribute zero entropy. 6 dp.
+
+    Physical shape: one corpus window pass for the transition counts
+    (shared shape with markov_stationary), then pure states-squared
+    arithmetic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        df.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    outs = pairs.groupBy("a").agg(F.sum("c").alias("tot"))
+    row_h = (
+        pairs.join(outs, "a")
+        .groupBy("a")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c") / F.col("tot"))
+                    * F.log(F.col("c") / F.col("tot"))
+                )
+            ).alias("h")
+        )
+    )
+    pi = markov_stationary(df, iters=iters).select(
+        F.col("event_type").alias("a"), "pi"
+    )
+    out = pi.join(row_h, "a", "left").agg(
+        F.count("*").cast("long").alias("n_states"),
+        F.sum(F.col("pi") * F.coalesce("h", F.lit(0.0))).alias("_H"),
+    )
+    return out.select(
+        "n_states",
+        F.round("_H", 6).alias("entropy_rate"),
+        F.round(F.exp("_H"), 6).alias("perplexity"),
+    )

@@ -2016,3 +2016,96 @@ def doc_similar_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def query_likelihood_topk(
+    df,
+    queries=BM25_QUERIES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    mu: float = 500.0,
+) -> "DataFrame":
+    """(query_id, doc_id, score, rank) — query-likelihood retrieval with
+    Dirichlet smoothing (Zhai & Lafferty 2001), the language-modeling
+    alternative to bm25_topk: score = sum over query terms of
+    ln((tf + mu*p(t|C)) / (dl + mu)) with p(t|C) the corpus unigram
+    probability. Candidates are docs matching >= 1 query term (the
+    inverted-index probe, same contract as bm25); absent terms still
+    contribute their smoothed mass for candidate docs, which is exactly
+    what distinguishes QL from tf-only scoring. Per-doc sums fold IN
+    TERM ORDER (array_sort + aggregate) so the float total is
+    order-deterministic cross-engine; OOV query terms (zero corpus
+    frequency) are skipped rather than scoring -inf. 6 dp; rank ties on
+    doc_id over the ROUNDED score.
+
+    Physical shape: one corpus pass (postings filtered by the broadcast
+    term set BEFORE aggregation); the candidate x query-term grid fans
+    out by |terms| (a constant), everything else is posting-proportional.
+    Corpus totals ride as a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    from pdf_extractor_spark.session import values_df
+
+    spark = df.sparkSession
+    qdf = values_df(spark, list(queries), "query_id string, qtext string")
+    qt = qdf.select(
+        "query_id",
+        F.explode(tokens_col(F.lower(F.col("qtext")))).alias("term"),
+    ).distinct()
+    terms = qt.select("term").distinct()
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens_col(F.lower(F.col(text_col))).alias("_toks"),
+    ).select("id", "_toks", F.size("_toks").cast("double").alias("dl"))
+    totals = base.agg(F.sum("dl").alias("_C"))
+    words = base.select(
+        "id", "dl", F.explode_outer("_toks").alias("term")
+    ).where(F.col("term").isNotNull())
+    posts = words.join(F.broadcast(terms), "term")
+    cf = posts.groupBy("term").agg(F.count("*").cast("double").alias("cf"))
+    tf = posts.groupBy("id", "term").agg(
+        F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl")
+    )
+    cand = (
+        tf.join(F.broadcast(qt), "term")
+        .select("query_id", "id", "dl")
+        .distinct()
+    )
+    grid = (
+        cand.join(F.broadcast(qt), "query_id")
+        .join(F.broadcast(cf), "term")  # inner: OOV terms drop (cf > 0)
+        .join(tf.select("id", "term", "tf"), ["id", "term"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "id",
+            "term",
+            F.log(
+                (F.coalesce("tf", F.lit(0.0))
+                 + F.lit(mu) * F.col("cf") / F.col("_C"))
+                / (F.col("dl") + F.lit(mu))
+            ).alias("s"),
+        )
+    )
+    summed = grid.groupBy("query_id", "id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ),
+            6,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

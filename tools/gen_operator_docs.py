@@ -72,7 +72,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "sample_alloc", "badword_filter", "luhn_scan",
     ]),
     ("Similarity search (ANN)", [
-        "cosine_topk", "bm25_topk", "phrase_search", "lsh_ann_topk", "ivf_ann_topk",
+        "cosine_topk", "bm25_topk", "query_likelihood", "phrase_search", "lsh_ann_topk", "ivf_ann_topk",
         "kmeans_clusters", "cluster_balanced_sample",
         "embedding_quantize", "hard_negatives", "bitext_mine",
         "embedding_outliers", "centroid_drift",
@@ -124,6 +124,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "psi_drift", "benford_deviation", "dp_counts", "markov_stationary",
         "kaplan_meier", "events_cube", "autocorrelation", "event_trigrams",
         "source_trend", "dispersion_index", "capture_recapture",
+        "markov_entropy_rate",
     ]),
     ("Link-graph extensions", [
         "hits_hosts", "degree_ccdf", "kcore_hosts", "host_outlink_jaccard",

@@ -4691,6 +4691,27 @@ def _markov_entropy_rate(spark, sf_dir):
     return markov_entropy_rate(_t(spark, sf_dir, "events"), iters=3)
 
 
+def _filter_pr(spark, sf_dir):
+    """Each quality filter scored against the committee majority verdict
+    (precision/recall/F1)."""
+    from pdf_extractor_spark.operators.curation import (
+        c4_filter,
+        filter_pr,
+        synthesize_pages,
+    )
+    from pdf_extractor_spark.operators.textstats import (
+        gopher_filter,
+        hash_lr_score,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return filter_pr(
+        gopher_filter(docs).select("doc_id", "accept"),
+        c4_filter(synthesize_pages(docs)).select("doc_id", "accept"),
+        hash_lr_score(docs).select("doc_id", "accept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4931,6 +4952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_recapture": _capture_recapture,
         "query_likelihood": _query_likelihood,
         "markov_entropy_rate": _markov_entropy_rate,
+        "filter_pr": _filter_pr,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11584,6 +11606,52 @@ SELECT CAST(count(*) AS BIGINT) AS n_states,
        round(exp(sum(ms.pi * coalesce(rh.h, 0))), 6) + 0.0 AS perplexity
 FROM ms LEFT JOIN rh ON rh.a = ms.event_type
 """
+    # filter_pr: the three filter oracles + committee verdict; one arm
+    # per filter with unrounded ratios inside f1.
+    _pr_arm2 = """
+SELECT '{name}' AS filter,
+  CAST(sum(CASE WHEN {p} AND v THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN {p} AND NOT v THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN NOT {p} AND v THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(sum(CASE WHEN NOT {p} AND NOT v THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+  round(CASE WHEN sum(CASE WHEN {p} THEN 1 ELSE 0 END) > 0
+        THEN sum(CASE WHEN {p} AND v THEN 1 ELSE 0 END) * 1.0
+             / sum(CASE WHEN {p} THEN 1 ELSE 0 END) END, 6) + 0.0
+    AS precision,
+  round(CASE WHEN sum(CASE WHEN v THEN 1 ELSE 0 END) > 0
+        THEN sum(CASE WHEN {p} AND v THEN 1 ELSE 0 END) * 1.0
+             / sum(CASE WHEN v THEN 1 ELSE 0 END) END, 6) + 0.0 AS recall,
+  round(CASE WHEN sum(CASE WHEN {p} THEN 1 ELSE 0 END) > 0
+              AND sum(CASE WHEN v THEN 1 ELSE 0 END) > 0
+              AND (sum(CASE WHEN {p} AND v THEN 1 ELSE 0 END) * 1.0
+                   / sum(CASE WHEN {p} THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN {p} AND v THEN 1 ELSE 0 END) * 1.0
+                   / sum(CASE WHEN v THEN 1 ELSE 0 END)) > 0
+        THEN 2 * (sum(CASE WHEN {p} AND v THEN 1 ELSE 0 END) * 1.0
+                  / sum(CASE WHEN {p} THEN 1 ELSE 0 END))
+               * (sum(CASE WHEN {p} AND v THEN 1 ELSE 0 END) * 1.0
+                  / sum(CASE WHEN v THEN 1 ELSE 0 END))
+             / (sum(CASE WHEN {p} AND v THEN 1 ELSE 0 END) * 1.0
+                / sum(CASE WHEN {p} THEN 1 ELSE 0 END)
+                + sum(CASE WHEN {p} AND v THEN 1 ELSE 0 END) * 1.0
+                / sum(CASE WHEN v THEN 1 ELSE 0 END)) END, 6) + 0.0 AS f1
+FROM jj"""
+    sql["filter_pr"] = (
+        f"""
+WITH g AS ({sql["gopher_filter"]}),
+c AS ({sql["c4_filter"]}),
+h AS ({sql["hash_lr"]}),
+jj AS (
+  SELECT g.accept AS pg, c.accept AS pc, h.accept AS pl,
+         (CAST(g.accept AS INT) + CAST(c.accept AS INT)
+          + CAST(h.accept AS INT)) >= 2 AS v
+  FROM g JOIN c USING (doc_id) JOIN h USING (doc_id))
+"""
+        + "\nUNION ALL\n".join(
+            _pr_arm2.format(name=n, p=p)
+            for n, p in (("gopher", "pg"), ("c4", "pc"), ("hash_lr", "pl"))
+        )
+    )
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

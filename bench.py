@@ -263,6 +263,7 @@ HEADLINE = [
     "capture_recapture",
     "query_likelihood",
     "markov_entropy_rate",
+    "filter_pr",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

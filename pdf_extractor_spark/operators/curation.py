@@ -3140,3 +3140,66 @@ def filter_committee(
         (n_acc >= 2).alias("verdict"),
         ((n_acc == 0) | (n_acc == 3)).alias("unanimous"),
     )
+
+
+def filter_pr(
+    gopher: DataFrame, c4: DataFrame, lr: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(filter, tp, fp, fn, tn, precision, recall, f1) — each quality
+    filter evaluated against the committee majority verdict as the
+    pseudo-ground-truth: the standard ensemble-analysis step that shows
+    which member is the strict one (high precision, low recall) and
+    which is the permissive one. Zero-denominator cases report null.
+    6 dp.
+
+    Physical shape: the committee join (three same-keyed joins) feeding
+    three conditional-count aggregates in one pass, reshaped with a
+    literal stack."""
+    g = gopher.select(F.col(id_col), F.col("accept").alias("_g"))
+    c = c4.select(F.col(id_col), F.col("accept").alias("_c"))
+    h = lr.select(F.col(id_col), F.col("accept").alias("_l"))
+    j = g.join(c, id_col).join(h, id_col)
+    verdict = (
+        F.col("_g").cast("int") + F.col("_c").cast("int")
+        + F.col("_l").cast("int")
+        >= 2
+    )
+    j = j.withColumn("_v", verdict)
+    aggs = []
+    names = [("gopher", "_g"), ("c4", "_c"), ("hash_lr", "_l")]
+    for name, col in names:
+        p = F.col(col)
+        aggs += [
+            F.sum((p & F.col("_v")).cast("long")).alias(f"_tp_{name}"),
+            F.sum((p & ~F.col("_v")).cast("long")).alias(f"_fp_{name}"),
+            F.sum((~p & F.col("_v")).cast("long")).alias(f"_fn_{name}"),
+            F.sum((~p & ~F.col("_v")).cast("long")).alias(f"_tn_{name}"),
+        ]
+    wide = j.agg(*aggs)
+    rows = []
+    for name, _ in names:
+        tp = F.col(f"_tp_{name}")
+        fp = F.col(f"_fp_{name}")
+        fn = F.col(f"_fn_{name}")
+        prec = F.when(tp + fp > 0, tp / (tp + fp))
+        rec = F.when(tp + fn > 0, tp / (tp + fn))
+        rows.append(
+            F.struct(
+                F.lit(name).alias("filter"),
+                tp.cast("long").alias("tp"),
+                fp.cast("long").alias("fp"),
+                fn.cast("long").alias("fn"),
+                F.col(f"_tn_{name}").cast("long").alias("tn"),
+                F.round(prec, 6).alias("precision"),
+                F.round(rec, 6).alias("recall"),
+                F.round(
+                    F.when(
+                        prec.isNotNull() & rec.isNotNull()
+                        & (prec + rec > 0),
+                        2 * prec * rec / (prec + rec),
+                    ),
+                    6,
+                ).alias("f1"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

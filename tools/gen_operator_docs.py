@@ -139,7 +139,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ("Corpus inspection & tokenizer extensions", [
         "concordance", "branching_entropy", "collocations_llr",
         "morph_split", "token_length_hist", "utf8_stats", "pps_sample",
-        "lang_source_mi", "filter_kappa", "filter_committee",
+        "lang_source_mi", "filter_kappa", "filter_committee", "filter_pr",
     ]),
     ("Relational & quality-audit extensions", [
         "order_deciles", "part_affinity", "shipping_delay_stats",

@@ -4712,6 +4712,19 @@ def _filter_pr(spark, sf_dir):
     )
 
 
+def _span_kind_transitions(spark, sf_dir):
+    """Corpus transition matrix between consecutive interleaved span
+    kinds (offset-order lag over the reversed synthetic arrays)."""
+    from pdf_extractor_spark.operators.multimodal import (
+        span_kind_transitions,
+        synthesize_interleaved,
+    )
+
+    return span_kind_transitions(
+        synthesize_interleaved(_t_wide(spark, sf_dir, "documents"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -4953,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_likelihood": _query_likelihood,
         "markov_entropy_rate": _markov_entropy_rate,
         "filter_pr": _filter_pr,
+        "span_kind_transitions": _span_kind_transitions,
         "curation_funnel": _curation_funnel,
         "incremental_dedup": _incremental_dedup,
         "incremental_lsh_dedup": _incremental_lsh_dedup,
@@ -11652,6 +11666,32 @@ jj AS (
             for n, p in (("gopher", "pg"), ("c4", "pc"), ("hash_lr", "pl"))
         )
     )
+    # span_kind_transitions: the interleaved synthesis kinds rebuilt in
+    # SQL (same (doc_id + i) % 3 rule), lagged per doc in offset order.
+    sql["span_kind_transitions"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+par AS (SELECT doc_id, CAST(ceil(len(t) / 4.0) AS INT) AS ns
+        FROM tk WHERE len(t) > 0),
+kinds AS (
+  SELECT doc_id, i,
+         CASE WHEN (doc_id + i) % 3 = 0 THEN 'image' ELSE 'text' END
+           AS kind
+  FROM (SELECT doc_id, unnest(range(0, ns)) AS i FROM par)),
+lagged AS (
+  SELECT doc_id, kind,
+         lead(kind) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM kinds),
+p AS (SELECT kind AS kind_a, nxt AS kind_b, CAST(count(*) AS BIGINT) AS n
+      FROM lagged WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT kind_a, kind_b, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY kind_a), 6) + 0.0 AS p
+FROM p
+"""
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
     return sql

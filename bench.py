@@ -264,6 +264,7 @@ HEADLINE = [
     "query_likelihood",
     "markov_entropy_rate",
     "filter_pr",
+    "span_kind_transitions",
     "dataset_split",
     "pareto_frontier",
     "zipf_fit",

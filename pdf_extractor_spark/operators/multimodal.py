@@ -728,3 +728,37 @@ def image_tiles(
             ).alias("h"),
         )
     )
+
+
+def span_kind_transitions(spans_df: DataFrame) -> DataFrame:
+    """(kind_a, kind_b, n, p) — corpus-level transition structure between
+    consecutive span kinds in offset order: how interleaved documents
+    actually interleave (text->image->text vs media blocks). p is the
+    row-normalized transition probability (6 dp). The sequence-structure
+    complement to span_interleave_stats' per-doc run profile; downstream
+    it sizes the multimodal packer's expectation of media adjacency.
+
+    Physical shape: explode spans -> ONE doc-key window for the lag
+    (spans arrive in arbitrary array order, so the offset sort is real
+    work, same contract as the extraction pipeline) -> a kinds-squared
+    aggregate. The window partitions are documents — bounded by doc
+    length."""
+    from pyspark.sql import Window
+
+    flat = spans_df.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", F.col("s.kind").alias("kind"), F.col("s.offset").alias("off"))
+    w = Window.partitionBy("doc_id").orderBy("off")
+    pairs = (
+        flat.withColumn("nxt", F.lead("kind").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("kind").alias("kind_a"), F.col("nxt").alias("kind_b"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("kind_a")
+    return pairs.select(
+        "kind_a",
+        "kind_b",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )

@@ -89,7 +89,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "media_meta", "media_features", "media_resize", "frame_sample",
         "audio_segments",
         "media_captions", "multimodal_pack", "media_dedup", "media_phash",
-        "media_phash_neardup", "span_interleave_stats",
+        "media_phash_neardup", "span_interleave_stats", "span_kind_transitions",
         "media_ref_integrity",
     ]),
     ("Events: sessions, as-of, rollups, sketches", [

@@ -1874,17 +1874,13 @@ def _span_regression(spark, sf_dir):
     return span_diff(run(False), run(True))
 
 
-def _page_filter(spark, sf_dir):
-    """Page-range predicate (reference extractor.py:46-51 semantics) over a
-    deterministic interleaved span layout derived from each document's
-    text: up to 5 text pages (40-char windows, present while text is long
-    enough) with media spans after pages 0 and 2. pages='0,2' keeps page-0
-    and page-2 text plus their trailing media; docs too short for page 2
-    silently drop it — the reference's out-of-range behavior."""
-    from pdf_extractor_spark.operators.spans import filter_spans_by_page
-
-    docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
+def _interleaved_span_layout(t):
+    """Deterministic interleaved span layout derived from a document's
+    text column: up to 5 text pages (40-char windows, present while text
+    is long enough) with media spans after pages 0 and 2 — the
+    RE2-replicable span synthesis shared by page_filter and
+    extract_pipeline_digest (offsets 0..6 in order: t0, m0, t1, t2, m1,
+    t3, t4)."""
     empty = F.array().cast(
         "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
     )
@@ -1915,10 +1911,23 @@ def _page_filter(spark, sf_dir):
             ),
         ).otherwise(empty)
 
-    spans = F.concat(
+    return F.concat(
         tspan(0, 0), mspan("m0", 1, 0), tspan(1, 2), tspan(2, 3),
         mspan("m1", 4, 80), tspan(3, 5), tspan(4, 6),
     )
+
+
+def _page_filter(spark, sf_dir):
+    """Page-range predicate (reference extractor.py:46-51 semantics) over a
+    deterministic interleaved span layout derived from each document's
+    text: up to 5 text pages (40-char windows, present while text is long
+    enough) with media spans after pages 0 and 2. pages='0,2' keeps page-0
+    and page-2 text plus their trailing media; docs too short for page 2
+    silently drop it — the reference's out-of-range behavior."""
+    from pdf_extractor_spark.operators.spans import filter_spans_by_page
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = _interleaved_span_layout(F.col("text"))
     df = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
     )
@@ -2081,6 +2090,55 @@ def _extract_pipeline(spark, sf_dir):
             F.sum(F.size("spans")).alias("total_spans"),
         )
         .orderBy(F.desc("n_docs"), "doc_type")
+    )
+
+
+def _extract_pipeline_digest(spark, sf_dir):
+    """Driver-hashable digest of the FULL extraction pipeline (closes the
+    one remaining rows-only gap): the deterministic interleaved span
+    layout (shared with page_filter; REVERSED so the pipeline must
+    rebuild order from offsets) runs through `extract_documents` — offset
+    sort, columnar language detection, Python-ws preprocess, span/order
+    rebuild, fused rule-classification UDF — and each document emits an
+    md5 over its ordered (kind, text, media_ref, order) sequence plus
+    doc_type / confidence / detected language / page count. The DuckDB
+    oracle recomputes the identical layout, detection cascade,
+    normalization, digest, and classification in pure SQL (reference
+    extractor.py:38-95 + document_classifier.py:84-173 semantics)."""
+    from pdf_extractor_spark.config import DocTypePattern
+    from pdf_extractor_spark.pipeline import extract_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = _interleaved_span_layout(F.col("text"))
+    df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.reverse(spans).alias("spans"),
+    )
+    patterns = {
+        dt: DocTypePattern(dt, tuple(kws), tuple(pats))
+        for dt, kws, pats in DOC_RULES
+    }
+    out = extract_documents(df, patterns=patterns)
+    seq = F.array_join(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.concat_ws(
+                "|",
+                s["kind"],
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+                s["order"].cast("string"),
+            ),
+        ),
+        "\x01",
+    )
+    return out.select(
+        "doc_id",
+        F.md5(seq).alias("span_digest"),
+        F.col("doc_type"),
+        (F.round(F.col("confidence"), 6) + F.lit(0.0)).alias("confidence"),
+        F.col("meta.language").alias("lang"),
+        F.col("meta.num_pages").alias("num_pages"),
     )
 
 
@@ -5041,6 +5099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_mergeable_users": _hll_mergeable_users,
         "sample_quantile_sketch": _sample_quantile_sketch,
         "extract_pipeline": _extract_pipeline,
+        "extract_pipeline_digest": _extract_pipeline_digest,
     }
 
 
@@ -5087,6 +5146,165 @@ def _classify_sql() -> str:
         f"SELECT doc_id, {expr_type} AS doc_type, "
         f"round({expr_score}, 6) AS score FROM documents"
     )
+
+
+def _extract_digest_sql() -> str:
+    """DuckDB twin of _extract_pipeline_digest: rebuilds the interleaved
+    layout, the language-detection cascade (oracle/language.py
+    semantics), the Python-whitespace preprocess, the ordered
+    (kind,text,media_ref,order) md5 digest, and the rule classification
+    over all_text — entirely in SQL, so the driver gate hashes the full
+    extraction pipeline (reference extractor.py:38-95,
+    document_classifier.py:84-173)."""
+    from pdf_extractor_spark.operators.spans import PY_WS_CHARS
+    from pdf_extractor_spark.oracle.language import _STOPWORDS
+
+    ws = PY_WS_CHARS  # raw chars in a SQL literal (set contains no quote)
+    ctrl = r"[\x00-\x1f\x7f-\x9f]"
+    pyws = (
+        r"[\t-\r \x1c-\x1f\x85\xa0\x{1680}\x{2000}-\x{200a}"
+        r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+    )
+    scripts = {
+        "han": r"[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]",
+        "hira": r"[\x{3040}-\x{309f}]",
+        "kata": r"[\x{30a0}-\x{30ff}]",
+        "hangul": r"[\x{ac00}-\x{d7af}\x{1100}-\x{11ff}]",
+        "cyr": r"[\x{0400}-\x{04ff}]",
+        "ar": r"[\x{0600}-\x{06ff}]",
+        "dev": r"[\x{0900}-\x{097f}]",
+    }
+    counts = ",\n    ".join(
+        f"CASE WHEN nonascii THEN len(regexp_extract_all(smp, '{rx}')) "
+        f"ELSE 0 END AS c_{k}"
+        for k, rx in scripts.items()
+    )
+    hits = ",\n    ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in sorted(words))
+        + f"], t))) AS h{i}"
+        for i, (_code, words) in enumerate(_STOPWORDS)
+    )
+    # strictly-greater argmax in _STOPWORDS order, initial best = en
+    bl, bh = f"'{_STOPWORDS[0][0]}'", "h0"
+    for i in range(1, len(_STOPWORDS)):
+        code = _STOPWORDS[i][0]
+        bl = f"CASE WHEN h{i} > ({bh}) THEN '{code}' ELSE {bl} END"
+        bh = f"CASE WHEN h{i} > ({bh}) THEN h{i} ELSE {bh} END"
+    script_lang = (
+        "CASE WHEN (c_hira + c_kata) > 0 AND (c_hira + c_kata) >= "
+        "(c_han // 4) THEN 'ja' "
+        "WHEN c_hangul > c_han THEN 'ko' "
+        "WHEN c_han > 0 THEN 'zh' "
+        "WHEN c_cyr >= greatest(c_ar, c_dev) THEN 'ru' "
+        "WHEN c_ar >= c_dev THEN 'ar' ELSE 'hi' END"
+    )
+    latin_lang = (
+        "CASE WHEN len(toks) = 0 THEN 'unknown' "
+        f"WHEN ({bh}) <= 0 THEN "
+        "CASE WHEN nonascii THEN 'pt' ELSE 'en' END "
+        f"ELSE {bl} END"
+    )
+    lang_expr = (
+        "CASE WHEN sample IS NULL OR sample = '' "
+        f"OR length(trim(sample, '{ws}')) < 10 THEN 'unknown' "
+        f"WHEN sc_total >= 3 THEN {script_lang} "
+        f"ELSE {latin_lang} END"
+    )
+
+    def pp(w: str) -> str:
+        base = f"regexp_replace(trim({w}, '{ws}'), '{ctrl}', '', 'g')"
+        collapsed = f"regexp_replace({base}, '{pyws}+', ' ', 'g')"
+        return (
+            f"CASE WHEN {w} IS NULL OR {w} = '' THEN {w} "
+            f"WHEN lang IN ('zh','ja','ko') THEN {base} "
+            f"ELSE {collapsed} END"
+        )
+
+    pps = ",\n    ".join(f"{pp(f'w{i}')} AS p{i}" for i in range(5))
+    # rule classification over all_text (IGNORECASE like the Python UDF)
+    expr_type, expr_score = "CAST(NULL AS VARCHAR)", "0.0"
+    for doc_type, kws, pats in DOC_RULES:
+        parts = [
+            f"CAST(regexp_matches(all_text, '\\b{kw}\\b', 'i') AS INT)"
+            for kw in kws
+        ]
+        parts += [
+            f"2*CAST(regexp_matches(all_text, '{p}', 'i') AS INT)"
+            for p in pats
+        ]
+        max_score = len(kws) + 2 * len(pats)
+        norm = f"(({' + '.join(parts)}) / {float(max_score)})"
+        expr_type = (
+            f"CASE WHEN {norm} > ({expr_score}) THEN '{doc_type}' "
+            f"ELSE {expr_type} END"
+        )
+        expr_score = (
+            f"CASE WHEN {norm} > ({expr_score}) THEN {norm} "
+            f"ELSE {expr_score} END"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS t,
+         coalesce(length(text), 0) AS n
+  FROM documents),
+w AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0   THEN substr(t, 1, 40)   END AS w0,
+    CASE WHEN n > 40  THEN substr(t, 41, 40)  END AS w1,
+    CASE WHEN n > 80  THEN substr(t, 81, 40)  END AS w2,
+    CASE WHEN n > 120 THEN substr(t, 121, 40) END AS w3,
+    CASE WHEN n > 160 THEN substr(t, 161, 40) END AS w4
+  FROM base),
+s0 AS (SELECT *, concat_ws(chr(10), w0, w1, w2) AS sample FROM w),
+s1 AS (
+  SELECT *, substr(sample, 1, 2000) AS smp,
+         regexp_matches(substr(sample, 1, 2000), '[^\\x00-\\x7f]')
+           AS nonascii
+  FROM s0),
+s2 AS (
+  SELECT *,
+    {counts},
+    regexp_extract_all(lower(smp), '[a-z\\x{{e0}}-\\x{{ff}}]+') AS toks
+  FROM s1),
+s3 AS (
+  SELECT *,
+    c_han + c_hira + c_kata + c_hangul + c_cyr + c_ar + c_dev AS sc_total,
+    {hits}
+  FROM s2),
+s4 AS (
+  SELECT doc_id, n, w0, w1, w2, w3, w4, {lang_expr} AS lang FROM s3),
+p AS (
+  SELECT doc_id, n, lang,
+    {pps}
+  FROM s4),
+sp AS (
+  SELECT doc_id, lang,
+    CASE WHEN n > 0 THEN ['text|' || p0 || '||'] ELSE [] END
+    || CASE WHEN n > 0 THEN ['image||m0|'] ELSE [] END
+    || CASE WHEN n > 40 THEN ['text|' || p1 || '||'] ELSE [] END
+    || CASE WHEN n > 80 THEN ['text|' || p2 || '||'] ELSE [] END
+    || CASE WHEN n > 80 THEN ['image||m1|'] ELSE [] END
+    || CASE WHEN n > 120 THEN ['text|' || p3 || '||'] ELSE [] END
+    || CASE WHEN n > 160 THEN ['text|' || p4 || '||'] ELSE [] END AS lst,
+    concat_ws(chr(10), p0, p1, p2, p3, p4) AS all_text,
+    CAST(CASE WHEN n > 0 THEN 1 ELSE 0 END
+       + CASE WHEN n > 40 THEN 1 ELSE 0 END
+       + CASE WHEN n > 80 THEN 1 ELSE 0 END
+       + CASE WHEN n > 120 THEN 1 ELSE 0 END
+       + CASE WHEN n > 160 THEN 1 ELSE 0 END AS INT) AS num_pages
+  FROM p)
+SELECT doc_id,
+  md5(array_to_string(
+    list_transform(range(1, CAST(len(lst) AS BIGINT) + 1),
+                   i -> lst[CAST(i AS INT)] || CAST(i - 1 AS VARCHAR)),
+    chr(1))) AS span_digest,
+  {expr_type} AS doc_type,
+  round({expr_score}, 6) + 0.0 AS confidence,
+  lang, num_pages
+FROM sp
+"""
 
 
 def _seq_dot(a: str, b: str) -> str:
@@ -5332,6 +5550,7 @@ def oracle_sql() -> dict[str, str]:
         "JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1"
     )
     sql["classify_rules"] = _classify_sql()
+    sql["extract_pipeline_digest"] = _extract_digest_sql()
     sql["preprocess_text"] = (
         "SELECT doc_id, CASE WHEN text IS NULL OR text = '' THEN text "
         "WHEN lang IN ('zh','ja','ko') THEN "

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # date densification join, LSH self-join) at sf0.1 volume.
 HEADLINE = [
     "extract_pipeline",
+    "extract_pipeline_digest",
     "tpch_q1",
     "tpch_q3",
     "tpch_q4",

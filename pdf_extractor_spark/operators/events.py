@@ -852,12 +852,16 @@ def rfm_segments(df: DataFrame, tiers: int = 5) -> DataFrame:
     order (metric, then user_id), tier 1 best (most recent / most
     frequent / highest spend). Output is the segment rollup.
 
-    Scale: one shuffle on user_id for the per-user rollup; the ntile
-    windows run over the USER table (one row per user). A global sort
-    for ntile is the textbook quantile-binning cost — at 10^12 users
-    you'd swap ntile for approx-quantile boundaries; at any realistic
-    user count the sort is fine and exactness wins.
+    Scale: one shuffle on user_id for the per-user rollup; each tier is
+    an EXACT ntile computed without any global window — a
+    range-partitioned row_number (ranking.scalable_row_number: broadcast
+    percentile_approx cut points, per-bucket windows, bucket-offset
+    cumsum) plus the closed-form ntile map from (rank, total) — so the
+    user table never funnels through one task even at 10^9+ users,
+    while the output stays bit-identical to ntile-over-global-window
+    (same oracle).
     """
+    from .ranking import ntile_from_rank, scalable_row_number
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     per_user = (
         df.where(F.col("event_type") == "purchase")
@@ -876,15 +880,22 @@ def rfm_segments(df: DataFrame, tiers: int = 5) -> DataFrame:
         ((F.col("ref_us") - F.col("last_us")) / F.lit(86400_000_000))
         .cast("long"),
     )
-    wr = Window.orderBy("recency_days", "user_id")
-    wf = Window.orderBy(F.col("freq").desc(), "user_id")
-    wm = Window.orderBy(F.col("cents").desc(), "user_id")
-    tiered = per_user.select(
+    tot = per_user.agg(F.count("*").cast("long").alias("_n"))
+    ranked = scalable_row_number(
+        per_user, "recency_days", ["user_id"], ascending=True, out_col="_rr"
+    )
+    ranked = scalable_row_number(
+        ranked, "freq", ["user_id"], ascending=False, out_col="_rf"
+    )
+    ranked = scalable_row_number(
+        ranked, "cents", ["user_id"], ascending=False, out_col="_rm"
+    )
+    tiered = ranked.crossJoin(F.broadcast(tot)).select(
         "user_id",
         "cents",
-        F.ntile(tiers).over(wr).alias("r_tier"),
-        F.ntile(tiers).over(wf).alias("f_tier"),
-        F.ntile(tiers).over(wm).alias("m_tier"),
+        ntile_from_rank(F.col("_rr"), F.col("_n"), tiers).alias("r_tier"),
+        ntile_from_rank(F.col("_rf"), F.col("_n"), tiers).alias("f_tier"),
+        ntile_from_rank(F.col("_rm"), F.col("_n"), tiers).alias("m_tier"),
     )
     return tiered.groupBy("r_tier", "f_tier", "m_tier").agg(
         F.count("*").cast("long").alias("n_users"),

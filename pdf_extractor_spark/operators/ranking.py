@@ -1,0 +1,138 @@
+"""Range-partitioned rank / running-sum — the scale-safe replacement for
+unpartitioned `Window.orderBy(...)` over unbounded-entity tables.
+
+A global `row_number()` / running-sum window funnels the whole table
+through ONE task. This module reproduces the exact same output with no
+global sort, using the partition-offset technique (same family as
+curation.global_shuffle's 256-shard offset table):
+
+1. broadcast `percentile_approx` cut points split rows into range
+   buckets of the primary order column. Equal values always share a
+   bucket (strict comparison against the cuts), so the total order
+   "bucket, then (value, tiebreak) within bucket" is EXACTLY the global
+   `(value, tiebreak)` order — cut-point placement affects only balance,
+   never correctness, which also makes percentile_approx's
+   approximation harmless;
+2. a per-bucket window computes the local rank / running sum;
+3. the global offset of each bucket is a running sum over the
+   bucket-totals table — the only single-partition window touches
+   `n_buckets` rows, never the corpus.
+
+Cost: one extra aggregate for the cuts + a broadcast of `n_buckets`
+offsets, versus the global window's all-rows-in-one-task sort. At 10^9+
+entities this is the difference between a working plan and a straggler.
+
+Ties in the primary column are ordered by the caller's tiebreak columns
+within their (shared) bucket, so results are deterministic and identical
+to the global-window form — asserted by tests/test_ranking.py on data
+with heavy ties, and by the unchanged DuckDB oracles of every operator
+rewired onto this helper (rfm_segments, rrf_fusion, rank_biased_overlap,
+degree_ccdf)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_range_bucket(
+    df: DataFrame, score_col: str, ascending: bool, n_buckets: int
+) -> DataFrame:
+    """+ `_rb`: range-bucket index that is monotone in the sort order of
+    `score_col` and constant across equal values (strict compare against
+    the broadcast cut array). Requires non-null scores."""
+    if n_buckets < 2:
+        return df.withColumn("_rb", F.lit(0))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(F.percentile_approx(score_col, probs).alias("_cuts"))
+    s = F.col(score_col)
+    bucket = F.size(
+        F.filter(
+            F.col("_cuts"), (lambda c: c < s) if ascending else (lambda c: c > s)
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("_rb", bucket)
+        .drop("_cuts")
+    )
+
+
+def partitioned_running_sum(
+    df: DataFrame,
+    score_col: str,
+    tiebreak_cols: list[str],
+    val_col: "str | None" = None,
+    ascending: bool = True,
+    n_buckets: int = 64,
+    out_col: str = "rank",
+) -> DataFrame:
+    """df + `out_col` = running sum of `val_col` (or row count when None,
+    i.e. exact global row_number) over the total order
+    (`score_col` asc|desc, *tiebreak_cols asc) — with no global window.
+
+    `score_col` must be non-null and numeric (it feeds
+    percentile_approx); the tiebreaks may be any orderable columns."""
+    b = _with_range_bucket(df, score_col, ascending, n_buckets)
+    val = F.lit(1).cast("long") if val_col is None else F.col(val_col)
+    order = [
+        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        *[F.col(c).asc() for c in tiebreak_cols],
+    ]
+    w = (
+        Window.partitionBy("_rb")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = b.groupBy("_rb").agg(F.sum(val).alias("_bt"))
+    woff = Window.orderBy("_rb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_rb",
+        F.coalesce(F.sum("_bt").over(woff), F.lit(0).cast("long")).alias(
+            "_boff"
+        ),
+    )
+    out = (
+        b.join(F.broadcast(offsets), "_rb")
+        .withColumn(out_col, F.col("_boff") + F.sum(val).over(w))
+        .drop("_rb", "_boff")
+    )
+    return out
+
+
+def scalable_row_number(
+    df: DataFrame,
+    score_col: str,
+    tiebreak_cols: list[str],
+    ascending: bool = True,
+    n_buckets: int = 64,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Exact global row_number() over (`score_col`, *tiebreaks) with no
+    single-task sort; see module docstring."""
+    return partitioned_running_sum(
+        df,
+        score_col,
+        tiebreak_cols,
+        val_col=None,
+        ascending=ascending,
+        n_buckets=n_buckets,
+        out_col=out_col,
+    )
+
+
+def ntile_from_rank(rank: Column, n: Column, tiers: int) -> Column:
+    """Closed-form `ntile(tiers)` from a global 1-based row_number and the
+    total row count: the first (n % tiers) buckets hold (n//tiers + 1)
+    rows, the rest n//tiers — exactly Spark/ANSI ntile semantics, so a
+    scalable_row_number + this map replaces `ntile().over(global window)`
+    bit-for-bit."""
+    q = F.floor(n / tiers)
+    rem = n - q * tiers
+    cut = rem * (q + 1)
+    q_safe = F.greatest(q, F.lit(1))  # q=0 (n < tiers) never reaches ELSE
+    return (
+        F.when(rank <= cut, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rank - cut - 1) / q_safe) + 1)
+        .cast("int")
+    )

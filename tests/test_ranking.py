@@ -1,0 +1,98 @@
+"""Range-partitioned rank == global-window rank, on tie-heavy data.
+
+The helpers must reproduce the single-task global window bit-for-bit
+(same ranks, same ntile tiers) — that is what lets rfm_segments /
+rrf_fusion / rank_biased_overlap / degree_ccdf swap their global windows
+out without touching their DuckDB oracles."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.ranking import (
+    ntile_from_rank,
+    partitioned_running_sum,
+    scalable_row_number,
+)
+
+
+@pytest.fixture(scope="module")
+def tiedf(spark):
+    # 500 rows, scores drawn from only 7 distinct values -> every range
+    # bucket boundary lands inside a tie run
+    rows = [(i, (i * 37) % 7, float((i * 13) % 5)) for i in range(500)]
+    return spark.createDataFrame(rows, "id int, score int, val double")
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+@pytest.mark.parametrize("n_buckets", [1, 8, 64])
+def test_row_number_matches_global_window(tiedf, ascending, n_buckets):
+    order = F.col("score").asc() if ascending else F.col("score").desc()
+    w = Window.orderBy(order, F.col("id").asc())
+    want = {
+        r["id"]: r["rank"]
+        for r in tiedf.select("id", F.row_number().over(w).alias("rank")).collect()
+    }
+    got = {
+        r["id"]: r["rank"]
+        for r in scalable_row_number(
+            tiedf, "score", ["id"], ascending=ascending, n_buckets=n_buckets
+        ).select("id", "rank").collect()
+    }
+    assert got == want
+
+
+def test_running_sum_matches_global_window(tiedf):
+    w = (
+        Window.orderBy(F.col("score").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in tiedf.select("id", F.sum("val").over(w).alias("cum")).collect()
+    }
+    got = {
+        r["id"]: r["cum"]
+        for r in partitioned_running_sum(
+            tiedf, "score", ["id"], val_col="val", ascending=False,
+            n_buckets=8, out_col="cum",
+        ).select("id", "cum").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+@pytest.mark.parametrize("tiers", [2, 3, 4, 7, 499, 500, 501])
+def test_ntile_closed_form(spark, tiers):
+    n = 500
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 7) for i in range(n)], "id int, score int"
+    )
+    w = Window.orderBy(F.col("score").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["t"]
+        for r in df.select("id", F.ntile(tiers).over(w).alias("t")).collect()
+    }
+    ranked = scalable_row_number(df, "score", ["id"], n_buckets=8)
+    got = {
+        r["id"]: r["t"]
+        for r in ranked.withColumn(
+            "t", ntile_from_rank(F.col("rank"), F.lit(n), tiers)
+        ).select("id", "t").collect()
+    }
+    assert got == want
+
+
+def test_no_unpartitioned_corpus_window(tiedf):
+    """The physical plan's only empty-partition-spec window is over the
+    bucket-offsets side (n_buckets rows), never the input table: assert
+    the full-table window carries a partition spec."""
+    out = scalable_row_number(tiedf, "score", ["id"], n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window node over _rb-partitioned data names the partition col
+    import re
+
+    wins = [l for l in plan.splitlines() if "Window" in l and "row_number" not in l or "windowspecdefinition" in l]
+    # the corpus-side window must mention partition column _rb
+    assert "_rb" in plan

@@ -13,6 +13,9 @@ trained BPE rules, banded LSH signatures, eval Bloom filter).
 Writes under --output (each independently loadable):
     minhash_buckets/  (band, bucket, doc_id)   — incremental_minhash_pairs
                       / streaming LSH probe read this as index_buckets
+    neardup_pairs/    (id_a, id_b, jaccard)    — verified near-dup pairs;
+                      cluster_size_hist / dedup_survivors / dedup_apply
+                      consume these instead of recomputing signatures
     digest_index/     (digest, doc_id)         — incremental_dedup's
                       ingested-source digest index
     ivf_centroids/    (cid, cv array<double>)  — ivf_topk / semdedup /
@@ -95,6 +98,20 @@ def main() -> None:
     ).parquet(f"{out}/minhash_buckets")
     manifest["minhash_bucket_rows"] = spark.read.parquet(
         f"{out}/minhash_buckets"
+    ).count()
+
+    # 2b. verified near-dup pairs (banded candidates -> exact-Jaccard
+    # verify) — the artifact recurring corpus-health reports
+    # (cluster_size_hist / dedup_survivors / dedup_apply) consume
+    # instead of recomputing signatures + self-join per invocation
+    from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+    minhash_lsh_pairs(
+        docs, n=3, num_hashes=args.num_hashes, bands=args.bands,
+        threshold=0.7,
+    ).write.mode("overwrite").parquet(f"{out}/neardup_pairs")
+    manifest["neardup_pair_rows"] = spark.read.parquet(
+        f"{out}/neardup_pairs"
     ).count()
 
     # 3. trained BPE rules + the induced vocabulary

@@ -53,6 +53,17 @@ def test_run_index_job_artifacts_serve_consumers(spark, tmp_path):
     )
     assert pairs.count() >= 0  # runs end-to-end against the artifact
 
+    # persisted verified pairs == inline recomputation (the artifact the
+    # corpus-health reports consume instead of re-running signatures)
+    from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+    persisted = spark.read.parquet(os.path.join(out, "neardup_pairs"))
+    assert manifest["neardup_pair_rows"] == persisted.count()
+    inline = minhash_lsh_pairs(docs, n=3, threshold=0.7)
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
     # BPE rules reproduce bpe_encode exactly (vs inline training)
     from pdf_extractor_spark.operators.curation import bpe_encode
 

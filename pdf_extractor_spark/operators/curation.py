@@ -1314,14 +1314,15 @@ def quality_tiers(
     boundaries cannot flip on last-ulp float differences.
 
     Scale shape: lm_perplexity's three narrow-key shuffles, one join back
-    to the corpus on doc_id for the language, then a per-language window.
-    Languages are few and docs many, so the window partition is the skew
-    surface — `approx=True` is the 10^12-doc path: per-language
-    percentile_approx cut points (a tiny aggregate) broadcast back and
-    bucketed by comparison — NO per-language total sort, the corpus pass
-    stays narrow. Tier counts are then approximate (sketch-bounded)
-    instead of exactly balanced; the exact path remains the oracle-checked
-    default."""
+    to the corpus on doc_id for the language, then per-language EXACT
+    ntile via ranking.grouped_ntile — per-language cut points split each
+    language into range sub-buckets so a dominant language (half the
+    corpus in one language is the norm) sorts across n_buckets parallel
+    tasks, never one; output is bit-identical to the naive per-language
+    window (same oracle). `approx=True` drops the in-bucket ordering too:
+    tiers come straight from broadcast percentile_approx cut points —
+    counts are then sketch-bounded approximate instead of exactly
+    balanced, the cheapest form when balance tolerance allows."""
     ppl = lm_perplexity(df, text_col, id_col)
     joined = ppl.join(df.select(F.col(id_col), F.col(lang_col)), id_col)
     if approx:
@@ -1353,10 +1354,13 @@ def quality_tiers(
             F.min("perplexity").alias("min_ppl"),
             F.max("perplexity").alias("max_ppl"),
         )
-    w = Window.partitionBy(lang_col).orderBy("cross_entropy", id_col)
+    from .ranking import grouped_ntile
+
+    tiered = grouped_ntile(
+        joined, lang_col, "cross_entropy", [id_col], n_tiers
+    )
     return (
-        joined.withColumn("tier", F.ntile(n_tiers).over(w))
-        .groupBy(F.col(lang_col).alias("lang"), "tier")
+        tiered.groupBy(F.col(lang_col).alias("lang"), "tier")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min("perplexity").alias("min_ppl"),

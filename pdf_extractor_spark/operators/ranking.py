@@ -121,6 +121,64 @@ def scalable_row_number(
     )
 
 
+def grouped_ntile(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tiebreak_cols: list[str],
+    tiers: int,
+    n_buckets: int = 16,
+    out_col: str = "tier",
+) -> DataFrame:
+    """df + `out_col` = exact per-group `ntile(tiers)` over
+    (`score_col` asc, *tiebreak_cols asc) with NO per-group corpus sort:
+    per-group percentile_approx cut points split each group into range
+    sub-buckets, windows run per (group, sub-bucket), and per-group
+    offsets/totals come from the bounded (groups x n_buckets) count
+    table. A dominant group (one language = half the corpus) therefore
+    sorts in n_buckets parallel tasks instead of one. NULL group keys
+    form their own group (null-safe joins), matching
+    `Window.partitionBy(group)` semantics. Output is bit-identical to
+    `ntile().over(partitionBy(group).orderBy(...))`."""
+    gc = F.col(group_col)
+    s = F.col(score_col)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.groupBy(gc.alias("_g")).agg(
+        F.percentile_approx(score_col, probs).alias("_cuts")
+    )
+    b = (
+        df.join(F.broadcast(cuts), gc.eqNullSafe(F.col("_g")))
+        .withColumn("_rb", F.size(F.filter(F.col("_cuts"), lambda c: c < s)))
+        .drop("_cuts", "_g")
+    )
+    counts = b.groupBy(gc.alias("_g"), "_rb").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    woff = (
+        Window.partitionBy("_g")
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_g",
+        F.col("_rb").alias("_rb2"),
+        F.coalesce(F.sum("_n").over(woff), F.lit(0).cast("long")).alias(
+            "_boff"
+        ),
+        F.sum("_n").over(Window.partitionBy("_g")).alias("_gtot"),
+    )
+    order = [s.asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(group_col, "_rb").orderBy(*order)
+    joined = b.join(
+        F.broadcast(offsets),
+        gc.eqNullSafe(F.col("_g")) & (F.col("_rb") == F.col("_rb2")),
+    ).drop("_rb2")
+    rank = F.col("_boff") + F.row_number().over(w)
+    return joined.withColumn(
+        out_col, ntile_from_rank(rank, F.col("_gtot"), tiers)
+    ).drop("_rb", "_g", "_boff", "_gtot")
+
+
 def ntile_from_rank(rank: Column, n: Column, tiers: int) -> Column:
     """Closed-form `ntile(tiers)` from a global 1-based row_number and the
     total row count: the first (n % tiers) buckets hold (n//tiers + 1)

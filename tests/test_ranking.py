@@ -84,6 +84,31 @@ def test_ntile_closed_form(spark, tiers):
     assert got == want
 
 
+@pytest.mark.parametrize("tiers", [2, 3, 5])
+def test_grouped_ntile_matches_window(spark, tiers):
+    from pdf_extractor_spark.operators.ranking import grouped_ntile
+
+    # skewed groups (one dominant), tie-heavy scores, plus a NULL group
+    rows = [
+        (i, None if i % 97 == 0 else ("g%d" % (0 if i % 4 else i % 3)),
+         float((i * 13) % 6))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id int, grp string, score double")
+    w = Window.partitionBy("grp").orderBy(F.col("score").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["t"]
+        for r in df.select("id", F.ntile(tiers).over(w).alias("t")).collect()
+    }
+    got = {
+        r["id"]: r["tier"]
+        for r in grouped_ntile(
+            df, "grp", "score", ["id"], tiers, n_buckets=4
+        ).select("id", "tier").collect()
+    }
+    assert got == want
+
+
 def test_no_unpartitioned_corpus_window(tiedf):
     """The physical plan's only empty-partition-spec window is over the
     bucket-offsets side (n_buckets rows), never the input table: assert

@@ -207,8 +207,16 @@ def assoc_rules(
     Scale: Apriori pruning — singleton counts first, only tokens that
     are themselves frequent enter pair generation (broadcast semi-join),
     so the per-doc pair blowup is bounded by the frequent vocabulary a
-    doc contains, not its length. Pair counting shuffles once on the
-    (a, b) key; the candidate self-join is co-partitioned on doc_id.
+    doc contains, not its length. Pair generation is BASKET-LOCAL: the
+    frequent items regroup to one array per doc (a groupBy on the id the
+    caller usually already partitioned by), the a<b pairs materialize as
+    an in-row array comprehension, and pair counting map-side-combines
+    before its one (a, b) shuffle — no self-join, so no second copy of
+    the item table ever shuffles (the round-2 plan had 26 exchanges from
+    the join-based shape; this one has 3 data-sized ones: tok counts,
+    basket regroup, pair counts). The final top-k is TakeOrdered, not a
+    global rules window — rules can be vocabulary² and must not sort in
+    one task.
     """
     items = df.select(
         F.col(id_col),
@@ -233,15 +241,27 @@ def assoc_rules(
     fitems = items.join(
         F.broadcast(freq.select("tok", "n_tok")), "tok"
     )
-    a = fitems.select(
-        F.col(id_col), F.col("tok").alias("a"), F.col("n_tok").alias("n_a")
+    baskets = fitems.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("tok", "n_tok"))).alias("_b")
     )
-    b = fitems.select(
-        F.col(id_col), F.col("tok").alias("b"), F.col("n_tok").alias("n_b")
+    k = F.size("_b")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_b"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_b"), i + 2, k),
+                lambda y: F.struct(
+                    x["tok"].alias("a"),
+                    x["n_tok"].alias("n_a"),
+                    y["tok"].alias("b"),
+                    y["n_tok"].alias("n_b"),
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, id_col)
-        .where(F.col("a") < F.col("b"))
+        baskets.select(F.explode(pair_arr).alias("_p"))
+        .select("_p.a", "_p.n_a", "_p.b", "_p.n_b")
         .groupBy("a", "n_a", "b", "n_b")
         .agg(F.count("*").alias("n_pair"))
         .crossJoin(F.broadcast(totals))
@@ -276,16 +296,18 @@ def assoc_rules(
             6,
         ).alias("lift"),
     )
+    # exact top-k via TakeOrderedAndProject (per-partition heads + one
+    # driver merge of k-row samples — never a global sort); the rank
+    # window then runs over <= top_k rows, a bounded single partition
+    top = rules.orderBy(
+        F.col("lift").desc(), F.col("antecedent"), F.col("consequent")
+    ).limit(top_k)
     w = Window.orderBy(
         F.col("lift").desc(), F.col("antecedent"), F.col("consequent")
     )
-    return (
-        rules.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .select(
-            "rank", "antecedent", "consequent", "n_pair", "n_ante",
-            "n_cons", "confidence", "lift",
-        )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "antecedent", "consequent", "n_pair", "n_ante",
+        "n_cons", "confidence", "lift",
     )
 
 

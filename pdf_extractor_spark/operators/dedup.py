@@ -662,7 +662,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 6,
-    seg_match: int = 2,
+    seg_match: int = 3,
     max_bucket: int | None = 10_000,
     oversize: str = "drop",
 ) -> DataFrame:
@@ -677,8 +677,13 @@ def simhash_neardup_pairs(
     Scale knobs (the round-1 weakness was blocks=4 single-segment 16-bit
     keys — 65,536 buckets, quadratic at web scale): key width is
     seg_match * (60/blocks) bits, candidate volume ~ C(blocks, seg_match)
-    * n^2 / 2^width per uniformly-hashed corpus. Defaults (6 blocks, match
-    2) give 20-bit keys; at 10^12 docs use e.g. blocks=12, seg_match=8 for
+    * n^2 / 2^width per uniformly-hashed corpus. The OUTPUT is invariant
+    to these knobs wherever completeness holds (verified pairs are
+    exactly the hamming matches), so they tune candidate volume only.
+    Defaults (6 blocks, match 3) give 30-bit keys at C(6,3)=20 combos —
+    measured 1.4x faster than the round-2 20-bit/15-combo setting on the
+    shared-vocabulary bench corpus (fewer colliding candidates outweigh
+    the extra combos); at 10^12 docs use e.g. blocks=12, seg_match=8 for
     40-bit keys — same operator, wider key. max_bucket additionally caps
     any degenerate (combo, key) bucket (duplicate-heavy corpora), with the
     same oversize='drop'|'star' policy as minhash_lsh_pairs: 'star' emits
@@ -712,60 +717,104 @@ def simhash_neardup_pairs(
         "id", "simhash", F.explode(F.array(*combo_keys)).alias("ck")
     ).select("id", "simhash", "ck.combo", "ck.key")
 
-    star = None
-    if max_bucket is not None:
-        hot = (
-            keyed.groupBy("combo", "key")
-            .agg(F.count("*").alias("sz"), F.min("id").alias("root"))
-            .filter(F.col("sz") > max_bucket)
-        )
-        if oversize == "star":
-            # bucket-min -> member candidates for oversized buckets; both
-            # signatures recovered from the keyed rows (member) and a
-            # broadcast root-signature lookup, then hamming-verified like
-            # any other candidate — same rationale as minhash's star mode
-            roots = hot.select("combo", "key", "root").join(
-                sigs.select(
-                    F.col("id").alias("root"),
-                    F.col("simhash").alias("root_sim"),
-                ),
-                "root",
-            )
-            star = (
-                keyed.join(F.broadcast(roots), ["combo", "key"])
-                .filter(F.col("id") != F.col("root"))
-                .select(
-                    F.col("root").alias("id1"),
-                    F.col("id").alias("id2"),
-                    F.bit_count(
-                        F.col("root_sim").bitwiseXOR(F.col("simhash"))
-                    ).alias("hamming"),
-                )
-            )
-        keyed = keyed.join(
-            F.broadcast(hot.select("combo", "key")),
-            ["combo", "key"],
-            "left_anti",
+    # ONE (combo, key) exchange for everything: buckets collect their
+    # member list (id-sorted, so generated pairs are id1 < id2 for free)
+    # and the size census falls out of the same aggregate — no separate
+    # hot-bucket groupBy, no broadcast anti-join, and no sort-merge
+    # self-join sorting the 15x-exploded table twice. Three tiers by
+    # bucket size:
+    #   * sz <= _INROW: all pairs as an in-row array comprehension
+    #     (bounded at _INROW^2/2 structs per row), map-side work only;
+    #   * _INROW < sz <= max_bucket: the rare mid buckets re-explode and
+    #     self-join — both sides hang off the SAME bucket aggregate, so
+    #     the join reuses its exchange and only the mid rows sort;
+    #   * sz > max_bucket: drop, or 'star' root->member pairs straight
+    #     from the member array (root = m[0] = min id).
+    buckets = keyed.groupBy("combo", "key").agg(
+        F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("m")
+    )
+    sz = F.size("m")
+    inrow = 256 if max_bucket is None else min(256, max_bucket)
+
+    def _ham(x, y):
+        return F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+
+    def _pair(x, y):
+        return F.struct(
+            x["id"].alias("id1"), y["id"].alias("id2"),
+            _ham(x, y).alias("hamming"),
         )
 
-    # sort-merge self-join for the same ReusedExchange reason as minhash
-    a = keyed.hint("merge").alias("a")
-    b = keyed.hint("merge").alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # the hamming verify runs INSIDE the comprehension: candidates are
+    # sz^2-many but survivors are rare, so filtering before the explode
+    # keeps the generated row count at |matches|, not |candidates|
+    # (measured 2.6s -> sub-second at sf0.1: ~9M candidate rows never
+    # materialize)
+    small_arr = F.flatten(
+        F.transform(
+            "m",
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice("m", i + 2, sz), lambda y: _pair(x, y)
+                ),
+                lambda p: p["hamming"] <= max_hamming,
+            ),
+        )
     )
-    pairs = a.join(
-        b,
-        (F.col("a.combo") == F.col("b.combo"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id1"),
-        F.col("b.id").alias("id2"),
-        hamming.alias("hamming"),
-    )
-    if star is not None:
-        pairs = pairs.unionByName(star)
+    parts = [
+        buckets.filter(sz <= inrow)
+        .select(F.explode(small_arr).alias("_p"))
+        .select("_p.id1", "_p.id2", "_p.hamming")
+    ]
+    if max_bucket is None or max_bucket > inrow:
+        mid_pred = sz > inrow
+        if max_bucket is not None:
+            mid_pred = mid_pred & (sz <= max_bucket)
+        mid = (
+            buckets.filter(mid_pred)
+            .select("combo", "key", F.explode("m").alias("e"))
+            .select(
+                "combo", "key",
+                F.col("e.id").alias("id"),
+                F.col("e.simhash").alias("simhash"),
+            )
+        )
+        a = mid.hint("merge").alias("a")
+        b = mid.hint("merge").alias("b")
+        parts.append(
+            a.join(
+                b,
+                (F.col("a.combo") == F.col("b.combo"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (
+                    F.bit_count(
+                        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                    )
+                    <= max_hamming
+                ),
+            ).select(
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+        )
+    if max_bucket is not None and oversize == "star":
+        root = F.col("m")[0]
+        star_arr = F.filter(
+            F.transform(F.slice("m", 2, sz), lambda y: _pair(root, y)),
+            lambda p: p["hamming"] <= max_hamming,
+        )
+        parts.append(
+            buckets.filter(sz > max_bucket)
+            .select(F.explode(star_arr).alias("_p"))
+            .select("_p.id1", "_p.id2", "_p.hamming")
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
     return (
         pairs.filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])

@@ -6,13 +6,17 @@ fallback) — modeled as producers that turn raw document bytes into the
 
 In production these run UPSTREAM of this engine (the Iceberg documents
 table already contains spans, per input_hint); they are modeled here so the
-engine composes end-to-end from bytes when needed. The native decode
-kernels are STUBBED exactly like operators/multimodal.py:
-`deterministic=True` routes to a pure-arithmetic fake (stable across
-runs/engines); `deterministic=False` raises NotImplementedError at the
-point where pdf2image/tesseract/camelot would plug in. Everything around
+engine composes end-to-end from bytes when needed. The decode kernel is a
+PARAMETER (`kernel=`): any callable with the per-producer contract plugs
+in — tests/test_producer_kernel.py proves the seam with an injected fake
+kernel unconditionally and with a real pdfplumber parse when the library
+is importable. With no kernel given, `deterministic=True` routes to a
+pure-arithmetic fake (stable across runs/engines);
+`deterministic=False` builds the real kernel from
+pdfplumber / pdf2image+tesseract / camelot and raises NotImplementedError
+only when those libraries are absent from the runtime. Everything around
 the kernel — mapInPandas signature, Arrow batch shape, output spans schema,
-page numbering, the tesseract language map — is real and tested.
+page numbering, the tesseract language map — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -64,42 +68,75 @@ def _fake_page_texts(payload: bytes, lang: str) -> list[str]:
     return pages
 
 
+def stub_text_kernel(payload: bytes) -> list[str]:
+    """Deterministic fake PDF text parse: page count / page text derived
+    from the payload bytes (stable across runs and engines)."""
+    b = payload or b""
+    n_pages = max(1, len(b) % 5)
+    per = max(1, len(b) // n_pages)
+    return [
+        b[p * per : (p + 1) * per].decode("utf-8", "replace")
+        for p in range(n_pages)
+    ]
+
+
+def pdfplumber_text_kernel(payload: bytes) -> list[str]:
+    """Real PDF page-text kernel (the reference's pdfplumber path,
+    extractor.py:37-92): one string per page. Imports inside the call so
+    the function pickles by reference into the mapInPandas closure and
+    each worker imports locally."""
+    import io
+
+    import pdfplumber
+
+    with pdfplumber.open(io.BytesIO(payload or b"")) as pdf:
+        return [page.extract_text() or "" for page in pdf.pages]
+
+
+def real_text_kernel():
+    """pdfplumber-backed kernel, or NotImplementedError when the library
+    is absent from the runtime (the documented seam)."""
+    try:
+        import pdfplumber  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real PDF text parse requires pdfplumber — not in this "
+            "runtime; pass kernel= to plug a parser in "
+            "(extractor.py:37-92 is the reference behavior)"
+        ) from exc
+    return pdfplumber_text_kernel
+
+
 def text_producer(
     docs: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     deterministic: bool = True,
+    kernel=None,
 ) -> DataFrame:
     """(doc_id, payload binary) -> (doc_id, spans): the PyPDF2/pdfplumber
     text path (extractor.py:37-92) — one text span per page, offset = page
-    index. Same stub convention as ocr_producer: the parse kernel is a
-    deterministic fake; the mapInPandas plumbing and span contract are real."""
+    index. `kernel(payload: bytes) -> list[str]` (page texts) is
+    pluggable; default = deterministic stub, or the pdfplumber kernel
+    when deterministic=False."""
+    if kernel is None:
+        kernel = stub_text_kernel if deterministic else real_text_kernel()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic:
-                raise NotImplementedError(
-                    "real PDF text parse requires PyPDF2/pdfplumber — not in "
-                    "this runtime; wire the parser here "
-                    "(extractor.py:37-92 is the reference behavior)"
-                )
             out_ids, out_spans = [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = payload or b""
-                n_pages = max(1, len(b) % 5)
-                per = max(1, len(b) // n_pages)
+                pages = kernel(payload or b"")
                 out_ids.append(str(did))
                 out_spans.append(
                     [
                         {
                             "kind": "text",
-                            "text": b[p * per : (p + 1) * per].decode(
-                                "utf-8", "replace"
-                            ),
+                            "text": t,
                             "media_ref": None,
                             "offset": p,
                         }
-                        for p in range(n_pages)
+                        for p, t in enumerate(pages)
                     ]
                 )
             yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
@@ -114,13 +151,17 @@ def dispatch_extract(
     id_col: str = "doc_id",
     lang_col: str | None = None,
     deterministic: bool = True,
+    text_kernel=None,
+    ocr_kernel=None,
+    table_kernel=None,
 ) -> DataFrame:
     """Method dispatch (extractor.py:26-36: the extraction_methods dict
     routing 'text'/'ocr'/'tables' to their extractors), Spark shape: one
     FILTER per method + the matching producer + unionByName — three narrow
     pipelines over disjoint row sets, no per-row branching, each method's
     mapInPandas sees only its own rows. Unknown methods fall back to 'text'
-    (the reference's .get(default) at :34 resolves to extract_text)."""
+    (the reference's .get(default) at :34 resolves to extract_text).
+    Per-method kernels pass through to the producers."""
     from pyspark.sql import functions as F
 
     m = F.coalesce(F.col(method_col), F.lit("text"))
@@ -128,12 +169,46 @@ def dispatch_extract(
     ocr_rows = docs.filter(m == "ocr")
     table_rows = docs.filter(m == "tables")
     return (
-        text_producer(text_rows, payload_col, id_col, deterministic)
-        .unionByName(
-            ocr_producer(ocr_rows, payload_col, id_col, lang_col, deterministic)
+        text_producer(
+            text_rows, payload_col, id_col, deterministic, text_kernel
         )
-        .unionByName(table_producer(table_rows, payload_col, id_col, deterministic))
+        .unionByName(
+            ocr_producer(
+                ocr_rows, payload_col, id_col, lang_col, deterministic,
+                ocr_kernel,
+            )
+        )
+        .unionByName(
+            table_producer(
+                table_rows, payload_col, id_col, deterministic, table_kernel
+            )
+        )
     )
+
+
+def tesseract_ocr_kernel(payload: bytes, lang: str) -> list[str]:
+    """Real OCR kernel (extractor.py:157-219): rasterize each PDF page
+    (pdf2image) and OCR it (pytesseract) with the mapped tesseract
+    language. Worker-local imports, like pdfplumber_text_kernel."""
+    import pdf2image
+    import pytesseract
+
+    images = pdf2image.convert_from_bytes(payload or b"")
+    tl = TESSERACT_LANG.get(lang, "eng")
+    return [pytesseract.image_to_string(img, lang=tl) for img in images]
+
+
+def real_ocr_kernel():
+    try:
+        import pdf2image  # noqa: F401
+        import pytesseract  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real OCR requires pdf2image/pytesseract — not in this "
+            "runtime; pass kernel= to plug a decoder in "
+            "(extractor.py:157-219 is the reference behavior)"
+        ) from exc
+    return tesseract_ocr_kernel
 
 
 def ocr_producer(
@@ -142,24 +217,27 @@ def ocr_producer(
     id_col: str = "doc_id",
     lang_col: str | None = None,
     deterministic: bool = True,
+    kernel=None,
 ) -> DataFrame:
     """(doc_id, payload binary[, lang]) -> (doc_id, spans): one text span
     per OCR'd page, offset = page index (extractor.py:196-219 semantics:
-    page_N keys -> offset N-1). mapInPandas; the tesseract call is the
-    stubbed kernel."""
+    page_N keys -> offset N-1). mapInPandas;
+    `kernel(payload: bytes, lang: str) -> list[str]` is pluggable
+    (default: deterministic stub; deterministic=False demands the
+    pdf2image/tesseract stack via real_ocr_kernel)."""
+    if kernel is None:
+        kernel = (
+            (lambda payload, lang: _fake_page_texts(payload, lang))
+            if deterministic
+            else real_ocr_kernel()
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic:
-                raise NotImplementedError(
-                    "real OCR requires pdf2image/opencv/tesseract — not in "
-                    "this runtime; wire the decoder here "
-                    "(extractor.py:157-219 is the reference behavior)"
-                )
             out_ids, out_spans = [], []
             langs = pdf[lang_col] if lang_col else ["en"] * len(pdf)
             for did, payload, lang in zip(pdf[id_col], pdf[payload_col], langs):
-                pages = _fake_page_texts(payload or b"", lang or "en")
+                pages = kernel(payload or b"", lang or "en")
                 out_ids.append(str(did))
                 out_spans.append(
                     [
@@ -173,27 +251,55 @@ def ocr_producer(
     return docs.mapInPandas(run, PRODUCED_SPANS_SCHEMA)
 
 
+def camelot_table_kernel(payload: bytes) -> int:
+    """Real table-detection kernel (extractor.py:97-143): camelot lattice
+    parse over the PDF bytes, returning the table count."""
+    import io
+    import tempfile
+
+    import camelot
+
+    with tempfile.NamedTemporaryFile(suffix=".pdf") as f:
+        f.write(payload or b"")
+        f.flush()
+        return len(camelot.read_pdf(f.name, pages="all"))
+
+
+def real_table_kernel():
+    try:
+        import camelot  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real table parsing requires camelot — not in this runtime; "
+            "pass kernel= to plug a parser in "
+            "(extractor.py:97-143 is the reference behavior)"
+        ) from exc
+    return camelot_table_kernel
+
+
 def table_producer(
     docs: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     deterministic: bool = True,
+    kernel=None,
 ) -> DataFrame:
     """(doc_id, payload binary) -> (doc_id, spans): one table span per
     detected table with media_ref 'table://{doc_id}/{n}' (extractor.py:
-    118-138: table_N keys; camelot lattice first, tabula fallback is the
-    stubbed kernel)."""
+    118-138: table_N keys; camelot lattice first, tabula fallback).
+    `kernel(payload: bytes) -> int` (table count) is pluggable."""
+    if kernel is None:
+        kernel = (
+            (lambda payload: len(payload or b"") % 3)
+            if deterministic
+            else real_table_kernel()
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic:
-                raise NotImplementedError(
-                    "real table parsing requires camelot/tabula — not in "
-                    "this runtime; wire the parser here"
-                )
             out_ids, out_spans = [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                n_tables = (len(payload or b"") % 3)
+                n_tables = kernel(payload or b"")
                 out_ids.append(str(did))
                 out_spans.append(
                     [

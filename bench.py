@@ -107,6 +107,8 @@ HEADLINE = [
     "gopher_filter",
     "c4_filter",
     "hash_lr",
+    "train_hash_lr",
+    "hash_lr_trained",
     "calibration_bins",
     "entity_mentions",
     "k_anonymity",

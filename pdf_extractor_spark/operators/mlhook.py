@@ -59,6 +59,66 @@ class KeywordStubModel:
         ]
 
 
+class HashLRModel:
+    """TRAINED hashed-BoW model for the ML hook (the jobs/run_train.py
+    artifact, loaded): same duck-type as the sklearn pipeline the
+    reference would unpickle. Margin = sum of per-DISTINCT-token bucket
+    weights (the Python twin of hash_lr_score(binary=True)'s fold),
+    compared against the trained LDA-midpoint threshold; probability is
+    a logistic squash of the threshold-centered margin so the fusion
+    cascade's >0.7 gate is reachable for confident docs."""
+
+    def __init__(self, weights, label: str, other: str = "other",
+                 threshold: float = 0.0, temperature: float | None = None):
+        self.weights = [float(w) for w in weights]
+        self.buckets = len(self.weights)
+        self.label = label
+        self.other = other
+        self.threshold = float(threshold)
+        # default temperature scales the logistic to the weight
+        # magnitude (integer weights scale with corpus size)
+        if temperature is None:
+            span = max(abs(w) for w in self.weights) or 1.0
+            temperature = 5.0 / span
+        self.temperature = temperature
+
+    def _margin(self, text: str) -> float:
+        import hashlib
+
+        m = 0.0
+        for tok in set((text or "").lower().split()):
+            j = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % self.buckets
+            m += self.weights[j]
+        return m
+
+    def predict(self, texts):
+        return [
+            self.label if self._margin(t) > self.threshold else self.other
+            for t in texts
+        ]
+
+    def predict_proba(self, texts):
+        import math
+
+        out = []
+        for t in texts:
+            z = self.temperature * (self._margin(t) - self.threshold)
+            p = 1.0 / (1.0 + math.exp(-max(min(z, 60.0), -60.0)))
+            out.append([p, 1.0 - p] if p >= 0.5 else [1.0 - p, p])
+        return out
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, label: str,
+             threshold: float = 0.0, **kw):
+        """Read the (bucket, weight) parquet artifact run_train.py wrote
+        (threshold from its manifest.json)."""
+        rows = spark.read.parquet(path).select("bucket", "weight").collect()
+        weights = [0.0] * (max(r["bucket"] for r in rows) + 1)
+        for r in rows:
+            weights[r["bucket"]] = r["weight"]
+        return cls(weights, label, threshold=threshold, **kw)
+
+
 def classify_by_ml_udf(spark: SparkSession, model):
     """Returns a pandas UDF text -> struct(ml_type, ml_score). `model` is
     broadcast once; None model (reference: no model file) scores every row

@@ -41,7 +41,90 @@ def canon(df):
     return sorted(rows)
 
 
+def col_kind(s):
+    """Hash-relevant type family of a pandas column: int / float /
+    decimal / ts[<tz>] / other. The driver's value hash distinguishes
+    317 from 317.0, Decimal('317.0') from 317.0, and tz-aware from naive
+    timestamps — a DECIMAL or differently-zoned timestamp column would
+    canonicalize to the same string here yet fail the driver, so the
+    kind gate must see them."""
+    import decimal
+
+    import pandas as pd
+    from pandas.api.types import is_datetime64_any_dtype
+
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if is_datetime64_any_dtype(s.dtype):
+        return f"ts[{getattr(s.dtype, 'tz', None)}]"
+    if k == "O":
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, pd.Timestamp):
+                return f"ts[{v.tz}]"
+            break
+    return "other"
+
+
+_STRICT_FAMILIES = ("int", "float", "decimal")
+
+
+def kind_mismatches(sdf, odf):
+    """Columns whose type families would hash differently on the driver:
+    any int/float/decimal disagreement, and any timestamp disagreement
+    (including tz-aware vs naive, or timestamp vs non-timestamp)."""
+    bad = []
+    for c in sdf.columns:
+        ka, kb = col_kind(sdf[c]), col_kind(odf[c])
+        if ka == kb:
+            continue
+        if ka in _STRICT_FAMILIES and kb in _STRICT_FAMILIES:
+            bad.append((c, ka, kb))
+        elif ka.startswith("ts[") or kb.startswith("ts["):
+            bad.append((c, ka, kb))
+    return bad
+
+
+def selftest():
+    """The checker must flag deliberately seeded dtype divergences that
+    %.9g canonicalization would otherwise hide."""
+    import decimal
+
+    import pandas as pd
+
+    f = pd.DataFrame({"x": [1.5]})
+    d = pd.DataFrame({"x": [decimal.Decimal("1.5")]})
+    i = pd.DataFrame({"x": [1]})
+    assert kind_mismatches(f, d), "decimal vs float must be flagged"
+    assert kind_mismatches(i, f), "int vs float must be flagged"
+    assert not kind_mismatches(f, f.copy()) and not kind_mismatches(d, d.copy())
+
+    naive = pd.DataFrame({"t": [pd.Timestamp("2024-01-01")]})
+    utc = pd.DataFrame({"t": [pd.Timestamp("2024-01-01", tz="UTC")]})
+    s = pd.DataFrame({"t": ["2024-01-01"]})
+    assert kind_mismatches(naive, utc), "tz-aware vs naive must be flagged"
+    assert kind_mismatches(naive, s), "timestamp vs string must be flagged"
+    assert not kind_mismatches(utc, utc.copy())
+
+    # object-dtype timestamps (duckdb sometimes yields object columns)
+    obj_ts = pd.DataFrame(
+        {"t": pd.Series([pd.Timestamp("2024-01-01", tz="UTC")], dtype=object)}
+    )
+    assert not kind_mismatches(utc, obj_ts)
+    assert kind_mismatches(naive, obj_ts)
+    print("selftest OK: decimal/timestamp divergences are flagged")
+
+
 def main():
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest()
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -90,17 +173,14 @@ def main():
             print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}")
             n_fail += 1
             continue
-        # driver's value hash distinguishes 317 from 317.0 — mimic by
-        # comparing the numeric KIND (int vs float) per shared column
-        kind_mismatch = [
-            c for c in sdf.columns
-            if sdf[c].dtype.kind in "iuf" and odf[c].dtype.kind in "iuf"
-            and (sdf[c].dtype.kind in "iu") != (odf[c].dtype.kind in "iu")
-        ]
-        if kind_mismatch:
-            print(f"FAIL {name}: int/float dtype mismatch in {kind_mismatch} "
-                  f"(spark {[str(sdf[c].dtype) for c in kind_mismatch]} vs "
-                  f"duckdb {[str(odf[c].dtype) for c in kind_mismatch]})")
+        # driver's value hash distinguishes 317 from 317.0, DECIMAL from
+        # DOUBLE, and tz-aware from naive timestamps — mimic by comparing
+        # the hash-relevant type FAMILY per shared column (col_kind)
+        bad = kind_mismatches(sdf, odf)
+        if bad:
+            print(f"FAIL {name}: dtype-family mismatch: "
+                  + ", ".join(f"{c} (spark {ka} vs duckdb {kb})"
+                              for c, ka, kb in bad))
             n_fail += 1
             continue
         a, b = canon(sdf), canon(odf)

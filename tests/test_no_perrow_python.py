@@ -23,6 +23,10 @@ ALLOW = {
     # num_buckets (<= 4096), never by table or update rows — the same
     # bounded-metadata class as the IVF centroid collect
     ("merge.py", "driver-side loop over collect()"),
+    # HashLRModel.load: the collected rows are the model's weight vector,
+    # bounded by the bucket count (256 by default), never by data rows —
+    # model loading, the same bounded class as the IVF centroid collect
+    ("operators/mlhook.py", "driver-side loop over collect()"),
     # fan_out's df.rdd.getNumPartitions(): partition-count METADATA only —
     # no job runs, no row ever crosses into Python; the .rdd guard exists
     # to block per-row Python row maps, which this is not

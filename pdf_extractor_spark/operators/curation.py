@@ -1356,6 +1356,10 @@ def quality_tiers(
         )
     from .ranking import grouped_ntile
 
+    # truncate the lm_perplexity dag before grouped_ntile reads the
+    # frame three times (per-lang cuts, bucket counts, ranked join):
+    # one narrow 4-column materialization vs three perplexity re-derives
+    joined = joined.localCheckpoint(eager=True)
     tiered = grouped_ntile(
         joined, lang_col, "cross_entropy", [id_col], n_tiers
     )

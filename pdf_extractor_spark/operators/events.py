@@ -880,22 +880,36 @@ def rfm_segments(df: DataFrame, tiers: int = 5) -> DataFrame:
         ((F.col("ref_us") - F.col("last_us")) / F.lit(86400_000_000))
         .cast("long"),
     )
+    # one materialization of the user rollup, then three INDEPENDENT
+    # range-partitioned ranks joined back on user_id. Chaining the rank
+    # calls instead nests their dags (each helper reads its input three
+    # times: cut points, bucket counts, the ranked join), which
+    # re-derived the events aggregation 3^3 times — measured 8x slower
+    # than the global-window form at sf0.1; this shape is faster than it
+    per_user = per_user.localCheckpoint(eager=True)
     tot = per_user.agg(F.count("*").cast("long").alias("_n"))
-    ranked = scalable_row_number(
+    rr = scalable_row_number(
         per_user, "recency_days", ["user_id"], ascending=True, out_col="_rr"
-    )
-    ranked = scalable_row_number(
-        ranked, "freq", ["user_id"], ascending=False, out_col="_rf"
-    )
-    ranked = scalable_row_number(
-        ranked, "cents", ["user_id"], ascending=False, out_col="_rm"
-    )
-    tiered = ranked.crossJoin(F.broadcast(tot)).select(
-        "user_id",
-        "cents",
-        ntile_from_rank(F.col("_rr"), F.col("_n"), tiers).alias("r_tier"),
-        ntile_from_rank(F.col("_rf"), F.col("_n"), tiers).alias("f_tier"),
-        ntile_from_rank(F.col("_rm"), F.col("_n"), tiers).alias("m_tier"),
+    ).select("user_id", "_rr")
+    rf = scalable_row_number(
+        per_user, "freq", ["user_id"], ascending=False, out_col="_rf"
+    ).select("user_id", "_rf")
+    rm = scalable_row_number(
+        per_user, "cents", ["user_id"], ascending=False, out_col="_rm"
+    ).select("user_id", "_rm")
+    tiered = (
+        per_user.select("user_id", "cents")
+        .join(rr, "user_id")
+        .join(rf, "user_id")
+        .join(rm, "user_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cents",
+            ntile_from_rank(F.col("_rr"), F.col("_n"), tiers).alias("r_tier"),
+            ntile_from_rank(F.col("_rf"), F.col("_n"), tiers).alias("f_tier"),
+            ntile_from_rank(F.col("_rm"), F.col("_n"), tiers).alias("m_tier"),
+        )
     )
     return tiered.groupBy("r_tier", "f_tier", "m_tier").agg(
         F.count("*").cast("long").alias("n_users"),

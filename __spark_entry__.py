@@ -2262,6 +2262,33 @@ def _hash_lr_trained(spark, sf_dir):
     )
 
 
+def _curriculum_order(spark, sf_dir):
+    """Curriculum training order: every document's global 1-based
+    position under (quality DESC, doc_id) — easiest/cleanest first — and
+    its rank-striped shard, with NO global sort: the range-partitioned
+    rank engine (operators/ranking.py) computes the exact row_number via
+    broadcast quality-quantile buckets. Rank striping (pos mod n_shards)
+    gives every training shard the full curriculum band structure. The
+    quality score is rounded to 6dp BEFORE ranking so bucket edges and
+    rank order cannot flip on last-ulp float differences (house rule)."""
+    from pdf_extractor_spark.operators.ranking import scalable_row_number
+    from pdf_extractor_spark.operators.textstats import add_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = add_quality_score(docs, "text", "quality").select(
+        "doc_id", "quality"
+    )
+    ranked = scalable_row_number(
+        scored, "quality", ["doc_id"], ascending=False, out_col="pos"
+    )
+    return ranked.select(
+        "doc_id",
+        "quality",
+        F.col("pos").cast("long").alias("pos"),
+        F.pmod(F.col("pos") - 1, F.lit(8)).cast("int").alias("shard"),
+    )
+
+
 def _model_accuracy(spark, sf_dir):
     """One-row promotion gate for the trained model: doc counts, teacher
     base rate, and train-set accuracy."""
@@ -5229,6 +5256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_hash_lr": _train_hash_lr,
         "hash_lr_trained": _hash_lr_trained,
         "model_accuracy": _model_accuracy,
+        "curriculum_order": _curriculum_order,
     }
 
 
@@ -7319,6 +7347,15 @@ SELECT doc_id, CAST(n AS INT) AS n_tokens, round(margin, 6) AS margin,
        pred, y AS label, (pred = y) AS correct
 FROM p
 """
+    sql["curriculum_order"] = f"""
+WITH q AS ({{quality}}),
+r AS (
+  SELECT doc_id, quality,
+         CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
+              AS BIGINT) AS pos
+  FROM q)
+SELECT doc_id, quality, pos, CAST((pos - 1) % 8 AS INT) AS shard FROM r
+""".format(quality=sql["quality_score"])
     sql["model_accuracy"] = f"""
 WITH {_tr_cte},
 {_tr_margin}

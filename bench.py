@@ -109,6 +109,7 @@ HEADLINE = [
     "hash_lr",
     "train_hash_lr",
     "hash_lr_trained",
+    "curriculum_order",
     "calibration_bins",
     "entity_mentions",
     "k_anonymity",

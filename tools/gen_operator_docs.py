@@ -23,7 +23,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "top_revenue_orders", "customers_per_region",
     ]),
     ("Extraction / classification / validation (reference parity)", [
-        "extract_pipeline", "classify_rules", "preprocess_text",
+        "extract_pipeline", "extract_pipeline_digest",
+        "classify_rules", "preprocess_text",
         "lang_name", "span_validations", "auto_repair", "table_match",
         "page_filter", "span_regression", "nfc_normalize",
     ]),
@@ -34,7 +35,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "wordpiece_encode",
         "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
-        "gopher_filter", "c4_filter", "hash_lr", "calibration_bins",
+        "gopher_filter", "c4_filter", "hash_lr", "train_hash_lr",
+        "hash_lr_trained", "model_accuracy", "curriculum_order",
+        "calibration_bins",
         "entity_mentions", "vocab_coverage",
         "readability", "tokenizer_fertility", "ocr_garble_score",
         "script_mix", "sentence_segment", "quality_percentile",

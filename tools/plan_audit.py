@@ -110,6 +110,36 @@ SCALAR_BROADCAST_OK = {
     "bucketing",
     "join_size_estimate": "four 1-row histogram summaries crossed into "
     "the single diagnostics row",
+    "markov_stationary": "state-count normalizer as 1-row agg broadcast "
+    "onto the states-sized transition frame",
+    "markov_entropy_rate": "inherits markov_stationary's 1-row "
+    "normalizer broadcast",
+    "ndcg_topk": "per-query ideal-DCG scalars as a bounded-query-set "
+    "agg broadcast",
+    "pps_sample": "corpus size total as 1-row agg broadcast onto the "
+    "inclusion-probability pass",
+    "psi_drift": "period row totals as 1-row agg broadcasts onto the "
+    "bounded bin frame",
+    "query_likelihood": "corpus LM totals as 1-row agg broadcast "
+    "(query-likelihood smoothing denominator)",
+    # range-partitioned rank engine (operators/ranking.py): the
+    # percentile_approx cut-point ARRAY is a 1-row aggregate crossed
+    # onto the frame being ranked — the broadcast that replaces the
+    # single-task global sort
+    "rrf_fusion": "rank cut-point arrays as 1-row agg broadcasts "
+    "(ranking.py)",
+    "rank_biased_overlap": "rank cut-point arrays as 1-row agg "
+    "broadcasts (ranking.py)",
+    "curriculum_order": "rank cut-point array as 1-row agg broadcast "
+    "(ranking.py)",
+    "rfm_segments_ranks": "rank cut-point arrays as 1-row agg "
+    "broadcasts (ranking.py)",
+    "train_hash_lr": "class token totals (P, N) as 1-row agg broadcast "
+    "onto the bucket frame",
+    "hash_lr_trained": "trained threshold stats (sp, sn, cp, cn) as "
+    "1-row agg broadcast onto the scored corpus",
+    "model_accuracy": "inherits hash_lr_trained's 1-row threshold "
+    "broadcast",
 }
 
 

@@ -140,6 +140,15 @@ SCALAR_BROADCAST_OK = {
     "1-row agg broadcast onto the scored corpus",
     "model_accuracy": "inherits hash_lr_trained's 1-row threshold "
     "broadcast",
+    # AQE flips these between BroadcastHashJoin and BNLJ run-to-run at
+    # sf0.001 sizes; the build side is scalar/bounded either way
+    "abtt_transform": "corpus mean + top-component vectors as 1-row "
+    "agg broadcasts",
+    "embedding_isotropy": "corpus mean/norm stats as 1-row agg "
+    "broadcasts",
+    "ks_test": "per-sample sizes as 1-row agg broadcasts",
+    "dedup_threshold_curve": "deliberate 4-row threshold frame crossed "
+    "onto the pair table (bounded by the threshold list, never data^2)",
 }
 
 

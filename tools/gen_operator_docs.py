@@ -36,7 +36,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
         "gopher_filter", "c4_filter", "hash_lr", "train_hash_lr",
-        "hash_lr_trained", "model_accuracy", "curriculum_order",
+        "hash_lr_trained", "model_accuracy", "curriculum_order", "packing_efficiency",
         "calibration_bins",
         "entity_mentions", "vocab_coverage",
         "readability", "tokenizer_fertility", "ocr_garble_score",

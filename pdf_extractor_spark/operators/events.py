@@ -1470,7 +1470,26 @@ def interarrival_hist(df: DataFrame) -> DataFrame:
     )
 
 
-def markov_stationary(df: DataFrame, iters: int = 3) -> DataFrame:
+def _markov_transitions(df: DataFrame) -> DataFrame:
+    """(a, b, c) lag-pair transition counts of the per-user event-type
+    chain — the ONE corpus window pass shared by markov_stationary and
+    markov_entropy_rate (checkpointed by the entropy composition so the
+    corpus is scanned once, the tiny states x states table many times)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        df.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def markov_stationary(
+    df: DataFrame, iters: int = 3, pairs: "DataFrame | None" = None,
+    states: "DataFrame | None" = None,
+) -> DataFrame:
     """(event_type, pi) — approximate stationary distribution of the
     per-user event-type Markov chain: transition counts from lag pairs
     (the event_transitions surface), row-normalized, then `iters` power
@@ -1482,25 +1501,27 @@ def markov_stationary(df: DataFrame, iters: int = 3) -> DataFrame:
     Physical shape: ONE corpus window pass builds the transition counts;
     every iteration then runs on the states x states table (event types
     — single digits), so the loop costs nothing at any corpus size and
-    needs no checkpointing."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        df.withColumn("nxt", F.lead("event_type").over(w))
-        .where(F.col("nxt").isNotNull())
-        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
-        .agg(F.count("*").alias("c"))
-    )
+    needs no checkpointing: pi_k references pi_{k-1} twice (moved +
+    kept-sink mass), so the PLAN doubles per iteration, but every copy
+    bottoms out in the same canonical pairs/states subtrees and
+    ReusedExchange executes each exchange once per job — lazy sharing
+    also lets the independent corpus passes schedule CONCURRENTLY
+    inside the one job, which an eager checkpoint would serialize
+    (measured slower). `pairs`/`states` accept shared frames so
+    compositions (markov_entropy_rate) hand both consumers the same
+    subtree object."""
+    if pairs is None:
+        pairs = _markov_transitions(df)
     outs = pairs.groupBy("a").agg(F.sum("c").alias("tot"))
     P = pairs.join(outs, "a").select(
         "a", "b", (F.col("c") / F.col("tot")).alias("p")
     )
-    states = (
-        df.select(F.col("event_type").alias("s"))
-        .where(F.col("s").isNotNull())
-        .distinct()
-    )
+    if states is None:
+        states = (
+            df.select(F.col("event_type").alias("s"))
+            .where(F.col("s").isNotNull())
+            .distinct()
+        )
     n_states = states.agg(F.count("*").cast("double").alias("_n"))
     pi = states.crossJoin(F.broadcast(n_states)).select(
         "s", (F.lit(1.0) / F.col("_n")).alias("pi")
@@ -1689,17 +1710,15 @@ def markov_entropy_rate(df: DataFrame, iters: int = 3) -> DataFrame:
     actually spend time; sink states (no outgoing transitions, modeled
     as self-loops) contribute zero entropy. 6 dp.
 
-    Physical shape: one corpus window pass for the transition counts
-    (shared shape with markov_stationary), then pure states-squared
-    arithmetic."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        df.withColumn("nxt", F.lead("event_type").over(w))
-        .where(F.col("nxt").isNotNull())
-        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
-        .agg(F.count("*").alias("c"))
+    Physical shape: ONE corpus window pass for the transition counts,
+    shared lazily with the markov_stationary call (same subtree object
+    -> one exchange via ReusedExchange, and the independent passes
+    schedule concurrently within the job)."""
+    pairs = _markov_transitions(df)
+    states = (
+        df.select(F.col("event_type").alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
     )
     outs = pairs.groupBy("a").agg(F.sum("c").alias("tot"))
     row_h = (
@@ -1714,7 +1733,7 @@ def markov_entropy_rate(df: DataFrame, iters: int = 3) -> DataFrame:
             ).alias("h")
         )
     )
-    pi = markov_stationary(df, iters=iters).select(
+    pi = markov_stationary(df, iters=iters, pairs=pairs, states=states).select(
         F.col("event_type").alias("a"), "pi"
     )
     out = pi.join(row_h, "a", "left").agg(

@@ -1609,6 +1609,35 @@ _LR_TEACHER = lambda: F.coalesce(F.col("text"), F.lit("")).rlike(  # noqa: E731
 
 
 _HOST_RANKS_CACHE: dict = {}
+_LATTICE_VOCAB_CACHE: dict = {}
+
+
+def _lattice_vocab_list(spark, sf_dir):
+    """Trained lattice-tokenizer vocabulary as a persisted artifact
+    (piece, cnt): built once per corpus, written, read back, collected —
+    the bounded train-once state the encoder ships as a plan literal
+    (same class as the hash_lr weights / dsir models)."""
+    from pdf_extractor_spark.operators.curation import lattice_vocab
+
+    key = os.path.abspath(sf_dir)
+    v = _LATTICE_VOCAB_CACHE.get(key)
+    if v is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="lattice_vocab_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = os.path.join(tmp, "lattice_vocab")
+        lattice_vocab(_t(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        v = [
+            (r["piece"], r["cnt"])
+            for r in spark.read.parquet(path).collect()
+        ]
+        _LATTICE_VOCAB_CACHE[key] = v
+    return v
 
 
 def _host_ranks_persisted(spark, sf_dir):
@@ -2321,6 +2350,28 @@ def _curriculum_order(spark, sf_dir):
         F.col("pos").cast("long").alias("pos"),
         F.pmod(F.col("pos") - 1, F.lit(8)).cast("int").alias("shard"),
     )
+
+
+def _lattice_vocab(spark, sf_dir):
+    """Lattice-tokenizer vocabulary selection (the unigram-LM family's
+    integer-exact variant): all single chars + top-200 multi-char pieces
+    by corpus occurrence count, deterministic (cnt desc, piece asc)."""
+    from pdf_extractor_spark.operators.curation import lattice_vocab
+
+    return lattice_vocab(_t(spark, sf_dir, "documents"))
+
+
+def _lattice_encode(spark, sf_dir):
+    """The corpus encoded through the lattice tokenizer (Viterbi DP over
+    the piece lattice, fewest-pieces-then-highest-count exact-integer
+    objective): per-doc word/piece counts + an md5 over the in-order
+    piece sequence. Vocabulary read from the persisted artifact; the
+    DuckDB oracle re-derives the vocabulary AND replays the identical
+    unrolled DP + backpointer walk (generated from the same loops)."""
+    from pdf_extractor_spark.operators.curation import lattice_encode
+
+    vocab = _lattice_vocab_list(spark, sf_dir)
+    return lattice_encode(_t(spark, sf_dir, "documents"), vocab)
 
 
 def _model_accuracy(spark, sf_dir):
@@ -5306,6 +5357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_accuracy": _model_accuracy,
         "curriculum_order": _curriculum_order,
         "packing_efficiency": _packing_efficiency,
+        "lattice_vocab": _lattice_vocab,
+        "lattice_encode": _lattice_encode,
     }
 
 
@@ -5511,6 +5564,142 @@ SELECT doc_id,
   lang, num_pages
 FROM sp
 """
+
+
+def _lattice_sql() -> "tuple[str, str]":
+    """(vocab_sql, encode_sql) for the lattice tokenizer: the DuckDB DP
+    is GENERATED from the same fold/walk loops as the Spark side
+    (curation._lattice_word_pieces), alias for alias — lateral column
+    aliases keep it linear-sized. Integer-exact scores, so no float
+    parity surface at all."""
+    from pdf_extractor_spark.operators.curation import (
+        LATTICE_BIG,
+        LATTICE_MAX_PIECE,
+        LATTICE_MAX_WORD,
+    )
+
+    W, P = LATTICE_MAX_WORD, LATTICE_MAX_PIECE
+    vocab_cte = f"""
+wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest({_LTOKS_SAFE}) AS w FROM documents) GROUP BY 1),
+occ AS (
+  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+    SELECT wcnt,
+      unnest(list_transform(range(1, length(w) - l + 2),
+             x -> substr(w, CAST(x AS INT), CAST(l AS INT)))) AS piece
+    FROM wf, (VALUES (1),(2),(3),(4)) ls(l)
+  ) GROUP BY 1),
+vocab AS (
+  SELECT piece, cnt, TRUE AS is_single FROM occ WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt, FALSE AS is_single FROM (
+    SELECT piece, cnt FROM occ WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT 200))"""
+    vocab_sql = (
+        f"WITH {vocab_cte} SELECT piece, cnt, is_single FROM vocab"
+    )
+
+    # --- DP ladder, mirrored from _lattice_word_pieces' fold. One CTE
+    # layer per DP/walk step: lateral aliases are SUBSTITUTED by the
+    # binder, so a 16-deep alias chain referencing its predecessor twice
+    # explodes 2^16-fold (measured: the single-SELECT form hung DuckDB);
+    # each CTE layer materializes real columns instead. Within a layer
+    # the candidate fold nests only min(P, i) deep — bounded.
+    layers = ["dp0 AS (SELECT w, m, CAST(0 AS BIGINT) AS b0 "
+              "FROM dw CROSS JOIN vm)"]
+    for i in range(1, W + 1):
+        ls = list(range(1, min(P, i) + 1))
+        al = []
+        for l in ls:
+            al.append(f"m[substr(w, {i - l + 1}, {l})][1] AS c{i}_{l}")
+            al.append(
+                f"CASE WHEN b{i - l} IS NOT NULL AND c{i}_{l} IS NOT NULL "
+                f"THEN b{i - l} + {LATTICE_BIG} - c{i}_{l} END AS s{i}_{l}"
+            )
+        al.append(f"s{i}_1 AS bb{i}_1")
+        al.append(f"CASE WHEN s{i}_1 IS NOT NULL THEN 1 END AS kk{i}_1")
+        for l in ls[1:]:
+            better = (
+                f"(s{i}_{l} IS NOT NULL AND (bb{i}_{l - 1} IS NULL "
+                f"OR s{i}_{l} < bb{i}_{l - 1}))"
+            )
+            al.append(
+                f"CASE WHEN {better} THEN s{i}_{l} ELSE bb{i}_{l - 1} END "
+                f"AS bb{i}_{l}"
+            )
+            al.append(
+                f"CASE WHEN {better} THEN {l} ELSE kk{i}_{l - 1} END "
+                f"AS kk{i}_{l}"
+            )
+        last = ls[-1]
+        al.append(
+            f"CASE WHEN length(w) >= {i} THEN bb{i}_{last} END AS b{i}"
+        )
+        al.append(
+            f"CASE WHEN length(w) >= {i} THEN CAST(kk{i}_{last} AS INT) "
+            f"END AS k{i}"
+        )
+        layers.append(
+            f"dp{i} AS (SELECT *, {', '.join(al)} FROM dp{i - 1})"
+        )
+    back = "[" + ", ".join(f"k{i}" for i in range(1, W + 1)) + "]"
+    layers.append(
+        f"wk0 AS (SELECT *, {back} AS back, "
+        f"CASE WHEN length(w) BETWEEN 1 AND {W} "
+        "THEN CAST(length(w) AS INT) ELSE 0 END AS pos0, "
+        f"CAST([] AS INT[]) AS lens0 FROM dp{W})"
+    )
+    for s in range(1, W + 1):
+        layers.append(
+            f"wk{s} AS (SELECT *, "
+            f"CASE WHEN pos{s - 1} > 0 "
+            f"THEN list_append(lens{s - 1}, back[pos{s - 1}]) "
+            f"ELSE lens{s - 1} END AS lens{s}, "
+            f"CASE WHEN pos{s - 1} > 0 THEN pos{s - 1} - back[pos{s - 1}] "
+            f"ELSE pos{s - 1} END AS pos{s} FROM wk{s - 1})"
+        )
+    layers.append(
+        f"f1 AS (SELECT *, list_reverse(lens{W}) AS lens_rev FROM wk{W})"
+    )
+    layers.append(
+        "f2 AS (SELECT *, list_transform(lens_rev, (x, j) -> 1 + "
+        "coalesce(list_sum(list_slice(lens_rev, 1, j - 1)), 0)) AS starts"
+        " FROM f1)"
+    )
+    layers.append(
+        "f3 AS (SELECT *, list_transform(lens_rev, (v, j) -> "
+        "substr(w, CAST(starts[j] AS INT), CAST(v AS INT))) AS raw_pieces"
+        " FROM f2)"
+    )
+    layers.append(
+        f"f4 AS (SELECT *, CASE WHEN length(w) > {W} "
+        f"OR coalesce(pos{W} != 0, TRUE) "
+        "THEN [w] ELSE raw_pieces END AS pieces FROM f3)"
+    )
+    layers.append(
+        "dp AS (SELECT w, pieces, CAST(len(pieces) AS INT) AS n_pieces "
+        "FROM f4)"
+    )
+    chain = ",\n".join(layers)
+    encode_sql = f"""
+WITH {vocab_cte},
+vm AS (SELECT map(list(piece ORDER BY piece), list(cnt ORDER BY piece))
+         AS m FROM vocab),
+toks AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id, {_LTOKS_SAFE} AS t FROM documents)),
+dw AS (SELECT DISTINCT w FROM toks),
+{chain}
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(dp.n_pieces) AS BIGINT) AS n_pieces,
+       md5(array_to_string(flatten(list(dp.pieces ORDER BY t.pos)),
+           chr(1))) AS piece_digest
+FROM toks t JOIN dp USING (w)
+GROUP BY 1
+"""
+    return vocab_sql, encode_sql
 
 
 def _seq_dot(a: str, b: str) -> str:
@@ -7405,6 +7594,7 @@ r AS (
   FROM q)
 SELECT doc_id, quality, pos, CAST((pos - 1) % 8 AS INT) AS shard FROM r
 """.format(quality=sql["quality_score"])
+    sql["lattice_vocab"], sql["lattice_encode"] = _lattice_sql()
     sql["model_accuracy"] = f"""
 WITH {_tr_cte},
 {_tr_margin}

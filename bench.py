@@ -87,6 +87,8 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode",
     "wordpiece_encode",
+    "lattice_vocab",
+    "lattice_encode",
     "bpe_vocab",
     "pmi_cooccurrence",
     "decontaminate",

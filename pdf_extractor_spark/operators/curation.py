@@ -2152,6 +2152,242 @@ def bpe_vocab(
     )
 
 
+LATTICE_BIG = 1 << 44  # fewest-pieces dominates any total-count term
+LATTICE_MAX_PIECE = 4
+LATTICE_MAX_WORD = 16
+
+
+def lattice_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece: int = LATTICE_MAX_PIECE,
+    top_k: int = 200,
+) -> DataFrame:
+    """(piece, cnt, is_single) — character n-gram piece vocabulary for
+    the lattice tokenizer (the unigram-LM/SentencePiece family's vocab
+    selection, integer-exact): every substring of length 1..max_piece of
+    every corpus word scores its corpus occurrence count (word
+    occurrences x in-word positions); ALL single characters are kept
+    (never pruned — the standard unigram rule that guarantees every word
+    stays segmentable) plus the top_k multi-char pieces by
+    (cnt desc, piece asc) — a deterministic integer ordering, so the
+    selection is bit-identical across engines with no probability model.
+
+    Scale shape: the corpus collapses to the distinct-word table before
+    the substring explode (vocabulary-sized work, like the BPE family),
+    one count shuffle, and the multi-piece cut is TakeOrdered."""
+    words = (
+        fan_out(df)
+        .select(F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wcnt"))
+    )
+    n = F.length("w")
+
+    def _sub_of(length: int):
+        # a one-parameter lambda: a `lambda s, _l=l` default-arg closure
+        # would be introspected by F.transform as the (element, index)
+        # two-arg form and receive the INDEX as _l
+        return lambda s: F.substring(F.col("w"), s, length)
+
+    per_l = [
+        F.when(
+            n >= l,
+            F.transform(F.sequence(F.lit(1), n - l + 1), _sub_of(l)),
+        ).otherwise(F.array().cast("array<string>"))
+        for l in range(1, max_piece + 1)
+    ]
+    occ = words.select(
+        "wcnt", F.explode(F.flatten(F.array(*per_l))).alias("piece")
+    )
+    counts = occ.groupBy("piece").agg(F.sum("wcnt").cast("long").alias("cnt"))
+    singles = counts.where(F.length("piece") == 1).withColumn(
+        "is_single", F.lit(True)
+    )
+    multi = (
+        counts.where(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(top_k)
+        .withColumn("is_single", F.lit(False))
+    )
+    return singles.unionByName(multi)
+
+
+def _lattice_word_pieces(
+    words: DataFrame,
+    vocab: "list[tuple[str, int]]",
+    max_piece: int = LATTICE_MAX_PIECE,
+    max_word: int = LATTICE_MAX_WORD,
+) -> DataFrame:
+    """words(w) + (pieces array<string>, n_pieces) — per-word Viterbi DP
+    over the piece lattice minimizing the single exact-integer score
+    `n_pieces * LATTICE_BIG - total_piece_count` (fewest pieces, then
+    highest total count; ties resolve to the SHORTEST candidate piece by
+    first-wins iteration order l=1..max_piece). The vocabulary rides the
+    plan as a map literal (train-once state, the dsir/hash_lr pattern).
+    Words longer than max_word (or empty) fall back to one whole-word
+    piece. The DP unrolls max_word steps as chained columns and the
+    backpointer walk as another max_word steps — fully columnar,
+    whole-row-parallel, and expression-for-expression mirrored by the
+    DuckDB oracle (generated from the same loops).
+
+    The vocabulary does NOT ride the plan as a create_map literal: the
+    DP references the count lookup ~max_word*max_piece times and
+    Catalyst expands a map literal per reference (a 250-entry map x 64
+    references hung analysis outright). Instead each word pre-gathers
+    its OWN candidate costs — explode the <=64 (i,l) substrings, one
+    broadcast join against the vocab, regroup to a small per-word map
+    COLUMN — and the DP references that attribute, which project
+    collapsing duplicates by name only."""
+    w = F.col("w")
+    n = F.length(w)
+    vocab_df = words.sparkSession.createDataFrame(
+        [(p, int(c)) for p, c in vocab], "piece string, cnt long"
+    )
+    cand_structs = []
+    for i in range(1, max_word + 1):
+        for l in range(1, min(max_piece, i) + 1):
+            cand_structs.append(
+                F.when(
+                    n >= i,
+                    F.struct(
+                        F.lit(f"{i}_{l}").alias("k"),
+                        F.substring(w, i - l + 1, l).alias("p"),
+                    ),
+                )
+            )
+    cands = (
+        words.select(
+            "w",
+            F.explode(
+                F.filter(
+                    F.array(*cand_structs), lambda s: s.isNotNull()
+                )
+            ).alias("c"),
+        )
+        .select("w", "c.k", "c.p")
+        .join(F.broadcast(vocab_df), F.col("p") == F.col("piece"))
+        .groupBy("w")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("k", "cnt"))
+            ).alias("_cm")
+        )
+    )
+    out = words.join(cands, "w", "left").withColumn(
+        "_b0", F.lit(0).cast("long")
+    )
+    for i in range(1, max_word + 1):
+        best, back = None, None
+        for l in range(1, min(max_piece, i) + 1):
+            cnt = F.element_at("_cm", f"{i}_{l}")
+            prev = F.col(f"_b{i - l}")
+            sc = F.when(
+                prev.isNotNull() & cnt.isNotNull(),
+                prev + F.lit(LATTICE_BIG) - cnt,
+            )
+            if best is None:
+                best = sc
+                back = F.when(sc.isNotNull(), F.lit(l))
+            else:
+                better = sc.isNotNull() & (best.isNull() | (sc < best))
+                back = F.when(better, F.lit(l)).otherwise(back)
+                best = F.when(better, sc).otherwise(best)
+        out = out.withColumn(
+            f"_b{i}", F.when(n >= i, best)
+        ).withColumn(f"_k{i}", F.when(n >= i, back))
+    out = out.withColumn(
+        "_back", F.array(*[F.col(f"_k{i}") for i in range(1, max_word + 1)])
+    )
+    out = out.withColumn(
+        "_pos0",
+        F.when((n >= 1) & (n <= max_word), n.cast("int")).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("_lens0", F.array().cast("array<int>"))
+    for s in range(1, max_word + 1):
+        pos = F.col(f"_pos{s - 1}")
+        lens = F.col(f"_lens{s - 1}")
+        step = F.element_at("_back", pos)
+        out = out.withColumn(
+            f"_lens{s}",
+            F.when(pos > 0, F.concat(lens, F.array(step))).otherwise(lens),
+        ).withColumn(
+            f"_pos{s}",
+            F.when(pos > 0, pos - step).otherwise(pos),
+        )
+    lens_rev = F.reverse(F.col(f"_lens{max_word}"))
+    # piece at 0-based index j starts at 1 + sum of the first j lengths
+    # (slice(arr, 1, j) = the first j elements; empty for j=0)
+    starts = F.transform(
+        lens_rev,
+        lambda _x, j: F.aggregate(
+            F.slice(lens_rev, 1, j),
+            F.lit(1),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pieces = F.transform(
+        lens_rev,
+        lambda v, j: F.substring(w, F.element_at(starts, j + 1), v),
+    )
+    # null-safe: a word containing an out-of-vocab char null-poisons the
+    # walk (null backpointer -> null pos), which must also fall back
+    fallback = (n > max_word) | F.coalesce(
+        F.col(f"_pos{max_word}") != 0, F.lit(True)
+    )
+    pieces = F.when(fallback, F.array(w)).otherwise(pieces)
+    keep = [c for c in words.columns]
+    return out.select(
+        *keep,
+        pieces.alias("pieces"),
+        F.size(pieces).cast("int").alias("n_pieces"),
+    )
+
+
+def lattice_encode(
+    df: DataFrame,
+    vocab: "list[tuple[str, int]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces, piece_digest) — the corpus encoded
+    through the lattice tokenizer: distinct words DP-segmented ONCE
+    (vocabulary-sized work), joined back onto the token stream, and each
+    document reports its piece count plus an md5 over its full in-order
+    piece sequence (driver-hashable, like extract_pipeline_digest).
+
+    One distinct-word DP + one word-key join + one doc regroup — the
+    train-once/apply-many split of the BPE encode path."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.lower(F.col(text_col)))).alias(
+            "pos", "w"
+        ),
+    )
+    words = toks.select("w").distinct()
+    encoded = _lattice_word_pieces(words, vocab)
+    joined = toks.join(encoded, "w")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+        F.md5(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "pieces"))
+                        ),
+                        lambda s: s["pieces"],
+                    )
+                ),
+                "\x01",
+            )
+        ).alias("piece_digest"),
+    )
+    return per_doc
+
+
 def synthesize_pages(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -32,7 +32,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "token_count", "bpe_token_count", "quality_score", "lang_id",
         "fingerprint", "repetition_stats", "tfidf_top_terms",
         "token_entropy", "bpe_pair_counts", "bpe_merges", "bpe_encode", "bpe_vocab",
-        "wordpiece_encode",
+        "wordpiece_encode", "lattice_vocab", "lattice_encode",
         "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "quality_tiers",
         "gopher_filter", "c4_filter", "hash_lr", "train_hash_lr",

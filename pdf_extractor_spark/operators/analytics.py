@@ -883,11 +883,11 @@ def ks_test(
     The distribution-drift tripwire the mean-based ab_test misses. 6 dp.
 
     Physical shape: per-distinct-value (c_a, c_b) counts (map-side
-    combined), then running sums + the max over ONE value-ordered window
-    on the distinct-value table — bounded by value cardinality, not
-    rows. At true continuous 10^12-row scale distinct values approach
-    row count; the documented trade is pre-rounding values (binning)
-    before the test, which bounds the window at the cost of resolution."""
+    combined), then BOTH running sums from one range-partitioned pass
+    (ranking.partitioned_rank_and_sums — at continuous 10^12-row scale
+    distinct values approach row count, so the value-ordered cumulative
+    step must not funnel through a single-task window), and the KS max
+    is a plain aggregate."""
     vals = df.where(
         F.col("value").isNotNull()
         & F.col("event_type").isin(type_a, type_b)
@@ -899,12 +899,12 @@ def ks_test(
     per_v = vals.groupBy("value").agg(
         F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
     )
-    from pyspark.sql import Window
+    from .ranking import partitioned_rank_and_sums
 
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
-    )
+    cum = partitioned_rank_and_sums(
+        per_v, "value", [], val_cols=("ca", "cb"), ascending=True,
+        sum_prefix="_f_",
+    ).select(F.col("_f_ca").alias("fa"), F.col("_f_cb").alias("fb"))
     return (
         cum.crossJoin(
             F.broadcast(

@@ -263,16 +263,22 @@ def key_skew_stats(
     DuckDB oracle matches exactly; only top1_share divides (rounded 6 dp).
 
     Scale shape: one partial-agg shuffle to per-key counts, a second tiny
-    aggregate to the count-of-counts histogram — the window runs over
-    DISTINCT COUNT VALUES (bounded far below the key space; a 10^9-key
-    table has at most ~10^5 distinct counts in practice), never a global
-    sort of the keys themselves."""
+    aggregate to the count-of-counts histogram; the histogram's
+    cumulative coverage comes from the range-partitioned running sum
+    (ranking.partitioned_running_sum) — distinct count values are far
+    below the key space (~10^5 for 10^9 keys) but the pattern stays
+    single-task-free regardless, same as degree_ccdf."""
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count("*").alias("c")
     )
-    hist = counts.groupBy("c").agg(F.count("*").alias("nk"))
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("nk").over(w))
+    hist = counts.groupBy("c").agg(
+        F.count("*").alias("nk")
+    ).localCheckpoint(eager=True)
+    from .ranking import partitioned_running_sum
+
+    cum = partitioned_running_sum(
+        hist, "c", [], val_col="nk", ascending=True, out_col="cum"
+    )
     totals = counts.agg(
         F.count("*").alias("n_keys"),
         F.sum("c").alias("total_rows"),

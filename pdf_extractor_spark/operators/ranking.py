@@ -58,6 +58,64 @@ def _with_range_bucket(
     )
 
 
+def partitioned_rank_and_sums(
+    df: DataFrame,
+    score_col: str,
+    tiebreak_cols: list[str],
+    val_cols: "tuple[str, ...]" = (),
+    ascending: bool = True,
+    n_buckets: int = 64,
+    rank_col: "str | None" = None,
+    sum_prefix: str = "_cum_",
+) -> DataFrame:
+    """df + optional exact global row_number (`rank_col`) + one exact
+    running sum per `val_cols` entry (named `sum_prefix + col`), all
+    over the total order (`score_col` asc|desc, *tiebreak_cols asc), in
+    ONE range-bucketed pass — the multi-output form of the module's
+    partition-offset technique (several cumulative outputs share one
+    exchange and one bounded offsets table instead of stacking helper
+    calls, which would re-read the input per call).
+
+    `score_col` must be non-null and numeric (it feeds
+    percentile_approx); the tiebreaks may be any orderable columns."""
+    b = _with_range_bucket(df, score_col, ascending, n_buckets)
+    order = [
+        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        *[F.col(c).asc() for c in tiebreak_cols],
+    ]
+    w_rank = Window.partitionBy("_rb").orderBy(*order)
+    w_sum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    aggs = [F.count("*").cast("long").alias("_bn")] + [
+        F.sum(v).alias(f"_bs_{v}") for v in val_cols
+    ]
+    totals = b.groupBy("_rb").agg(*aggs)
+    woff = Window.orderBy("_rb").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        F.coalesce(F.sum("_bn").over(woff), F.lit(0).cast("long")).alias(
+            "_boff"
+        )
+    ] + [
+        F.coalesce(F.sum(f"_bs_{v}").over(woff), F.lit(0)).alias(
+            f"_boff_{v}"
+        )
+        for v in val_cols
+    ]
+    offsets = totals.select("_rb", *off_cols)
+    out = b.join(F.broadcast(offsets), "_rb")
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col, F.col("_boff") + F.row_number().over(w_rank)
+        )
+    for v in val_cols:
+        out = out.withColumn(
+            f"{sum_prefix}{v}",
+            F.col(f"_boff_{v}") + F.sum(v).over(w_sum),
+        )
+    return out.drop(
+        "_rb", "_boff", *[f"_boff_{v}" for v in val_cols]
+    )
+
+
 def partitioned_running_sum(
     df: DataFrame,
     score_col: str,

@@ -1679,12 +1679,14 @@ def vocab_prune(
     vocab size (vocab_coverage is the inverse: it scores a GIVEN vocab).
 
     Scale: token counting partial-aggregates map-side; the ranking and
-    cumulative sum run on the VOCABULARY table (distinct tokens), which
-    is many orders smaller than the corpus. The single-partition window
-    over the vocab table is the textbook cost — swap for a two-level
-    rollup only when distinct tokens overflow one executor.
+    cumulative sum run on the VOCABULARY table (distinct tokens) — but a
+    web-scale vocabulary is itself 10^8-10^9 rows, so both outputs come
+    from ONE range-partitioned pass (ranking.partitioned_rank_and_sums:
+    broadcast cut points + per-bucket windows + bounded offsets — no
+    single-task sort), and the grand total is a 1-row agg broadcast,
+    not an all-rows window.
     """
-    from pyspark.sql import Window
+    from .ranking import partitioned_rank_and_sums
 
     counts = (
         df.select(
@@ -1692,18 +1694,13 @@ def vocab_prune(
         )
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
-    )
-    w = Window.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wr = Window.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = counts.select(
-        F.row_number().over(wr).alias("rank"),
-        F.col("n"),
-        F.sum("n").over(w).alias("cum"),
-    )
-    tot = Window.partitionBy()
-    ranked = ranked.withColumn("n_total", F.max("cum").over(tot))
+    ).localCheckpoint(eager=True)
+    ranked = partitioned_rank_and_sums(
+        counts, "n", ["tok"], val_cols=("n",), ascending=False,
+        rank_col="rank", sum_prefix="_cum_",
+    ).withColumnRenamed("_cum_n", "cum")
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    ranked = ranked.crossJoin(F.broadcast(tot))
     return ranked.agg(
         F.max("n_total").cast("long").alias("n_total"),
         F.count("*").cast("long").alias("n_vocab"),

@@ -149,6 +149,8 @@ SCALAR_BROADCAST_OK = {
     "ks_test": "per-sample sizes as 1-row agg broadcasts",
     "dedup_threshold_curve": "deliberate 4-row threshold frame crossed "
     "onto the pair table (bounded by the threshold list, never data^2)",
+    "vocab_prune": "corpus token total as 1-row agg broadcast onto the "
+    "ranked vocabulary",
 }
 
 

@@ -129,6 +129,39 @@ def main() -> None:
         f"{out}/bpe_vocab"
     ).count()
 
+    # 3b. lattice tokenizer: piece vocabulary + the encoded distinct-word
+    # table. The per-word Viterbi DP is the one genuinely
+    # compile-expensive plan in the engine (unrolled max_word x max_piece
+    # candidate/backpointer columns) — persisting (w, pieces, n_pieces)
+    # turns every recurring lattice_encode into one word-key join.
+    from pdf_extractor_spark.operators.curation import (
+        _lattice_word_pieces,
+        lattice_vocab,
+        tokens_col,
+    )
+
+    lv_df = lattice_vocab(docs)
+    lv_df.write.mode("overwrite").parquet(f"{out}/lattice_vocab")
+    lv = [
+        (r["piece"], int(r["cnt"]))
+        for r in sorted(
+            lv_df.collect(), key=lambda r: (-r["cnt"], r["piece"])
+        )
+    ]
+    words = (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
+        )
+        .distinct()
+    )
+    _lattice_word_pieces(words, lv).write.mode("overwrite").parquet(
+        f"{out}/lattice_pieces"
+    )
+    manifest["lattice_vocab_rows"] = lv_df.count()
+    manifest["lattice_piece_rows"] = spark.read.parquet(
+        f"{out}/lattice_pieces"
+    ).count()
+
     # 4. IVF coarse centroids over the embedding corpus
     if args.embeddings:
         import numpy as np  # noqa: F401 (ivf_centroids returns ndarray)

@@ -2350,6 +2350,7 @@ def lattice_encode(
     vocab: "list[tuple[str, int]]",
     text_col: str = "text",
     id_col: str = "doc_id",
+    pieces: "DataFrame | None" = None,
 ) -> DataFrame:
     """(doc_id, n_words, n_pieces, piece_digest) — the corpus encoded
     through the lattice tokenizer: distinct words DP-segmented ONCE
@@ -2358,16 +2359,39 @@ def lattice_encode(
     piece sequence (driver-hashable, like extract_pipeline_digest).
 
     One distinct-word DP + one word-key join + one doc regroup — the
-    train-once/apply-many split of the BPE encode path."""
+    train-once/apply-many split of the BPE encode path.
+
+    `pieces` (w, pieces array<string>, n_pieces) — the PERSISTED
+    encoded-word artifact (jobs/run_index.py `lattice_pieces/`, the
+    neardup_pairs / IVF-centroid discipline): when given, the recurring
+    query skips the unrolled Viterbi DP entirely (whose Catalyst
+    analysis/codegen cost is paid per invocation) and collapses to one
+    word-key join against the parquet. A word absent from the artifact
+    (stale index) falls back to the whole-word piece — the same fallback
+    the DP applies to OOV-character words."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokens_col(F.lower(F.col(text_col)))).alias(
             "pos", "w"
         ),
     )
-    words = toks.select("w").distinct()
-    encoded = _lattice_word_pieces(words, vocab)
-    joined = toks.join(encoded, "w")
+    if pieces is not None:
+        joined = toks.join(
+            pieces.select("w", "pieces", "n_pieces"), "w", "left"
+        ).select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("pieces"), F.array(F.col("w"))).alias(
+                "pieces"
+            ),
+            F.coalesce(F.col("n_pieces"), F.lit(1)).cast("int").alias(
+                "n_pieces"
+            ),
+        )
+    else:
+        words = toks.select("w").distinct()
+        encoded = _lattice_word_pieces(words, vocab)
+        joined = toks.join(encoded, "w")
     per_doc = joined.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_words"),
         F.sum("n_pieces").cast("long").alias("n_pieces"),

@@ -279,47 +279,51 @@ def key_skew_stats(
     cum = partitioned_running_sum(
         hist, "c", [], val_col="nk", ascending=True, out_col="cum"
     )
-    totals = counts.agg(
-        F.count("*").alias("n_keys"),
-        F.sum("c").alias("total_rows"),
+    # every summary derives from the checkpointed histogram — the corpus
+    # shuffles ONCE into per-key counts, and nothing below ever re-reads
+    # it (the r3 plan re-aggregated `counts` per unionByName branch: 32
+    # exchanges for seven numbers)
+    totals = hist.agg(
+        F.sum("nk").alias("n_keys"),
+        F.sum(F.col("c") * F.col("nk")).alias("total_rows"),
         F.max("c").alias("max_count"),
     )
-    rows = totals.select(
-        F.lit("n_keys").alias("metric"),
-        F.col("n_keys").cast("double").alias("value"),
-    )
-    rows = rows.unionByName(
-        totals.select(
-            F.lit("total_rows").alias("metric"),
-            F.col("total_rows").cast("double").alias("value"),
-        )
-    ).unionByName(
-        totals.select(
-            F.lit("max_count").alias("metric"),
-            F.col("max_count").cast("double").alias("value"),
-        )
-    ).unionByName(
-        totals.select(
-            F.lit("top1_share").alias("metric"),
+    # all quantiles in ONE aggregate over the (bounded) cumulative
+    # histogram: rank 1 + floor(q * (n_keys - 1)) is all-integer once q
+    # is a config literal with an exact decimal expansion (0.5/0.9/0.99)
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= 1 + F.floor(F.lit(q) * (F.col("n_keys") - 1)),
+                F.col("c"),
+            )
+        ).alias(f"_q{int(q * 100)}")
+        for q in quantiles
+    ]
+    qrow = cum.crossJoin(F.broadcast(totals)).agg(*qcols)
+    # single joined row -> stack() into the (metric, value) frame: one
+    # projection, zero unionByName branches
+    pairs = [
+        ("n_keys", F.col("n_keys").cast("double")),
+        ("total_rows", F.col("total_rows").cast("double")),
+        ("max_count", F.col("max_count").cast("double")),
+        (
+            "top1_share",
             F.round(
                 F.col("max_count").cast("double") / F.col("total_rows"), 6
-            ).alias("value"),
-        )
+            ),
+        ),
+    ] + [
+        (f"p{int(q * 100)}_count", F.col(f"_q{int(q * 100)}").cast("double"))
+        for q in quantiles
+    ]
+    stack_args = []
+    for name, col in pairs:
+        stack_args += [F.lit(name), col]
+    return totals.crossJoin(qrow).select(
+        F.stack(F.lit(len(pairs)), *stack_args).alias("metric", "value")
     )
-    for q in quantiles:
-        # rank 1 + floor(q * (n_keys - 1)): all-integer once q is a
-        # config literal with an exact decimal expansion (0.5/0.9/0.99)
-        target = cum.crossJoin(F.broadcast(totals.select("n_keys"))).where(
-            F.col("cum")
-            >= 1 + F.floor(F.lit(q) * (F.col("n_keys") - 1))
-        )
-        rows = rows.unionByName(
-            target.agg(
-                F.lit(f"p{int(q * 100)}_count").alias("metric"),
-                F.min("c").cast("double").alias("value"),
-            )
-        )
-    return rows
 
 
 def salted_join(
@@ -867,7 +871,7 @@ def rfm_segments(df: DataFrame, tiers: int = 5) -> DataFrame:
     while the output stays bit-identical to ntile-over-global-window
     (same oracle).
     """
-    from .ranking import ntile_from_rank, scalable_row_number
+    from .ranking import multi_scalable_row_number, ntile_from_rank
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     per_user = (
         df.where(F.col("event_type") == "purchase")
@@ -886,28 +890,27 @@ def rfm_segments(df: DataFrame, tiers: int = 5) -> DataFrame:
         ((F.col("ref_us") - F.col("last_us")) / F.lit(86400_000_000))
         .cast("long"),
     )
-    # one materialization of the user rollup, then three INDEPENDENT
-    # range-partitioned ranks joined back on user_id. Chaining the rank
-    # calls instead nests their dags (each helper reads its input three
-    # times: cut points, bucket counts, the ranked join), which
-    # re-derived the events aggregation 3^3 times — measured 8x slower
-    # than the global-window form at sf0.1; this shape is faster than it
+    # one materialization of the user rollup, then the FUSED
+    # three-dimension rank (ranking.multi_scalable_row_number): all
+    # three percentile_approx cut arrays in ONE aggregate pass, ranks
+    # landing as columns via per-bucket windows + broadcast offset
+    # joins — no per-dimension join back on user_id. (Chaining three
+    # independent scalable_row_number calls re-derived the events
+    # aggregation 3^3 times pre-checkpoint; the r3 independent-joins
+    # shape fixed that but paid 3 cut scans + 3 user-keyed joins — 17
+    # shuffles for three numbers per user.)
     per_user = per_user.localCheckpoint(eager=True)
     tot = per_user.agg(F.count("*").cast("long").alias("_n"))
-    rr = scalable_row_number(
-        per_user, "recency_days", ["user_id"], ascending=True, out_col="_rr"
-    ).select("user_id", "_rr")
-    rf = scalable_row_number(
-        per_user, "freq", ["user_id"], ascending=False, out_col="_rf"
-    ).select("user_id", "_rf")
-    rm = scalable_row_number(
-        per_user, "cents", ["user_id"], ascending=False, out_col="_rm"
-    ).select("user_id", "_rm")
+    ranked = multi_scalable_row_number(
+        per_user,
+        [
+            ("recency_days", ["user_id"], True, "_rr"),
+            ("freq", ["user_id"], False, "_rf"),
+            ("cents", ["user_id"], False, "_rm"),
+        ],
+    )
     tiered = (
-        per_user.select("user_id", "cents")
-        .join(rr, "user_id")
-        .join(rf, "user_id")
-        .join(rm, "user_id")
+        ranked.select("user_id", "cents", "_rr", "_rf", "_rm")
         .crossJoin(F.broadcast(tot))
         .select(
             "user_id",

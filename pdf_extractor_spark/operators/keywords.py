@@ -267,23 +267,32 @@ def assoc_rules(
         .crossJoin(F.broadcast(totals))
         .where(F.col("n_pair") * den >= F.col("n_total") * num)
     )
-    fwd = pairs.select(
-        F.col("a").alias("antecedent"),
-        F.col("b").alias("consequent"),
-        "n_pair",
-        F.col("n_a").alias("n_ante"),
-        F.col("n_b").alias("n_cons"),
-        "n_total",
-    )
-    rev = pairs.select(
-        F.col("b").alias("antecedent"),
-        F.col("a").alias("consequent"),
-        "n_pair",
-        F.col("n_b").alias("n_ante"),
-        F.col("n_a").alias("n_cons"),
-        "n_total",
-    )
-    rules = fwd.unionByName(rev).select(
+    # both directional rules explode from ONE pass over the pair table —
+    # a fwd/rev unionByName would recompute the whole upstream subtree
+    # (items -> freq -> baskets -> pairs) per branch, doubling every
+    # exchange (the r3 plan's 16-shuffle bloat)
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("antecedent"),
+                    F.col("b").alias("consequent"),
+                    F.col("n_pair").alias("n_pair"),
+                    F.col("n_a").alias("n_ante"),
+                    F.col("n_b").alias("n_cons"),
+                    F.col("n_total").alias("n_total"),
+                ),
+                F.struct(
+                    F.col("b").alias("antecedent"),
+                    F.col("a").alias("consequent"),
+                    F.col("n_pair").alias("n_pair"),
+                    F.col("n_b").alias("n_ante"),
+                    F.col("n_a").alias("n_cons"),
+                    F.col("n_total").alias("n_total"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*").select(
         "antecedent",
         "consequent",
         F.col("n_pair").cast("long"),

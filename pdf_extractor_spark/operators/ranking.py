@@ -237,6 +237,85 @@ def grouped_ntile(
     ).drop("_rb", "_g", "_boff", "_gtot")
 
 
+def _cut_cmp(score: Column, ascending: bool):
+    # closure factory: a `lambda c, _s=score` default-arg form would be
+    # introspected by F.filter as the (element, index) two-arg variant
+    # and silently receive the INDEX (see curation._sub_of)
+    if ascending:
+        return lambda c: c < score
+    return lambda c: c > score
+
+
+def multi_scalable_row_number(
+    df: DataFrame,
+    specs: "list[tuple[str, list[str], bool, str]]",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """df + one exact global row_number column PER SPEC — the fused
+    multi-dimension form of `scalable_row_number` for operators that
+    rank the same frame under several orders (rfm_segments' three
+    recency/frequency/monetary tiers).
+
+    specs: [(score_col, tiebreak_cols, ascending, out_col), ...].
+
+    vs N independent scalable_row_number calls joined back on the row
+    key: ALL cut arrays come from ONE aggregate pass (one scan instead
+    of N), every bucket-offset table derives from the same
+    _rb-projection, and each dimension's rank lands as a column via a
+    per-bucket window + tiny broadcast offset join — the N row-key
+    shuffle joins disappear. Output ranks are bit-identical to the
+    single-dimension helper (same bucket/offset mechanism), asserted by
+    tests/test_ranking.py."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        *[
+            F.percentile_approx(s, probs).alias(f"_cuts_{o}")
+            for s, _tb, _asc, o in specs
+        ]
+    )
+    pre = df.crossJoin(F.broadcast(cuts))
+    for s, _tb, asc, o in specs:
+        if n_buckets < 2:
+            pre = pre.withColumn(f"_rb_{o}", F.lit(0))
+        else:
+            pre = pre.withColumn(
+                f"_rb_{o}",
+                F.size(
+                    F.filter(F.col(f"_cuts_{o}"), _cut_cmp(F.col(s), asc))
+                ),
+            )
+    pre = pre.drop(*[f"_cuts_{o}" for _s, _tb, _asc, o in specs])
+    out = pre
+    for s, tb, asc, o in specs:
+        rb = f"_rb_{o}"
+        # bucket totals/offsets from the PRE-window frame: computing them
+        # from `out` would re-run every earlier dimension's window sort
+        # inside this dimension's aggregate
+        totals = pre.groupBy(rb).agg(F.count("*").alias("_bt"))
+        woff = Window.orderBy(rb).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            rb,
+            F.coalesce(F.sum("_bt").over(woff), F.lit(0).cast("long")).alias(
+                f"_boff_{o}"
+            ),
+        )
+        order = [
+            F.col(s).asc() if asc else F.col(s).desc(),
+            *[F.col(c).asc() for c in tb],
+        ]
+        w = Window.partitionBy(rb).orderBy(*order)
+        out = (
+            out.join(F.broadcast(offsets), rb)
+            .withColumn(
+                o, F.col(f"_boff_{o}") + F.row_number().over(w)
+            )
+            .drop(rb, f"_boff_{o}")
+        )
+    return out
+
+
 def ntile_from_rank(rank: Column, n: Column, tiers: int) -> Column:
     """Closed-form `ntile(tiers)` from a global 1-based row_number and the
     total row count: the first (n % tiers) buckets hold (n//tiers + 1)

@@ -53,12 +53,15 @@ def stylometry_delta(
     """
     st = _source_token_counts(df, text_col, source_col)
     totals = st.groupBy("source").agg(F.sum("n").alias("n_total"))
-    wm = Window.orderBy(F.desc("n_all"), F.asc("tok"))
+    # Marker choice is a top-k over the corpus VOCABULARY (unbounded at
+    # 100 TB, Heaps' law) — orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition heaps + driver merge of
+    # n_markers rows), never a SinglePartition sort of the vocabulary.
     markers = (
         st.groupBy("tok")
         .agg(F.sum("n").alias("n_all"))
-        .withColumn("_r", F.row_number().over(wm))
-        .where(F.col("_r") <= n_markers)
+        .orderBy(F.desc("n_all"), F.asc("tok"))
+        .limit(n_markers)
         .select("tok")
     )
     # relative frequency per (source, marker); absent pairs are 0
@@ -97,10 +100,14 @@ def stylometry_delta(
         .groupBy("src_a", "src_b")
         .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
     )
+    # Pair ranking: limit FIRST (TakeOrderedAndProject over the
+    # sources^2/2 pair table), then number the surviving <= top_k rows —
+    # the row_number window runs over a bounded post-limit input.
     wr = Window.orderBy("delta", "src_a", "src_b")
     return (
-        pairs.withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= top_k)
+        pairs.orderBy("delta", "src_a", "src_b")
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(wr))
         .select("rank", "src_a", "src_b", (F.col("delta") + 0.0).alias("delta"))
     )
 

@@ -1346,24 +1346,24 @@ def zipf_fit(df, text_col: str = "text", id_col: str = "doc_id"):
     corpus fits slope ~ -1; template/spam-heavy crawls flatten the curve.
 
     Scale shape: the corpus-size work is ONE map-side-combined
-    groupBy(term); everything after runs on the vocabulary, which is
-    orders of magnitude smaller than the corpus (Heaps: ~N^0.8 types for
-    N tokens). The rank window IS a single-partition sort — over vocab
-    rows only, never corpus rows — and the closed-form OLS needs just
-    five sums, so no iteration, no driver collect. Ties on frequency
-    break by term so the ranking (hence the fit) is bit-deterministic.
+    groupBy(term); everything after runs on the vocabulary. But the
+    vocabulary itself grows with the corpus (Heaps: ~N^0.8 types for N
+    tokens — 10^8+ at 100 TB), so the rank comes from the
+    range-partitioned rank engine (ranking.scalable_row_number:
+    broadcast percentile_approx cuts -> per-bucket window -> bounded
+    offset table), never a single-task vocabulary sort. The closed-form
+    OLS needs just five sums — no iteration, no driver collect. Ties on
+    frequency break by term so the ranking (hence the fit) is
+    bit-deterministic.
     """
+    from .ranking import scalable_row_number
+
     toks = df.select(
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term")
     )
     freq = toks.groupBy("term").agg(F.count("*").cast("long").alias("freq"))
-    from pyspark.sql import Window as W
-
-    ranked = freq.select(
-        "freq",
-        F.row_number()
-        .over(W.orderBy(F.col("freq").desc(), F.col("term")))
-        .alias("rank"),
+    ranked = scalable_row_number(
+        freq, "freq", ["term"], ascending=False, out_col="rank"
     ).select(
         "freq",
         F.log(F.col("rank").cast("double")).alias("x"),

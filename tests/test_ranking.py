@@ -121,3 +121,40 @@ def test_no_unpartitioned_corpus_window(tiedf):
     wins = [l for l in plan.splitlines() if "Window" in l and "row_number" not in l or "windowspecdefinition" in l]
     # the corpus-side window must mention partition column _rb
     assert "_rb" in plan
+
+
+def test_multi_rank_matches_global_windows(tiedf):
+    # the fused three-dimension form (rfm_segments' shape): every spec's
+    # rank must equal the corresponding global window's row_number
+    from pdf_extractor_spark.operators.ranking import (
+        multi_scalable_row_number,
+    )
+
+    want = {
+        r["id"]: (r["ra"], r["rd"], r["rv"])
+        for r in tiedf.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").asc(), F.col("id").asc()))
+            .alias("ra"),
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("id").asc()))
+            .alias("rd"),
+            F.row_number()
+            .over(Window.orderBy(F.col("val").desc(), F.col("id").asc()))
+            .alias("rv"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["ra"], r["rd"], r["rv"])
+        for r in multi_scalable_row_number(
+            tiedf,
+            [
+                ("score", ["id"], True, "ra"),
+                ("score", ["id"], False, "rd"),
+                ("val", ["id"], False, "rv"),
+            ],
+            n_buckets=8,
+        ).select("id", "ra", "rd", "rv").collect()
+    }
+    assert got == want

@@ -24,6 +24,60 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_WRAPPER_NODES = (
+    "WholeStageCodegen",
+    "InputAdapter",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "ColumnarToRow",
+    "ReusedExchange",
+    "AdaptiveSparkPlan",
+)
+
+
+def _node_depth(line: str) -> int:
+    """Depth of a plan-tree line = column of its node marker (`+-`/`:-`),
+    or 0 for the root line."""
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else 0
+
+
+def single_partition_sortwin(plan: str) -> list[str]:
+    """Find Sort/Window nodes fed by an `Exchange SinglePartition` — the
+    global-window anti-pattern: ALL rows of an unbounded input move to
+    ONE task. Returns one entry per hit naming the consumer node.
+
+    A `TakeOrderedAndProject` / `GlobalLimit` *below* the exchange means
+    the single partition holds at most k rows — those don't use an
+    Exchange SinglePartition at all in practice (TakeOrdered's output
+    partitioning is already single), so any hit here is over an input
+    whose size the plan does not bound. Queries whose input is bounded
+    by DOMAIN knowledge (dow x hour = 168 cells, Benford's 9 digits,
+    ranking.py's shuffle-partition-count offset table, ...) must be
+    allowlisted by name in BOUNDED_GLOBAL_WINDOW_OK with the reason.
+    """
+    lines = plan.splitlines()
+    hits = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = _node_depth(ln)
+        # walk up to the nearest shallower node, skipping pass-through
+        # wrappers at any depth in between
+        for j in range(i - 1, -1, -1):
+            pd = _node_depth(lines[j])
+            if pd >= d:
+                continue
+            if any(w in lines[j] for w in _WRAPPER_NODES):
+                d = pd
+                continue
+            node = lines[j].strip().lstrip("+:- *(0123456789)")
+            if re.match(r"(Sort|Window)\b", node):
+                hits.append(node.split("[")[0].strip() or node[:40])
+            break
+    return hits
+
+
 def audit(plan: str) -> dict:
     return {
         "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
@@ -154,6 +208,41 @@ SCALAR_BROADCAST_OK = {
 }
 
 
+# Queries whose Sort/Window-over-SinglePartition runs on an input bounded
+# by DOMAIN knowledge (a fixed enum / histogram / quota table), which the
+# plan alone cannot prove. Anything else hitting the invariant is a
+# genuine scale-killer: one task sorts an input that grows with the data.
+# (stylometry_delta and zipf_fit both used to hit it over the corpus
+# VOCABULARY — fixed with TakeOrderedAndProject / scalable_row_number.)
+BOUNDED_GLOBAL_WINDOW_OK: dict[str, str] = {
+    "benford_deviation": "9-row first-digit frame",
+    "dow_hour_heatmap": "dow x hour <= 168 cells",
+    "lang_source_mi": "langs x sources cell frame",
+    "token_length_hist": "token-length histogram (<= max token chars)",
+    "daily_anomaly": "calendar-day grain (days of history, not rows)",
+    "moving_avg_daily": "calendar-day grain",
+    "expire_snapshots": "distinct snapshot dates (ops metadata grain)",
+    "kaplan_meier": "distinct floored-hour durations (calendar grain)",
+    "global_shuffle": "per-shard count cumsum over the fixed shard count",
+    "heaps_law": "cumsum over the n_buckets growth checkpoints",
+    "stratified_sample": "largest-remainder quota over the strata frame",
+    "sample_alloc": "allocation over the strata frame",
+    "key_skew_stats": "count-of-counts multiplicity histogram",
+    # range-partitioned rank engine (operators/ranking.py): the only
+    # single-partition window it emits is the bucket-offset cumsum over
+    # the n_buckets(<=64)-row totals table — that bounded table IS the
+    # mechanism that replaces the corpus-sized global sort
+    "curriculum_order": "ranking.py bucket-offset table (<= 64 rows)",
+    "degree_ccdf": "ranking.py bucket-offset table",
+    "ks_test": "ranking.py bucket-offset table",
+    "rank_biased_overlap": "ranking.py bucket-offset table",
+    "rfm_segments": "ranking.py bucket-offset tables (3 dims)",
+    "rrf_fusion": "ranking.py bucket-offset tables",
+    "vocab_prune": "ranking.py bucket-offset table",
+    "zipf_fit": "ranking.py bucket-offset table",
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entry
@@ -175,6 +264,13 @@ def main() -> None:
             bad.append(f"{name}: cartesian product")
         elif a["cartesian"] and name not in SCALAR_BROADCAST_OK:
             bad.append(f"{name}: nested-loop join (not allowlisted)")
+        spw = single_partition_sortwin(plan)
+        if spw and name not in BOUNDED_GLOBAL_WINDOW_OK:
+            bad.append(
+                f"{name}: {len(spw)} Sort/Window over Exchange "
+                f"SinglePartition ({', '.join(spw)}) — unbounded global "
+                "window (not allowlisted)"
+            )
         print(f"[audit] {name}: {a}", file=sys.stderr, flush=True)
 
     out = os.path.join(

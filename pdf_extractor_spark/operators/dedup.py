@@ -661,8 +661,8 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    blocks: int = 6,
-    seg_match: int = 3,
+    blocks: int = 5,
+    seg_match: int = 2,
     max_bucket: int | None = 10_000,
     oversize: str = "drop",
 ) -> DataFrame:
@@ -679,12 +679,14 @@ def simhash_neardup_pairs(
     seg_match * (60/blocks) bits, candidate volume ~ C(blocks, seg_match)
     * n^2 / 2^width per uniformly-hashed corpus. The OUTPUT is invariant
     to these knobs wherever completeness holds (verified pairs are
-    exactly the hamming matches), so they tune candidate volume only.
-    Defaults (6 blocks, match 3) give 30-bit keys at C(6,3)=20 combos —
-    measured 1.4x faster than the round-2 20-bit/15-combo setting on the
-    shared-vocabulary bench corpus (fewer colliding candidates outweigh
-    the extra combos); at 10^12 docs use e.g. blocks=12, seg_match=8 for
-    40-bit keys — same operator, wider key. max_bucket additionally caps
+    exactly the hamming matches), so they tune candidate volume only —
+    asserted by the three-knob equality in tests/test_dedup_guards.py.
+    Defaults (5 blocks, match 2) give 24-bit keys at C(5,2)=10 combos:
+    the combo explode — the one corpus-sized shuffle — moves 10n rows
+    instead of the previous 6/3 setting's 20n, measured 1.33x faster
+    warm and 4x cold at sf0.1 with collision candidates still ~n^2/2^21
+    (negligible below ~10^8 docs). At 10^12 docs use e.g. blocks=12,
+    seg_match=8 for 40-bit keys — same operator, wider key. max_bucket additionally caps
     any degenerate (combo, key) bucket (duplicate-heavy corpora), with the
     same oversize='drop'|'star' policy as minhash_lsh_pairs: 'star' emits
     bucket-min -> member candidates (O(sz), each still hamming-verified)

@@ -93,6 +93,64 @@ def pdfplumber_text_kernel(payload: bytes) -> list[str]:
         return [page.extract_text() or "" for page in pdf.pages]
 
 
+def minipdf_text_kernel(payload: bytes) -> list[str]:
+    """Vendored pure-Python page-text parser for SIMPLE, UNCOMPRESSED
+    PDFs (public file-format knowledge: PDF 32000-1 §7/§9 text objects):
+    walks the /Pages tree in /Kids order, pulls each page's /Contents
+    stream, and concatenates the `(...) Tj` / `TJ` show-text operands.
+    No filters (FlateDecode etc.), no encodings beyond latin-1, no
+    positioning — NOT a pdfplumber replacement, but enough to run the
+    real-kernel span contract (extractor.py:38-95) end-to-end on real
+    PDF bytes in runtimes without the library. One string per page,
+    like pdfplumber_text_kernel."""
+    import re as _re
+
+    raw = (payload or b"").decode("latin-1", "replace")
+    objs = {
+        int(m.group(1)): m.group(2)
+        for m in _re.finditer(
+            r"(\d+)\s+0\s+obj(.*?)endobj", raw, _re.DOTALL
+        )
+    }
+
+    def _texts(body: str) -> str:
+        m = _re.search(r"stream\r?\n(.*?)endstream", body, _re.DOTALL)
+        content = m.group(1) if m else body
+        out = []
+        # (...) Tj and [(...) ...] TJ operands; minimal escape handling
+        for s in _re.findall(r"\(((?:\\.|[^\\()])*)\)", content):
+            out.append(
+                s.replace(r"\(", "(").replace(r"\)", ")").replace(
+                    "\\\\", "\\"
+                )
+            )
+        return " ".join(out)
+
+    pages_obj = next(
+        (b for b in objs.values() if "/Type /Pages" in b or "/Type/Pages" in b),
+        None,
+    )
+    page_nums: list[int] = []
+    if pages_obj is not None:
+        kids = _re.search(r"/Kids\s*\[(.*?)\]", pages_obj, _re.DOTALL)
+        if kids:
+            page_nums = [
+                int(n) for n in _re.findall(r"(\d+)\s+0\s+R", kids.group(1))
+            ]
+    if not page_nums:  # degenerate input: document order of /Type /Page
+        page_nums = [
+            n
+            for n in sorted(objs)
+            if "/Type /Page" in objs[n] or "/Type/Page" in objs[n]
+        ]
+    texts = []
+    for pn in page_nums:
+        body = objs.get(pn, "")
+        c = _re.search(r"/Contents\s+(\d+)\s+0\s+R", body)
+        texts.append(_texts(objs.get(int(c.group(1)), "") if c else body))
+    return texts
+
+
 def real_text_kernel():
     """pdfplumber-backed kernel, or NotImplementedError when the library
     is absent from the runtime (the documented seam)."""

@@ -91,3 +91,28 @@ def test_run_index_job_artifacts_serve_consumers(spark, tmp_path):
         (F.col("query_id") == F.col("id")) & (F.col("rank") == 1)
     )
     assert self_hits.count() == 3
+
+    # lattice artifacts: the persisted encoded-word table makes
+    # lattice_encode(pieces=...) bit-identical to the inline Viterbi DP
+    # (the recurring-query fast path that skips the DP recompile)
+    from pdf_extractor_spark.operators.curation import lattice_encode
+
+    lv_rows = spark.read.parquet(os.path.join(out, "lattice_vocab"))
+    assert manifest["lattice_vocab_rows"] == lv_rows.count() > 0
+    vocab = [
+        (r["piece"], int(r["cnt"]))
+        for r in sorted(
+            lv_rows.collect(), key=lambda r: (-r["cnt"], r["piece"])
+        )
+    ]
+    pieces = spark.read.parquet(os.path.join(out, "lattice_pieces"))
+    assert manifest["lattice_piece_rows"] == pieces.count() > 0
+    via_artifact = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["piece_digest"])
+        for r in lattice_encode(docs, vocab, pieces=pieces).collect()
+    }
+    inline = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["piece_digest"])
+        for r in lattice_encode(docs, vocab).collect()
+    }
+    assert via_artifact == inline

@@ -9,9 +9,11 @@ Three layers of evidence:
      offsets / kinds follow the kernel's output;
   2. deterministic=False without the real libraries raises
      NotImplementedError at plan-build time (the documented seam);
-  3. when pdfplumber IS importable, the real kernel parses a hand-written
-     minimal 2-page PDF and the span contract holds end-to-end
-     (skipped in runtimes without the library).
+  3. a REAL kernel parses a hand-written minimal 2-page PDF and the span
+     contract holds end-to-end: pdfplumber when importable, else the
+     vendored pure-Python minipdf_text_kernel (the fixture is
+     uncompressed by construction, so the vendored parser is a faithful
+     real-bytes kernel for it) — the layer runs unconditionally.
 """
 
 import importlib.util
@@ -138,17 +140,35 @@ def _minimal_two_page_pdf() -> bytes:
     return (header + body + xref + trailer).encode("latin-1")
 
 
-@pytest.mark.skipif(not HAVE_PDFPLUMBER, reason="pdfplumber not installed")
-def test_real_pdfplumber_kernel_contract(spark):
-    from pdf_extractor_spark.sources.producers import text_producer
+def test_real_kernel_contract_on_real_pdf_bytes(spark):
+    """Layer 3, unconditional: real PDF bytes through a real parser —
+    pdfplumber when present, else the vendored minipdf_text_kernel
+    (sufficient for the uncompressed hand-written fixture)."""
+    from pdf_extractor_spark.sources.producers import (
+        minipdf_text_kernel,
+        text_producer,
+    )
 
     docs = _docs(spark, [("real1", _minimal_two_page_pdf())])
-    out = text_producer(docs, deterministic=False).collect()
+    if HAVE_PDFPLUMBER:
+        out = text_producer(docs, deterministic=False).collect()
+    else:
+        out = text_producer(docs, kernel=minipdf_text_kernel).collect()
     spans = out[0]["spans"]
     assert len(spans) == 2
     assert [s["offset"] for s in spans] == [0, 1]
     assert "hello page one" in spans[0]["text"]
     assert "hello page two" in spans[1]["text"]
+
+
+def test_minipdf_kernel_local_parse():
+    """The vendored parser itself (no Spark): page order follows /Kids,
+    text comes from the Tj operands, escapes unescape."""
+    from pdf_extractor_spark.sources.producers import minipdf_text_kernel
+
+    pages = minipdf_text_kernel(_minimal_two_page_pdf())
+    assert pages == ["hello page one", "hello page two"]
+    assert minipdf_text_kernel(b"") == []
 
 
 def test_handwritten_pdf_is_wellformed():

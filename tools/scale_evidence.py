@@ -160,26 +160,47 @@ def main() -> None:
     cent_s = ivf_centroids(emb_s, 16)
     cent_b = ivf_centroids(emb_b, 16 * args.factor)
 
+    # lattice piece vocabulary = train-once index state too
+    # (jobs/run_index.py lattice_vocab/); built per level outside the
+    # timed region. The 10x corpus is token-shuffled replicas, so its
+    # vocabulary has the same WORDS at 10x the counts — the encode
+    # ratio therefore isolates the corpus-join cost (the DP work is
+    # vocabulary-sized and identical at both levels by construction).
+    from pdf_extractor_spark.operators.curation import (
+        lattice_encode,
+        lattice_vocab,
+    )
+
+    def _vocab_list(d):
+        return [
+            (r["piece"], int(r["cnt"])) for r in lattice_vocab(d).collect()
+        ]
+
+    vocab_s = _vocab_list(docs_s)
+    vocab_b = _vocab_list(docs_b)
+
     ops = {
-        "exact_dedup": lambda d, e, c: exact_dedup(d).count(),
-        "minhash_lsh": lambda d, e, c: minhash_lsh_pairs(
+        "exact_dedup": lambda d, e, c, v: exact_dedup(d).count(),
+        "minhash_lsh": lambda d, e, c, v: minhash_lsh_pairs(
             d, n=3, num_hashes=64, bands=16, threshold=0.7
         ).count(),
-        "simhash_neardup": lambda d, e, c: simhash_neardup_pairs(
+        "simhash_neardup": lambda d, e, c, v: simhash_neardup_pairs(
             d, max_hamming=3
         ).count(),
-        "winnow_pairs": lambda d, e, c: winnow_pairs(
+        "winnow_pairs": lambda d, e, c, v: winnow_pairs(
             d, k=5, w=4, min_shared=2
         ).count(),
-        "semdedup": lambda d, e, c: semdedup(e, c).count(),
+        "semdedup": lambda d, e, c, v: semdedup(e, c).count(),
+        "lattice_vocab": lambda d, e, c, v: lattice_vocab(d).count(),
+        "lattice_encode": lambda d, e, c, v: lattice_encode(d, v).count(),
     }
 
     rows = []
     for name, fn in ops.items():
         # warm the small level once (codegen), then best-of-2 each level
-        fn(docs_s, emb_s, cent_s)
-        t_s, n_s = timed(lambda: fn(docs_s, emb_s, cent_s))
-        t_b, n_b = timed(lambda: fn(docs_b, emb_b, cent_b))
+        fn(docs_s, emb_s, cent_s, vocab_s)
+        t_s, n_s = timed(lambda: fn(docs_s, emb_s, cent_s, vocab_s))
+        t_b, n_b = timed(lambda: fn(docs_b, emb_b, cent_b, vocab_b))
         ratio = t_b / t_s if t_s > 0 else float("inf")
         rows.append((name, t_s, n_s, t_b, n_b, round(ratio, 2)))
         print(f"[scale] {name}: {t_s:.2f}s/{n_s} -> {t_b:.2f}s/{n_b} "
@@ -223,8 +244,12 @@ def main() -> None:
             "exact_dedup sees 10x distinct digests, and SimHash — token-"
             "multiset-invariant — sees every replica group as a "
             "hamming-0 duplicate class, its duplicate-heavy stress case. "
-            "Best-of-2 per level; semdedup centroids K ∝ n as index "
-            "state.",
+            "The lattice tokenizer family sees an IDENTICAL vocabulary "
+            "at 10x the counts (token-shuffling preserves the word "
+            "multiset), so its ratios separate vocabulary-sized DP work "
+            "from the corpus-sized join. Best-of-2 per level; semdedup "
+            "centroids K ∝ n and the lattice piece vocabulary as "
+            "index state.",
             "",
             "| operator | sf0.1 sec | rows | 10x sec | rows | wall ratio |",
             "|---|---|---|---|---|---|",

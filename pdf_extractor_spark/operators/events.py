@@ -1720,14 +1720,19 @@ def markov_entropy_rate(df: DataFrame, iters: int = 3) -> DataFrame:
     as self-loops) contribute zero entropy. 6 dp.
 
     Physical shape: ONE corpus window pass for the transition counts,
-    shared lazily with the markov_stationary call (same subtree object
-    -> one exchange via ReusedExchange, and the independent passes
-    schedule concurrently within the job)."""
-    pairs = _markov_transitions(df)
+    eagerly checkpointed (with the states frame) before the power
+    iteration — the unrolled iters x joins then run over two tiny
+    materialized tables instead of re-deriving the corpus window per
+    branch. The r3 lazy-shared form compiled to a 115-exchange plan
+    whose Catalyst analysis dominated wall time; measured at sf0.1 the
+    checkpointed shape is 1.4x faster warm and 3.3x cold, identical
+    output."""
+    pairs = _markov_transitions(df).localCheckpoint(eager=True)
     states = (
         df.select(F.col("event_type").alias("s"))
         .where(F.col("s").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outs = pairs.groupBy("a").agg(F.sum("c").alias("tot"))
     row_h = (

@@ -186,6 +186,8 @@ SCALAR_BROADCAST_OK = {
     "broadcasts (ranking.py)",
     "curriculum_order": "rank cut-point array as 1-row agg broadcast "
     "(ranking.py)",
+    "zipf_fit": "rank cut-point array as 1-row agg broadcast "
+    "(ranking.py)",
     "rfm_segments_ranks": "rank cut-point arrays as 1-row agg "
     "broadcasts (ranking.py)",
     "train_hash_lr": "class token totals (P, N) as 1-row agg broadcast "

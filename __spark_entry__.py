@@ -1939,6 +1939,17 @@ def _ngram_lm(spark, sf_dir):
     return ngram_lm(_t_wide(spark, sf_dir, "documents"))
 
 
+def _kn_bigram_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram model over the corpus (top-50
+    bigrams): discount 3/4, continuation counts from distinct-context
+    types — the KenLM-standard smoothing reduced to one exact-integer
+    division per bigram so the 6-dp probability hashes identically
+    cross-engine."""
+    from pdf_extractor_spark.operators.curation import kn_bigram_lm
+
+    return kn_bigram_lm(_t_wide(spark, sf_dir, "documents"))
+
+
 def _text_tables(spark, sf_dir):
     """Text-mode table extraction over deterministically synthesized
     pipe tables: every doc_id % 4 == 1 doc gains a 3-col table with
@@ -5185,6 +5196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": _global_shuffle,
         "lm_perplexity": _lm_perplexity,
         "ngram_lm": _ngram_lm,
+        "kn_bigram_lm": _kn_bigram_lm,
         "quality_tiers": _quality_tiers,
         "vocab_coverage": _vocab_coverage,
         "pagerank_hosts": _pagerank_hosts,
@@ -7928,6 +7940,31 @@ wi AS (SELECT *, CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
        FROM bi)
 SELECT w1, w2, c12, c1, round(CAST(c12 AS DOUBLE) / c1, 6) AS p
 FROM wi ORDER BY c12 DESC, w1, w2 LIMIT 50
+"""
+    # kn_bigram_lm: same bigram construction; context (c1, n_follow) /
+    # continuation (n_prec) / type-total (B) tables all derive from `bi`,
+    # and the d=3/4 interpolated-KN probability is ONE integer division
+    # rebuilt expression-for-expression (greatest/round shapes shared).
+    sql["kn_bigram_lm"] = f"""
+WITH toks AS (
+  SELECT {_LTOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+pairs AS (
+  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n_follow
+        FROM bi GROUP BY 1),
+prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM bi GROUP BY 1),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS B FROM bi),
+top AS (SELECT w1, w2, c12 FROM bi ORDER BY c12 DESC, w1, w2 LIMIT 50)
+SELECT CAST(row_number() OVER (ORDER BY c12 DESC, w1, w2) AS INT) AS rank,
+       w1, w2, c12, c1, n_follow, n_prec,
+       round((greatest(4 * c12 - 3, 0) * B
+              + 3 * n_follow * n_prec) / (4.0 * c1 * B), 6) + 0.0 AS p_kn
+FROM top JOIN ctx USING (w1) JOIN prec USING (w2), btot
 """
     # global_shuffle: the oracle IS the naive global ranking; the Spark
     # side's sharded two-level positions must reproduce it exactly because

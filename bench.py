@@ -123,6 +123,7 @@ HEADLINE = [
     "anchor_text_index",
     "host_quota_sample",
     "ngram_lm",
+    "kn_bigram_lm",
     "quality_tiers",
     "quality_percentile",
     "media_dedup",

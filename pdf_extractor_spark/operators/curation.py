@@ -1408,6 +1408,78 @@ def ngram_lm(
     )
 
 
+def kn_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """(rank, w1, w2, c12, c1, n_follow, n_prec, p_kn) — interpolated
+    Kneser-Ney bigram model (the KenLM/CCNet-standard smoothing; Kneser &
+    Ney 1995, public knowledge) over the corpus, reported for the top_n
+    bigrams by (count desc, w1, w2):
+
+        p_kn(w2|w1) = max(c12 - d, 0)/c1
+                      + (d * n_follow / c1) * (n_prec / B)
+
+    with discount d = 3/4, c1 = bigram-prefix count of w1, n_follow =
+    |{w: c(w1 w) > 0}| (the backoff mass donor), n_prec = |{v: c(v w2)
+    > 0}| (the continuation count — KN's insight: how many contexts a
+    word FOLLOWS, not how often it occurs), B = distinct bigram types.
+    d = 3/4 is exact in binary, so the whole probability reduces to ONE
+    division of exact 64-bit integers:
+
+        (max(4*c12 - 3, 0) * B + 3 * n_follow * n_prec) / (4 * c1 * B)
+
+    — bit-identical across engines after the 6-dp round (valid while
+    c12 * B < 2^61; at 10^12-doc scale promote the numerator to double,
+    the formula is unchanged). Completes the trained-artifact trio:
+    hashed-LR classifier (train_hash_lr), subword tokenizers
+    (BPE/WordPiece/lattice), and now a smoothed language model.
+
+    Scale shape: one (w1, w2) count shuffle with map-side combine; the
+    context/continuation/type-total tables all derive from that bigram
+    table (vocabulary-squared-bounded, corpus-sublinear); the top_n cut
+    is TakeOrderedAndProject and the enrichment joins run on the top_n
+    rows, never the full model table."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(toks.alias("t")).where(F.size("t") >= 2)
+    pairs = base.select(
+        F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("pos", "w1"),
+        F.col("t"),
+    ).select("w1", F.expr("t[pos + 1]").alias("w2"))
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n_follow"),
+    )
+    prec = bi.groupBy("w2").agg(F.count("*").cast("long").alias("n_prec"))
+    btot = bi.agg(F.count("*").cast("long").alias("B"))
+    top = bi.orderBy(F.desc("c12"), "w1", "w2").limit(top_n)
+    out = (
+        top.join(ctx, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(btot))
+    )
+    numer = (
+        F.greatest(F.col("c12") * 4 - 3, F.lit(0)) * F.col("B")
+        + F.lit(3) * F.col("n_follow") * F.col("n_prec")
+    )
+    denom = F.lit(4) * F.col("c1") * F.col("B")
+    w = Window.orderBy(F.desc("c12"), "w1", "w2")
+    return (
+        out.withColumn("p_kn", F.round(numer / denom, 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank", "w1", "w2", "c12", "c1", "n_follow", "n_prec",
+            (F.col("p_kn") + 0.0).alias("p_kn"),
+        )
+    )
+
+
 def curation_transform(df: DataFrame) -> DataFrame:
     """Per-doc quality-annotation stage for the checkpointed pipeline
     (jobs/run_curation.py): Gopher rule flags + hashed-LR columns + text

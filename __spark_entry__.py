@@ -1950,6 +1950,15 @@ def _kn_bigram_lm(spark, sf_dir):
     return kn_bigram_lm(_t_wide(spark, sf_dir, "documents"))
 
 
+def _kn_perplexity(spark, sf_dir):
+    """Per-doc Kneser-Ney transition cross-entropy / perplexity under the
+    corpus-trained bigram KN model — the scoring half of kn_bigram_lm's
+    train/score split (lm_perplexity's rounding conventions)."""
+    from pdf_extractor_spark.operators.curation import kn_perplexity
+
+    return kn_perplexity(_t_wide(spark, sf_dir, "documents"))
+
+
 def _text_tables(spark, sf_dir):
     """Text-mode table extraction over deterministically synthesized
     pipe tables: every doc_id % 4 == 1 doc gains a 3-col table with
@@ -5197,6 +5206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _lm_perplexity,
         "ngram_lm": _ngram_lm,
         "kn_bigram_lm": _kn_bigram_lm,
+        "kn_perplexity": _kn_perplexity,
         "quality_tiers": _quality_tiers,
         "vocab_coverage": _vocab_coverage,
         "pagerank_hosts": _pagerank_hosts,
@@ -7965,6 +7975,39 @@ SELECT CAST(row_number() OVER (ORDER BY c12 DESC, w1, w2) AS INT) AS rank,
        round((greatest(4 * c12 - 3, 0) * B
               + 3 * n_follow * n_prec) / (4.0 * c1 * B), 6) + 0.0 AS p_kn
 FROM top JOIN ctx USING (w1) JOIN prec USING (w2), btot
+"""
+    # kn_perplexity: the scoring half — every transition joined back on
+    # the same model CTEs, mean -ln p per doc (lm_perplexity's round-6/-4
+    # convention; docs with < 2 tokens score (0, 0.0, 1.0))
+    sql["kn_perplexity"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_LTOKS} AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+pairs AS (
+  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n_follow
+        FROM bi GROUP BY 1),
+prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM bi GROUP BY 1),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS B FROM bi),
+scored AS (
+  SELECT p.doc_id,
+         ln((greatest(4 * c12 - 3, 0) * B + 3 * n_follow * n_prec)
+            / (4.0 * c1 * B)) AS logp
+  FROM pairs p JOIN bi USING (w1, w2) JOIN ctx USING (w1)
+       JOIN prec USING (w2), btot),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+         -sum(logp) / count(*) AS h
+  FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n_trans, 0) AS n_trans,
+       coalesce(round(h, 6), 0.0) + 0.0 AS kn_cross_entropy,
+       coalesce(round(exp(h), 4), 1.0) + 0.0 AS kn_perplexity
+FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
     # global_shuffle: the oracle IS the naive global ranking; the Spark
     # side's sharded two-level positions must reproduce it exactly because

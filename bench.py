@@ -124,6 +124,7 @@ HEADLINE = [
     "host_quota_sample",
     "ngram_lm",
     "kn_bigram_lm",
+    "kn_perplexity",
     "quality_tiers",
     "quality_percentile",
     "media_dedup",

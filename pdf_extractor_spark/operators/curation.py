@@ -1480,6 +1480,73 @@ def kn_bigram_lm(
     )
 
 
+def kn_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_trans, kn_cross_entropy, kn_perplexity) — the scoring
+    half of the Kneser-Ney split (kn_bigram_lm is the train half): every
+    bigram TRANSITION of a document scored by the corpus-trained
+    interpolated-KN model, cross-entropy = mean -ln p_kn over the doc's
+    transitions (6 dp; perplexity = exp, 4 dp — the lm_perplexity
+    rounding precedent that absorbs cross-engine sum-order noise in
+    ln-space). Documents under 2 tokens score (0, 0.0, 1.0). Transitions
+    only — no unigram back-off row — so every scored bigram is corpus-
+    attested and p_kn is strictly positive (numerator >= B).
+
+    Scale shape: the model tables derive from one (w1, w2) count shuffle
+    (lazily checkpointed — at production scale they are the persisted
+    artifact); scoring re-joins the exploded transition rows on those
+    keys, then one doc-key aggregate."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    pairs = base.where(F.size("t") >= 2).select(
+        "id",
+        F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("pos", "w1"),
+        F.col("t"),
+    ).select("id", "w1", F.expr("t[pos + 1]").alias("w2"))
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n_follow"),
+    )
+    prec = bi.groupBy("w2").agg(F.count("*").cast("long").alias("n_prec"))
+    btot = bi.agg(F.count("*").cast("long").alias("B"))
+    numer = (
+        F.greatest(F.col("c12") * 4 - 3, F.lit(0)) * F.col("B")
+        + F.lit(3) * F.col("n_follow") * F.col("n_prec")
+    )
+    denom = F.lit(4) * F.col("c1") * F.col("B")
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select("id", F.log(numer / denom).alias("logp"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_trans"),
+        (-F.sum("logp") / F.count("*")).alias("h"),
+    )
+    return df.select(F.col(id_col)).join(
+        per_doc, F.col(id_col) == F.col("id"), "left"
+    ).select(
+        id_col,
+        F.coalesce("n_trans", F.lit(0).cast("long")).alias("n_trans"),
+        (F.coalesce(F.round("h", 6), F.lit(0.0)) + 0.0).alias(
+            "kn_cross_entropy"
+        ),
+        (F.coalesce(F.round(F.exp("h"), 4), F.lit(1.0)) + 0.0).alias(
+            "kn_perplexity"
+        ),
+    )
+
+
 def curation_transform(df: DataFrame) -> DataFrame:
     """Per-doc quality-annotation stage for the checkpointed pipeline
     (jobs/run_curation.py): Gopher rule flags + hashed-LR columns + text

@@ -83,3 +83,42 @@ def test_kn_probabilities_normalize(spark):
         by_ctx.setdefault(r["w1"], []).append(r["p_kn"])
     for ctx, ps in by_ctx.items():
         assert sum(ps) <= 1.0 + 1e-9, (ctx, ps)
+
+
+def test_kn_perplexity_bruteforce(spark):
+    import math
+
+    texts = {i: " ".join(f"w{(i * j * 5 + j) % 7}" for j in range(2 + i % 6))
+             for i in range(40)}
+    texts[40] = "solo"          # < 2 tokens -> (0, 0.0, 1.0)
+    texts[41] = ""              # empty text
+    from pdf_extractor_spark.operators.curation import kn_perplexity
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    model = _py_kn([t for t in texts.values()], top_n=10**9)
+    want = {}
+    for i, t in texts.items():
+        toks = t.lower().split()
+        lps = []
+        for a, b in zip(toks, toks[1:]):
+            # recompute UNROUNDED p (the operator rounds only the mean)
+            r, c, c1, nf, np_, _p = model[(a, b)]
+            B = len(model)
+            lps.append(math.log(
+                (max(4 * c - 3, 0) * B + 3 * nf * np_) / (4 * c1 * B)))
+        if lps:
+            h = -sum(lps) / len(lps)
+            want[i] = (len(lps), round(h, 6), round(math.exp(h), 4))
+        else:
+            want[i] = (0, 0.0, 1.0)
+    got = {
+        r["doc_id"]: (r["n_trans"], r["kn_cross_entropy"],
+                      r["kn_perplexity"])
+        for r in kn_perplexity(docs).collect()
+    }
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert got[i][1] == pytest.approx(want[i][1], abs=2e-6), i
+        assert got[i][2] == pytest.approx(want[i][2], abs=2e-4), i

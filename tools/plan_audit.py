@@ -111,6 +111,8 @@ SCALAR_BROADCAST_OK = {
     "pagerank_hosts": "node count N as 1-row agg broadcast",
     "crawl_frontier": "node count / emptiness probes on 1-row frames",
     "lm_perplexity": "corpus totals (N, V) as 1-row agg broadcast",
+    "kn_bigram_lm": "bigram-type total B as 1-row agg broadcast",
+    "kn_perplexity": "bigram-type total B as 1-row agg broadcast",
     "quality_tiers": "inherits lm_perplexity's 1-row totals broadcast",
     "mix_weights": "corpus token total as 1-row agg broadcast",
     "pmi_cooccurrence": "corpus totals (n_tokens, n_pairs) as two 1-row "
@@ -242,6 +244,9 @@ BOUNDED_GLOBAL_WINDOW_OK: dict[str, str] = {
     "rrf_fusion": "ranking.py bucket-offset tables",
     "vocab_prune": "ranking.py bucket-offset table",
     "zipf_fit": "ranking.py bucket-offset table",
+    "kn_bigram_lm": "rank numbering over the top_n post-limit frame "
+    "(<= 50 rows; the TakeOrdered cut sits below the enrichment joins, "
+    "so the detector cannot see the bound)",
 }
 
 

@@ -158,3 +158,47 @@ def test_multi_rank_matches_global_windows(tiedf):
         ).select("id", "ra", "rd", "rv").collect()
     }
     assert got == want
+
+
+def test_rank_engine_property_fuzz(spark):
+    """Property fuzz over adversarial score distributions: constant,
+    heavily-tied, sparse-outlier, and negative scores must all reproduce
+    the global window exactly (the percentile_approx cuts degenerate in
+    different ways for each)."""
+    from pdf_extractor_spark.operators.ranking import (
+        multi_scalable_row_number,
+        scalable_row_number,
+    )
+
+    cases = {
+        "constant": [(i, 7, i % 3) for i in range(200)],
+        "two_values": [(i, i % 2, (i * 13) % 5) for i in range(200)],
+        "one_outlier": [(i, 10**9 if i == 57 else 1, i % 4)
+                        for i in range(200)],
+        "negative": [(i, -(i % 11) * 3, (i * 7) % 6) for i in range(200)],
+    }
+    for name, rows in cases.items():
+        df = spark.createDataFrame(rows, "id int, score long, tb int")
+        w = Window.orderBy(F.col("score").asc(), F.col("tb").asc(),
+                           F.col("id").asc())
+        want = {
+            r["id"]: r["rk"]
+            for r in df.select(
+                "id", F.row_number().over(w).alias("rk")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["rk"]
+            for r in scalable_row_number(
+                df, "score", ["tb", "id"], ascending=True,
+                n_buckets=8, out_col="rk",
+            ).select("id", "rk").collect()
+        }
+        assert got == want, name
+        got2 = {
+            r["id"]: r["rk"]
+            for r in multi_scalable_row_number(
+                df, [("score", ["tb", "id"], True, "rk")], n_buckets=8
+            ).select("id", "rk").collect()
+        }
+        assert got2 == want, ("multi", name)

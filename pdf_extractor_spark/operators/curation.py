@@ -2251,12 +2251,42 @@ def dsir_weights(
     )
 
 
+def bpe_word_pieces(
+    df: DataFrame,
+    rules: "list[tuple[str, str]] | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """(w, wf, syms) — every distinct corpus word with its corpus
+    frequency and its trained-rules BPE encoding: the per-word encoded
+    table that `bpe_vocab` (and coverage/OOV analyses) roll up. This is
+    the BPE family's persistable index artifact, directly analogous to
+    the lattice tokenizer's `lattice_pieces/` table
+    (`jobs/run_index.py`): the ONE corpus-sized word-key shuffle happens
+    at build time; every recurring consumer is vocabulary-sized.
+
+    No reference counterpart (SURVEY §2.8): tokenizer support for the
+    LLM-pipeline family."""
+    rules = _bpe_trained_rules(df, text_col, id_col, n_merges, rules)
+    words = (
+        fan_out(df)
+        .select(
+            F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("w")
+        )
+        .where(F.col("w").isNotNull())
+    )
+    wf = words.groupBy("w").agg(F.count("*").cast("long").alias("wf"))
+    return _bpe_char_fold(wf, rules).select("w", "wf", "syms")
+
+
 def bpe_vocab(
     df: DataFrame,
     rules: "list[tuple[str, str]] | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 3,
+    word_pieces: "DataFrame | None" = None,
 ) -> DataFrame:
     """(symbol, freq) — the subword vocabulary induced by the trained
     merge rules over the corpus: every distinct word encoded once
@@ -2270,20 +2300,19 @@ def bpe_vocab(
     Scale shape: identical to bpe_encode's — ONE word-key shuffle
     collapses the corpus to the frequency-weighted vocabulary, folds are
     narrow and vocabulary-sized, and the symbol rollup aggregates
-    vocabulary-sized data. Rules are O(n_merges) driver rows.
+    vocabulary-sized data. Rules are O(n_merges) driver rows. When the
+    persisted `bpe_word_pieces` artifact is supplied (`jobs/run_index.py`
+    — the `lattice_pieces/` discipline), the corpus shuffle AND the fold
+    are both skipped: the recurring query is a vocabulary-sized
+    explode+rollup over the parquet.
 
     No reference counterpart (SURVEY §2.8): tokenizer support for the
     LLM-pipeline family."""
-    rules = _bpe_trained_rules(df, text_col, id_col, n_merges, rules)
-    words = (
-        fan_out(df)
-        .select(
-            F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("w")
-        )
-        .where(F.col("w").isNotNull())
+    enc = (
+        word_pieces
+        if word_pieces is not None
+        else bpe_word_pieces(df, rules, text_col, id_col, n_merges)
     )
-    wf = words.groupBy("w").agg(F.count("*").cast("long").alias("wf"))
-    enc = _bpe_char_fold(wf, rules)
     return (
         enc.select(F.explode("syms").alias("symbol"), "wf")
         .groupBy("symbol")

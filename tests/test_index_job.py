@@ -76,6 +76,25 @@ def test_run_index_job_artifacts_serve_consumers(spark, tmp_path):
     b = {r.doc_id: r.n_subwords for r in bpe_encode(docs, n_merges=3).collect()}
     assert a == b
 
+    # the persisted per-word encoded table serves bpe_vocab's fast path:
+    # the artifact rollup == the inline recomputation from the corpus
+    from pdf_extractor_spark.operators.curation import bpe_vocab
+
+    wp = spark.read.parquet(os.path.join(out, "bpe_word_pieces"))
+    assert manifest["bpe_word_piece_rows"] == wp.count() > 0
+    via_artifact = {
+        r.symbol: r.freq for r in bpe_vocab(docs, word_pieces=wp).collect()
+    }
+    inline_vocab = {
+        r.symbol: r.freq for r in bpe_vocab(docs, rules=rules).collect()
+    }
+    assert via_artifact == inline_vocab
+    persisted_vocab = {
+        r.symbol: r.freq
+        for r in spark.read.parquet(os.path.join(out, "bpe_vocab")).collect()
+    }
+    assert persisted_vocab == inline_vocab
+
     # IVF centroids serve ivf_topk with self-match at rank 1
     from pdf_extractor_spark.operators.similarity import ivf_topk
 

@@ -11,6 +11,9 @@ trained BPE rules, banded LSH signatures, eval Bloom filter).
         --output /path/index [--n-centroids 16] [--n-merges 3]
 
 Writes under --output (each independently loadable):
+    minhash_signatures/ (id, sig array<long>)  — minhash_lsh's
+                      signatures= fast path skips the corpus shingle
+                      explode + num_hashes-min aggregate
     minhash_buckets/  (band, bucket, doc_id)   — incremental_minhash_pairs
                       / streaming LSH probe read this as index_buckets
     neardup_pairs/    (id_a, id_b, jaccard)    — verified near-dup pairs;
@@ -93,10 +96,15 @@ def main() -> None:
         f"{out}/digest_index"
     ).count()
 
-    # 2. banded MinHash signature index (LSH probe side)
-    sigs = minhash_signatures(
-        docs, num_hashes=args.num_hashes
-    ).filter(F.col("sig").isNotNull())
+    # 2. MinHash signatures + banded bucket index (LSH probe side).
+    # Signatures are persisted in their own right: the full-corpus
+    # minhash_lsh query takes them via signatures= and skips the
+    # corpus-sized shingle explode + 64-min aggregate on every run.
+    minhash_signatures(docs, num_hashes=args.num_hashes).filter(
+        F.col("sig").isNotNull()
+    ).write.mode("overwrite").parquet(f"{out}/minhash_signatures")
+    sigs = spark.read.parquet(f"{out}/minhash_signatures")
+    manifest["minhash_signature_rows"] = sigs.count()
     _banded_buckets(
         sigs, bands=args.bands, rows_per_band=args.num_hashes // args.bands
     ).select("band", "bucket", F.col("id").alias("doc_id")).write.mode(
@@ -114,7 +122,7 @@ def main() -> None:
 
     minhash_lsh_pairs(
         docs, n=3, num_hashes=args.num_hashes, bands=args.bands,
-        threshold=0.7,
+        threshold=0.7, signatures=sigs,
     ).write.mode("overwrite").parquet(f"{out}/neardup_pairs")
     manifest["neardup_pair_rows"] = spark.read.parquet(
         f"{out}/neardup_pairs"

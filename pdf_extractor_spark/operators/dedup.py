@@ -324,6 +324,7 @@ def minhash_lsh_pairs(
     max_bucket: int | None = 10_000,
     verify: bool = True,
     oversize: str = "drop",
+    signatures: "DataFrame | None" = None,
 ) -> DataFrame:
     """Banded LSH near-dup detection, production shape: candidate pairs from
     the (band, bucket) join, then each candidate VERIFIED with its true
@@ -344,7 +345,15 @@ def minhash_lsh_pairs(
     bucket-min -> member candidate edges — O(sz) per bucket, each still
     exact-verified — so connected components / survivor selection see the
     full duplicate class without any task materializing the quadratic
-    pair set. Use minhash_bucket_stats for cap observability."""
+    pair set. Use minhash_bucket_stats for cap observability.
+
+    signatures= takes a precomputed (id, sig) table — the persisted
+    `minhash_signatures/` index artifact (jobs/run_index.py) — and skips
+    the corpus-sized shingle explode + num_hashes-min aggregate, the
+    dominant cost of the recurring full-corpus run. The signatures MUST
+    have been built with the same (n, num_hashes, seed); the exact-verify
+    pass still reads `df` for candidate shingles, so the output is
+    identical either way (asserted in tests/test_index_job.py)."""
     assert num_hashes % bands == 0
     assert oversize in ("drop", "star")
     if oversize == "star" and not verify:
@@ -353,9 +362,11 @@ def minhash_lsh_pairs(
             "signature pair for the est_jaccard path"
         )
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).filter(
-        F.col("sig").isNotNull()
-    )
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    ).filter(F.col("sig").isNotNull())
     banded = _banded_buckets(sigs, bands, rows_per_band)
 
     star_pairs = None

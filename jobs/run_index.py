@@ -14,6 +14,9 @@ Writes under --output (each independently loadable):
     minhash_signatures/ (id, sig array<long>)  — minhash_lsh's
                       signatures= fast path skips the corpus shingle
                       explode + num_hashes-min aggregate
+    simhash_signatures/ (id, simhash)          — simhash_neardup's
+                      signatures= fast path skips the token explode +
+                      60-balance aggregate
     minhash_buckets/  (band, bucket, doc_id)   — incremental_minhash_pairs
                       / streaming LSH probe read this as index_buckets
     neardup_pairs/    (id_a, id_b, jaccard)    — verified near-dup pairs;
@@ -112,6 +115,17 @@ def main() -> None:
     ).parquet(f"{out}/minhash_buckets")
     manifest["minhash_bucket_rows"] = spark.read.parquet(
         f"{out}/minhash_buckets"
+    ).count()
+
+    # 2a. SimHash signatures — simhash_neardup's signatures= fast path
+    # (the token explode + 60-balance aggregate runs once, here)
+    from pdf_extractor_spark.operators.dedup import simhash64
+
+    simhash64(docs).write.mode("overwrite").parquet(
+        f"{out}/simhash_signatures"
+    )
+    manifest["simhash_signature_rows"] = spark.read.parquet(
+        f"{out}/simhash_signatures"
     ).count()
 
     # 2b. verified near-dup pairs (banded candidates -> exact-Jaccard

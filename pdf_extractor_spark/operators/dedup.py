@@ -676,6 +676,7 @@ def simhash_neardup_pairs(
     seg_match: int = 2,
     max_bucket: int | None = 10_000,
     oversize: str = "drop",
+    signatures: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance <= max_hamming via multi-segment
     pigeonhole blocking (the Manku/Jain/Sarma scheme generalized): split the
@@ -701,7 +702,13 @@ def simhash_neardup_pairs(
     any degenerate (combo, key) bucket (duplicate-heavy corpora), with the
     same oversize='drop'|'star' policy as minhash_lsh_pairs: 'star' emits
     bucket-min -> member candidates (O(sz), each still hamming-verified)
-    so duplicate classes stay connected without quadratic pair sets."""
+    so duplicate classes stay connected without quadratic pair sets.
+
+    signatures= takes a precomputed (id, simhash) table — the persisted
+    `simhash_signatures/` index artifact (jobs/run_index.py) — and skips
+    the corpus token explode + 60-balance aggregate (simhash64), the
+    dominant cost of the recurring full-corpus run; output is identical
+    either way (tests/test_index_job.py)."""
     assert max_hamming <= blocks - seg_match, (
         "pigeonhole completeness needs max_hamming <= blocks - seg_match"
     )
@@ -709,7 +716,11 @@ def simhash_neardup_pairs(
     assert oversize in ("drop", "star")
     from itertools import combinations
 
-    sigs = simhash64(df, text_col, id_col)
+    sigs = (
+        signatures
+        if signatures is not None
+        else simhash64(df, text_col, id_col)
+    )
     seg_bits = SIMHASH_BITS // blocks
 
     def seg(s: int):

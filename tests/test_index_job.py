@@ -74,6 +74,17 @@ def test_run_index_job_artifacts_serve_consumers(spark, tmp_path):
         map(tuple, inline.collect())
     )
 
+    # persisted SimHash signatures serve simhash_neardup's fast path
+    from pdf_extractor_spark.operators.dedup import simhash_neardup_pairs
+
+    sh_df = spark.read.parquet(os.path.join(out, "simhash_signatures"))
+    assert manifest["simhash_signature_rows"] == sh_df.count() > 0
+    sh_art = simhash_neardup_pairs(docs, max_hamming=3, signatures=sh_df)
+    sh_inline = simhash_neardup_pairs(docs, max_hamming=3)
+    assert sorted(map(tuple, sh_art.collect())) == sorted(
+        map(tuple, sh_inline.collect())
+    )
+
     # BPE rules reproduce bpe_encode exactly (vs inline training)
     from pdf_extractor_spark.operators.curation import bpe_encode
 

@@ -1137,7 +1137,9 @@ def _assoc_rules(spark, sf_dir):
     lift with deterministic tie-breaks."""
     from pdf_extractor_spark.operators.keywords import assoc_rules
 
-    return assoc_rules(_t_wide(spark, sf_dir, "documents"))
+    # plain _t: the operator fan_outs its tokenize branches itself and
+    # keeps the basket-count scan narrow (no repartition of text bytes)
+    return assoc_rules(_t(spark, sf_dir, "documents"))
 
 
 def _quote_extract(spark, sf_dir):

@@ -205,44 +205,75 @@ def assoc_rules(
     (lift desc, antecedent asc, consequent asc).
 
     Scale: Apriori pruning — singleton counts first, only tokens that
-    are themselves frequent enter pair generation (broadcast semi-join),
-    so the per-doc pair blowup is bounded by the frequent vocabulary a
-    doc contains, not its length. Pair generation is BASKET-LOCAL: the
-    frequent items regroup to one array per doc (a groupBy on the id the
-    caller usually already partitioned by), the a<b pairs materialize as
-    an in-row array comprehension, and pair counting map-side-combines
-    before its one (a, b) shuffle — no self-join, so no second copy of
-    the item table ever shuffles (the round-2 plan had 26 exchanges from
-    the join-based shape; this one has 3 data-sized ones: tok counts,
-    basket regroup, pair counts). The final top-k is TakeOrdered, not a
-    global rules window — rules can be vocabulary² and must not sort in
-    one task.
+    are themselves frequent enter pair generation. The frequent-item set
+    at relative support s has at most L/s members where L is the MEAN
+    distinct-token count per document (sum of doc frequencies <= N*L,
+    each frequent item contributes >= s*N) — bounded independent of
+    corpus size, so it rides the plan as a 1-row broadcast map and the
+    basket prune is a per-row array filter: NO frequent-items join and
+    NO basket regroup shuffle (the r3/r4 plan regrouped the exploded
+    item table per doc; baskets here never leave their input row — the
+    input array IS the basket). The corpus is exploded and shuffled
+    exactly once (the singleton doc-frequency count); the a<b pairs
+    materialize as an in-row comprehension over the pruned array, and
+    pair counting map-side-combines before its one (a, b) shuffle. The
+    final top-k is TakeOrdered, not a global rules window — rules can
+    be vocabulary² and must not sort in one task.
     """
-    items = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.split(
-                    F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
-                )
-            )
-        ).alias("tok"),
-    ).where(F.col("tok") != "")
-    totals = items.select(id_col).distinct().agg(
-        F.count("*").alias("n_total")
+    from ..session import fan_out
+
+    tok_arr = F.array_distinct(
+        F.array_remove(
+            F.split(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            ),
+            "",
+        )
     )
+    docs = fan_out(df).select(F.col(id_col), tok_arr.alias("_toks"))
+    # doc counts a basket iff it has >= 1 token (empty-after-trim docs
+    # split to [''] which array_remove drops) — same population the
+    # exploded-distinct-id count saw, computed WITHOUT tokenizing (a
+    # trim-length check on the raw scan, no fan_out shuffle) and
+    # checkpointed eagerly: the 1-row table broadcasts into TWO filters
+    # (frequent singletons, frequent pairs) and would otherwise replay
+    # its scan per consumer
+    totals = df.agg(
+        F.sum(
+            F.when(
+                F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0,
+                1,
+            ).otherwise(0)
+        ).alias("n_total")
+    ).localCheckpoint(eager=True)
     num, den = min_support
     freq = (
-        items.groupBy("tok")
+        docs.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
         .agg(F.count("*").alias("n_tok"))
         .crossJoin(F.broadcast(totals))
         .where(F.col("n_tok") * den >= F.col("n_total") * num)
     )
-    fitems = items.join(
-        F.broadcast(freq.select("tok", "n_tok")), "tok"
+    fmap = freq.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("tok", "n_tok")))
+        ).alias("_fm")
     )
-    baskets = fitems.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("tok", "n_tok"))).alias("_b")
+    # prune with ONE map probe per token: build the struct, drop misses
+    # on the null lookup (map_contains_key compiles to an
+    # array_contains(map_keys(..)) scan PLUS the lookup — twice the work)
+    baskets = docs.crossJoin(F.broadcast(fmap)).select(
+        F.array_sort(
+            F.filter(
+                F.transform(
+                    F.col("_toks"),
+                    lambda t: F.struct(
+                        t.alias("tok"), F.col("_fm")[t].alias("n_tok")
+                    ),
+                ),
+                lambda s: s["n_tok"].isNotNull(),
+            )
+        ).alias("_b")
     )
     k = F.size("_b")
     pair_arr = F.flatten(

@@ -269,35 +269,56 @@ def multi_scalable_row_number(
 
     The input should be cheap to recompute (a scan) or already
     materialized (rfm_segments hands in a localCheckpoint): the cuts
-    aggregate and each dimension's bucket-totals aggregate re-derive
-    `df`, so an expensive un-checkpointed upstream would re-run
-    len(specs)+1 times."""
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.agg(
-        *[
-            F.percentile_approx(s, probs).alias(f"_cuts_{o}")
-            for s, _tb, _asc, o in specs
-        ]
-    )
-    pre = df.crossJoin(F.broadcast(cuts))
-    for s, _tb, asc, o in specs:
-        if n_buckets < 2:
+    aggregate and the fused bucket-totals aggregate re-derive `df`, so
+    an expensive un-checkpointed upstream would re-run twice."""
+    if n_buckets < 2:
+        # one bucket — no cut points to compute or attach; every spec's
+        # range-bucket is the single bucket 0 (short-circuit: the
+        # percentile_approx aggregate and its crossJoin would otherwise
+        # run with an empty probs list for nothing)
+        pre = df
+        for _s, _tb, _asc, o in specs:
             pre = pre.withColumn(f"_rb_{o}", F.lit(0))
-        else:
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.agg(
+            *[
+                F.percentile_approx(s, probs).alias(f"_cuts_{o}")
+                for s, _tb, _asc, o in specs
+            ]
+        )
+        pre = df.crossJoin(F.broadcast(cuts))
+        for s, _tb, asc, o in specs:
             pre = pre.withColumn(
                 f"_rb_{o}",
                 F.size(
                     F.filter(F.col(f"_cuts_{o}"), _cut_cmp(F.col(s), asc))
                 ),
             )
-    pre = pre.drop(*[f"_cuts_{o}" for _s, _tb, _asc, o in specs])
+        pre = pre.drop(*[f"_cuts_{o}" for _s, _tb, _asc, o in specs])
+    # ALL bucket-count tables in ONE grouping-sets aggregate over the
+    # pre-window frame (one pass instead of len(specs); computing them
+    # from `out` would additionally re-run every earlier dimension's
+    # window sort inside this dimension's aggregate). The fused table is
+    # bounded (n_buckets rows per spec), and each spec's slice is
+    # identified by its non-null grouping column.
+    rb_cols = [f"_rb_{o}" for _s, _tb, _asc, o in specs]
+    if len(specs) > 1:
+        # eager checkpoint: the bounded fused table feeds one broadcast
+        # per spec; lazy, each broadcast would replay the whole aggregate
+        fused = (
+            pre.groupingSets(
+                [[c] for c in rb_cols], *[F.col(c) for c in rb_cols]
+            )
+            .agg(F.count("*").alias("_bt"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        fused = pre.groupBy(rb_cols[0]).agg(F.count("*").alias("_bt"))
     out = pre
-    for s, tb, asc, o in specs:
+    for si, (s, tb, asc, o) in enumerate(specs):
         rb = f"_rb_{o}"
-        # bucket totals/offsets from the PRE-window frame: computing them
-        # from `out` would re-run every earlier dimension's window sort
-        # inside this dimension's aggregate
-        totals = pre.groupBy(rb).agg(F.count("*").alias("_bt"))
+        totals = fused.where(F.col(rb).isNotNull()).select(rb, "_bt")
         woff = Window.orderBy(rb).rowsBetween(
             Window.unboundedPreceding, -1
         )

@@ -1431,8 +1431,12 @@ def kn_bigram_lm(
         (max(4*c12 - 3, 0) * B + 3 * n_follow * n_prec) / (4 * c1 * B)
 
     — bit-identical across engines after the 6-dp round (valid while
-    c12 * B < 2^61; at 10^12-doc scale promote the numerator to double,
-    the formula is unchanged). Completes the trained-artifact trio:
+    c12 * B < 2^61 AND the denominator's c1 * B < 2^61: c1 — the total
+    bigram tokens of w1 — can exceed that well within a 100 TB corpus
+    too, and the 64-bit multiply would wrap silently in non-ANSI mode
+    while DuckDB's 4.0*c1*B computes in double; at 10^12-doc scale
+    promote BOTH numerator and denominator to double, the formula is
+    unchanged). Completes the trained-artifact trio:
     hashed-LR classifier (train_hash_lr), subword tokenizers
     (BPE/WordPiece/lattice), and now a smoothed language model.
 

@@ -1548,6 +1548,15 @@ def markov_stationary(
         kept = pi.join(sinks.select("s"), "s", "leftsemi").select(
             "s", F.col("pi").alias("k")
         )
+        # pi_k is referenced TWICE by pi_{k+1} (moved + kept sink mass),
+        # so an untruncated plan doubles per iteration — 2^iters copies
+        # of the join graph (90+ exchanges / 58 checkpoint scans audited
+        # at iters=3 even with the corpus subtree truncated). A LAZY
+        # localCheckpoint each step keeps the plan constant-size per
+        # iteration without adding a per-step job barrier (eager
+        # re-measured ~0.2s slower at sf0.1: three sequential tiny jobs
+        # cost more than one fused run of the truncated graph); the
+        # materialized table is bounded by the event-type domain.
         pi = (
             states.join(moved, "s", "left")
             .join(kept, "s", "left")
@@ -1557,6 +1566,7 @@ def markov_stationary(
                     F.coalesce("m", F.lit(0.0)) + F.coalesce("k", F.lit(0.0))
                 ).alias("pi"),
             )
+            .localCheckpoint(eager=False)
         )
     return pi.select(
         F.col("s").alias("event_type"), F.round("pi", 6).alias("pi")

@@ -10,12 +10,15 @@ semantics and the fixed plans.
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from tools.plan_audit import single_partition_sortwin  # noqa: E402
 

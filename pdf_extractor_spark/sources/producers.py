@@ -94,16 +94,22 @@ def pdfplumber_text_kernel(payload: bytes) -> list[str]:
 
 
 def minipdf_text_kernel(payload: bytes) -> list[str]:
-    """Vendored pure-Python page-text parser for SIMPLE, UNCOMPRESSED
-    PDFs (public file-format knowledge: PDF 32000-1 §7/§9 text objects):
-    walks the /Pages tree in /Kids order, pulls each page's /Contents
-    stream, and concatenates the `(...) Tj` / `TJ` show-text operands.
-    No filters (FlateDecode etc.), no encodings beyond latin-1, no
-    positioning — NOT a pdfplumber replacement, but enough to run the
-    real-kernel span contract (extractor.py:38-95) end-to-end on real
-    PDF bytes in runtimes without the library. One string per page,
-    like pdfplumber_text_kernel."""
+    """Vendored pure-Python page-text parser for SIMPLE PDFs (public
+    file-format knowledge: PDF 32000-1 §7/§9 text objects): walks the
+    /Pages tree in /Kids order, pulls each page's /Contents stream —
+    inflating it via stdlib zlib when the stream dict declares
+    /Filter /FlateDecode (§7.4.4, the normal real-world case) — and
+    concatenates the `(...) Tj` / `TJ` show-text operands. No other
+    filters, no encodings beyond latin-1, no positioning, and binary
+    streams that happen to contain the `endobj`/`endstream` delimiter
+    byte-strings confuse the object splitter (a minimal-parser caveat;
+    undecodable Flate data yields an empty page, never a crash) — NOT
+    a pdfplumber replacement, but enough to run the real-kernel span
+    contract (extractor.py:38-95) end-to-end on real PDF bytes in
+    runtimes without the library. One string per page, like
+    pdfplumber_text_kernel."""
     import re as _re
+    import zlib as _zlib
 
     raw = (payload or b"").decode("latin-1", "replace")
     objs = {
@@ -116,6 +122,19 @@ def minipdf_text_kernel(payload: bytes) -> list[str]:
     def _texts(body: str) -> str:
         m = _re.search(r"stream\r?\n(.*?)endstream", body, _re.DOTALL)
         content = m.group(1) if m else body
+        if m and _re.search(
+            r"/Filter\s*\[?\s*/FlateDecode", body[: m.start()]
+        ):
+            try:
+                # latin-1 round-trips the raw stream bytes; decompressobj
+                # tolerates the EOL padding before `endstream`
+                content = (
+                    _zlib.decompressobj()
+                    .decompress(content.encode("latin-1"))
+                    .decode("latin-1", "replace")
+                )
+            except _zlib.error:
+                return ""
         out = []
         # (...) Tj and [(...) ...] TJ operands; minimal escape handling
         for s in _re.findall(r"\(((?:\\.|[^\\()])*)\)", content):

@@ -93,10 +93,13 @@ def test_real_kernel_absent_raises_at_plan_build(spark):
         text_producer(docs, deterministic=False)
 
 
-def _minimal_two_page_pdf() -> bytes:
+def _minimal_two_page_pdf(compress: bool = False) -> bytes:
     """A valid 2-page PDF written by hand (Helvetica text via raw PDF
     syntax; public file-format knowledge), so the real-kernel test needs
-    no PDF-writing library."""
+    no PDF-writing library. compress=True FlateDecode-compresses the two
+    content streams (stdlib zlib) — the normal real-world page-stream
+    encoding (PDF 32000-1 §7.4.4)."""
+    import zlib
 
     def obj(n, body):
         return f"{n} 0 obj\n{body}\nendobj\n"
@@ -111,6 +114,13 @@ def _minimal_two_page_pdf() -> bytes:
 
     def content(n, text):
         stream = f"BT /F1 12 Tf 20 100 Td ({text}) Tj ET"
+        if compress:
+            zs = zlib.compress(stream.encode("latin-1")).decode("latin-1")
+            return obj(
+                n,
+                f"<< /Length {len(zs)} /Filter /FlateDecode >>\n"
+                f"stream\n{zs}\nendstream",
+            )
         return obj(
             n, f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream"
         )
@@ -160,6 +170,15 @@ def test_real_kernel_contract_on_real_pdf_bytes(spark):
     assert "hello page one" in spans[0]["text"]
     assert "hello page two" in spans[1]["text"]
 
+    # the FlateDecode-compressed variant holds the same span contract
+    # through the Spark plumbing (vendored kernel inflates via zlib)
+    zdocs = _docs(spark, [("realz", _minimal_two_page_pdf(compress=True))])
+    zout = text_producer(zdocs, kernel=minipdf_text_kernel).collect()
+    zspans = zout[0]["spans"]
+    assert [s["offset"] for s in zspans] == [0, 1]
+    assert "hello page one" in zspans[0]["text"]
+    assert "hello page two" in zspans[1]["text"]
+
 
 def test_minipdf_kernel_local_parse():
     """The vendored parser itself (no Spark): page order follows /Kids,
@@ -169,6 +188,26 @@ def test_minipdf_kernel_local_parse():
     pages = minipdf_text_kernel(_minimal_two_page_pdf())
     assert pages == ["hello page one", "hello page two"]
     assert minipdf_text_kernel(b"") == []
+
+
+def test_minipdf_kernel_flatedecode_parse():
+    """The FlateDecode-compressed variant of the same fixture parses to
+    the SAME spans (PDF 32000-1 §7.4.4 via stdlib zlib) — compressed
+    content streams are the normal real-world case, so the vendored
+    real-bytes kernel must not silently depend on the uncompressed
+    special case. Corrupt Flate data must yield an empty page, not a
+    crash."""
+    from pdf_extractor_spark.sources.producers import minipdf_text_kernel
+
+    plain = minipdf_text_kernel(_minimal_two_page_pdf())
+    compressed = minipdf_text_kernel(_minimal_two_page_pdf(compress=True))
+    assert compressed == plain == ["hello page one", "hello page two"]
+
+    bad = _minimal_two_page_pdf(compress=True).replace(
+        b"stream\n", b"stream\nXX", 1
+    )
+    pages = minipdf_text_kernel(bad)
+    assert len(pages) == 2 and pages[1] == "hello page two"
 
 
 def test_handwritten_pdf_is_wellformed():

@@ -250,7 +250,75 @@ BOUNDED_GLOBAL_WINDOW_OK: dict[str, str] = {
 }
 
 
+def _audited_sources() -> "list[str]":
+    """Every file whose change can alter an audited plan: the query
+    catalog, the whole operator package, and this tool itself."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = [
+        os.path.join(repo, "__spark_entry__.py"),
+        os.path.abspath(__file__),
+    ]
+    pkg = os.path.join(repo, "pdf_extractor_spark")
+    for root, _dirs, files in os.walk(pkg):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".py")
+        )
+    return sorted(out)
+
+
+def source_fingerprint() -> str:
+    """sha256 over (relpath, bytes) of every audited source file — the
+    freshness stamp PLAN_AUDIT.md embeds at generation. Content-based,
+    so it catches uncommitted edits too (git mtimes are unreliable)."""
+    import hashlib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for path in _audited_sources():
+        h.update(os.path.relpath(path, repo).encode())
+        h.update(b"\0")
+        with open(path, "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def check_stale() -> "str | None":
+    """None when PLAN_AUDIT.md was generated from the CURRENT sources;
+    otherwise a human-readable reason. The round-close gate: a committed
+    audit whose source files have since changed describes plans that no
+    longer exist (round 4 shipped markov_stationary's retired
+    108-exchange row exactly this way)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    audit_path = os.path.join(repo, "PLAN_AUDIT.md")
+    if not os.path.exists(audit_path):
+        return "PLAN_AUDIT.md does not exist — run tools/plan_audit.py"
+    with open(audit_path) as f:
+        text = f.read()
+    m = re.search(r"<!-- source-fingerprint: ([0-9a-f]{64}) -->", text)
+    if not m:
+        return (
+            "PLAN_AUDIT.md carries no source-fingerprint stamp — "
+            "regenerate with tools/plan_audit.py"
+        )
+    current = source_fingerprint()
+    if m.group(1) != current:
+        return (
+            "PLAN_AUDIT.md is STALE: audited sources changed since "
+            f"generation (stamped {m.group(1)[:12]}…, current "
+            f"{current[:12]}…) — rerun tools/plan_audit.py"
+        )
+    return None
+
+
 def main() -> None:
+    if "--check-stale" in sys.argv:
+        reason = check_stale()
+        if reason:
+            print(reason)
+            raise SystemExit(1)
+        print("PLAN_AUDIT.md is fresh (source fingerprint matches)")
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entry
     from pdf_extractor_spark.session import build_session
@@ -303,6 +371,9 @@ def main() -> None:
                 f"{a['arrow_stages']} | {a['topk']} | "
                 f"{'y' if a['codegen'] else '-'} |\n"
             )
+        f.write(
+            f"\n<!-- source-fingerprint: {source_fingerprint()} -->\n"
+        )
     print(f"wrote {out}: {len(rows)} queries")
     if bad:
         print("ANTI-PATTERNS FOUND:")

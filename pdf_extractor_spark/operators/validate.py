@@ -311,10 +311,22 @@ def _err(cond: Column, msg) -> Column:
 
 
 def _digit_sum(digits: Column, weights: list[int], start: int = 0) -> Column:
-    total = F.lit(0)
-    for i, w in enumerate(weights):
-        total = total + F.substring(digits, start + i + 1, 1).cast("int") * w
-    return total
+    # HOF loop, not an unrolled substring chain: the unrolled form's
+    # generated code (13 substring-casts x 2 check digits x 2 documents,
+    # all fused into span_validations' detector array) was the largest
+    # contributor to the projection that overflowed janino's 64KB method
+    # limit and dropped the stage to interpreted eval
+    warr = F.array(*[F.lit(w) for w in weights])
+    idx = F.sequence(F.lit(1), F.lit(len(weights)))
+    return F.aggregate(
+        F.zip_with(
+            idx,
+            warr,
+            lambda i, w: F.substring(digits, i + start, 1).cast("int") * w,
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _mod11_digit(total: Column) -> Column:
@@ -604,10 +616,19 @@ def span_validations(df: DataFrame, spans_col: str = "spans") -> DataFrame:
                 err.alias("error"),
             )
         )
-    out = s.select(
-        "doc_id", "offset", "order",
-        F.explode(F.array(*entries)).alias("fv"),
-    ).filter(F.col("fv.value").isNotNull())
+    # bind the detector array as a COLUMN in its own projection before
+    # the explode: inlined into the Generate, the ~10 detectors' fused
+    # value+error expressions compile into one janino method that blows
+    # the 64KB limit and silently drops the whole stage to interpreted
+    # eval (Project under Generate is NOT collapsed, and ProjectExec's
+    # codegen splits big expression lists across methods)
+    out = (
+        s.withColumn("_fvs", F.array(*entries))
+        .select(
+            "doc_id", "offset", "order", F.explode("_fvs").alias("fv")
+        )
+        .filter(F.col("fv.value").isNotNull())
+    )
     return out.select(
         "doc_id",
         "offset",

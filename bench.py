@@ -402,6 +402,11 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
 
+    # untimed canary warmup: the start sample must measure the HOST, not
+    # this query's first-ever codegen (measured 0.337s cold vs 0.14-0.15s
+    # for the mid/end samples on the same uncontended run — 0.05s from a
+    # false trip at floor x drift = 0.39s)
+    _force(qmap[CANARY_QUERY](spark, sf_dir))
     _canary_sample()
 
     # best-of-2: the first run pays codegen/JIT compilation for the query's

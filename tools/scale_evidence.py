@@ -179,28 +179,70 @@ def main() -> None:
     vocab_s = _vocab_list(docs_s)
     vocab_b = _vocab_list(docs_b)
 
+    # persisted signature artifacts = write-once index state per level
+    # (jobs/run_index.py minhash_signatures/ + simhash_signatures/,
+    # round 5): built OUTSIDE the timed region so the *_probe rows
+    # measure the recurring production shape — banding + candidate join
+    # + exact verify off the parquet, signatures never recomputed
+    from pdf_extractor_spark.operators.dedup import (
+        minhash_signatures,
+        simhash64,
+    )
+
+    def _persisted(df, sub):
+        p = os.path.join(workdir, sub)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    msig_s = _persisted(
+        minhash_signatures(docs_s, n=3, num_hashes=64).filter(
+            F.col("sig").isNotNull()
+        ),
+        "msig_s",
+    )
+    msig_b = _persisted(
+        minhash_signatures(docs_b, n=3, num_hashes=64).filter(
+            F.col("sig").isNotNull()
+        ),
+        "msig_b",
+    )
+    ssig_s = _persisted(simhash64(docs_s), "ssig_s")
+    ssig_b = _persisted(simhash64(docs_b), "ssig_b")
+
+    small = {"d": docs_s, "e": emb_s, "c": cent_s, "v": vocab_s,
+             "ms": msig_s, "ss": ssig_s}
+    big = {"d": docs_b, "e": emb_b, "c": cent_b, "v": vocab_b,
+           "ms": msig_b, "ss": ssig_b}
+
     ops = {
-        "exact_dedup": lambda d, e, c, v: exact_dedup(d).count(),
-        "minhash_lsh": lambda d, e, c, v: minhash_lsh_pairs(
-            d, n=3, num_hashes=64, bands=16, threshold=0.7
+        "exact_dedup": lambda L: exact_dedup(L["d"]).count(),
+        "minhash_lsh": lambda L: minhash_lsh_pairs(
+            L["d"], n=3, num_hashes=64, bands=16, threshold=0.7
         ).count(),
-        "simhash_neardup": lambda d, e, c, v: simhash_neardup_pairs(
-            d, max_hamming=3
+        "minhash_lsh_probe": lambda L: minhash_lsh_pairs(
+            L["d"], n=3, num_hashes=64, bands=16, threshold=0.7,
+            signatures=L["ms"],
         ).count(),
-        "winnow_pairs": lambda d, e, c, v: winnow_pairs(
-            d, k=5, w=4, min_shared=2
+        "simhash_neardup": lambda L: simhash_neardup_pairs(
+            L["d"], max_hamming=3
         ).count(),
-        "semdedup": lambda d, e, c, v: semdedup(e, c).count(),
-        "lattice_vocab": lambda d, e, c, v: lattice_vocab(d).count(),
-        "lattice_encode": lambda d, e, c, v: lattice_encode(d, v).count(),
+        "simhash_probe": lambda L: simhash_neardup_pairs(
+            L["d"], max_hamming=3, signatures=L["ss"]
+        ).count(),
+        "winnow_pairs": lambda L: winnow_pairs(
+            L["d"], k=5, w=4, min_shared=2
+        ).count(),
+        "semdedup": lambda L: semdedup(L["e"], L["c"]).count(),
+        "lattice_vocab": lambda L: lattice_vocab(L["d"]).count(),
+        "lattice_encode": lambda L: lattice_encode(L["d"], L["v"]).count(),
     }
 
     rows = []
     for name, fn in ops.items():
         # warm the small level once (codegen), then best-of-2 each level
-        fn(docs_s, emb_s, cent_s, vocab_s)
-        t_s, n_s = timed(lambda: fn(docs_s, emb_s, cent_s, vocab_s))
-        t_b, n_b = timed(lambda: fn(docs_b, emb_b, cent_b, vocab_b))
+        fn(small)
+        t_s, n_s = timed(lambda: fn(small))
+        t_b, n_b = timed(lambda: fn(big))
         ratio = t_b / t_s if t_s > 0 else float("inf")
         rows.append((name, t_s, n_s, t_b, n_b, round(ratio, 2)))
         print(f"[scale] {name}: {t_s:.2f}s/{n_s} -> {t_b:.2f}s/{n_b} "
@@ -249,7 +291,11 @@ def main() -> None:
             "multiset), so its ratios separate vocabulary-sized DP work "
             "from the corpus-sized join. Best-of-2 per level; semdedup "
             "centroids K ∝ n and the lattice piece vocabulary as "
-            "index state.",
+            "index state. The *_probe rows consume per-level persisted "
+            "signature artifacts (round-5 minhash_signatures/ + "
+            "simhash_signatures/, built outside the timed region) — the "
+            "recurring production shape, whose ratio isolates the "
+            "candidate-join + verify cost from signature build.",
             "",
             "| operator | sf0.1 sec | rows | 10x sec | rows | wall ratio |",
             "|---|---|---|---|---|---|",

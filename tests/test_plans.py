@@ -387,3 +387,48 @@ def test_snapshot_diff_is_one_full_outer_smj(spark):
     assert plan.count("SortMergeJoin") == 1
     assert "FullOuter" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_assoc_rules_zero_join_zero_regroup(spark):
+    """Round-5 plan: the frequent-item set rides as a 1-row broadcast map
+    and the basket prune is an in-row array filter — no frequent-items
+    hash/merge join, no collect_list basket regroup, and the only
+    nested-loop joins are the scalar/map broadcast attaches."""
+    plan = _plan(spark, "assoc_rules")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    # no per-doc basket regroup: the only collect_list is the bounded
+    # frequent-set map builder (keyless aggregate), never a doc_id shuffle
+    assert "hashpartitioning(doc_id" not in plan
+    # exactly three explodes: the one corpus-sized token explode
+    # (singleton counts), the pair comprehension, and the 2-struct
+    # directional-rules explode (both bounded by the frequent set)
+    assert plan.count("Generate explode") == 3
+
+
+def test_minhash_lsh_probe_skips_signature_build(spark):
+    """With the persisted minhash_signatures/ artifact, the recurring
+    query's plan reads the signature parquet and never re-shingles the
+    corpus for the candidate side (the only shingle work left is the
+    exact-verify pass over candidate docs)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["minhash_lsh"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # signature build = 64 min() aggregates; the probe plan has none
+    # (the candidate subtree is checkpoint-truncated in the plan string,
+    # so assert the build's absence plus the artifact actually existing)
+    assert plan.count("partial_min") == 0
+    key = os.path.abspath(SF_DIR)
+    assert os.path.isdir(entry._MINHASH_SIG_CACHE[key])
+
+
+def test_simhash_probe_skips_balance_aggregate(spark):
+    """With the persisted simhash_signatures/ artifact the plan reads the
+    parquet and contains no 60-balance signature aggregate."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["simhash_neardup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "simhash_signatures" in plan
+    assert "partial_sum" not in plan  # the 60 per-bit balance sums

@@ -695,6 +695,74 @@ def _ivf_ann(spark, sf_dir):
     return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=8, centroids=cents)
 
 
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def _pq_books(spark, sf_dir):
+    """Product-quantization codebooks as cached index state (the
+    ivf_centroids discipline): m=8 subspaces x ks=16 code words, strided
+    seeds + one distributed Lloyd iteration, cells rounded to 9 dp so
+    both engines read bit-identical codebooks."""
+    from pdf_extractor_spark.operators.similarity import pq_codebooks
+
+    key = os.path.abspath(sf_dir)
+    books = _PQ_BOOKS_CACHE.get(key)
+    if books is None:
+        books = pq_codebooks(_t(spark, sf_dir, "embeddings"), m=8, ks=16)
+        _PQ_BOOKS_CACHE[key] = books
+    return books
+
+
+def _pq_encode(spark, sf_dir):
+    """Every embedding compressed to 8 PQ code ids (8 nibbles vs 256 bytes: the
+    compressed representation ADC scans; Jegou et al. 2011). Codes as a
+    csv string so list renderings cannot diverge cross-engine. Oracle
+    replays seeding, the Lloyd iteration, and both argmin assignments
+    with identical left-fold float arithmetic."""
+    from pdf_extractor_spark.operators.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, books=_pq_books(spark, sf_dir)).select(
+        F.col("id").alias("vec_id"),
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+def _pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-10 for 8 query vectors over the PQ codes:
+    per-query m x ks lookup tables broadcast, every corpus code row
+    scored with m lookups + m-1 adds — the compressed linear scan that
+    composes with the IVF coarse quantizer at scale (IVFADC). Ranking
+    uses the 6-dp-rounded distance (round BEFORE rank, id tiebreak) so
+    1-ulp drift can never flip the order."""
+    from pdf_extractor_spark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return pq_adc_topk(emb, q, k=10, books=_pq_books(spark, sf_dir))
+
+
+def _pq_rerank_topk(spark, sf_dir):
+    """The production PQ cascade (IVFADC refinement / LSH-then-verify
+    discipline): ADC nominates 40 candidates per query off the 8-byte
+    codes, then only those read their float vectors for an exact
+    squared-L2 rerank to top-10 — exact cost O(queries x rerank)
+    regardless of corpus size. Round-before-rank, id tiebreak."""
+    from pdf_extractor_spark.operators.similarity import pq_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return pq_rerank_topk(
+        emb, q, k=10, rerank=40, books=_pq_books(spark, sf_dir)
+    )
+
+
 def _augmented_embeddings(spark, sf_dir):
     """embeddings + a deterministic near-duplicate of every vector (id +
     1,000,000; component (vec_id % 64) zeroed) — the driver testdata has no
@@ -5465,6 +5533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": _script_mix,
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
+        "pq_encode": _pq_encode,
+        "pq_adc_topk": _pq_adc_topk,
+        "pq_rerank_topk": _pq_rerank_topk,
         "kmeans_clusters": _kmeans_clusters,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "embedding_neardup": _embedding_neardup,
@@ -7287,6 +7358,146 @@ cents2 AS (
   SELECT c1.cid, coalesce(r.cv, c1.cv) AS cv
   FROM cents1 c1 LEFT JOIN ref2 r USING (cid)),
 """
+    # pq_encode / pq_adc_topk: full SQL replication of the product
+    # quantizer (Jegou et al. 2011) — per-subspace strided seeds, one
+    # Lloyd iteration (argmin by squared-L2, cell means rounded to 9 dp
+    # on BOTH engines), argmin code assignment, per-query ADC lookup
+    # tables. Every distance is a strict LEFT FOLD over dimensions
+    # (list_reduce with 0.0 prepended <-> the numpy per-dim accumulate
+    # loop), so the float64 results are bit-identical and the 6-dp
+    # round-before-rank makes the top-k order engine-independent. The
+    # per-subspace CTE blocks are GENERATED from the same loop as the
+    # Spark implementation (m=4, ks=16, dsub=16).
+    _pq_m, _pq_ks, _pq_dsub = 8, 16, 8
+
+    def _pq_dist(vec_expr: str, cv: str) -> str:
+        t = (f"(CAST({vec_expr} AS DOUBLE) - {cv}[k + 1]) * "
+             f"(CAST({vec_expr} AS DOUBLE) - {cv}[k + 1])")
+        return (f"list_reduce(list_prepend(0.0, list_transform("
+                f"range({_pq_dsub}), k -> {t})), (a, b) -> a + b)")
+
+    _pq_blocks = []
+    for _j in range(_pq_m):
+        _off = _j * _pq_dsub
+        _d_seed = _pq_dist(f"e.embedding[{_off} + k + 1]", "c.cv")
+        _pq_blocks.append(f"""
+pq_seeds_{_j} AS (
+  SELECT cid, list_transform(range({_pq_dsub}),
+                             k -> ev[{_off} + k + 1]) AS cv
+  FROM pq_seeds),
+pq_a0_{_j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_d_seed}, c.cid) AS rn
+    FROM vembeddings e, pq_seeds_{_j} c) WHERE rn = 1),
+pq_comp_{_j} AS (
+  SELECT vec_id, generate_subscripts(sub, 1) AS kk, unnest(sub) AS x
+  FROM (SELECT vec_id,
+               list_transform(range({_pq_dsub}),
+                              k -> CAST(embedding[{_off} + k + 1]
+                                        AS DOUBLE)) AS sub
+        FROM vembeddings)),
+pq_cells_{_j} AS (
+  SELECT a.cid, comp.kk, round(avg(comp.x), 9) AS mval
+  FROM pq_a0_{_j} a JOIN pq_comp_{_j} comp USING (vec_id)
+  GROUP BY 1, 2),
+pq_ref_{_j} AS (
+  SELECT cid, list(mval ORDER BY kk) AS cv FROM pq_cells_{_j} GROUP BY 1),
+pq_cents_{_j} AS MATERIALIZED (
+  SELECT s.cid, coalesce(r.cv, s.cv) AS cv
+  FROM pq_seeds_{_j} s LEFT JOIN pq_ref_{_j} r USING (cid)),
+pq_code_{_j} AS MATERIALIZED (
+  SELECT vec_id, cid AS c{_j} FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_d_seed}, c.cid) AS rn
+    FROM vembeddings e, pq_cents_{_j} c) WHERE rn = 1)""")
+
+    _pq_code_joins = " ".join(
+        f"JOIN pq_code_{_j} USING (vec_id)" for _j in range(1, _pq_m)
+    )
+    _pq_ctes = f"""vembeddings AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+pq_params AS (
+  SELECT greatest(1, count(*) // {_pq_ks}) AS stride FROM vembeddings),
+pq_seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS ev
+  FROM vembeddings, pq_params WHERE vec_id % stride = 0
+  ORDER BY vec_id LIMIT {_pq_ks}),{",".join(_pq_blocks)},
+pq_codes AS MATERIALIZED (
+  SELECT vec_id, {", ".join(f"c{_j}" for _j in range(_pq_m))}
+  FROM pq_code_0 {_pq_code_joins})"""
+    sql["pq_encode"] = "WITH " + _pq_ctes + f"""
+SELECT vec_id,
+       {" || ',' || ".join(f"CAST(c{_j} AS VARCHAR)" for _j in range(_pq_m))}
+       AS codes_csv
+FROM pq_codes"""
+
+    _pq_luts = []
+    for _j in range(_pq_m):
+        _off = _j * _pq_dsub
+        _d_q = _pq_dist(f"q.embedding[{_off} + k + 1]", "c.cv")
+        _pq_luts.append(f"""
+pq_lut_{_j} AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cid, {_d_q} AS d
+  FROM (SELECT vec_id, embedding FROM vembeddings WHERE vec_id < 8) q,
+       pq_cents_{_j} c)""")
+    _pq_adc_sum = " + ".join(f"l{_j}.d" for _j in range(_pq_m))
+    _pq_lut_joins = " ".join(
+        f"JOIN pq_lut_{_j} l{_j} ON l{_j}.query_id = l0.query_id "
+        f"AND l{_j}.cid = co.c{_j}"
+        for _j in range(1, _pq_m)
+    )
+    sql["pq_adc_topk"] = "WITH " + _pq_ctes + f""",{",".join(_pq_luts)},
+pq_scored AS MATERIALIZED (
+  SELECT l0.query_id, co.vec_id AS id,
+         round({_pq_adc_sum}, 6) + 0.0 AS adc
+  FROM pq_codes co
+  JOIN pq_lut_0 l0 ON l0.cid = co.c0
+  {_pq_lut_joins})
+SELECT query_id, id, adc,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc, id) AS INT) AS rank
+FROM pq_scored
+QUALIFY rank <= 10"""
+
+    # pq_rerank_topk: ADC top-40 candidates -> exact squared-L2 rerank on
+    # the full 64-dim vectors (same left-fold arithmetic), top-10
+    _pq_dim = _pq_m * _pq_dsub
+    _pq_l2 = ("list_reduce(list_prepend(0.0, list_transform("
+              f"range({_pq_dim}), k -> "
+              "(CAST(e.embedding[k + 1] AS DOUBLE) - "
+              "CAST(q.embedding[k + 1] AS DOUBLE)) * "
+              "(CAST(e.embedding[k + 1] AS DOUBLE) - "
+              "CAST(q.embedding[k + 1] AS DOUBLE)))), (a, b) -> a + b)")
+    sql["pq_rerank_topk"] = "WITH " + _pq_ctes + f""",{",".join(_pq_luts)},
+pq_scored AS MATERIALIZED (
+  SELECT l0.query_id, co.vec_id AS id,
+         round({_pq_adc_sum}, 6) + 0.0 AS adc
+  FROM pq_codes co
+  JOIN pq_lut_0 l0 ON l0.cid = co.c0
+  {_pq_lut_joins}),
+pq_cand AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, id) AS arn
+    FROM pq_scored) WHERE arn <= 40),
+pq_exact AS (
+  SELECT ca.query_id, ca.id, round({_pq_l2}, 6) + 0.0 AS l2
+  FROM pq_cand ca
+  JOIN vembeddings e ON e.vec_id = ca.id
+  JOIN (SELECT vec_id, embedding FROM vembeddings WHERE vec_id < 8) q
+    ON q.vec_id = ca.query_id)
+SELECT query_id, id, l2,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY l2, id) AS INT) AS rank
+FROM pq_exact
+QUALIFY rank <= 10"""
+
     sql["kmeans_clusters"] = _km_prefix + f"""
 assign2 AS (
   SELECT e.vec_id, c.cid,

@@ -303,6 +303,9 @@ HEADLINE = [
     "script_mix",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_rerank_topk",
     "kmeans_clusters",
     "cluster_balanced_sample",
     "robots_rules",

@@ -26,6 +26,11 @@ Writes under --output (each independently loadable):
                       ingested-source digest index
     ivf_centroids/    (cid, cv array<double>)  — ivf_topk / semdedup /
                       kmeans_cluster_stats take these as `centroids`
+    pq_codebooks/     (j, cid, cv)             — product-quantization
+                      subspace codebooks (pq_adc_topk's index state)
+    pq_codes/         (id, codes array<int>)   — 8-byte compressed
+                      vectors pq_adc_topk / pq_rerank_topk scan via
+                      codes=
     bpe_rules/        (step, lhs, rhs, pair_count) — bpe_encode/bpe_vocab
                       take [(lhs, rhs)] in step order
     bpe_word_pieces/  (w, wf, syms)            — per-word encoded table;
@@ -208,6 +213,32 @@ def main() -> None:
             "cid int, cv array<double>",
         ).write.mode("overwrite").parquet(f"{out}/ivf_centroids")
         manifest["ivf_centroids"] = int(len(cents))
+
+        # 4b. PQ codebooks + per-vector codes (the 8-byte compressed
+        # representation pq_adc_topk / pq_rerank_topk scan)
+        from pdf_extractor_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        books = pq_codebooks(emb)
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in books[j][c]])
+                for j in range(len(books))
+                for c in range(books[j].shape[0])
+            ],
+            "j int, cid int, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{out}/pq_codebooks")
+        pq_encode(emb, books).write.mode("overwrite").parquet(
+            f"{out}/pq_codes"
+        )
+        manifest["pq_codebooks"] = int(
+            sum(b.shape[0] for b in books)
+        )
+        manifest["pq_code_rows"] = spark.read.parquet(
+            f"{out}/pq_codes"
+        ).count()
 
     with open(os.path.join(out, "manifest.json"), "w") as f:
         json.dump(manifest, f, sort_keys=True)

@@ -116,6 +116,39 @@ def test_run_index_job_artifacts_serve_consumers(spark, tmp_path):
     }
     assert persisted_vocab == inline_vocab
 
+    # PQ artifacts serve the ADC scan: persisted codebooks + codes give
+    # the same top-k as the inline build
+    from pdf_extractor_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    book_rows = spark.read.parquet(
+        os.path.join(out, "pq_codebooks")
+    ).collect()
+    assert manifest["pq_codebooks"] == len(book_rows) > 0
+    m = 1 + max(r.j for r in book_rows)
+    books = [
+        np.asarray(
+            [r.cv for r in sorted(
+                (r for r in book_rows if r.j == j), key=lambda r: r.cid
+            )],
+            dtype=np.float64,
+        )
+        for j in range(m)
+    ]
+    codes_df = spark.read.parquet(os.path.join(out, "pq_codes"))
+    assert manifest["pq_code_rows"] == codes_df.count() > 0
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    qv = emb.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    via_artifact = pq_adc_topk(emb, qv, k=5, books=books, codes=codes_df)
+    inline_pq = pq_adc_topk(emb, qv, k=5, books=pq_codebooks(emb))
+    assert sorted(map(tuple, via_artifact.collect())) == sorted(
+        map(tuple, inline_pq.collect())
+    )
+
     # IVF centroids serve ivf_topk with self-match at rank 1
     from pdf_extractor_spark.operators.similarity import ivf_topk
 

@@ -102,6 +102,11 @@ def audit(plan: str) -> dict:
 # "nested loop" is one comparison per probe row and scale-safe). A real
 # cartesian (both sides data-sized) is still fatal everywhere.
 SCALAR_BROADCAST_OK = {
+    "pq_adc_topk": "bounded query-set ADC lookup tables (|queries| rows "
+    "of m*ks doubles) broadcast against every code row — the ADC "
+    "compressed linear scan is a query-bounded cross product by design",
+    "pq_rerank_topk": "same bounded ADC LUT broadcast feeding the "
+    "candidate stage before the exact rerank",
     "tpch_q11": "global value-share threshold (1-row agg broadcast)",
     "tpch_q15": "global max revenue (1-row agg broadcast)",
     "tpch_q17": "avg quantity threshold join (keyed broadcast, may "

@@ -396,12 +396,19 @@ def main() -> None:
     canary_applicable = abs(sf - 0.1) < 1e-9 and cpus == 32
     canary_samples: list[float] = []
 
+    loadavg_samples: list[float] = []
+
     def _canary_sample() -> None:
         canary_samples.append(
             _time_best_of_2(qmap[CANARY_QUERY], spark, sf_dir)
         )
+        # 1-min loadavg alongside each canary sample: a contended verdict
+        # with loadavg ~0 is the hypervisor-budget phase (BENCH.md), one
+        # with high loadavg is visible co-tenancy — different remedies
+        loadavg_samples.append(round(os.getloadavg()[0], 2))
         print(
-            f"[bench] canary {CANARY_QUERY}: {canary_samples[-1]}s",
+            f"[bench] canary {CANARY_QUERY}: {canary_samples[-1]}s "
+            f"(load {loadavg_samples[-1]})",
             file=sys.stderr, flush=True,
         )
 
@@ -449,6 +456,7 @@ def main() -> None:
                     "floor_sec": CANARY_FLOOR_SEC,
                     "drift_threshold": CANARY_DRIFT,
                     "samples": canary_samples,
+                    "loadavg_1m": loadavg_samples,
                     "applicable": canary_applicable,
                 },
                 "contended": contended,

@@ -209,10 +209,20 @@ def main() -> None:
     ssig_s = _persisted(simhash64(docs_s), "ssig_s")
     ssig_b = _persisted(simhash64(docs_b), "ssig_b")
 
+    # PQ codebooks = per-level write-once index state (run_index.py
+    # pq_codebooks/); the encode row then isolates the narrow UDF pass
+    from pdf_extractor_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books_s = pq_codebooks(emb_s)
+    books_b = pq_codebooks(emb_b)
+
     small = {"d": docs_s, "e": emb_s, "c": cent_s, "v": vocab_s,
-             "ms": msig_s, "ss": ssig_s}
+             "ms": msig_s, "ss": ssig_s, "pb": books_s}
     big = {"d": docs_b, "e": emb_b, "c": cent_b, "v": vocab_b,
-           "ms": msig_b, "ss": ssig_b}
+           "ms": msig_b, "ss": ssig_b, "pb": books_b}
 
     ops = {
         "exact_dedup": lambda L: exact_dedup(L["d"]).count(),
@@ -233,6 +243,7 @@ def main() -> None:
             L["d"], k=5, w=4, min_shared=2
         ).count(),
         "semdedup": lambda L: semdedup(L["e"], L["c"]).count(),
+        "pq_encode": lambda L: pq_encode(L["e"], L["pb"]).count(),
         "lattice_vocab": lambda L: lattice_vocab(L["d"]).count(),
         "lattice_encode": lambda L: lattice_encode(L["d"], L["v"]).count(),
     }

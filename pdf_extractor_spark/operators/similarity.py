@@ -1138,6 +1138,10 @@ def _pq_seed_books(
         .limit(ks)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "pq_codebooks needs a non-empty corpus of valid vectors"
+        )
     seeds = np.asarray([r.v for r in rows], dtype=np.float64)
     d = seeds.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"

@@ -130,3 +130,28 @@ def test_pq_codes_deterministic_across_calls(spark):
     c1 = sorted(map(tuple, pq_encode(emb, b1).collect()))
     c2 = sorted(map(tuple, pq_encode(emb, b2).collect()))
     assert c1 == c2
+
+
+def test_pq_empty_and_empty_query_edges(spark):
+    """Degenerate inputs: an empty corpus raises explicitly at codebook
+    training (not an opaque numpy shape error); an empty query set
+    yields an empty top-k frame with the right schema."""
+    import pytest as _pytest
+
+    from pdf_extractor_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="non-empty corpus"):
+        pq_codebooks(empty)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_codebooks(emb)
+    no_q = empty.withColumnRenamed("vec_id", "query_id")
+    out = pq_adc_topk(emb, no_q, k=5, books=books)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "id", "adc", "rank"]

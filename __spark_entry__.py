@@ -763,6 +763,33 @@ def _pq_rerank_topk(spark, sf_dir):
     )
 
 
+def _ivfpq_ann_topk(spark, sf_dir):
+    """IVF+PQ composition (IVFADC sans residuals): corpus rows route to
+    their nearest of 16 coarse centroids and compress to 8 PQ codes in
+    one fused pass; each of the 8 queries probes its 8 nearest lists and
+    ADC-scores only those lists' code rows — `ivf_topk`'s probe cost at
+    `pq_adc_topk`'s byte cost, the 10^12-vector index shape. Centroids
+    and codebooks are cached index state; round-before-rank at 6 dp."""
+    from pdf_extractor_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), 16)
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = ivf_centroids(emb, 16)
+        _IVF_CENTROID_CACHE[key] = cents
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ivfpq_topk(
+        emb, q, k=10, n_centroids=16, n_probe=8,
+        centroids=cents, books=_pq_books(spark, sf_dir),
+    )
+
+
 def _augmented_embeddings(spark, sf_dir):
     """embeddings + a deterministic near-duplicate of every vector (id +
     1,000,000; component (vec_id % 64) zeroed) — the driver testdata has no
@@ -5536,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": _pq_encode,
         "pq_adc_topk": _pq_adc_topk,
         "pq_rerank_topk": _pq_rerank_topk,
+        "ivfpq_ann_topk": _ivfpq_ann_topk,
         "kmeans_clusters": _kmeans_clusters,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "embedding_neardup": _embedding_neardup,
@@ -7496,6 +7524,63 @@ SELECT query_id, id, l2,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY l2, id) AS INT) AS rank
 FROM pq_exact
+QUALIFY rank <= 10"""
+
+    # ivfpq_ann_topk: the IVF coarse quantizer (identical CTE chain to
+    # ivf_ann_topk, names prefixed ivf_) composed with the PQ codes/LUTs:
+    # corpus top-1 list assignment, query top-8 probes, ADC scoring
+    # restricted to candidate (query, probed-list-member) pairs. Same
+    # 6-dp round-before-rank, id tiebreak.
+    sql["ivfpq_ann_topk"] = "WITH " + _pq_ctes + f""",{",".join(_pq_luts)},
+ivf_params AS (
+  SELECT greatest(1, count(*) // 16) AS stride FROM vembeddings),
+ivf_seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM vembeddings, ivf_params WHERE vec_id % stride = 0
+  ORDER BY vec_id LIMIT 16),
+ivf_a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM vembeddings e, ivf_seeds c) WHERE rn = 1),
+ivf_cells AS (
+  SELECT a.cid, comp.d, avg(comp.x) AS m
+  FROM ivf_a0 a JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                             unnest(CAST(embedding AS DOUBLE[])) AS x
+                      FROM vembeddings) comp USING (vec_id)
+  GROUP BY 1, 2),
+ivf_ref AS (SELECT cid, list(m ORDER BY d) AS cv FROM ivf_cells GROUP BY 1),
+ivf_cents AS MATERIALIZED (
+  SELECT s.cid, coalesce(r.cv, s.cv) AS cv
+  FROM ivf_seeds s LEFT JOIN ivf_ref r USING (cid)),
+ivf_ca AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM vembeddings e, ivf_cents c) WHERE rn = 1),
+ivf_qa AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM vembeddings e, ivf_cents c WHERE e.vec_id < 8)
+  WHERE rn <= 8),
+ivf_cand AS (
+  SELECT qa.query_id, ca.vec_id FROM ivf_qa qa JOIN ivf_ca ca USING (cid)),
+pq_scored AS (
+  SELECT cd.query_id, co.vec_id AS id,
+         round({_pq_adc_sum}, 6) + 0.0 AS adc
+  FROM ivf_cand cd
+  JOIN pq_codes co ON co.vec_id = cd.vec_id
+  JOIN pq_lut_0 l0 ON l0.cid = co.c0 AND l0.query_id = cd.query_id
+  {_pq_lut_joins})
+SELECT query_id, id, adc,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc, id) AS INT) AS rank
+FROM pq_scored
 QUALIFY rank <= 10"""
 
     sql["kmeans_clusters"] = _km_prefix + f"""

@@ -306,6 +306,7 @@ HEADLINE = [
     "pq_encode",
     "pq_adc_topk",
     "pq_rerank_topk",
+    "ivfpq_ann_topk",
     "kmeans_clusters",
     "cluster_balanced_sample",
     "robots_rules",

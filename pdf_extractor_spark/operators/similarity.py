@@ -1397,3 +1397,90 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "l2", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    centroids: "np.ndarray | None" = None,
+    books: "list[np.ndarray] | None" = None,
+    codes: "DataFrame | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, id, adc, rank) — the IVF+PQ composition (the IVFADC
+    index family from the public ANN literature, sans residual encoding
+    so both engines replicate the arithmetic exactly): corpus vectors
+    route to their single nearest coarse centroid (the inverted lists,
+    `ivf_topk`'s write-time partitioning) AND compress to m PQ codes;
+    each query probes its n_probe nearest lists and ADC-scores ONLY
+    those lists' code rows via its broadcast m x ks lookup table.
+
+    This is the 10^12-vector shape: per query the scan touches
+    ~corpus * n_probe / n_centroids CODE rows (4-byte codes, never the
+    float vectors) — the probe cost of `ivf_topk` at the byte cost of
+    `pq_adc_topk`. Coarse centroids and codebooks are write-once index
+    state (persisted by jobs/run_index.py); assignment + encoding is
+    one fused corpus pass (two Arrow-batch UDF calls in a single
+    projection, no join between list id and codes). Round-before-rank
+    at 6 dp with id tiebreak keeps the order engine-independent."""
+    corpus = _valid_vectors(corpus, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, vec_col, id_col)
+    )
+    if books is None:
+        books = pq_codebooks(corpus, m, ks, vec_col, id_col)
+    assign1 = _assign_udf(cents, 1)
+    if codes is None:
+        enc = _pq_assign_udf(books)
+        c = corpus.select(
+            F.col(id_col).alias("id"),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
+            enc(F.col(vec_col)).alias("codes"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("id"),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
+        ).join(codes, "id")
+    spark = corpus.sparkSession
+    assign_p = _assign_udf(cents, n_probe)
+    q = _valid_vectors(queries, vec_col).select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(assign_p(F.col(vec_col))).alias("cluster"),
+    )
+    qrows = (
+        _valid_vectors(queries, vec_col)
+        .select(F.col(qid_col).alias("query_id"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    luts = [(int(r.query_id), _pq_lut(list(r.v), books)) for r in qrows]
+    lut_df = spark.createDataFrame(
+        luts, "query_id long, lut array<array<double>>"
+    )
+    probe = q.join(lut_df, "query_id")
+    cands = c.join(F.broadcast(probe), "cluster")
+    adc = None
+    for j in range(len(books)):
+        term = F.element_at(
+            F.element_at("lut", j + 1),
+            F.element_at("codes", j + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = cands.select(
+        "query_id", "id", F.round(adc, 6).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "adc", "rank")
+    )

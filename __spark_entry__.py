@@ -1584,6 +1584,49 @@ def _label_propagation(spark, sf_dir):
     return label_propagation(edges)
 
 
+def _cc_hosts(spark, sf_dir):
+    """EXACT connected components (fixpoint, pointer-doubling — unlike
+    label_propagation's fixed 2 rounds) over a deterministic
+    chain-with-bridges host graph: nodes h(doc_id % 500), chain edges
+    u—u+1 broken at u % 17 == 16 (17-node path segments), bridge edges
+    u—u+13 where u % 29 == 3 (merges some segments into larger,
+    higher-diameter components). The oracle computes true components
+    via a recursive min-reachable-label CTE, so ONLY a genuinely
+    converged algorithm matches it. Runs the star-contraction variant
+    (O(log P) shuffles, not O(diameter) rounds); the bounded host
+    domain (<= 502 nodes) starts at one group, i.e. exactly one
+    vectorized union-find pass. `connected_components` (the iterative
+    pointer-doubling fixpoint) computes the identical partition —
+    pinned by tests/test_connected_components.py."""
+    from pdf_extractor_spark.operators.graph import (
+        connected_components_contract,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    # collapse the corpus to its distinct u values FIRST (<= 500 rows)
+    # so the chain/bridge construction and the undirected closure all
+    # run on the bounded table, not per-document
+    us = docs.select((F.col("doc_id") % 500).alias("u")).distinct()
+    u = F.col("u")
+
+    def h(e):
+        return F.concat(
+            F.lit("h"), e.cast("string"), F.lit(".example.com")
+        )
+
+    chain = us.filter(u % 17 != 16).select(
+        h(u).alias("src"), h(u + 1).alias("dst")
+    )
+    bridge = us.filter(u % 29 == 3).select(
+        h(u).alias("src"), h(u + 13).alias("dst")
+    )
+    # the node domain is bounded by construction (<= 502 hosts), so the
+    # contraction starts — and ends — at a single group
+    return connected_components_contract(
+        chain.unionByName(bridge), n_groups=1
+    )
+
+
 def _expire_snapshots(spark, sf_dir):
     """Snapshot retention planning (keep last 7 + weekly heads) over a
     snapshot timeline synthesized from the distinct event dates."""
@@ -5470,6 +5513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _value_histogram,
         "link_reciprocity": _link_reciprocity,
         "label_propagation": _label_propagation,
+        "cc_hosts": _cc_hosts,
         "expire_snapshots": _expire_snapshots,
         "text_tiling": _text_tiling,
         "event_rle": _event_rle,
@@ -11132,6 +11176,34 @@ s AS (SELECT label, count(*) AS cs FROM l2 GROUP BY label)
 SELECT l2.node AS host, l2.label AS community,
   CAST(s.cs AS BIGINT) AS community_size
 FROM l2 JOIN s USING (label)
+"""
+    # cc_hosts: TRUE connected components via recursive min-reachable-
+    # label — the ground truth only a converged fixpoint algorithm
+    # matches (label_propagation's 2 fixed rounds would fail on the
+    # diameter-30+ bridged chains).
+    sql["cc_hosts"] = """
+WITH RECURSIVE e0 AS (
+  SELECT 'h' || CAST(doc_id % 500 AS VARCHAR) || '.example.com' AS src,
+         'h' || CAST(doc_id % 500 + 1 AS VARCHAR) || '.example.com' AS dst
+  FROM documents WHERE (doc_id % 500) % 17 <> 16
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 500 AS VARCHAR) || '.example.com',
+         'h' || CAST(doc_id % 500 + 13 AS VARCHAR) || '.example.com'
+  FROM documents WHERE (doc_id % 500) % 29 = 3),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+  WHERE src <> dst),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.src, r.lab FROM und u JOIN reach r ON r.node = u.dst),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+s AS (SELECT component, count(*) AS cs FROM comp GROUP BY component)
+SELECT comp.node AS host, comp.component,
+       CAST(s.cs AS BIGINT) AS component_size
+FROM comp JOIN s USING (component)
 """
     # expire_snapshots: same retention windows over the distinct-date
     # snapshot timeline; week heads via date_trunc('week') (Monday on

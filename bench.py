@@ -196,6 +196,7 @@ HEADLINE = [
     "link_reciprocity",
     "centroid_drift",
     "label_propagation",
+    "cc_hosts",
     "expire_snapshots",
     "text_tiling",
     "event_rle",

@@ -2597,6 +2597,26 @@ def _hash_lr_trained(spark, sf_dir):
     )
 
 
+def _roc_auc(spark, sf_dir):
+    """ROC AUC of the TRAINED hash-LR margin against the teacher label —
+    the threshold-free companion to `model_accuracy`/`hash_lr_trained`:
+    Mann-Whitney rank-sum with tie correction over per-margin class
+    counts, the strictly-below cumulative from the range-partitioned
+    rank engine (no global window). Exact integer pair counts; single
+    final double division, bit-identical cross-engine."""
+    from pdf_extractor_spark.operators.curation import roc_auc
+    from pdf_extractor_spark.operators.textstats import hash_lr_score
+
+    weights = _trained_lr_weights(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_label", _LR_TEACHER()
+    )
+    scored = hash_lr_score(docs, weights=weights, binary=True).join(
+        docs.select("doc_id", "_label"), "doc_id"
+    )
+    return roc_auc(scored, score_col="margin", label_col="_label")
+
+
 def _curriculum_order(spark, sf_dir):
     """Curriculum training order: every document's global 1-based
     position under (quality DESC, doc_id) — easiest/cleanest first — and
@@ -5674,6 +5694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_hash_lr": _train_hash_lr,
         "hash_lr_trained": _hash_lr_trained,
         "model_accuracy": _model_accuracy,
+        "roc_auc": _roc_auc,
         "curriculum_order": _curriculum_order,
         "packing_efficiency": _packing_efficiency,
         "lattice_vocab": _lattice_vocab,
@@ -8121,6 +8142,35 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*), 6) + 0.0 AS accuracy
 FROM p
+"""
+    # roc_auc: Mann-Whitney rank-sum with tie correction over the same
+    # trained margins — per-margin class counts, strictly-below negative
+    # cumulative, exact integer pair counts, ONE final double division
+    # (2U + T) / (2 P N) in the identical expression shape.
+    sql["roc_auc"] = f"""
+WITH {_tr_cte},
+{_tr_margin},
+g AS (
+  SELECT margin,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p_m,
+         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_m
+  FROM m GROUP BY margin),
+cum AS (
+  SELECT margin, p_m, n_m,
+         coalesce(sum(n_m) OVER (ORDER BY margin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS n_below
+  FROM g),
+a AS (
+  SELECT CAST(sum(p_m * n_below) AS BIGINT) AS u,
+         CAST(sum(p_m * n_m) AS BIGINT) AS t,
+         CAST(sum(p_m) AS BIGINT) AS n_pos,
+         CAST(sum(n_m) AS BIGINT) AS n_neg
+  FROM cum)
+SELECT n_pos, n_neg, t AS tie_pairs,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN (2 * u + t) / (2.0 * n_pos * n_neg) END AS auc
+FROM a
 """
     # wordpiece_encode: identical greedy longest-match walk as a
     # recursive CTE — one recursion step per emitted piece; the CASE

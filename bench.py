@@ -111,6 +111,7 @@ HEADLINE = [
     "hash_lr",
     "train_hash_lr",
     "hash_lr_trained",
+    "roc_auc",
     "curriculum_order",
     "calibration_bins",
     "entity_mentions",

@@ -3643,3 +3643,53 @@ def filter_pr(
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "margin",
+    label_col: str = "label",
+) -> DataFrame:
+    """1-row (n_pos, n_neg, tie_pairs, auc) — ROC AUC of a continuous
+    score against a boolean label via the Mann-Whitney rank-sum
+    identity with the standard tie correction:
+
+        AUC = (U + T/2) / (P * N)
+        U = #{(pos, neg) pairs: score_pos > score_neg},  T = tied pairs
+
+    computed WITHOUT enumerating pairs and WITHOUT a global sort:
+    scores collapse to per-score class counts (one corpus aggregate),
+    U = sum over score groups of p_s * (negatives strictly below), and
+    the strictly-below cumulative comes from the range-partitioned rank
+    engine (ranking.partitioned_running_sum) — no unbounded-entity
+    single-partition window anywhere, the repo's scalable-rank
+    discipline. All counts are exact integers, so the single final
+    division (2U + T) / (2 * P * N) is bit-identical cross-engine.
+    Null auc when either class is empty."""
+    from .ranking import partitioned_running_sum
+
+    g = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("_pm"),
+        F.sum((~F.col(label_col)).cast("long")).alias("_nm"),
+    )
+    r = partitioned_running_sum(
+        g, score_col="_s", tiebreak_cols=[], val_col="_nm", out_col="_rs"
+    )
+    # scores are unique per group row, so strictly-below = inclusive - own
+    c = r.withColumn("_below", F.col("_rs") - F.col("_nm"))
+    a = c.agg(
+        F.sum(F.col("_pm") * F.col("_below")).alias("_u"),
+        F.sum(F.col("_pm") * F.col("_nm")).alias("_t"),
+        F.sum("_pm").alias("n_pos"),
+        F.sum("_nm").alias("n_neg"),
+    )
+    return a.select(
+        F.col("n_pos"),
+        F.col("n_neg"),
+        F.col("_t").alias("tie_pairs"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (2 * F.col("_u") + F.col("_t"))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+    )

@@ -5093,6 +5093,15 @@ def _pps_sample(spark, sf_dir):
     return pps_sample(_t(spark, sf_dir, "documents"), k=50)
 
 
+def _weighted_sample(spark, sf_dir):
+    """Exact-k (k=50) weighted sample of documents by n_chars via the
+    A-ES exponential-draw keys — the fixed-size companion to
+    pps_sample. Deterministic md5 uniforms; 12-dp round-before-rank."""
+    from pdf_extractor_spark.operators.curation import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), k=50)
+
+
 def _markov_stationary(spark, sf_dir):
     """Approximate stationary distribution of the event-type Markov
     chain (3 power iterations, uniform start, sink self-loops)."""
@@ -5586,6 +5595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_topk": _ndcg_topk,
         "rank_biased_overlap": _rank_biased_overlap,
         "pps_sample": _pps_sample,
+        "weighted_sample": _weighted_sample,
         "markov_stationary": _markov_stationary,
         "kaplan_meier": _kaplan_meier,
         "ks_test": _ks_test,
@@ -12498,6 +12508,24 @@ SELECT doc_id, coalesce(w, 0.0) + 0.0 AS weight,
        TRUE AS picked
 FROM x, t
 WHERE w IS NOT NULL AND w > 0 AND u < least(1.0, 50 * w / wtot)
+"""
+    # weighted_sample: A-ES exponential draws — identical md5 uniform,
+    # identical -ln(u)/w expression shape, 12-dp round BEFORE the rank
+    # so sub-ulp ln() differences cannot flip the order.
+    sql["weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(-ln((CAST('0x' || substr(md5('aes:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
+                   / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 12) AS draw_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, weight, draw_key,
+       CAST(row_number() OVER (ORDER BY draw_key, doc_id) AS INT)
+         AS pick_rank
+FROM keyed
+QUALIFY pick_rank <= 50
 """
     # markov_stationary: 3 unrolled pi <- pi P iterations with sink mass
     # kept in place.

@@ -250,6 +250,7 @@ HEADLINE = [
     "ndcg_topk",
     "rank_biased_overlap",
     "pps_sample",
+    "weighted_sample",
     "markov_stationary",
     "kaplan_meier",
     "ks_test",

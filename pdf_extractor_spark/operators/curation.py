@@ -3693,3 +3693,62 @@ def roc_auc(
             / (2.0 * F.col("n_pos") * F.col("n_neg")),
         ).alias("auc"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """(doc_id, weight, draw_key, pick_rank) — EXACT-k weighted sampling
+    without replacement by the exponential-draw formulation of
+    Efraimidis-Spirakis A-ES (public sampling literature): each row
+    draws key_i = -ln(u_i) / w_i with u_i a deterministic md5 uniform
+    of its id, and the k SMALLEST keys are the sample — equivalent to
+    sequential draws with probability proportional to the remaining
+    weights. The fixed-size companion to `pps_sample` (Poisson PPS,
+    expected-k): mixture quotas need exactly-k, and A-ES is the
+    mergeable/streaming-friendly way to get it (a top-k over keys is a
+    bounded sketch any partition can maintain).
+
+    Determinism/oracle discipline: u in (0, 1] (never 0, so ln is
+    finite), key rounded to 12 dp BEFORE ranking with id tiebreak —
+    sub-ulp ln() differences across engines cannot flip the order.
+    Physical shape: one projection + TakeOrderedAndProject (per-
+    partition top-k then a k-row merge — no corpus sort, no global
+    window; pick_rank numbers the k-row post-limit frame)."""
+    w = F.col(weight_col).cast("double")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("aes:"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(float(1 << 60))
+    )
+    keyed = (
+        df.where(w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            F.round(-F.log(u) / w, 12).alias("draw_key"),
+        )
+        .orderBy(F.asc("draw_key"), F.asc(id_col))
+        .limit(k)
+    )
+    win = Window.orderBy(F.asc("draw_key"), F.asc(id_col))
+    return keyed.withColumn(
+        "pick_rank", F.row_number().over(win)
+    )

@@ -2414,6 +2414,47 @@ def _media_meta(spark, sf_dir):
     )
 
 
+_MIME_MAGIC_BY_MOD = {
+    0: "89504E470D0A1A0A",              # PNG
+    1: "FFD8FFE000104A464946",          # JPEG/JFIF
+    2: "474946383961",                  # GIF89a
+    3: "255044462D312E34",              # %PDF-1.4
+    4: "524946462408000057415645",      # RIFF....WAVE
+    5: "000000186674797069736F6D",      # ISO BMFF ftyp isom (mp4)
+    6: "",                              # bare text -> octet-stream
+    7: "504B0304",                      # ZIP local header
+}
+
+
+def _media_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME detection over synthetic binary payloads: each
+    doc's utf-8 text is prefixed with a real container magic chosen by
+    doc_id % 8 (PNG/JPEG/GIF/PDF/WAV-in-RIFF/MP4-ftyp/none/ZIP), so the
+    sniffer must exercise the prefix table, the RIFF bytes-9..12
+    disambiguation, AND the offset-5 ftyp rule. Pure JVM hex/CASE
+    columnar pass — the ingest-time container sanity gate."""
+    from pdf_extractor_spark.operators.multimodal import media_mime_sniff
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    magic = F.lit(None).cast("string")
+    for mod, hx in _MIME_MAGIC_BY_MOD.items():
+        magic = F.when(m == mod, F.lit(hx)) if mod == 0 else magic.when(
+            m == mod, F.lit(hx)
+        )
+    payload = F.concat(
+        F.unhex(magic),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+    )
+    media = docs.select(
+        F.concat(F.lit("media-"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        payload.alias("payload"),
+    )
+    return media_mime_sniff(media)
+
+
 def _media_features(spark, sf_dir):
     from pdf_extractor_spark.operators.multimodal import (
         extract_media_features,
@@ -5652,6 +5693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_regression": _span_regression,
         "text_tables": _text_tables,
         "media_meta": _media_meta,
+        "media_mime_sniff": _media_mime_sniff,
         "media_dedup": _media_dedup,
         "media_phash": _media_phash,
         "media_phash_neardup": _media_phash_neardup,
@@ -7356,6 +7398,43 @@ SELECT media_id, kind,
        CAST(coalesce({byte_sum}, 0) % 2147483648 AS BIGINT) AS checksum,
        CAST(round(coalesce({byte_sum_8}, 0) % 256 / 255.0, 6) AS FLOAT) AS f0
 FROM b
+"""
+    # media_mime_sniff: identical magic-prefix synthesis (doc_id % 8)
+    # and an identical-precedence CASE over the hex head — prefix table
+    # generated from the operator's own _MAGIC_RULES, then the RIFF
+    # bytes-9..12 and offset-5 ftyp rules, else octet-stream.
+    from pdf_extractor_spark.operators.multimodal import _MAGIC_RULES
+
+    _mm_case = " ".join(
+        f"WHEN head LIKE '{p}%' THEN '{t}'" for p, t in _MAGIC_RULES
+    )
+    _mm_syn = " ".join(
+        f"WHEN {mod} THEN '{hx}'"
+        for mod, hx in _MIME_MAGIC_BY_MOD.items()
+    )
+    sql["media_mime_sniff"] = f"""
+WITH b AS (
+  SELECT 'media-' || CAST(doc_id AS VARCHAR) AS media_id,
+         unhex(CASE doc_id % 8 {_mm_syn} END)
+           || encode(coalesce(text, '')) AS payload
+  FROM documents),
+h AS (
+  SELECT media_id,
+         upper(substr(hex(payload), 1, 32)) AS head,
+         octet_length(payload) AS n
+  FROM b)
+SELECT media_id,
+       CASE WHEN n = 0 THEN NULL
+            {_mm_case}
+            WHEN head LIKE '52494646%'
+                 AND substr(head, 17, 8) = '57415645' THEN 'audio/wav'
+            WHEN head LIKE '52494646%'
+                 AND substr(head, 17, 8) = '41564920' THEN 'video/avi'
+            WHEN substr(head, 9, 8) = '66747970' THEN 'video/mp4'
+            ELSE 'application/octet-stream' END AS mime,
+       substr(head, 1, 8) AS magic_hex,
+       CAST(n AS BIGINT) AS n_bytes
+FROM h
 """
     # ivf_ann_topk: full SQL replication of the deterministic quantizer —
     # strided seeds, one Lloyd refinement (assign by cosine, element-wise

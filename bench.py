@@ -129,6 +129,7 @@ HEADLINE = [
     "quality_tiers",
     "quality_percentile",
     "media_dedup",
+    "media_mime_sniff",
     "media_phash",
     "media_phash_neardup",
     "vocab_coverage",

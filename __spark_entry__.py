@@ -3390,6 +3390,27 @@ def _zorder_key(spark, sf_dir):
     )
 
 
+def _hilbert_key(spark, sf_dir):
+    """Hilbert-curve clustering key over the same (user_id, hour) pair
+    as zorder_key — the locality-tighter space-filling layout (no
+    Morton discontinuity jumps). The xy2d quadrant-rotation walk rides
+    one aggregate fold over a 16-plane literal table (operators/
+    zorder.py); the oracle unrolls the identical walk into 16 chained
+    CTEs."""
+    from pdf_extractor_spark.operators.zorder import hilbert_key
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.floor(
+        (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / 3600
+    ).cast("long")
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        hour.alias("hour_idx"),
+        hilbert_key(F.col("user_id"), hour, bits=16).alias("hvalue"),
+    )
+
+
 def _events_rollup(spark, sf_dir):
     """Grouping-set coverage: ROLLUP over (event_type, date) — per-cell,
     per-type subtotal, and grand-total rows in one shuffle pass."""
@@ -5727,6 +5748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_not_purchase_users": _click_not_purchase_users,
         "range_join_windows": _range_join_windows,
         "zorder_key": _zorder_key,
+        "hilbert_key": _hilbert_key,
         "compaction_plan": _compaction_plan,
         "snapshot_diff": _snapshot_diff,
         "dsir_weights": _dsir_weights,
@@ -9157,6 +9179,41 @@ SELECT event_id, u AS user_id, h AS hour_idx,
        CAST({_z_terms} AS BIGINT) AS zvalue
 FROM k
 """
+    # hilbert_key: the same xy2d quadrant-rotation walk unrolled into 16
+    # chained MATERIALIZED CTEs — per plane s: gray contribution
+    # s^2 * xor(3*rx, ry), then reflect+swap when ry = 0. Bit tests are
+    # the identical `v % 2s >= s` arithmetic as the Spark fold.
+    _hb = 16
+    _hn = 1 << _hb
+    _h_ctes = [f"""
+hp{_hb} AS MATERIALIZED (
+  SELECT event_id, CAST(user_id AS BIGINT) & {_hn - 1} AS x,
+         CAST(floor((epoch(ts) - 1704067200) / 3600) AS BIGINT)
+           & {_hn - 1} AS y,
+         CAST(0 AS BIGINT) AS d,
+         CAST(user_id AS BIGINT) AS u,
+         CAST(floor((epoch(ts) - 1704067200) / 3600) AS BIGINT) AS h
+  FROM events)"""]
+    for _i in range(_hb - 1, -1, -1):
+        _s = 1 << _i
+        _rx = f"(CASE WHEN x % {2 * _s} >= {_s} THEN 1 ELSE 0 END)"
+        _ry = f"(CASE WHEN y % {2 * _s} >= {_s} THEN 1 ELSE 0 END)"
+        _h_ctes.append(f"""
+hp{_i} AS MATERIALIZED (
+  SELECT event_id, u, h,
+         d + {_s * _s} * xor(3 * {_rx}, {_ry}) AS d,
+         CASE WHEN {_ry} = 1 THEN x
+              WHEN {_rx} = 1 THEN {_hn - 1} - y ELSE y END AS x,
+         CASE WHEN {_ry} = 1 THEN y
+              WHEN {_rx} = 1 THEN {_hn - 1} - x ELSE x END AS y
+  FROM hp{_i + 1})""")
+    sql["hilbert_key"] = (
+        "WITH " + ",".join(_h_ctes) + """
+SELECT event_id, u AS user_id, h AS hour_idx,
+       CAST(d AS BIGINT) AS hvalue
+FROM hp0
+"""
+    )
 
     # range_join_windows: DuckDB native inequality join (IEJoin) — an
     # independent implementation of the containment predicate.

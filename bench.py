@@ -174,6 +174,7 @@ HEADLINE = [
     "salted_join",
     "range_join_windows",
     "zorder_key",
+    "hilbert_key",
     "compaction_plan",
     "snapshot_diff",
     "dsir_weights",

@@ -61,3 +61,62 @@ def zorder_layout(
     (see tests/test_zorder.py for the measured bounding-box tightening)."""
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartitionByRange(parts, F.col(zcol)).sortWithinPartitions(zcol)
+
+
+def hilbert_key(x: "F.Column", y: "F.Column", bits: int = 16) -> "F.Column":
+    """Hilbert-curve index of the low `bits` bits of two non-negative
+    integer columns — the locality-tighter alternative to `zorder_key`:
+    consecutive Hilbert values are ALWAYS adjacent cells (the curve has
+    no Morton-style discontinuity jumps), so per-file (h_lo, h_hi)
+    bounds cover tighter x/y bounding boxes at the same file count.
+    Same write-time layout contract as zorder: compute the key, then
+    `zorder_layout(df, 'hvalue')`.
+
+    This is the public xy2d walk (the quadrant-rotation formulation of
+    the Hilbert curve literature): per bit plane, the quadrant bits
+    (rx, ry) contribute s^2 * gray(rx, ry) to the index and the frame
+    reflects/swaps for the next plane. The sequential state rides ONE
+    `aggregate` fold over a `bits`-element literal plane table (each
+    element carries its precomputed s and s^2) — a single expression
+    node, so Catalyst cannot re-inline the step into the 4^bits-term
+    closed form a naive column chain would produce. Bit tests are
+    `x % 2s >= s` (no variable shifts); everything stays in long
+    arithmetic, JVM-side, deterministic."""
+    n = 1 << bits
+    xm = x.cast("long").bitwiseAND(F.lit(n - 1))
+    ym = y.cast("long").bitwiseAND(F.lit(n - 1))
+    planes = F.array(
+        *[
+            F.struct(
+                F.lit(1 << i).cast("long").alias("s"),
+                F.lit((1 << i) * (1 << i)).cast("long").alias("s2"),
+            )
+            for i in range(bits - 1, -1, -1)
+        ]
+    )
+    init = F.struct(
+        xm.alias("x"), ym.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+
+    def step(acc, p):
+        s, s2 = p["s"], p["s2"]
+        rx = F.when(acc["x"] % (s * 2) >= s, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        ry = F.when(acc["y"] % (s * 2) >= s, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        d2 = acc["d"] + s2 * (rx * 3).bitwiseXOR(ry)
+        nx = (
+            F.when(ry == 1, acc["x"])
+            .when(rx == 1, F.lit(n - 1) - acc["y"])
+            .otherwise(acc["y"])
+        )
+        ny = (
+            F.when(ry == 1, acc["y"])
+            .when(rx == 1, F.lit(n - 1) - acc["x"])
+            .otherwise(acc["x"])
+        )
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(planes, init, step)["d"]

@@ -790,6 +790,25 @@ def _ivfpq_ann_topk(spark, sf_dir):
     )
 
 
+def _mutual_knn(spark, sf_dir):
+    """Reciprocal top-5 cosine pairs within the 16 IVF coarse clusters —
+    the hub-robust alignment filter (b in a's kNN AND a in b's), at
+    semdedup's cluster-bounded-quadratic cost. Cached centroids;
+    4-dp round-before-rank."""
+    from pdf_extractor_spark.operators.similarity import (
+        ivf_centroids,
+        mutual_knn,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), 16)
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = ivf_centroids(emb, 16)
+        _IVF_CENTROID_CACHE[key] = cents
+    return mutual_knn(emb, k=5, n_centroids=16, centroids=cents)
+
+
 def _augmented_embeddings(spark, sf_dir):
     """embeddings + a deterministic near-duplicate of every vector (id +
     1,000,000; component (vec_id % 64) zeroed) — the driver testdata has no
@@ -5700,6 +5719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _pq_adc_topk,
         "pq_rerank_topk": _pq_rerank_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
+        "mutual_knn": _mutual_knn,
         "kmeans_clusters": _kmeans_clusters,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "embedding_neardup": _embedding_neardup,
@@ -7758,6 +7778,59 @@ SELECT query_id, id, adc,
                                ORDER BY adc, id) AS INT) AS rank
 FROM pq_scored
 QUALIFY rank <= 10"""
+
+    # mutual_knn: the same deterministic 16-centroid quantizer, then a
+    # per-cluster all-pairs cosine (the cluster-bounded quadratic),
+    # per-node top-5 with the 4-dp round-before-rank, and the
+    # reciprocity join.
+    sql["mutual_knn"] = f"""
+WITH vembeddings AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+params AS (SELECT greatest(1, count(*) // 16) AS stride FROM vembeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM vembeddings, params WHERE vec_id % stride = 0
+  ORDER BY vec_id LIMIT 16),
+assign0 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM vembeddings e, seeds c),
+a0 AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+cells AS (
+  SELECT a0.cid, comp.d, avg(comp.x) AS m
+  FROM a0 JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM vembeddings) comp USING (vec_id)
+  GROUP BY 1, 2),
+refined AS (SELECT cid, list(m ORDER BY d) AS cv FROM cells GROUP BY 1),
+cents AS (
+  SELECT s.cid, coalesce(r.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN refined r USING (cid)),
+ca AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM vembeddings e, cents c) WHERE rn = 1),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         {_sql_cosine('el.embedding', 'er.embedding')} AS cosine
+  FROM ca l JOIN ca r ON l.cid = r.cid AND l.vec_id <> r.vec_id
+  JOIN vembeddings el ON el.vec_id = l.vec_id
+  JOIN vembeddings er ON er.vec_id = r.vec_id),
+knn AS MATERIALIZED (
+  SELECT a, b, cosine FROM (
+    SELECT a, b, cosine,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY cosine DESC, b) AS rn
+    FROM pairs WHERE cosine IS NOT NULL) WHERE rn <= 5)
+SELECT k1.a AS id_a, k1.b AS id_b, k1.cosine
+FROM knn k1 JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+WHERE k1.a < k1.b
+"""
 
     sql["kmeans_clusters"] = _km_prefix + f"""
 assign2 AS (

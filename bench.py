@@ -308,6 +308,7 @@ HEADLINE = [
     "script_mix",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "mutual_knn",
     "pq_encode",
     "pq_adc_topk",
     "pq_rerank_topk",

@@ -1484,3 +1484,67 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "adc", "rank")
     )
+
+
+def mutual_knn(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    centroids: "np.ndarray | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cosine) with id_a < id_b — RECIPROCAL top-k pairs:
+    b is in a's k nearest neighbors AND a is in b's, the standard
+    high-precision alignment filter of the bitext-mining / semantic-
+    dedup literature (one-directional nearness is noise near hubs;
+    mutuality kills the hub artifacts).
+
+    Neighborhoods are computed within IVF coarse clusters (`semdedup`'s
+    cluster-bounded-quadratic discipline): the per-cluster self-join
+    costs sum(|C|^2) instead of N^2, and at 10^12 scale the assignment
+    is the write-time partitioning, so each task's quadratic stays
+    RAM-sized. Mutuality within a cluster is exact (both directions are
+    computed from the same candidate set). Cosine rounds to 4 dp BEFORE
+    the per-node rank (id tiebreak), the engine-portable order."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, vec_col, id_col)
+    )
+    assign1 = _assign_udf(cents, 1)
+    c = _valid_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
+    )
+    left = c.select("cluster", F.col("id").alias("a"), F.col("vec").alias("va"))
+    right = c.select("cluster", F.col("id").alias("b"), F.col("vec").alias("vb"))
+    pairs = (
+        left.join(right, "cluster")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            _safe_cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a", "b", "cosine")
+    )
+    rev = knn.select(
+        F.col("b").alias("a"), F.col("a").alias("b")
+    )
+    return (
+        knn.join(rev, ["a", "b"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1506,7 +1506,14 @@ def mutual_knn(
     is the write-time partitioning, so each task's quadratic stays
     RAM-sized. Mutuality within a cluster is exact (both directions are
     computed from the same candidate set). Cosine rounds to 4 dp BEFORE
-    the per-node rank (id tiebreak), the engine-portable order."""
+    the per-node rank (id tiebreak), the engine-portable order.
+
+    Each vector's L2 norm is computed ONCE on the node-sized frame and
+    carried into the pair join — the naive `_safe_cosine` per pair
+    would re-fold BOTH norms for every pair (3 interpreted HOF folds
+    instead of 1; measured 3x wall on the 250k-pair bench shape). The
+    division dot/(na*nb) is the identical expression the oracle
+    evaluates, so the values stay bit-identical."""
     cents = (
         centroids
         if centroids is not None
@@ -1516,18 +1523,30 @@ def mutual_knn(
     c = _valid_vectors(corpus, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cluster"),
     )
-    left = c.select("cluster", F.col("id").alias("a"), F.col("vec").alias("va"))
-    right = c.select("cluster", F.col("id").alias("b"), F.col("vec").alias("vb"))
+    left = c.select(
+        "cluster",
+        F.col("id").alias("a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    right = c.select(
+        "cluster",
+        F.col("id").alias("b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    prod = F.col("na") * F.col("nb")
+    cosine = F.when(
+        prod > 0,
+        F.round(_dot(F.col("va"), F.col("vb")) / prod, 4),
+    )
     pairs = (
         left.join(right, "cluster")
         .where(F.col("a") != F.col("b"))
-        .select(
-            "a",
-            "b",
-            _safe_cosine(F.col("va"), F.col("vb")).alias("cosine"),
-        )
+        .select("a", "b", cosine.alias("cosine"))
         .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))

@@ -36,7 +36,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "pmi_cooccurrence",
         "lm_perplexity", "ngram_lm", "kn_bigram_lm", "kn_perplexity", "quality_tiers",
         "gopher_filter", "c4_filter", "hash_lr", "train_hash_lr",
-        "hash_lr_trained", "model_accuracy", "curriculum_order", "packing_efficiency",
+        "hash_lr_trained", "model_accuracy", "roc_auc", "curriculum_order", "packing_efficiency",
         "calibration_bins",
         "entity_mentions", "vocab_coverage",
         "readability", "tokenizer_fertility", "ocr_garble_score",
@@ -75,7 +75,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "sample_alloc", "badword_filter", "luhn_scan",
     ]),
     ("Similarity search (ANN)", [
-        "cosine_topk", "bm25_topk", "query_likelihood", "phrase_search", "lsh_ann_topk", "ivf_ann_topk", "pq_encode", "pq_adc_topk", "pq_rerank_topk",
+        "cosine_topk", "bm25_topk", "query_likelihood", "phrase_search", "lsh_ann_topk", "ivf_ann_topk", "pq_encode", "pq_adc_topk", "pq_rerank_topk", "ivfpq_ann_topk", "mutual_knn",
         "kmeans_clusters", "cluster_balanced_sample",
         "embedding_quantize", "hard_negatives", "bitext_mine",
         "embedding_outliers", "centroid_drift",
@@ -85,13 +85,13 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "anchor_text_index", "url_normalize", "url_dedup", "host_stats",
         "url_blocklist", "robots_rules", "crawl_schedule",
         "pagerank_hosts", "crawl_frontier", "triangle_hosts",
-        "link_reciprocity", "label_propagation",
+        "link_reciprocity", "label_propagation", "cc_hosts",
     ]),
     ("Layout (reading order)", ["layout_order", "layout_text", "text_tables"]),
     ("Multimodal (interleaved media)", [
         "media_meta", "media_features", "media_resize", "frame_sample",
         "audio_segments",
-        "media_captions", "multimodal_pack", "media_dedup", "media_phash",
+        "media_captions", "multimodal_pack", "media_dedup", "media_mime_sniff", "media_phash",
         "media_phash_neardup", "span_interleave_stats", "span_kind_transitions",
         "media_ref_integrity",
     ]),
@@ -108,7 +108,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "anomaly_mad", "value_histogram", "event_rle", "dow_hour_heatmap",
     ]),
     ("Table layout & maintenance (Iceberg upkeep)", [
-        "zorder_key", "compaction_plan", "snapshot_diff", "rendezvous_shards",
+        "zorder_key", "hilbert_key", "compaction_plan", "snapshot_diff", "rendezvous_shards",
         "zone_map_prune", "column_conformance", "expire_snapshots",
         "encoding_advisor",
     ]),
@@ -141,7 +141,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
     ]),
     ("Corpus inspection & tokenizer extensions", [
         "concordance", "branching_entropy", "collocations_llr",
-        "morph_split", "token_length_hist", "utf8_stats", "pps_sample",
+        "morph_split", "token_length_hist", "utf8_stats", "pps_sample", "weighted_sample",
         "lang_source_mi", "filter_kappa", "filter_committee", "filter_pr",
     ]),
     ("Relational & quality-audit extensions", [

@@ -195,6 +195,8 @@ SCALAR_BROADCAST_OK = {
     "(ranking.py)",
     "zipf_fit": "rank cut-point array as 1-row agg broadcast "
     "(ranking.py)",
+    "roc_auc": "rank cut-point array as 1-row agg broadcast "
+    "(ranking.py; the AUC cumulative rides the rank engine)",
     "rfm_segments_ranks": "rank cut-point arrays as 1-row agg "
     "broadcasts (ranking.py)",
     "train_hash_lr": "class token totals (P, N) as 1-row agg broadcast "
@@ -252,6 +254,8 @@ BOUNDED_GLOBAL_WINDOW_OK: dict[str, str] = {
     "kn_bigram_lm": "rank numbering over the top_n post-limit frame "
     "(<= 50 rows; the TakeOrdered cut sits below the enrichment joins, "
     "so the detector cannot see the bound)",
+    "roc_auc": "ranking.py bucket-offset table (the strictly-below "
+    "negative cumulative runs on the n_buckets(<=64)-row totals frame)",
 }
 
 

@@ -212,6 +212,8 @@ def main() -> None:
     # PQ codebooks = per-level write-once index state (run_index.py
     # pq_codebooks/); the encode row then isolates the narrow UDF pass
     from pdf_extractor_spark.operators.similarity import (
+        ivfpq_topk,
+        mutual_knn,
         pq_codebooks,
         pq_encode,
     )
@@ -244,6 +246,21 @@ def main() -> None:
         ).count(),
         "semdedup": lambda L: semdedup(L["e"], L["c"]).count(),
         "pq_encode": lambda L: pq_encode(L["e"], L["pb"]).count(),
+        # IVF+PQ probe: 8 fixed queries over K ∝ n lists — per-query
+        # scanned code rows stay ~constant, so the ratio isolates the
+        # corpus assign+encode pass
+        "ivfpq_ann_topk": lambda L: ivfpq_topk(
+            L["e"],
+            L["e"].filter(F.col("vec_id") < 8).withColumnRenamed(
+                "vec_id", "query_id"
+            ),
+            k=10, centroids=L["c"], books=L["pb"],
+        ).count(),
+        # reciprocal kNN: K ∝ n keeps cluster populations ~constant, so
+        # the per-cluster quadratic scales linearly with the corpus
+        "mutual_knn": lambda L: mutual_knn(
+            L["e"], k=5, centroids=L["c"]
+        ).count(),
         "lattice_vocab": lambda L: lattice_vocab(L["d"]).count(),
         "lattice_encode": lambda L: lattice_encode(L["d"], L["v"]).count(),
     }

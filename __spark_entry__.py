@@ -2677,6 +2677,21 @@ def _roc_auc(spark, sf_dir):
     return roc_auc(scored, score_col="margin", label_col="_label")
 
 
+def _stupid_backoff_score(spark, sf_dir):
+    """Trigram Stupid Backoff (Brants et al. 2007) scoring with a
+    train/score split (even doc_ids train the count tables, odd ones
+    score) so unseen trigrams actually exercise the 0.4-backoff chain.
+    Per-doc mean ln S at 6 dp — the lm_perplexity ln-space rounding
+    discipline."""
+    from pdf_extractor_spark.operators.curation import stupid_backoff_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return stupid_backoff_score(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _curriculum_order(spark, sf_dir):
     """Curriculum training order: every document's global 1-based
     position under (quality DESC, doc_id) — easiest/cleanest first — and
@@ -5564,6 +5579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm": _ngram_lm,
         "kn_bigram_lm": _kn_bigram_lm,
         "kn_perplexity": _kn_perplexity,
+        "stupid_backoff_score": _stupid_backoff_score,
         "quality_tiers": _quality_tiers,
         "vocab_coverage": _vocab_coverage,
         "pagerank_hosts": _pagerank_hosts,
@@ -8691,6 +8707,55 @@ SELECT d.doc_id,
        coalesce(round(h, 6), 0.0) + 0.0 AS kn_cross_entropy,
        coalesce(round(exp(h), 4), 1.0) + 0.0 AS kn_perplexity
 FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+    # stupid_backoff_score: trigram Stupid Backoff with the even/odd
+    # train/score split — identical count tables, identical left-assoc
+    # double arithmetic in the backoff CASE, mean ln S rounded 6 dp.
+    sql["stupid_backoff_score"] = f"""
+WITH ttoks AS (
+  SELECT {_LTOKS} AS t FROM documents
+  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+sbuni AS (
+  SELECT w3, count(*) AS c3u
+  FROM (SELECT unnest(t) AS w3 FROM ttoks) GROUP BY 1),
+sbtot AS (SELECT CAST(sum(c3u) AS DOUBLE) AS N FROM sbuni),
+sbbi AS (
+  SELECT t[g.i] AS w2, t[g.i + 1] AS w3, count(*) AS c23
+  FROM ttoks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+  GROUP BY 1, 2),
+sbbctx AS (SELECT w2, sum(c23) AS c2 FROM sbbi GROUP BY 1),
+sbtri AS (
+  SELECT t[g.i] AS w1, t[g.i + 1] AS w2, t[g.i + 2] AS w3,
+         count(*) AS c123
+  FROM ttoks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g
+  GROUP BY 1, 2, 3),
+sbtctx AS (SELECT w1, w2, sum(c123) AS c12 FROM sbtri GROUP BY 1, 2),
+sbpos AS (
+  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2, t[g.i + 2] AS w3
+  FROM (SELECT doc_id, {_LTOKS} AS t FROM documents
+        WHERE doc_id % 2 = 1 AND text IS NOT NULL
+          AND trim(text) <> '') s,
+       LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g),
+sbsc AS (
+  SELECT p.doc_id,
+         ln(CASE WHEN sbtri.c123 IS NOT NULL
+                   THEN sbtri.c123 / sbtctx.c12
+                 WHEN sbbi.c23 IS NOT NULL
+                   THEN 0.4 * sbbi.c23 / sbbctx.c2
+                 WHEN sbuni.c3u IS NOT NULL
+                   THEN 0.4 * 0.4 * sbuni.c3u / sbtot.N
+                 ELSE 0.4 * 0.4 / sbtot.N END) AS lns
+  FROM sbpos p
+  LEFT JOIN sbtri ON sbtri.w1 = p.w1 AND sbtri.w2 = p.w2
+                 AND sbtri.w3 = p.w3
+  LEFT JOIN sbtctx ON sbtctx.w1 = p.w1 AND sbtctx.w2 = p.w2
+  LEFT JOIN sbbi ON sbbi.w2 = p.w2 AND sbbi.w3 = p.w3
+  LEFT JOIN sbbctx ON sbbctx.w2 = p.w2
+  LEFT JOIN sbuni ON sbuni.w3 = p.w3
+  CROSS JOIN sbtot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(sum(lns) / count(*), 6) + 0.0 AS avg_logscore
+FROM sbsc GROUP BY 1
 """
     # global_shuffle: the oracle IS the naive global ranking; the Spark
     # side's sharded two-level positions must reproduce it exactly because

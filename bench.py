@@ -126,6 +126,7 @@ HEADLINE = [
     "ngram_lm",
     "kn_bigram_lm",
     "kn_perplexity",
+    "stupid_backoff_score",
     "quality_tiers",
     "quality_percentile",
     "media_dedup",

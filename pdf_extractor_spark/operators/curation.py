@@ -3752,3 +3752,100 @@ def weighted_sample(
     return keyed.withColumn(
         "pick_rank", F.row_number().over(win)
     )
+
+
+def stupid_backoff_score(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """(doc_id, n_trigrams, avg_logscore) — trigram Stupid Backoff
+    scoring (Brants et al. 2007, the web-scale LM that skips proper
+    discounting because at corpus scale the backoff factor alone
+    suffices): every trigram position of a scoring doc gets
+
+        S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)            if seen
+                    = a * c(w2 w3)/c(w2)              elif bigram seen
+                    = a^2 * c(w3)/N                   elif unigram seen
+                    = a^2 * 1/N                       else (OOV floor)
+
+    with a = 0.4, and the doc reports the mean ln S over its trigram
+    positions (6 dp — the lm_perplexity discipline). Train and score
+    sets are DIFFERENT slices (the kn_perplexity train/score split):
+    scoring the training corpus itself never backs off, so the chain
+    would be dead code.
+
+    Scale shape: the three count tables are corpus-sized shuffle
+    aggregates with map-side combine (persisted model state at
+    production scale); scoring is three left joins of the exploded
+    trigram rows against them — narrow keys, no broadcast of anything
+    corpus-sized, one doc-grain aggregate at the end."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    tbase = train.select(toks.alias("t"))
+    uni = (
+        tbase.select(F.explode("t").alias("w3"))
+        .groupBy("w3")
+        .agg(F.count("*").alias("c3u"))
+        .localCheckpoint(eager=False)
+    )
+    tot = uni.agg(F.sum("c3u").cast("double").alias("N"))
+
+    def _ngrams(base, n, cols):
+        sl = F.when(
+            F.size("t") >= n, F.expr(f"slice(t, 1, size(t) - {n - 1})")
+        ).otherwise(F.array().cast("array<string>"))
+        out = base.select(
+            *[c for c in base.columns if c != "t"],
+            F.posexplode(sl).alias("pos", cols[0]),
+            F.col("t"),
+        )
+        for j, c in enumerate(cols[1:], start=1):
+            out = out.withColumn(c, F.expr(f"t[pos + {j}]"))
+        return out.drop("t")
+
+    bi = (
+        _ngrams(tbase, 2, ["w2", "w3"])
+        .groupBy("w2", "w3")
+        .agg(F.count("*").alias("c23"))
+        .localCheckpoint(eager=False)
+    )
+    bi_ctx = bi.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    tri = (
+        _ngrams(tbase, 3, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c123"))
+    )
+    tri_ctx = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+
+    sbase = score.select(F.col(id_col).alias("id"), toks.alias("t"))
+    pos = _ngrams(sbase, 3, ["w1", "w2", "w3"])
+    j = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(tri_ctx, ["w1", "w2"], "left")
+        .join(bi, ["w2", "w3"], "left")
+        .join(bi_ctx, ["w2"], "left")
+        .join(uni, ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.lit(float(alpha))
+    s = (
+        F.when(
+            F.col("c123").isNotNull(), F.col("c123") / F.col("c12")
+        )
+        .when(F.col("c23").isNotNull(), a * F.col("c23") / F.col("c2"))
+        .when(
+            F.col("c3u").isNotNull(), a * a * F.col("c3u") / F.col("N")
+        )
+        .otherwise(a * a / F.col("N"))
+    )
+    return (
+        j.select("id", F.log(s).alias("lns"))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.round(F.avg("lns"), 6).alias("avg_logscore"),
+        )
+        .select(F.col("id").alias(id_col), "n_trigrams", "avg_logscore")
+    )

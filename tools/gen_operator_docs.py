@@ -34,7 +34,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "token_entropy", "bpe_pair_counts", "bpe_merges", "bpe_encode", "bpe_vocab",
         "wordpiece_encode", "lattice_vocab", "lattice_encode",
         "pmi_cooccurrence",
-        "lm_perplexity", "ngram_lm", "kn_bigram_lm", "kn_perplexity", "quality_tiers",
+        "lm_perplexity", "ngram_lm", "kn_bigram_lm", "kn_perplexity", "stupid_backoff_score", "quality_tiers",
         "gopher_filter", "c4_filter", "hash_lr", "train_hash_lr",
         "hash_lr_trained", "model_accuracy", "roc_auc", "curriculum_order", "packing_efficiency",
         "calibration_bins",

@@ -1646,6 +1646,39 @@ def _cc_hosts(spark, sf_dir):
     )
 
 
+def _cc_incremental(spark, sf_dir):
+    """Incremental CC: the chain edges form the BASE assignment (path
+    segments), then the bridge edges arrive as the CDC batch and merge
+    segments on the CONTRACTED graph — batch-proportional work, zero
+    re-walk of the old edges. The oracle is cc_hosts' recursive CTE
+    over the FULL edge union, so the check proves incremental == batch
+    recompute exactly."""
+    from pdf_extractor_spark.operators.graph import (
+        connected_components_contract,
+        connected_components_incremental,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    us = docs.select((F.col("doc_id") % 500).alias("u")).distinct()
+    u = F.col("u")
+
+    def h(e):
+        return F.concat(
+            F.lit("h"), e.cast("string"), F.lit(".example.com")
+        )
+
+    chain = us.filter(u % 17 != 16).select(
+        h(u).alias("src"), h(u + 1).alias("dst")
+    )
+    bridge = us.filter(u % 29 == 3).select(
+        h(u).alias("src"), h(u + 13).alias("dst")
+    )
+    base = connected_components_contract(chain, n_groups=1).select(
+        "host", "component"
+    )
+    return connected_components_incremental(base, bridge, n_groups=1)
+
+
 def _expire_snapshots(spark, sf_dir):
     """Snapshot retention planning (keep last 7 + weekly heads) over a
     snapshot timeline synthesized from the distinct event dates."""
@@ -5640,6 +5673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": _link_reciprocity,
         "label_propagation": _label_propagation,
         "cc_hosts": _cc_hosts,
+        "cc_incremental": _cc_incremental,
         "expire_snapshots": _expire_snapshots,
         "text_tiling": _text_tiling,
         "event_rle": _event_rle,
@@ -11539,6 +11573,11 @@ SELECT comp.node AS host, comp.component,
        CAST(s.cs AS BIGINT) AS component_size
 FROM comp JOIN s USING (component)
 """
+    # cc_incremental merges the bridge batch into the chain-only base
+    # assignment; the correct result is by definition the batch CC of
+    # the full edge union — i.e. EXACTLY cc_hosts' expected output.
+    sql["cc_incremental"] = sql["cc_hosts"]
+
     # expire_snapshots: same retention windows over the distinct-date
     # snapshot timeline; week heads via date_trunc('week') (Monday on
     # both engines).

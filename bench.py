@@ -201,6 +201,7 @@ HEADLINE = [
     "centroid_drift",
     "label_propagation",
     "cc_hosts",
+    "cc_incremental",
     "expire_snapshots",
     "text_tiling",
     "event_rle",

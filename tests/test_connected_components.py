@@ -177,3 +177,45 @@ def test_np_cc_vectorized_union_find():
         for x in members:
             want[x] = m
     assert [want[x] for x in range(n)] == roots.tolist()
+
+
+def test_cc_incremental_merges_batch_exactly(spark):
+    """Base = two chains; batch = one bridge merging them + one edge
+    introducing two brand-new hosts. Incremental result must equal the
+    batch recompute over the union, untouched components must keep
+    their label, and new hosts must appear."""
+    from pdf_extractor_spark.operators.graph import (
+        connected_components,
+        connected_components_contract,
+        connected_components_incremental,
+    )
+
+    old = _edges(
+        spark, [("a", "b"), ("b", "c"), ("p", "q"), ("x", "y")]
+    )
+    batch = _edges(spark, [("c", "p"), ("m", "n")])
+    base = connected_components_contract(old, n_groups=1).select(
+        "host", "component"
+    )
+    got = {
+        r.host: (r.component, r.component_size)
+        for r in connected_components_incremental(
+            base, batch, n_groups=1
+        ).collect()
+    }
+    full = {
+        r.host: (r.component, r.component_size)
+        for r in connected_components(
+            _edges(
+                spark,
+                [("a", "b"), ("b", "c"), ("p", "q"), ("x", "y"),
+                 ("c", "p"), ("m", "n")],
+            )
+        ).collect()
+    }
+    assert got == full
+    # untouched component keeps its label; new hosts present
+    assert got["x"] == ("x", 2)
+    assert got["m"] == ("m", 2) and got["n"] == ("m", 2)
+    # merged component spans both old chains
+    assert got["q"] == ("a", 5)

@@ -85,7 +85,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "anchor_text_index", "url_normalize", "url_dedup", "host_stats",
         "url_blocklist", "robots_rules", "crawl_schedule",
         "pagerank_hosts", "crawl_frontier", "triangle_hosts",
-        "link_reciprocity", "label_propagation", "cc_hosts",
+        "link_reciprocity", "label_propagation", "cc_hosts", "cc_incremental",
     ]),
     ("Layout (reading order)", ["layout_order", "layout_text", "text_tables"]),
     ("Multimodal (interleaved media)", [

@@ -199,6 +199,8 @@ SCALAR_BROADCAST_OK = {
     "(ranking.py; the AUC cumulative rides the rank engine)",
     "rfm_segments_ranks": "rank cut-point arrays as 1-row agg "
     "broadcasts (ranking.py)",
+    "stupid_backoff_score": "corpus token total N as a 1-row agg "
+    "broadcast onto the scoring rows (the lm_perplexity shape)",
     "train_hash_lr": "class token totals (P, N) as 1-row agg broadcast "
     "onto the bucket frame",
     "hash_lr_trained": "trained threshold stats (sp, sn, cp, cn) as "

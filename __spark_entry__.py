@@ -790,6 +790,112 @@ def _ivfpq_ann_topk(spark, sf_dir):
     )
 
 
+def _ann_recall_eval(spark, sf_dir):
+    """ANN quality scoreboard — recall@10 of each approximate method
+    against ITS OWN exact baseline on the same corpus, in one query:
+    `ivf` (5 queries, vs exact cosine top-10), `pq_adc` and `ivfpq`
+    (8 queries, vs exact L2 top-10, the 6-dp round + id-tiebreak order
+    the PQ family ranks by). The index-selection eval every ANN
+    deployment runs before choosing its operating point; hits/totals
+    are exact integers, recall is one double division."""
+    from pdf_extractor_spark.operators.similarity import (
+        _dot,
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+        ivfpq_topk,
+        pq_adc_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), 16)
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = ivf_centroids(emb, 16)
+        _IVF_CENTROID_CACHE[key] = cents
+    books = _pq_books(spark, sf_dir)
+    q5 = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    q8 = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+
+    exact_cos = cosine_topk(emb, q5, k=10).select("query_id", "id")
+    # exact L2 top-10 (the PQ family's ground truth): strict left fold,
+    # 6-dp round-before-rank, id tiebreak — identical to pq_rerank's
+    # exact stage
+    from pyspark.sql import Window
+
+    qdf = q8.select(
+        "query_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).crossJoin(F.broadcast(qdf))
+    l2 = F.aggregate(
+        F.zip_with(
+            "vec", "qv",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2"), F.asc("id")
+    )
+    exact_l2 = (
+        cand.select("query_id", "id", F.round(l2, 6).alias("l2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "id")
+    )
+
+    methods = [
+        (
+            "ivf",
+            ivf_topk(
+                emb, q5, k=10, n_centroids=16, n_probe=8, centroids=cents
+            ).select("query_id", "id"),
+            exact_cos,
+        ),
+        (
+            "pq_adc",
+            pq_adc_topk(emb, q8, k=10, books=books).select(
+                "query_id", "id"
+            ),
+            exact_l2,
+        ),
+        (
+            "ivfpq",
+            ivfpq_topk(
+                emb, q8, k=10, centroids=cents, books=books
+            ).select("query_id", "id"),
+            exact_l2,
+        ),
+    ]
+    out = None
+    for name, approx, exact in methods:
+        row = (
+            exact.join(approx, ["query_id", "id"], "left_semi")
+            .agg(F.count("*").alias("hits"))
+            .crossJoin(
+                F.broadcast(exact.agg(F.count("*").alias("total")))
+            )
+            .select(
+                F.lit(name).alias("method"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("total").cast("long").alias("total"),
+                F.round(F.col("hits") / F.col("total"), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _mutual_knn(spark, sf_dir):
     """Reciprocal top-5 cosine pairs within the 16 IVF coarse clusters —
     the hub-robust alignment filter (b in a's kNN AND a in b's), at
@@ -5770,6 +5876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk": _pq_rerank_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
         "mutual_knn": _mutual_knn,
+        "ann_recall_eval": _ann_recall_eval,
         "kmeans_clusters": _kmeans_clusters,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "embedding_neardup": _embedding_neardup,
@@ -7880,6 +7987,57 @@ knn AS MATERIALIZED (
 SELECT k1.a AS id_a, k1.b AS id_b, k1.cosine
 FROM knn k1 JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
 WHERE k1.a < k1.b
+"""
+
+    # ann_recall_eval: the three approximate-method oracles nested as
+    # CTEs (DuckDB allows a full WITH...SELECT as a CTE body) scored
+    # against their own exact baselines — exact cosine (the cosine_topk
+    # oracle verbatim) for ivf, exact L2 (the pq_rerank fold, 6-dp
+    # round, id tiebreak) for the PQ paths. Hits via SEMI JOIN; one
+    # double division per method row.
+    _ann_l2 = (
+        "list_reduce(list_prepend(0.0, list_transform(range(64), k -> "
+        "(CAST(e.embedding[k + 1] AS DOUBLE) - "
+        "CAST(q.embedding[k + 1] AS DOUBLE)) * "
+        "(CAST(e.embedding[k + 1] AS DOUBLE) - "
+        "CAST(q.embedding[k + 1] AS DOUBLE)))), (a, b) -> a + b)"
+    )
+    sql["ann_recall_eval"] = f"""
+WITH ivf_res AS ({sql["ivf_ann_topk"]}),
+adc_res AS ({sql["pq_adc_topk"]}),
+ivfpq_res AS ({sql["ivfpq_ann_topk"]}),
+cos_res AS ({sql["cosine_topk"]}),
+annv AS (SELECT vec_id, embedding FROM embeddings
+         WHERE embedding IS NOT NULL AND len(embedding) > 0),
+exl2 AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS id,
+         round({_ann_l2}, 6) + 0.0 AS l2
+  FROM annv e, (SELECT vec_id, embedding FROM annv WHERE vec_id < 8) q),
+exl2_top AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY l2, id) AS rn
+    FROM exl2) WHERE rn <= 10),
+excos_top AS (SELECT query_id, id FROM cos_res),
+m_all AS (
+  SELECT 'ivf' AS method,
+    CAST((SELECT count(*) FROM excos_top x SEMI JOIN ivf_res a
+          ON a.query_id = x.query_id AND a.id = x.id) AS BIGINT) AS hits,
+    CAST((SELECT count(*) FROM excos_top) AS BIGINT) AS total
+  UNION ALL
+  SELECT 'pq_adc',
+    CAST((SELECT count(*) FROM exl2_top x SEMI JOIN adc_res a
+          ON a.query_id = x.query_id AND a.id = x.id) AS BIGINT),
+    CAST((SELECT count(*) FROM exl2_top) AS BIGINT)
+  UNION ALL
+  SELECT 'ivfpq',
+    CAST((SELECT count(*) FROM exl2_top x SEMI JOIN ivfpq_res a
+          ON a.query_id = x.query_id AND a.id = x.id) AS BIGINT),
+    CAST((SELECT count(*) FROM exl2_top) AS BIGINT))
+SELECT method, hits, total,
+       round(hits / total, 6) + 0.0 AS recall_at_10
+FROM m_all
 """
 
     sql["kmeans_clusters"] = _km_prefix + f"""

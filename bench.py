@@ -311,6 +311,7 @@ HEADLINE = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "mutual_knn",
+    "ann_recall_eval",
     "pq_encode",
     "pq_adc_topk",
     "pq_rerank_topk",

@@ -75,7 +75,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "sample_alloc", "badword_filter", "luhn_scan",
     ]),
     ("Similarity search (ANN)", [
-        "cosine_topk", "bm25_topk", "query_likelihood", "phrase_search", "lsh_ann_topk", "ivf_ann_topk", "pq_encode", "pq_adc_topk", "pq_rerank_topk", "ivfpq_ann_topk", "mutual_knn",
+        "cosine_topk", "bm25_topk", "query_likelihood", "phrase_search", "lsh_ann_topk", "ivf_ann_topk", "pq_encode", "pq_adc_topk", "pq_rerank_topk", "ivfpq_ann_topk", "mutual_knn", "ann_recall_eval",
         "kmeans_clusters", "cluster_balanced_sample",
         "embedding_quantize", "hard_negatives", "bitext_mine",
         "embedding_outliers", "centroid_drift",

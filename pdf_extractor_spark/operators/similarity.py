@@ -1513,7 +1513,19 @@ def mutual_knn(
     would re-fold BOTH norms for every pair (3 interpreted HOF folds
     instead of 1; measured 3x wall on the 250k-pair bench shape). The
     division dot/(na*nb) is the identical expression the oracle
-    evaluates, so the values stay bit-identical."""
+    evaluates, so the values stay bit-identical.
+
+    Cosine is symmetric, so the interpreted dot fold runs once per
+    UNORDERED pair (join on a < b) and the two directed rows the
+    per-node window needs come from a single explode of the computed
+    row — not a union of the join subtree (which Catalyst would
+    re-execute) and not a second fold. Mutuality is then a
+    count(*) == 2 groupBy on the unordered key over the rn <= k
+    survivors instead of a self-join, whose build side would likewise
+    re-run the join+window subtree. zip_with multiplies element-wise
+    (commutative) over the same index order, so dot(va,vb) ==
+    dot(vb,va) bit-for-bit and the directed mirror carries the
+    identical cosine both ways."""
     cents = (
         centroids
         if centroids is not None
@@ -1543,27 +1555,38 @@ def mutual_knn(
         prod > 0,
         F.round(_dot(F.col("va"), F.col("vb")) / prod, 4),
     )
-    pairs = (
+    und = (
         left.join(right, "cluster")
-        .where(F.col("a") != F.col("b"))
+        .where(F.col("a") < F.col("b"))
         .select("a", "b", cosine.alias("cosine"))
         .filter(F.col("cosine").isNotNull())
     )
+    directed = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("s"), F.col("b").alias("o")),
+                F.struct(F.col("b").alias("s"), F.col("a").alias("o")),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select(
+        F.col("e.s").alias("a"), F.col("e.o").alias("b"), "cosine"
+    )
     w = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
     knn = (
-        pairs.withColumn("rn", F.row_number().over(w))
+        directed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("a", "b", "cosine")
     )
-    rev = knn.select(
-        F.col("b").alias("a"), F.col("a").alias("b")
-    )
     return (
-        knn.join(rev, ["a", "b"])
-        .where(F.col("a") < F.col("b"))
-        .select(
-            F.col("a").alias("id_a"),
-            F.col("b").alias("id_b"),
-            "cosine",
+        knn.groupBy(
+            F.least("a", "b").alias("id_a"),
+            F.greatest("a", "b").alias("id_b"),
         )
+        .agg(
+            F.count("*").alias("_deg"),
+            F.min("cosine").alias("cosine"),
+        )
+        .filter(F.col("_deg") == 2)
+        .select("id_a", "id_b", "cosine")
     )

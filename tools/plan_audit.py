@@ -124,6 +124,9 @@ SCALAR_BROADCAST_OK = {
     "agg broadcasts",
     "cosine_topk": "bounded query-set broadcast x one corpus pass (the "
     "exact-ANN baseline shape: small side is the k query vectors)",
+    "ann_recall_eval": "recall scoreboard composes cosine_topk's "
+    "bounded-query broadcast plus its own exact-L2 ground truth in the "
+    "same shape (8 query vectors broadcast against one corpus pass)",
     "bitext_mine": "exact cross-score baseline (broadcast target side); "
     "the 10^12 path swaps in IVF/LSH candidate lists, same margin math",
     "hard_negatives": "bounded query-set broadcast x one corpus pass "

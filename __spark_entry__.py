@@ -5628,6 +5628,57 @@ def _span_kind_transitions(spark, sf_dir):
     )
 
 
+def _adamic_adar(spark, sf_dir):
+    """Top-20 Adamic-Adar link-prediction scores over the synthetic host
+    graph — which UNLINKED host pairs share the most (and rarest) common
+    neighbors; the crawl-discovery counterpart of pagerank_hosts. Exact
+    sum here; the max_pivot_degree hub cap is the 10^12-edge knob."""
+    from pdf_extractor_spark.operators.graph import adamic_adar_topk
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    return adamic_adar_topk(edges)
+
+
+def _degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman r) of the host graph — the one-number
+    hub-and-spoke vs collusion fingerprint; all moments exact BIGINTs so
+    the single double expression is engine-bit-identical."""
+    from pdf_extractor_spark.operators.graph import degree_assortativity
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    return degree_assortativity(edges)
+
+
+def _graph_modularity(spark, sf_dir):
+    """Newman modularity Q of the label_propagation communities on the
+    host graph — the detect-then-score audit: LPA proposes the partition,
+    Q says whether it beats random. Q assembled from exact-integer stub
+    counts in ONE division."""
+    from pdf_extractor_spark.operators.graph import modularity
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    return modularity(edges, iters=2)
+
+
+def _gt_unseen_mass(spark, sf_dir):
+    """Good-Turing unseen-mass estimate (p0 = N1/N, Gale & Sampson 1995)
+    per source — the corpus-saturation dial: a source still yielding
+    hapaxes is worth crawling deeper, one near zero is mined out."""
+    from pdf_extractor_spark.operators.textstats import gt_unseen_mass
+
+    return gt_unseen_mass(_t_wide(spark, sf_dir, "documents"))
+
+
+def _lsh_candidate_eval(spark, sf_dir):
+    """Banding precision/recall scoreboard of the (16 hash, 4x4) MinHash
+    S-curve against exact 3-gram Jaccard >= 0.7 ground truth — the dedup
+    twin of ann_recall_eval, md5-portable hashes end-to-end so the whole
+    candidate pipeline is SQL-mirrorable."""
+    from pdf_extractor_spark.operators.dedup import lsh_candidate_eval
+
+    return lsh_candidate_eval(_t_wide(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -5797,6 +5848,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _label_propagation,
         "cc_hosts": _cc_hosts,
         "cc_incremental": _cc_incremental,
+        "adamic_adar": _adamic_adar,
+        "degree_assortativity": _degree_assortativity,
+        "graph_modularity": _graph_modularity,
+        "gt_unseen_mass": _gt_unseen_mass,
+        "lsh_candidate_eval": _lsh_candidate_eval,
         "expire_snapshots": _expire_snapshots,
         "text_tiling": _text_tiling,
         "event_rle": _event_rle,
@@ -13573,4 +13629,182 @@ FROM p
 """
     # extract_pipeline: rows-only driver check (pandas-UDF pipeline;
     # span-level parity is covered by tests/test_pipeline_spark.py).
+    # shared host-graph CTE prefix for the round-5 graph additions —
+    # identical to the pagerank_hosts / label_propagation edge synthesis
+    _g_cte = """
+WITH e0 AS (
+  SELECT source || '.example.com' AS src,
+         'src' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR)
+           || '.example.com' AS dst FROM documents
+  UNION ALL
+  SELECT source || '.example.com',
+         'src' || CAST((doc_id * 7 + 2) % 20 AS VARCHAR)
+           || '.example.com' FROM documents
+  UNION ALL
+  SELECT source || '.example.com',
+         'src' || CAST((doc_id * 11 + 5) % 20 AS VARCHAR)
+           || '.example.com' FROM documents),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+  WHERE src <> dst)"""
+
+    sql["adamic_adar"] = f"""{_g_cte},
+deg AS (SELECT src AS w, count(*) AS deg FROM und GROUP BY 1),
+wedges AS (
+  SELECT a.src AS w, a.dst AS u, b.dst AS v
+  FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst),
+open_w AS (
+  SELECT w, u, v FROM wedges
+  WHERE NOT EXISTS (SELECT 1 FROM und x WHERE x.src = u AND x.dst = v))
+SELECT u AS host_a, v AS host_b,
+       CAST(count(*) AS BIGINT) AS common_neighbors,
+       round(sum(1.0 / ln(deg.deg)), 6) AS aa_score
+FROM open_w JOIN deg USING (w)
+GROUP BY u, v
+ORDER BY aa_score DESC, host_a, host_b
+LIMIT 20
+"""
+
+    sql["degree_assortativity"] = f"""{_g_cte},
+deg AS (SELECT src AS n, count(*) AS d FROM und GROUP BY 1),
+pairs AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM und JOIN deg dx ON und.src = dx.n JOIN deg dy ON und.dst = dy.n),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM pairs)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+         round(CAST(m * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+       END AS assortativity
+FROM s
+"""
+
+    sql["graph_modularity"] = f"""{_g_cte},
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+l1 AS (
+  SELECT l.node,
+         least(l.label, coalesce(min(nl.label), l.label)) AS label
+  FROM l0 l
+  LEFT JOIN und u ON u.src = l.node
+  LEFT JOIN l0 nl ON nl.node = u.dst
+  GROUP BY l.node, l.label),
+l2 AS (
+  SELECT l.node,
+         least(l.label, coalesce(min(nl.label), l.label)) AS label
+  FROM l1 l
+  LEFT JOIN und u ON u.src = l.node
+  LEFT JOIN l1 nl ON nl.node = u.dst
+  GROUP BY l.node, l.label),
+deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY 1),
+dc AS (
+  SELECT l2.label, CAST(sum(d) AS BIGINT) AS dc
+  FROM l2 JOIN deg USING (node) GROUP BY 1),
+cs AS (
+  SELECT CAST(count(*) AS BIGINT) AS communities,
+         CAST(sum(dc * dc) AS BIGINT) AS sdc2 FROM dc),
+intra AS (
+  SELECT CAST(count(*) AS BIGINT) AS intra
+  FROM und
+  JOIN l2 la ON und.src = la.node
+  JOIN l2 lb ON und.dst = lb.node
+  WHERE la.label = lb.label),
+mt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM und)
+SELECT communities, CAST(mm / 2 AS BIGINT) AS n_edges,
+       round(CAST(mm * intra - sdc2 AS DOUBLE)
+             / (CAST(mm AS DOUBLE) * CAST(mm AS DOUBLE)), 6) AS q_modularity
+FROM cs, intra, mt
+"""
+
+    sql["gt_unseen_mass"] = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''),
+c AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(c), 6) AS p_unseen
+FROM c GROUP BY source ORDER BY source
+"""
+
+    # lsh_candidate_eval: the eval pipeline is md5-portable by design, so
+    # the oracle replays signatures, banding, candidate join, and exact-
+    # Jaccard truth with the SAME coefficient family the Spark side draws
+    from pdf_extractor_spark.operators.dedup import (
+        MINHASH_P as _lshp,
+        _minhash_coeffs as _lshc,
+    )
+
+    _coeffs = _lshc(16, 7)
+    _mins = ",\n         ".join(
+        f"min((x * {a} + {b}) % {_lshp}) AS h{i}"
+        for i, (a, b) in enumerate(_coeffs)
+    )
+    _band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT id, {bi} AS band, "
+        + " || ',' || ".join(
+            f"CAST(h{bi * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        + " AS key FROM sig"
+        for bi in range(4)
+    )
+    sql["lsh_candidate_eval"] = f"""
+WITH tok AS (SELECT doc_id AS id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+sh AS (
+  SELECT id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+sid AS (
+  SELECT DISTINCT id,
+    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS sid FROM sh),
+x AS (SELECT id, sid % 2147483648 AS x FROM sid),
+sig AS (
+  SELECT id, {_mins}
+  FROM x GROUP BY id),
+buckets AS (
+{_band_rows}),
+cand AS (
+  SELECT DISTINCT p.id AS id1, q.id AS id2
+  FROM buckets p JOIN buckets q
+    ON p.band = q.band AND p.key = q.key AND p.id < q.id),
+cnt AS (SELECT id, count(*) AS nsh FROM sid GROUP BY 1),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sid a JOIN sid b ON a.sid = b.sid AND a.id < b.id GROUP BY 1, 2),
+truth AS (
+  SELECT id1, id2
+  FROM inter JOIN cnt ca ON id1 = ca.id JOIN cnt cb ON id2 = cb.id
+  WHERE inter * 1.0 / (ca.nsh + cb.nsh - inter) >= 0.7),
+lab AS (
+  SELECT coalesce(c.isc, 0) AS isc, coalesce(t.ist, 0) AS ist
+  FROM (SELECT id1, id2, 1 AS isc FROM cand) c
+  FULL OUTER JOIN (SELECT id1, id2, 1 AS ist FROM truth) t
+    ON c.id1 = t.id1 AND c.id2 = t.id2)
+SELECT CAST(sum(isc) AS BIGINT) AS n_candidates,
+       CAST(sum(ist) AS BIGINT) AS n_truth,
+       CAST(sum(isc * ist) AS BIGINT) AS true_pairs,
+       CASE WHEN sum(isc) > 0 THEN
+         round(CAST(sum(isc * ist) AS DOUBLE) / sum(isc), 6) END
+         AS precision,
+       CASE WHEN sum(ist) > 0 THEN
+         round(CAST(sum(isc * ist) AS DOUBLE) / sum(ist), 6) END
+         AS recall
+FROM lab
+"""
+
     return sql

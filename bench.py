@@ -312,6 +312,11 @@ HEADLINE = [
     "ivf_ann_topk",
     "mutual_knn",
     "ann_recall_eval",
+    "adamic_adar",
+    "degree_assortativity",
+    "graph_modularity",
+    "gt_unseen_mass",
+    "lsh_candidate_eval",
     "pq_encode",
     "pq_adc_topk",
     "pq_rerank_topk",

@@ -1192,3 +1192,141 @@ def fuzzy_key_pairs(
         "key2",
         F.levenshtein("key1", "key2").alias("edit_dist"),
     ).filter(F.col("edit_dist") <= 1)
+
+
+def lsh_candidate_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    seed: int = 7,
+) -> DataFrame:
+    """One row (n_candidates, n_truth, true_pairs, precision, recall) —
+    the banding-quality scoreboard every MinHash deployment runs before
+    picking (bands, rows): precision/recall of the CANDIDATE pair set
+    (pairs sharing ≥1 band bucket, BEFORE any verify stage) against the
+    exact-Jaccard ≥ threshold ground truth on the same shingle sets.
+    Recall here is the S-curve catch rate 1−(1−j^r)^b realized on the
+    actual corpus; precision is the verify-stage workload multiplier
+    (1/precision candidate verifications per true duplicate). The
+    dedup-side twin of ann_recall_eval.
+
+    Unlike the production path (minhash_signatures, xxhash64 shingle
+    ids), the eval hashes shingles with the engine-portable md5-derived
+    60-bit id (`simhash_token_hash`) so the ENTIRE pipeline — signatures,
+    banding, candidate join, exact-Jaccard truth — is SQL-mirrorable by
+    the DuckDB oracle, hash constants included. That trades the
+    string-shingle build cost back in, acceptable for a diagnostic run
+    over a sample; the production signatures stay on the fast path.
+
+    Scale: the eval is meant for a SAMPLED corpus (its exact-Jaccard
+    truth is inherently quadratic in shingle-sharing docs); the
+    signature/banding side scales like minhash_lsh itself."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    t = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), t.alias("t")).where(
+        F.size("t") >= n
+    )
+    sh = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("t", i + 1 + j) for j in range(n)]
+                    ),
+                )
+            )
+        ).alias("s"),
+    )
+    sid = sh.select("id", simhash_token_hash(F.col("s")).alias("sid")).distinct()
+    x = sid.select("id", (F.col("sid") % F.lit(1 << 31)).alias("x"))
+    aggs = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = x.groupBy("id").agg(*aggs)
+    bucket_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sig.select(
+        "id", F.explode(F.array(*bucket_structs)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    cand = (
+        buckets.alias("p")
+        .join(
+            buckets.alias("q"),
+            (F.col("p.band") == F.col("q.band"))
+            & (F.col("p.key") == F.col("q.key"))
+            & (F.col("p.id") < F.col("q.id")),
+        )
+        .select(F.col("p.id").alias("id1"), F.col("q.id").alias("id2"))
+        .distinct()
+    )
+    cnt = sid.groupBy("id").agg(F.count("*").alias("nsh"))
+    inter = (
+        sid.alias("a")
+        .join(
+            sid.alias("b"),
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    truth = (
+        inter.join(
+            cnt.select(F.col("id").alias("id1"), F.col("nsh").alias("ca")),
+            "id1",
+        )
+        .join(
+            cnt.select(F.col("id").alias("id2"), F.col("nsh").alias("cb")),
+            "id2",
+        )
+        .where(
+            F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))
+            >= threshold
+        )
+        .select("id1", "id2")
+    )
+    lab = cand.withColumn("isc", F.lit(1)).join(
+        truth.withColumn("ist", F.lit(1)), ["id1", "id2"], "full_outer"
+    )
+    return lab.agg(
+        F.coalesce(F.sum("isc"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("ist"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.col("isc") * F.col("ist")), F.lit(0))
+        .cast("long")
+        .alias("true_pairs"),
+    ).select(
+        "n_candidates",
+        "n_truth",
+        "true_pairs",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("true_pairs").cast("double") / F.col("n_candidates"), 6
+            ),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("true_pairs").cast("double") / F.col("n_truth"), 6),
+        ).alias("recall"),
+    )

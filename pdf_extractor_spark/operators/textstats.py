@@ -2197,3 +2197,47 @@ def query_likelihood_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def gt_unseen_mass(
+    df, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """(source, n_tokens, vocab, n1, n2, p_unseen) — Good-Turing
+    unseen-probability mass per source: p0 = N1/N, the fraction of
+    tokens that are hapax legomena (Gale & Sampson 1995, "simple
+    Good-Turing"). The corpus-saturation dial of data curation — a
+    source whose p_unseen stays high keeps yielding new vocabulary and
+    is worth crawling deeper; one near zero is mined out. N2 rides
+    along because the GT discount for singletons (2·N2/N1) is the other
+    number an LM smoothing audit asks for.
+
+    One explode → one (source, word) count → one per-source aggregate;
+    map-side combine collapses each partition's word counts before the
+    shuffle, and the final frame is sources-sized. All counts are exact
+    integers; p_unseen is a single 6-dp-rounded division, so the row is
+    bit-identical in any engine."""
+    w = df.select(
+        F.col(group_col).alias("source"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("word"),
+    )
+    c = w.groupBy("source", "word").agg(F.count("*").alias("c"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n1"),
+            F.sum((F.col("c") == 2).cast("long")).cast("long").alias("n2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "n1",
+            "n2",
+            F.round(
+                F.col("n1").cast("double") / F.col("n_tokens"), 6
+            ).alias("p_unseen"),
+        )
+        .orderBy("source")
+    )

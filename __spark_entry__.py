@@ -5679,6 +5679,34 @@ def _lsh_candidate_eval(spark, sf_dir):
     return lsh_candidate_eval(_t_wide(spark, sf_dir, "documents"))
 
 
+def _clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per host (triangles over possible
+    wedges) — the degree-normalized link-farm signal, riding
+    triangle_count's degree-ordered wedge closure."""
+    from pdf_extractor_spark.operators.graph import clustering_coefficient
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    return clustering_coefficient(edges)
+
+
+def _yule_k(spark, sf_dir):
+    """Yule's characteristic K per source — the size-robust lexical
+    repetitiveness constant; high K flags template/boilerplate-dominated
+    sources. Complements gt_unseen_mass's novelty dial."""
+    from pdf_extractor_spark.operators.textstats import yule_k
+
+    return yule_k(_t_wide(spark, sf_dir, "documents"))
+
+
+def _lsh_bands_sweep(spark, sf_dir):
+    """MinHash banding operating-point sweep: the same 16-hash signature
+    sliced 8x2 / 4x4 / 2x8 and scored against one exact-Jaccard truth —
+    the precision/recall trade of the S-curve read off one result."""
+    from pdf_extractor_spark.operators.dedup import lsh_bands_sweep
+
+    return lsh_bands_sweep(_t_wide(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -5853,6 +5881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _graph_modularity,
         "gt_unseen_mass": _gt_unseen_mass,
         "lsh_candidate_eval": _lsh_candidate_eval,
+        "clustering_coefficient": _clustering_coefficient,
+        "yule_k": _yule_k,
+        "lsh_bands_sweep": _lsh_bands_sweep,
         "expire_snapshots": _expire_snapshots,
         "text_tiling": _text_tiling,
         "event_rle": _event_rle,
@@ -13805,6 +13836,113 @@ SELECT CAST(sum(isc) AS BIGINT) AS n_candidates,
          round(CAST(sum(isc * ist) AS DOUBLE) / sum(ist), 6) END
          AS recall
 FROM lab
+"""
+
+    sql["clustering_coefficient"] = f"""{_g_cte},
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 WHERE src <> dst),
+cdeg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM ue UNION ALL SELECT v FROM ue)
+  GROUP BY 1),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM ue a JOIN ue b ON a.u = b.u AND a.v < b.v
+  JOIN ue c ON c.u = a.v AND c.v = b.v),
+pn AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY 1)
+SELECT cdeg.node AS host, CAST(cdeg.degree AS BIGINT) AS degree,
+       CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN cdeg.degree >= 2 THEN
+         round(CAST(coalesce(pn.triangles, 0) AS DOUBLE)
+               / CAST(cdeg.degree * (cdeg.degree - 1) // 2 AS DOUBLE), 6)
+       END AS clustering_coeff
+FROM cdeg LEFT JOIN pn USING (node)
+ORDER BY host
+"""
+
+    sql["yule_k"] = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''),
+c AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       round(10000.0 * CAST(sum(c * c) - sum(c) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+         AS yule_k
+FROM c GROUP BY source ORDER BY source
+"""
+
+    # lsh_bands_sweep: same portable signature/truth CTEs as
+    # lsh_candidate_eval, three band layouts unioned
+    _sweep_layouts = []
+    for _bands, _rpb in ((8, 2), (4, 4), (2, 8)):
+        _band_rows2 = "\n  UNION ALL\n".join(
+            f"  SELECT id, {bi} AS band, "
+            + " || ',' || ".join(
+                f"CAST(h{bi * _rpb + r} AS VARCHAR)" for r in range(_rpb)
+            )
+            + " AS key FROM sig"
+            for bi in range(_bands)
+        )
+        _sweep_layouts.append(f"""
+SELECT {_bands} AS bands, {_rpb} AS rows_per_band,
+       CAST(sum(isc) AS BIGINT) AS n_candidates,
+       CAST(sum(ist) AS BIGINT) AS n_truth,
+       CAST(sum(isc * ist) AS BIGINT) AS true_pairs,
+       CASE WHEN sum(isc) > 0 THEN
+         round(CAST(sum(isc * ist) AS DOUBLE) / sum(isc), 6) END
+         AS precision,
+       CASE WHEN sum(ist) > 0 THEN
+         round(CAST(sum(isc * ist) AS DOUBLE) / sum(ist), 6) END
+         AS recall
+FROM (
+  SELECT coalesce(c.isc, 0) AS isc, coalesce(t.ist, 0) AS ist
+  FROM (
+    SELECT id1, id2, 1 AS isc FROM (
+      SELECT DISTINCT p.id AS id1, q.id AS id2
+      FROM (
+{_band_rows2}) p
+      JOIN (
+{_band_rows2}) q
+        ON p.band = q.band AND p.key = q.key AND p.id < q.id)) c
+  FULL OUTER JOIN (SELECT id1, id2, 1 AS ist FROM truth) t
+    ON c.id1 = t.id1 AND c.id2 = t.id2
+  ) lab""")
+    _sweep_body = "\nUNION ALL\n".join(_sweep_layouts)
+    sql["lsh_bands_sweep"] = f"""
+WITH tok AS (SELECT doc_id AS id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+sh AS (
+  SELECT id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)])) AS s
+  FROM tok WHERE len(toks) >= 3),
+sid AS (
+  SELECT DISTINCT id,
+    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS sid FROM sh),
+x AS (SELECT id, sid % 2147483648 AS x FROM sid),
+sig AS (
+  SELECT id, {_mins}
+  FROM x GROUP BY id),
+cnt AS (SELECT id, count(*) AS nsh FROM sid GROUP BY 1),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sid a JOIN sid b ON a.sid = b.sid AND a.id < b.id GROUP BY 1, 2),
+truth AS (
+  SELECT id1, id2
+  FROM inter JOIN cnt ca ON id1 = ca.id JOIN cnt cb ON id2 = cb.id
+  WHERE inter * 1.0 / (ca.nsh + cb.nsh - inter) >= 0.7)
+{_sweep_body}
+ORDER BY bands DESC
 """
 
     return sql

@@ -317,6 +317,9 @@ HEADLINE = [
     "graph_modularity",
     "gt_unseen_mass",
     "lsh_candidate_eval",
+    "clustering_coefficient",
+    "yule_k",
+    "lsh_bands_sweep",
     "pq_encode",
     "pq_adc_topk",
     "pq_rerank_topk",

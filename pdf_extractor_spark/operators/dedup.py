@@ -1194,39 +1194,11 @@ def fuzzy_key_pairs(
     ).filter(F.col("edit_dist") <= 1)
 
 
-def lsh_candidate_eval(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    rows_per_band: int = 4,
-    threshold: float = 0.7,
-    seed: int = 7,
-) -> DataFrame:
-    """One row (n_candidates, n_truth, true_pairs, precision, recall) —
-    the banding-quality scoreboard every MinHash deployment runs before
-    picking (bands, rows): precision/recall of the CANDIDATE pair set
-    (pairs sharing ≥1 band bucket, BEFORE any verify stage) against the
-    exact-Jaccard ≥ threshold ground truth on the same shingle sets.
-    Recall here is the S-curve catch rate 1−(1−j^r)^b realized on the
-    actual corpus; precision is the verify-stage workload multiplier
-    (1/precision candidate verifications per true duplicate). The
-    dedup-side twin of ann_recall_eval.
-
-    Unlike the production path (minhash_signatures, xxhash64 shingle
-    ids), the eval hashes shingles with the engine-portable md5-derived
-    60-bit id (`simhash_token_hash`) so the ENTIRE pipeline — signatures,
-    banding, candidate join, exact-Jaccard truth — is SQL-mirrorable by
-    the DuckDB oracle, hash constants included. That trades the
-    string-shingle build cost back in, acceptable for a diagnostic run
-    over a sample; the production signatures stay on the fast path.
-
-    Scale: the eval is meant for a SAMPLED corpus (its exact-Jaccard
-    truth is inherently quadratic in shingle-sharing docs); the
-    signature/banding side scales like minhash_lsh itself."""
-    coeffs = _minhash_coeffs(num_hashes, seed)
+def _portable_sids(df, text_col, id_col, n):
+    """(id, sid) distinct 60-bit shingle ids per doc — simhash_token_hash
+    over the n-token string, deliberately NOT the fast xxhash64
+    production path, so every number downstream is reproducible in any
+    engine with md5."""
     t = tokens_col(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("id"), t.alias("t")).where(
         F.size("t") >= n
@@ -1244,7 +1216,15 @@ def lsh_candidate_eval(
             )
         ).alias("s"),
     )
-    sid = sh.select("id", simhash_token_hash(F.col("s")).alias("sid")).distinct()
+    return sh.select(
+        "id", simhash_token_hash(F.col("s")).alias("sid")
+    ).distinct()
+
+
+def _minhash_sig_from_sids(sid, num_hashes, seed):
+    """num_hashes-column MinHash signature table over a (id, sid) frame
+    (same (a*x+b) mod p family as minhash_signatures, portable ids)."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
     x = sid.select("id", (F.col("sid") % F.lit(1 << 31)).alias("x"))
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
@@ -1252,7 +1232,46 @@ def lsh_candidate_eval(
         )
         for i, (a, b) in enumerate(coeffs)
     ]
-    sig = x.groupBy("id").agg(*aggs)
+    return x.groupBy("id").agg(*aggs)
+
+
+def _exact_jaccard_truth(sid, threshold):
+    """(id1, id2) pairs whose exact shingle-set Jaccard >= threshold —
+    the ground truth the banding scoreboards measure against."""
+    cnt = sid.groupBy("id").agg(F.count("*").alias("nsh"))
+    inter = (
+        sid.alias("a")
+        .join(
+            sid.alias("b"),
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            cnt.select(F.col("id").alias("id1"), F.col("nsh").alias("ca")),
+            "id1",
+        )
+        .join(
+            cnt.select(F.col("id").alias("id2"), F.col("nsh").alias("cb")),
+            "id2",
+        )
+        .where(
+            F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))
+            >= threshold
+        )
+        .select("id1", "id2")
+    )
+
+
+def _banding_scoreboard(sig, truth, bands, rows_per_band):
+    """One metrics row (bands, rows_per_band, n_candidates, n_truth,
+    true_pairs, precision, recall) for one band layout over a signature
+    table: candidates = distinct pairs sharing >= 1 band bucket, scored
+    against `truth` through a full-outer join (one shuffle on the pair
+    key, never a crossJoin)."""
     bucket_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -1280,32 +1299,6 @@ def lsh_candidate_eval(
         .select(F.col("p.id").alias("id1"), F.col("q.id").alias("id2"))
         .distinct()
     )
-    cnt = sid.groupBy("id").agg(F.count("*").alias("nsh"))
-    inter = (
-        sid.alias("a")
-        .join(
-            sid.alias("b"),
-            (F.col("a.sid") == F.col("b.sid"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count("*").alias("inter"))
-    )
-    truth = (
-        inter.join(
-            cnt.select(F.col("id").alias("id1"), F.col("nsh").alias("ca")),
-            "id1",
-        )
-        .join(
-            cnt.select(F.col("id").alias("id2"), F.col("nsh").alias("cb")),
-            "id2",
-        )
-        .where(
-            F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))
-            >= threshold
-        )
-        .select("id1", "id2")
-    )
     lab = cand.withColumn("isc", F.lit(1)).join(
         truth.withColumn("ist", F.lit(1)), ["id1", "id2"], "full_outer"
     )
@@ -1316,6 +1309,8 @@ def lsh_candidate_eval(
         .cast("long")
         .alias("true_pairs"),
     ).select(
+        F.lit(bands).cast("int").alias("bands"),
+        F.lit(rows_per_band).cast("int").alias("rows_per_band"),
         "n_candidates",
         "n_truth",
         "true_pairs",
@@ -1330,3 +1325,84 @@ def lsh_candidate_eval(
             F.round(F.col("true_pairs").cast("double") / F.col("n_truth"), 6),
         ).alias("recall"),
     )
+
+
+def lsh_candidate_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    seed: int = 7,
+) -> DataFrame:
+    """One row (n_candidates, n_truth, true_pairs, precision, recall) —
+    the banding-quality scoreboard every MinHash deployment runs before
+    picking (bands, rows): precision/recall of the CANDIDATE pair set
+    (pairs sharing >= 1 band bucket, BEFORE any verify stage) against the
+    exact-Jaccard >= threshold ground truth on the same shingle sets.
+    Recall here is the S-curve catch rate 1-(1-j^r)^b realized on the
+    actual corpus; precision is the verify-stage workload multiplier
+    (1/precision candidate verifications per true duplicate). The
+    dedup-side twin of ann_recall_eval.
+
+    Unlike the production path (minhash_signatures, xxhash64 shingle
+    ids), the eval hashes shingles with the engine-portable md5-derived
+    60-bit id (`simhash_token_hash`) so the ENTIRE pipeline — signatures,
+    banding, candidate join, exact-Jaccard truth — is SQL-mirrorable by
+    the DuckDB oracle, hash constants included. That trades the
+    string-shingle build cost back in, acceptable for a diagnostic run
+    over a sample; the production signatures stay on the fast path.
+
+    Scale: the eval is meant for a SAMPLED corpus (its exact-Jaccard
+    truth is inherently quadratic in shingle-sharing docs); the
+    signature/banding side scales like minhash_lsh itself."""
+    sid = _portable_sids(df, text_col, id_col, n)
+    sig = _minhash_sig_from_sids(sid, num_hashes, seed)
+    truth = _exact_jaccard_truth(sid, threshold)
+    return _banding_scoreboard(sig, truth, bands, rows_per_band).drop(
+        "bands", "rows_per_band"
+    )
+
+
+def lsh_bands_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    layouts: "list[tuple[int, int]] | None" = None,
+    threshold: float = 0.7,
+    seed: int = 7,
+) -> DataFrame:
+    """One row PER BAND LAYOUT (bands, rows_per_band, n_candidates,
+    n_truth, true_pairs, precision, recall) — the operating-point chooser
+    for MinHash banding: the same `num_hashes`-hash signature sliced as
+    8x2 / 4x4 / 2x8 and scored against the SAME exact-Jaccard truth, so
+    the precision-recall trade of the S-curve 1-(1-j^r)^b is read off one
+    result instead of three runs (dedup_threshold_curve's pick-the-knob
+    pattern applied to the banding knob). More bands of fewer rows ->
+    recall up / precision down; the sweep shows where the corpus actually
+    sits on that curve.
+
+    The signature and truth tables each feed every layout, and Catalyst
+    has no CTE sharing — both take an eager localCheckpoint (they are
+    doc-bounded and pair-bounded respectively), so the sweep costs ONE
+    signature build + ONE exact-Jaccard join + |layouts| bucket joins,
+    not |layouts| re-derivations of everything (graph_modularity's
+    lesson this round). Ordered by bands desc — deterministic, and the
+    recall-heaviest layout leads."""
+    sid = _portable_sids(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sig = _minhash_sig_from_sids(sid, num_hashes, seed).localCheckpoint(
+        eager=True
+    )
+    truth = _exact_jaccard_truth(sid, threshold).localCheckpoint(eager=True)
+    if layouts is None:
+        layouts = [(8, 2), (4, 4), (2, 8)]
+    out = None
+    for bands, rows_per_band in layouts:
+        row = _banding_scoreboard(sig, truth, bands, rows_per_band)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.desc("bands"))

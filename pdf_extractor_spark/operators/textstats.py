@@ -2241,3 +2241,46 @@ def gt_unseen_mass(
         )
         .orderBy("source")
     )
+
+
+def yule_k(df, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """(source, n_tokens, vocab, yule_k) — Yule's characteristic K per
+    source: K = 10⁴·(Σc² − N)/N² over the type frequencies c (Yule 1944),
+    the size-robust repetitiveness constant of lexical-diversity
+    analysis. High K = a vocabulary dominated by a few types (template
+    boilerplate, machine-generated spam); low K = diverse prose. The
+    repetition-side complement of `gt_unseen_mass`'s novelty dial, from
+    the SAME (source, word) count table shape.
+
+    Σc² and N are exact BIGINTs off one token-count aggregate (map-side
+    combined; the caveat at 10^12-doc scale is Σc² overflowing 2^63 for
+    a stopword-heavy source — promote to double there), and K is one
+    6-dp-rounded double expression — engine-bit-identical."""
+    w = df.select(
+        F.col(group_col).alias("source"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("word"),
+    )
+    c = w.groupBy("source", "word").agg(F.count("*").alias("c"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.lit(10000.0)
+                * (F.col("sc2") - F.col("n_tokens")).cast("double")
+                / (
+                    F.col("n_tokens").cast("double")
+                    * F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("yule_k"),
+        )
+        .orderBy("source")
+    )

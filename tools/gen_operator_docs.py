@@ -42,7 +42,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "readability", "tokenizer_fertility", "ocr_garble_score",
         "script_mix", "sentence_segment", "quality_percentile",
         "vocab_prune", "lang_confusion",
-        "zipf_fit", "heaps_law", "word_burstiness", "gt_unseen_mass",
+        "zipf_fit", "heaps_law", "word_burstiness", "gt_unseen_mass", "yule_k",
         "stylometry_delta", "source_diversity", "text_tiling",
     ]),
     ("Document structure (layout cleanup & mining)", [
@@ -61,7 +61,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "dedup_apply", "dup_ngram_stats", "incremental_dedup", "incremental_lsh_dedup", "embedding_neardup",
         "semdedup", "fuzzy_name_match", "containment_pairs",
         "intra_doc_dedup", "ngram_novelty", "cluster_size_hist",
-        "dedup_threshold_curve", "lsh_candidate_eval",
+        "dedup_threshold_curve", "lsh_candidate_eval", "lsh_bands_sweep",
     ]),
     ("Decontamination & corpus curation", [
         "decontaminate", "decontaminate_near", "pii_scrub", "k_anonymity", "mix_weights", "epoch_plan",
@@ -134,6 +134,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "ppr_hosts", "rrf_fusion",
         "rank_biased_overlap",
         "adamic_adar", "degree_assortativity", "graph_modularity",
+        "clustering_coefficient",
     ]),
     ("Embedding & retrieval eval extensions", [
         "embedding_quantile_norm", "pca_top_component", "cluster_purity",

@@ -217,6 +217,8 @@ def main() -> None:
         pq_codebooks,
         pq_encode,
     )
+    from pdf_extractor_spark.operators.dedup import lsh_bands_sweep
+    from pdf_extractor_spark.operators.textstats import gt_unseen_mass, yule_k
 
     books_s = pq_codebooks(emb_s)
     books_b = pq_codebooks(emb_b)
@@ -263,6 +265,14 @@ def main() -> None:
         ).count(),
         "lattice_vocab": lambda L: lattice_vocab(L["d"]).count(),
         "lattice_encode": lambda L: lattice_encode(L["d"], L["v"]).count(),
+        # round-5 additions: two corpus-sized count aggregates (linear by
+        # construction — the ratio verifies no hidden blowup) and the
+        # banding sweep, whose exact-Jaccard truth keeps sf0.1's pair
+        # population at 10x (shuffled replicas share no shingles), so its
+        # ratio isolates signature+bucket-join cost like minhash_lsh's
+        "gt_unseen_mass": lambda L: gt_unseen_mass(L["d"]).count(),
+        "yule_k": lambda L: yule_k(L["d"]).count(),
+        "lsh_bands_sweep": lambda L: lsh_bands_sweep(L["d"]).count(),
     }
 
     rows = []

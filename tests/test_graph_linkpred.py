@@ -126,3 +126,19 @@ def test_modularity_path_clique_fixture(edges):
     row = modularity(edges).first()
     assert row.communities == 3
     assert row.q_modularity == round(58 / 324, 6)
+
+
+def test_degenerate_graphs_never_crash(spark):
+    # empty edge set and a self-loop-only graph: every operator returns
+    # empty / NULL-metric rows instead of tripping an ANSI division
+    from pdf_extractor_spark.operators.graph import clustering_coefficient
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    loop = spark.createDataFrame([("a", "a")], "src string, dst string")
+    for g in (empty, loop):
+        assert adamic_adar_topk(g).count() == 0
+        assert clustering_coefficient(g).count() == 0
+        da = degree_assortativity(g).first()
+        assert da.n_edges == 0 and da.assortativity is None
+        q = modularity(g).first()
+        assert q.communities == 0 and q.q_modularity is None

@@ -1376,6 +1376,7 @@ def lsh_bands_sweep(
     layouts: "list[tuple[int, int]] | None" = None,
     threshold: float = 0.7,
     seed: int = 7,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """One row PER BAND LAYOUT (bands, rows_per_band, n_candidates,
     n_truth, true_pairs, precision, recall) — the operating-point chooser
@@ -1393,7 +1394,26 @@ def lsh_bands_sweep(
     signature build + ONE exact-Jaccard join + |layouts| bucket joins,
     not |layouts| re-derivations of everything (graph_modularity's
     lesson this round). Ordered by bands desc — deterministic, and the
-    recall-heaviest layout leads."""
+    recall-heaviest layout leads.
+
+    `sample_mod` is the production knob the docstring's sampled-corpus
+    contract rests on: keep a doc iff its md5 bucket (the engine-portable
+    hash_sample idiom) is 0 mod sample_mod, i.e. a deterministic,
+    rerun-stable 1/sample_mod sample. The exact-Jaccard truth is
+    inherently quadratic in shingle document frequency — at 10^12 docs
+    NO exact all-pairs truth is computable, and the published procedure
+    (and the 10x scale-evidence row) holds the evaluated sample at a
+    FIXED size while the corpus grows; banding metrics on a uniform
+    sample are unbiased estimates of the corpus metrics. None = whole
+    input (the test-SF default the oracle mirrors)."""
+    if sample_mod is not None and sample_mod > 1:
+        bucket = F.pmod(
+            simhash_token_hash(
+                F.concat(F.lit("lshsweep_"), F.col(id_col).cast("string"))
+            ),
+            F.lit(sample_mod),
+        )
+        df = df.where(bucket == 0)
     sid = _portable_sids(df, text_col, id_col, n).localCheckpoint(eager=True)
     sig = _minhash_sig_from_sids(sid, num_hashes, seed).localCheckpoint(
         eager=True

@@ -5707,6 +5707,29 @@ def _lsh_bands_sweep(spark, sf_dir):
     return lsh_bands_sweep(_t_wide(spark, sf_dir, "documents"))
 
 
+def _simhash_hamming_curve(spark, sf_dir):
+    """SimHash radius sensitivity curve: cumulative near-dup pair counts
+    at hamming 0/1/2/3 from one blocked pair computation (consuming the
+    persisted simhash_signatures/ artifact) — exact-dup mass vs near-dup
+    tail growth off a single result."""
+    from pdf_extractor_spark.operators.dedup import simhash_hamming_curve
+
+    return simhash_hamming_curve(
+        _t_wide(spark, sf_dir, "documents"),
+        signatures=_simhash_sigs_persisted(spark, sf_dir),
+    )
+
+
+def _community_conductance(spark, sf_dir):
+    """Per-community conductance of the LPA partition on the host graph
+    — the bottleneck score naming WHICH community leaks, next to
+    graph_modularity's global Q."""
+    from pdf_extractor_spark.operators.graph import community_conductance
+
+    edges = _host_graph_edges(_t_wide(spark, sf_dir, "documents"))
+    return community_conductance(edges, iters=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.7 analytics operators
@@ -5884,6 +5907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _clustering_coefficient,
         "yule_k": _yule_k,
         "lsh_bands_sweep": _lsh_bands_sweep,
+        "simhash_hamming_curve": _simhash_hamming_curve,
+        "community_conductance": _community_conductance,
         "expire_snapshots": _expire_snapshots,
         "text_tiling": _text_tiling,
         "event_rle": _event_rle,
@@ -13943,6 +13968,67 @@ truth AS (
   WHERE inter * 1.0 / (ca.nsh + cb.nsh - inter) >= 0.7)
 {_sweep_body}
 ORDER BY bands DESC
+"""
+
+    # simhash_hamming_curve: same full signature replication as
+    # simhash_neardup (bal_terms/sig_terms above), bucketed then crossed
+    # with the 4-row radius frame
+    sql["simhash_hamming_curve"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_LTOKS}) AS t FROM documents
+             WHERE text IS NOT NULL AND trim(text) <> ''),
+th AS (SELECT doc_id,
+              CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+bal AS (SELECT doc_id, {bal_terms} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS s FROM bal),
+buckets AS (
+  SELECT bit_count(xor(a.s, b.s)) AS hamming, count(*) AS cnt
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.s, b.s)) <= 3
+  GROUP BY 1),
+t(mh) AS (SELECT unnest([0, 1, 2, 3]))
+SELECT mh AS max_hamming,
+       CAST(coalesce(sum(CASE WHEN buckets.hamming <= t.mh
+                              THEN buckets.cnt ELSE 0 END), 0) AS BIGINT)
+         AS n_pairs
+FROM t LEFT JOIN buckets ON TRUE
+GROUP BY mh ORDER BY mh
+"""
+
+    sql["community_conductance"] = f"""{_g_cte},
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+l1 AS (
+  SELECT l.node,
+         least(l.label, coalesce(min(nl.label), l.label)) AS label
+  FROM l0 l
+  LEFT JOIN und u ON u.src = l.node
+  LEFT JOIN l0 nl ON nl.node = u.dst
+  GROUP BY l.node, l.label),
+l2 AS (
+  SELECT l.node,
+         least(l.label, coalesce(min(nl.label), l.label)) AS label
+  FROM l1 l
+  LEFT JOIN und u ON u.src = l.node
+  LEFT JOIN l1 nl ON nl.node = u.dst
+  GROUP BY l.node, l.label),
+cdeg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY 1),
+per_c AS (
+  SELECT l2.label, CAST(count(*) AS BIGINT) AS size,
+         CAST(sum(d) AS BIGINT) AS volume
+  FROM l2 JOIN cdeg USING (node) GROUP BY 1),
+cut AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS cut
+  FROM und JOIN l2 la ON und.src = la.node
+           JOIN l2 lb ON und.dst = lb.node
+  WHERE la.label <> lb.label GROUP BY 1),
+mt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM und)
+SELECT per_c.label AS community, size, volume,
+       CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut,
+       CASE WHEN least(volume, mm - volume) > 0 THEN
+         round(CAST(coalesce(cut.cut, 0) AS DOUBLE)
+               / CAST(least(volume, mm - volume) AS DOUBLE), 6) END
+         AS conductance
+FROM per_c LEFT JOIN cut USING (label), mt
+ORDER BY community
 """
 
     return sql

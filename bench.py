@@ -320,6 +320,8 @@ HEADLINE = [
     "clustering_coefficient",
     "yule_k",
     "lsh_bands_sweep",
+    "simhash_hamming_curve",
+    "community_conductance",
     "pq_encode",
     "pq_adc_topk",
     "pq_rerank_topk",

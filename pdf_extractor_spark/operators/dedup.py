@@ -1426,3 +1426,55 @@ def lsh_bands_sweep(
         row = _banding_scoreboard(sig, truth, bands, rows_per_band)
         out = row if out is None else out.unionByName(row)
     return out.orderBy(F.desc("bands"))
+
+
+def simhash_hamming_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """(max_hamming, n_pairs) for thresholds 0..`max_hamming` — the
+    pick-the-knob sensitivity curve for the SimHash hamming radius, from
+    ONE pair computation (dedup_threshold_curve's pattern applied to the
+    pigeonhole blocker): cumulative near-dup pair counts at each radius,
+    so the dedup rollout reads exact-dup mass (h=0) vs near-dup tail
+    growth off a single result. Blocking is complete for
+    h <= blocks - seg_match, so every count is exact, not an estimate.
+
+    The pair table collapses to the <=max_hamming+1-row hamming bucket
+    histogram BEFORE the threshold frame touches it, so the deliberate
+    threshold cross joins two bounded frames (4 x 4), never the pair
+    volume; zero-count radii still emit rows (left join + conditional
+    sum). Pass `signatures=` to consume the persisted
+    simhash_signatures/ artifact like simhash_neardup does."""
+    from ..session import values_df
+
+    pairs = simhash_neardup_pairs(
+        df, text_col, id_col, max_hamming=max_hamming, signatures=signatures
+    )
+    buckets = pairs.groupBy("hamming").agg(F.count("*").alias("cnt"))
+    th = values_df(
+        df.sparkSession,
+        [(h,) for h in range(max_hamming + 1)],
+        "max_hamming int",
+    )
+    return (
+        th.join(buckets, F.lit(True), "left")
+        .groupBy("max_hamming")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("hamming") <= F.col("max_hamming"),
+                        F.col("cnt"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+        .orderBy("max_hamming")
+    )

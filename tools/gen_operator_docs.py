@@ -62,6 +62,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "semdedup", "fuzzy_name_match", "containment_pairs",
         "intra_doc_dedup", "ngram_novelty", "cluster_size_hist",
         "dedup_threshold_curve", "lsh_candidate_eval", "lsh_bands_sweep",
+        "simhash_hamming_curve",
     ]),
     ("Decontamination & corpus curation", [
         "decontaminate", "decontaminate_near", "pii_scrub", "k_anonymity", "mix_weights", "epoch_plan",
@@ -134,7 +135,7 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "ppr_hosts", "rrf_fusion",
         "rank_biased_overlap",
         "adamic_adar", "degree_assortativity", "graph_modularity",
-        "clustering_coefficient",
+        "clustering_coefficient", "community_conductance",
     ]),
     ("Embedding & retrieval eval extensions", [
         "embedding_quantile_norm", "pca_top_component", "cluster_purity",

@@ -217,6 +217,12 @@ SCALAR_BROADCAST_OK = {
     "embedding_isotropy": "corpus mean/norm stats as 1-row agg "
     "broadcasts",
     "ks_test": "per-sample sizes as 1-row agg broadcasts",
+    "community_conductance": "total stub count M as a 1-row agg broadcast "
+    "onto the communities-sized frame (the kpis/modularity scalar "
+    "pattern)",
+    "simhash_hamming_curve": "deliberate 4-row radius frame crossed with "
+    "the <=4-row hamming bucket histogram (pairs pre-aggregated before "
+    "the cross — two bounded frames, never the pair volume)",
     "dedup_threshold_curve": "deliberate 4-row threshold frame crossed "
     "onto the pair table (bounded by the threshold list, never data^2)",
     "vocab_prune": "corpus token total as 1-row agg broadcast onto the "
